@@ -1,0 +1,113 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-match edge list, as an iterative
+  * large-star / small-star computation on DataFrames (no RDDs, no GraphX) —
+  * the alternating algorithm of Kiveris et al., "Connected Components in
+  * MapReduce and Beyond" (SOCC'14), which converges in O(log² n) rounds and
+  * keeps every intermediate a plain shuffled aggregation (AQE/skew-join
+  * friendly; a mega-vendor star stays a groupBy-min, never a collect).
+  *
+  * Node ids are strings (entity keys); the component label is the minimum id
+  * under lexicographic order — only a total order is required.
+  *
+  * Each iteration `localCheckpoint`s to truncate lineage (SURVEY.md §4:
+  * "CC iterations checkpoint every iteration pair to cut lineage").
+  * Convergence = edge multiset fixpoint, detected by (count, hash-sum)
+  * signature; bounded by maxIter as a safety net.
+  *
+  * The reference's in-memory analogue is the transitive proximity grouping of
+  * vlm/utils/geometry_utils.py:139-204 (W6 in SURVEY.md §2.5).
+  */
+object ConnectedComponents {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.where(col("dst") > col("src"))
+      .join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    oriented.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** @param edges DataFrame with string columns (src, dst)
+    * @return (id, component) for every node that appears in `edges`;
+    *         component = min id of the node's component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s2 = signature(e)
+      converged = s2 == sig
+      sig = s2
+      i += 1
+    }
+    // At the fixpoint every edge points child → component root.
+    val nodes = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()
+    nodes.union(roots).distinct()
+  }
+
+  /** Canonical member per component — the most plausible CLEAN surface form:
+    * highest mention count first, then fewest digits (OCR confusions 0↔O,
+    * S↔5 inject digits into words — model_evaluation.py:259-264), then the
+    * longest form (truncated reads drop trailing tokens), then id for full
+    * determinism. Matches the expected-triple convention (FIXTURES.md §3).
+    *
+    * @param counts (id, n) weight per node (mention frequency)
+    * @return (id, canonical) for EVERY id in `counts` (singletons map to
+    *         themselves)
+    */
+  def canonicalMap(components: DataFrame, counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = counts
+      .join(components, counts("id") === components("id"), "left")
+      .select(counts("id").as("id"),
+        coalesce(components("component"), counts("id")).as("component"),
+        col("n"))
+    val w = Window.partitionBy("component").orderBy(
+      col("n").desc,
+      length(regexp_replace(col("id"), "[^0-9]", "")).asc,
+      length(col("id")).desc,
+      col("id").asc)
+    val canon = labeled
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("component"), col("id").as("canonical"))
+    labeled.join(canon, "component").select(col("id"), col("canonical"))
+  }
+}

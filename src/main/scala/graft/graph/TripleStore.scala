@@ -1,0 +1,101 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style partitioned triple store on plain parquet: data files plus a
+  * `_snapshots/` JSON manifest log that makes every stage commit atomic and a
+  * killed run resumable from the last committed snapshot (north_rule).
+  *
+  * Layout:
+  *   <root>/data/pred=<p>/batch=<k>/(parquet files)   (partition columns)
+  *   <root>/_snapshots/snap-<k>.json            (manifest: batch id, counters)
+  *
+  * Write protocol per batch: (1) write parquet under batch=<k> partitions;
+  * (2) write manifest to a temp file; (3) ATOMIC_MOVE into _snapshots/.
+  * A batch without its manifest is invisible to readers (read path keeps
+  * only committed batches), so a crash between (1) and (3) just leaves
+  * garbage files that the rerun overwrites — exactly the reference's
+  * per-file resume unit generalized to partitions
+  * (ocr/ocr_starter_final.py:416-435 → SURVEY.md §2.9).
+  *
+  * Counters per commit (doc count, per-predicate triple counts) are the
+  * per-partition lineage + metrics record; they live in the manifest and are
+  * also queryable as a DataFrame via `counters`.
+  */
+object TripleStore {
+
+  private def snapsDir(root: String): Path = Paths.get(root, "_snapshots")
+
+  def committedBatches(root: String): Set[Int] = {
+    val d = snapsDir(root)
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+        s.stripPrefix("snap-").stripSuffix(".json").toInt
+      }.toSet
+  }
+
+  /** Append one batch of triples (must carry columns subj, pred, obj) and
+    * commit it atomically with its lineage counters. Idempotent: re-running
+    * a committed batch overwrites the same files and re-commits. */
+  def commitBatch(triples: DataFrame, root: String, batchId: Int,
+      extraCounters: Map[String, Long] = Map.empty): Unit = {
+    val spark = triples.sparkSession
+    val df = triples.select("subj", "pred", "obj").withColumn("batch", lit(batchId))
+    // partition by predicate: subject-lookups and per-predicate scans prune
+    df.write
+      .mode("overwrite")
+      .partitionBy("pred", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$root/data")
+    val counts = spark.read.parquet(s"$root/data")
+      .where(col("batch") === batchId)
+      .groupBy("pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = counts ++ extraCounters
+    val countersJson = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val manifest =
+      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}", "counters": $countersJson}"""
+    Files.createDirectories(snapsDir(root))
+    val tmp = snapsDir(root).resolve(s".snap-$batchId.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, snapsDir(root).resolve(s"snap-$batchId.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read only committed batches. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedBatches(root)
+    if (committed.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String, String)].toDF("subj", "pred", "obj")
+    } else {
+      spark.read.parquet(s"$root/data")
+        .where(col("batch").isin(committed.toSeq: _*))
+        .select("subj", "pred", "obj")
+    }
+  }
+
+  /** Lineage counters of all committed snapshots as a DataFrame. */
+  def counters(spark: SparkSession, root: String): DataFrame = {
+    val d = snapsDir(root)
+    import spark.implicits._
+    if (!Files.exists(d)) return Seq.empty[(Int, String, Long)].toDF("batch", "key", "value")
+    val rows = Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .flatMap { p =>
+        val txt = Files.readString(p)
+        val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)
+        "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+          .filter(_.group(1) != "batch")
+          .map(m => (batch, m.group(1), m.group(2).toLong))
+      }.toSeq
+    rows.toDF("batch", "key", "value")
+  }
+}

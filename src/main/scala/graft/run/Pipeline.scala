@@ -1,0 +1,136 @@
+package graft.run
+
+import graft.canon.ConnectedComponents
+import graft.graph.TripleStore
+import graft.link.EntityLinker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG-construction pipeline:
+  *
+  *   docs ──(narrow)──► mention-detect + per-doc triples   [Extract]
+  *        └─(narrow)──► vendor mentions ──► LSH blocking ──► candidate edges
+  *                                                [EntityLinker]
+  *                      edges ──► connected components ──► canonical map
+  *                                                [ConnectedComponents]
+  *   triples ⋈ canonical map ──► canonical graph + sameAs edges
+  *
+  * Shuffle inventory (the whole point at 100 TB):
+  *   0 shuffles to raw triples (all per-doc array HOFs);
+  *   1 groupBy(entity_key) over the SMALL mention projection;
+  *   LSH block join + CC iterations over the MUCH smaller entity set;
+  *   1 broadcast-able join to rewrite vendor/client objects;
+  *   1 final repartition at write.
+  */
+object Pipeline {
+
+  final case class Config(
+      numHashes: Int = 8,
+      jaccardMin: Double = 0.5,
+      editSimMin: Double = 0.82,
+      useIce: Boolean = true)
+
+  /** Canonical entity map (entity_key → canonical key) from the docs. */
+  def canonicalEntityMap(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val vm = Extract.vendorMentions(docs)
+    val edges = EntityLinker.candidateEdges(
+      vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
+    val comps = ConnectedComponents.run(edges)
+    val counts = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+      .select(col("entity_key").as("id"), col("n"))
+    ConnectedComponents.canonicalMap(comps, counts)
+  }
+
+  /** Rewrite surface vendor nodes to canonical ones and add sameAs edges. */
+  def canonicalize(rawTriples: DataFrame, canonMap: DataFrame): DataFrame = {
+    val m = canonMap
+      .select(
+        concat(lit("vendor:"), col("id")).as("surf_node"),
+        concat(lit("vendor:"), col("canonical")).as("canon_node"))
+
+    // objects of hasVendor/hasClient and subjects of hasICE are vendor nodes
+    val objRewritten = rawTriples
+      .join(m, rawTriples("obj") === m("surf_node"), "left")
+      .withColumn("obj",
+        when(col("pred").isin("hasVendor", "hasClient"), coalesce(col("canon_node"), col("obj")))
+          .otherwise(col("obj")))
+      .drop("surf_node", "canon_node")
+    val rewritten = objRewritten
+      .join(m, objRewritten("subj") === m("surf_node"), "left")
+      .withColumn("subj",
+        when(col("pred") === "hasICE", coalesce(col("canon_node"), col("subj")))
+          .otherwise(col("subj")))
+      .drop("surf_node", "canon_node")
+
+    val sameAs = m
+      .where(col("surf_node") =!= col("canon_node"))
+      .select(col("surf_node").as("subj"), lit("sameAs").as("pred"),
+        col("canon_node").as("obj"))
+      .withColumn("doc_id", lit(null).cast("string"))
+
+    rewritten.unionByName(sameAs.select(rewritten.columns.map(col): _*))
+  }
+
+  /** Full run: docs → canonical triple graph (deduplicated). */
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val raw = Extract.triples(docs)
+    val canonMap = canonicalEntityMap(docs, cfg)
+    canonicalize(raw, canonMap)
+      .select("subj", "pred", "obj")
+      .distinct()
+  }
+
+  /** Resumable run: documents are split into `nBatches` deterministic
+    * batches (hash of doc_id); each batch commits atomically to the triple
+    * store with lineage counters; already-committed batches are skipped, so
+    * a killed run resumes at the last committed snapshot.
+    *
+    * The canonical entity map is computed once over the full corpus and
+    * checkpointed (batch id 1_000_000) before batch processing — entity
+    * resolution must be global, per north_star.
+    *
+    * @param failAfterBatches test hook: throw after committing k batches.
+    */
+  def runResumable(spark: SparkSession, docs: DataFrame, storeRoot: String,
+      nBatches: Int = 4, cfg: Config = Config(),
+      failAfterBatches: Int = Int.MaxValue): Unit = {
+    val CanonBatch = 1000000
+    val committed = TripleStore.committedBatches(storeRoot)
+
+    // stage 1: global canonical entity map (its own snapshot)
+    if (!committed.contains(CanonBatch)) {
+      val canonTriples = canonicalEntityMap(docs, cfg)
+        .select(
+          concat(lit("vendor:"), col("id")).as("subj"),
+          lit("canonicalOf").as("pred"),
+          concat(lit("vendor:"), col("canonical")).as("obj"))
+      TripleStore.commitBatch(canonTriples, storeRoot, CanonBatch)
+    }
+    val canonMap = TripleStore.read(spark, storeRoot)
+      .where(col("pred") === "canonicalOf")
+      .select(
+        regexp_replace(col("subj"), "^vendor:", "").as("id"),
+        regexp_replace(col("obj"), "^vendor:", "").as("canonical"))
+
+    var done = 0
+    (0 until nBatches).foreach { b =>
+      if (!TripleStore.committedBatches(storeRoot).contains(b)) {
+        if (done >= failAfterBatches) throw new RuntimeException(s"injected failure before batch $b")
+        val batchDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === b)
+        val raw = Extract.triples(batchDocs)
+        val triples = canonicalize(raw, canonMap)
+          .select("subj", "pred", "obj").distinct()
+        val nDocs = batchDocs.count()
+        TripleStore.commitBatch(triples, storeRoot, b, Map("docs" -> nDocs))
+        done += 1
+      }
+    }
+  }
+
+  /** Read back the materialized graph (sameAs rows appear once per batch →
+    * distinct). */
+  def readGraph(spark: SparkSession, storeRoot: String): DataFrame =
+    TripleStore.read(spark, storeRoot)
+      .where(col("pred") =!= "canonicalOf")
+      .distinct()
+}

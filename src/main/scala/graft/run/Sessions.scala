@@ -1,0 +1,25 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration. */
+object Sessions {
+  def local(cores: Int, shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // null-on-error cast/extract semantics: the tagger probes free text
+      // the way the reference does (try/except → skip), not fail-fast
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
