@@ -1,13 +1,456 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.fixtures.InvoiceCorpus
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.run.{Extract, Pipeline}
+import graft.tag.Taggers
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-runnable oracle SQL wherever the operator is
+  * deterministically SQL-expressible. Hash/LSH-based operators (minhash,
+  * simhash, hyperplane LSH, full KG pipeline) have no oracle entry → driver
+  * records the weaker rows-only check; their correctness is gated by
+  * ScalaTest suites instead.
+  *
+  * Column-name discipline: every aggregate/computed column is aliased to the
+  * SAME name in the Spark code and the SQL (the driver sorts columns by name
+  * before hashing). Doubles are never SUMmed directly — money/measures are
+  * cast to DECIMAL first (exact, order-independent) and the result cast back
+  * to DOUBLE, so Spark's and DuckDB's different accumulation orders cannot
+  * produce last-ulp hash mismatches.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumd(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Flagship: KG triples from a small fixture corpus (driver smoke-checks
+    * rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extract.triples(InvoiceCorpus.docs(spark, 30).toDF())
+
+  // ======================================================================
+  // queries
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY.md §2.2/2.3/2.4/2.5/2.6/2.7) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base"),
+          sum(dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "q02_join_revenue" -> ((s, d) => {
+      t(s, d, "orders").join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("AFRICA", "ASIA"))
+        .groupBy("n_name")
+        .agg(sumd(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    "q03_topk_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q04_filter_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") && col("l_quantity") > 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          (dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
+            .cast("double").as("disc_price"))),
+    "q05_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full")
+        .na.fill(0L, Seq("n_with", "n_without"))
+    }),
+    "q06_distinct_union" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(lit("lineitem").as("src"), col("l_returnflag").as("k"))
+      val b = t(s, d, "orders").select(lit("orders").as("src"), col("o_orderstatus").as("k"))
+      a.unionByName(b).distinct()
+    }),
+    "q07_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select("n_name", "c_custkey", "c_acctbal", "rk")
+    }),
+    "q08_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+    }),
+    "q09_rollup_counters" -> ((s, d) =>
+      t(s, d, "events")
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), grouping(col("event_type")).cast("int").as("gid"))
+        .withColumn("event_type", coalesce(col("event_type"), lit("ALL")))
+        .select("event_type", "gid", "n")),
+    "q10_percentiles" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_v"))),
+    "q11_decimal_key_join" -> ((s, d) => {
+      // J2 tolerance join: <0.01 tolerance at 2-decimal money reduces to an
+      // exact equi-join on the DECIMAL(18,2) key (SURVEY.md §2.3 J2)
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), dec2(col("l_extendedprice")).as("amt"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), dec2(col("o_totalprice")).as("amt"))
+      l.join(o, "amt").select("l_orderkey", "o_orderkey").distinct()
+    }),
+    "q12_date_ops" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("fr_date"),
+        date_add(col("o_orderdate"), 30).as("due"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"))),
+
+    // ---- KG taggers on driver tables (F5/F6/F2/A3/W1/F13 parity) ----
+    "q13_classify_text" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Taggers.classifyTextType(col("text")).as("field_type"))),
+    "q14_number_extract" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        explode(regexp_extract_all(col("c_name"), lit("(\\d+)"), lit(1))).as("num"))),
+    "q15_zone_band" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      t(s, d, "lineitem")
+        .withColumn("relpos",
+          col("l_linenumber").cast("double") / max("l_linenumber").over(w).cast("double"))
+        .withColumn("band", Taggers.zoneOfRelPos(col("relpos")))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+    }),
+    "q16_enhanced_tagger" -> ((s, d) => {
+      val zone = element_at(
+        array(lit("header"), lit("company_info"), lit("client_info"),
+          lit("items"), lit("total"), lit("footer")),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      t(s, d, "documents").select(col("doc_id"), zone.as("zone"),
+        Taggers.enhanceTextType(col("text"), zone).as("enhanced_type"))
+    }),
+    "q17_edit_similarity" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_custkey") < 100).select("c_name")
+      val sup = t(s, d, "supplier").select("s_name")
+      c.crossJoin(sup).select(col("c_name"), col("s_name"),
+        round(Taggers.editSimilarity(col("c_name"), col("s_name")), 4).as("sim"))
+    }),
+    "q18_reading_order" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        (row_number().over(w) - 1).as("offset"))
+    }),
+
+    // ---- corpus curation: dedup / similarity / text analysis ----
+    "q19_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"))),
+    "q20_ngram_jaccard_neardup" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 5, threshold = 0.2, maxDf = 50)),
+    "q21_minhash_neardup" -> ((s, d) => // rows-only (hash-based)
+      Dedup.minhashNearDup(t(s, d, "documents"), k = 5, numHashes = 16, bands = 8,
+        threshold = 0.2)),
+    "q22_simhash_neardup" -> ((s, d) => // rows-only (hash-based)
+      Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
+    "q23_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+    "q24_lsh_ann" -> ((s, d) => { // rows-only (hash-based)
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, planes = 4)
+    }),
+    "q25_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
+    "q26_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))),
+    "q27_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
+    "q28_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "q29_salted_agg" -> ((s, d) => {
+      // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
+      // (key, salt), final agg on key — result identical to plain GROUP BY
+      val salted = t(s, d, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(sum(dec2(col("value"))).as("pv"), count(lit(1)).as("pn"))
+      salted.groupBy("event_type")
+        .agg(sum("pv").cast("double").as("total_value"), sum("pn").as("n"))
+    }),
+    "q30_entity_cc" -> ((s, d) => {
+      // connected components on a deterministic star graph: nation→region
+      val edges = t(s, d, "nation").select(
+        format_string("n%03d", col("n_nationkey")).as("src"),
+        format_string("r%03d", col("n_regionkey")).as("dst"))
+      graft.canon.ConnectedComponents.run(edges)
+    }),
+    "q31_stream_window" -> ((s, d) =>
+      // batch form of the streaming tumbling-window aggregation
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))),
+
+    // ---- KG pipeline on the fixture corpus (rows-only; gated in sbt test) --
+    "q32_kg_triples" -> ((s, d) =>
+      Extract.triples(InvoiceCorpus.docs(s, 200).toDF())),
+    "q33_kg_entity_resolution" -> ((s, d) =>
+      Pipeline.run(InvoiceCorpus.docs(s, 200).toDF())
+        .where(col("pred") === "sameAs")),
+    "q34_media_decode" -> ((s, d) =>
+      Multimodal.decodeAndFeaturize(
+        Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
+        .select("media_ref", "kind", "width", "height", "n_frames"))
+  )
+
+  // ======================================================================
+  // oracle SQL (DuckDB dialect) — generated from the same constants the
+  // Spark expressions use, so rule lists/orders cannot drift
+  // ======================================================================
+
+  private def likeAny(expr: String, words: Seq[String]): String =
+    words.map(w => s"contains($expr, '$w')").mkString("(", " OR ", ")")
+
+  /** F5 classifier as a DuckDB CASE chain (mirrors Taggers.classifyTextType). */
+  private val classifySql: String = {
+    val tl = "lower(trim(text))"
+    s"""CASE
+       | WHEN ${likeAny(tl, Seq("facture", "invoice", "bill"))} THEN 'header'
+       | WHEN ${likeAny(tl, Seq("€", "$$", "eur", "usd", "ttc", "ht", "mad", "dh", "dhs"))} THEN 'amount'
+       | WHEN (contains($tl,'date') OR contains($tl,'/') OR contains($tl,'-')) AND length(text) < 15 THEN 'date'
+       | WHEN contains($tl,'@') OR contains($tl,'email') THEN 'email'
+       | WHEN ${likeAny(tl, Seq("tel", "phone", "+33", "01", "02", "03", "04", "05", "06", "07", "+212"))} THEN 'phone'
+       | WHEN ${likeAny(tl, Seq("rue", "avenue", "place", "boulevard"))} THEN 'address'
+       | WHEN regexp_matches(replace(replace(text,'.',''),'-',''), '^[0-9]+$$') THEN 'number'
+       | ELSE 'text' END""".stripMargin
+  }
+
+  /** F6 enhanced classifier given a zone expression. */
+  private def enhanceSql(zoneExpr: String): String = {
+    val tl = "lower(trim(text))"
+    s"""CASE
+       | WHEN $zoneExpr = 'header' AND ${likeAny(tl, Seq("facture", "invoice", "devis", "quote"))} THEN 'document_type'
+       | WHEN $zoneExpr = 'header' AND regexp_matches(text,'[0-9]') AND length(text) < 20 THEN 'document_number'
+       | WHEN $zoneExpr = 'total' AND ${likeAny(tl, Seq("total", "ttc", "ht"))} THEN 'total_label'
+       | WHEN $zoneExpr = 'total' AND (contains(text,'€') OR regexp_matches(text,'[0-9]')) THEN 'total_amount'
+       | ELSE $classifySql END""".stripMargin
+  }
+
+  /** A3 zone banding CASE. */
+  private def zoneBandSql(rel: String): String =
+    s"""CASE WHEN $rel < 0.2 THEN 'header' WHEN $rel < 0.4 THEN 'company_info'
+       | WHEN $rel < 0.6 THEN 'client_info' WHEN $rel < 0.8 THEN 'items'
+       | WHEN $rel < 0.95 THEN 'total' ELSE 'footer' END""".stripMargin
+
+  /** Language-ID scores per language, as SQL sub-expressions. */
+  private val langScoreSql: Seq[(String, String)] =
+    TextOps.langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
+    }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('AFRICA','ASIA') GROUP BY n_name""".stripMargin,
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 25""".stripMargin,
+    "q05_semi_anti" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+        | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q06_distinct_union" ->
+      """SELECT DISTINCT * FROM (
+        | SELECT 'lineitem' AS src, l_returnflag AS k FROM lineitem
+        | UNION ALL SELECT 'orders' AS src, o_orderstatus AS k FROM orders)""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT n_name, c_custkey, c_acctbal, rk FROM (
+        | SELECT n_name, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey) WHERE rk <= 2""".stripMargin,
+    "q08_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |       FROM events)) GROUP BY user_id""".stripMargin,
+    "q09_rollup_counters" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | CAST(grouping(event_type) AS INT) AS gid, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "q10_percentiles" ->
+      """SELECT event_type,
+        | round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_v,
+        | round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_v
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q11_decimal_key_join" ->
+      """SELECT DISTINCT l_orderkey, o_orderkey
+        |FROM (SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt FROM lineitem) l
+        |JOIN (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders) o
+        |USING (amt)""".stripMargin,
+    "q12_date_ops" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS fr_date,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+        | year(o_orderdate) AS y, month(o_orderdate) AS mo
+        |FROM orders""".stripMargin,
+    "q13_classify_text" ->
+      s"SELECT doc_id, $classifySql AS field_type FROM documents",
+    "q14_number_extract" ->
+      """SELECT c_custkey, unnest(regexp_extract_all(c_name, '(\d+)', 1)) AS num
+        |FROM customer""".stripMargin,
+    "q15_zone_band" -> {
+      val rel = "CAST(l_linenumber AS DOUBLE) / CAST(max_ln AS DOUBLE)"
+      s"""SELECT band, COUNT(*) AS n FROM (
+         | SELECT ${zoneBandSql(rel)} AS band FROM (
+         |  SELECT l_linenumber, max(l_linenumber) OVER (PARTITION BY l_orderkey) AS max_ln
+         |  FROM lineitem)) GROUP BY band""".stripMargin
+    },
+    "q16_enhanced_tagger" -> {
+      val zone = "['header','company_info','client_info','items','total','footer'][CAST(doc_id % 6 AS INT) + 1]"
+      s"""SELECT doc_id, $zone AS zone, ${enhanceSql(zone)} AS enhanced_type
+         |FROM documents""".stripMargin
+    },
+    "q17_edit_similarity" ->
+      """SELECT c_name, s_name,
+        | round(CASE WHEN greatest(length(c_name), length(s_name)) = 0 THEN 1.0
+        |  ELSE 1.0 - CAST(levenshtein(lower(c_name), lower(s_name)) AS DOUBLE)
+        |         / greatest(length(c_name), length(s_name)) END, 4) AS sim
+        |FROM (SELECT c_name FROM customer WHERE c_custkey < 100), (SELECT s_name FROM supplier)""".stripMargin,
+    "q18_reading_order" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS offset
+        |FROM events""".stripMargin,
+    "q19_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "q20_ngram_jaccard_neardup" ->
+      """WITH words AS (
+        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, shingle FROM (
+        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+        |  WHERE len(w) >= 5)),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |kept AS (SELECT id, shingle FROM sh
+        |         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50)),
+        |common AS (
+        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2""".stripMargin,
+    "q23_cosine_topk" ->
+      """WITH scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |     [CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) FOR p IN list_zip(q.embedding, c.embedding)]),
+        |    (a, b) -> a + b)
+        |   / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.embedding]), (a,b) -> a+b))
+        |    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c.embedding]), (a,b) -> a+b))), 4) AS sim
+        | FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings c
+        | WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin,
+    "q25_lang_id" -> {
+      val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = langScoreSql.map("s_" + _._1).mkString("greatest(", ", ", ")")
+      val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+      val chain = langScoreSql.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = best AND zh <= s_$l THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $chain WHEN zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, $scores, $best AS best, $zh AS zh FROM documents)""".stripMargin
+    },
+    "q26_quality_score" -> {
+      val all = TextOps.langMarkers.flatMap(_._2).distinct
+      val hits = all.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
+      s"""SELECT doc_id, round(greatest(0.0, least(1.0,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |  + (CAST(($hits) AS DOUBLE) / ${all.size}.0) * 0.5
+         |  - greatest(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+         |           / length(text) END - 0.2, 0.0))), 4) AS q
+         |FROM documents""".stripMargin
+    },
+    "q27_token_counts" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |  (h, c) -> (h * 31 + c) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "q29_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q30_entity_cc" ->
+      """WITH nodes AS (
+        | SELECT format('n{:03d}', n_nationkey) AS id, n_regionkey AS r FROM nation
+        | UNION ALL SELECT DISTINCT format('r{:03d}', n_regionkey), n_regionkey FROM nation),
+        |comp AS (SELECT r, min(id) AS component FROM nodes GROUP BY r)
+        |SELECT id, component FROM nodes JOIN comp USING (r)""".stripMargin,
+    "q31_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -51,9 +51,10 @@ object ConnectedComponents {
   }
 
   private def signature(e: DataFrame): (Long, Long) = {
+    // bit_xor: order-independent and overflow-free (ANSI-safe)
     val row = e.agg(
       count(lit(1)).as("c"),
-      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
     (row.getLong(0), row.getLong(1))
   }
 

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpus curation, over a table with
+  * (id, text) columns. Five strategies, cheapest→richest:
+  *
+  *  1. exact          — hash groupBy on the text (one shuffle)
+  *  2. n-gram Jaccard — shingle-join blocking + exact Jaccard (deterministic,
+  *                      SQL-expressible → DuckDB oracle)
+  *  3. MinHash + LSH  — banded minhash signatures (the 10^12-doc path:
+  *                      candidate volume is controlled by band count, not
+  *                      corpus size)
+  *  4. SimHash        — 64-bit signature + pigeonhole chunk join for
+  *                      hamming-distance ≤ k
+  *  5. embedding cosine — see Similarity.neardupPairs
+  *
+  * Scale notes: every strategy is blocking + verify — the cross join never
+  * appears. Document-frequency caps bound the quadratic term per block:
+  * sum_b f_b² with f_b ≤ maxDf. Skewed shingles (boilerplate) are dropped,
+  * which is also what you want semantically.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text with the keeper id (min id) and
+    * the duplicate count. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(textCol)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** Word k-gram shingles of a text column (distinct). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+        i => when(size(words) >= k,
+          array_join(slice(words, i + lit(1), lit(k)), " "))))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard with shingle-join blocking.
+    *
+    * pairs sharing ≥1 shingle → common-count via groupBy → Jaccard =
+    * common / (|A| + |B| − common) ≥ threshold. Shingles with document
+    * frequency > maxDf are dropped (boilerplate guard + quadratic bound).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
+    */
+  def ngramJaccardPairs(df: DataFrame, k: Int = 5, threshold: Double = 0.5,
+      maxDf: Int = 50, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), k)).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val kept = sh.join(dfCap, "shingle").select("id", "shingle")
+    val common = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature array over word shingles: sig[i] = min over shingles
+    * of xxhash64(shingle, seed=i). */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = wordShingles(text, k)
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+  }
+
+  /** Near-dup candidate pairs via banded MinHash-LSH, verified by exact
+    * shingle Jaccard. bands × rows must equal numHashes. Band keys are
+    * hashes of signature slices; pairs agreeing on ANY band are candidates.
+    */
+  def minhashNearDup(df: DataFrame, k: Int = 5, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 2000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = withSig.select(col("id"), col("text"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+    val sizes = banded.groupBy("band", "bh").count()
+    val kept = banded.join(sizes.where(col("count") <= maxBucket), Seq("band", "bh"))
+    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("t_a"))
+      .join(kept.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("t_b")),
+        Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "t_a", "t_b")
+      .distinct()
+    // verify candidates with exact shingle Jaccard (cheap: candidate set small)
+    val ja = {
+      val a = wordShingles(col("t_a"), k)
+      val b = wordShingles(col("t_b"), k)
+      round(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"), 4)
+    }
+    cand.withColumn("jaccard", ja)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1).
+    * One pass over the tokens with an array<long> accumulator of 64 per-bit
+    * set-counts, then one pack — not 64 passes. */
+  def simhash(text: Column): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
+    val bitCounts = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(0L)))
+    // bit set iff count*2 >= n_tokens; pack disjoint bits by summation
+    aggregate(
+      zip_with(bitCounts, masks,
+        (c, m) => when(c * 2 >= size(tokens), m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by the
+    * pigeonhole principle: split the 64-bit signature into (maxHamming+1)
+    * chunks — any pair within distance k agrees on ≥1 chunk exactly. */
+  def simhashNearDup(df: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("sig"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk", "cv")))
+    chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("chunk", "cv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}
