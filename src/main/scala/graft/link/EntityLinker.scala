@@ -37,6 +37,7 @@ object EntityLinker {
         count(lit(1)).as("n_mentions"),
         min(when(col("ice") =!= "", col("ice"))).as("ice"))
       .withColumn("tokens", array_distinct(split(col("entity_key"), "_")))
+      .persist() // reused by 4 scan branches (blocks × bucket sizes × 2 join sides)
 
   /** Candidate sameAs edges (src < dst, entity_key level). */
   def candidateEdges(

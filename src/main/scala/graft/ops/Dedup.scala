@@ -69,13 +69,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature array over word shingles: sig[i] = min over shingles
-    * of xxhash64(shingle, seed=i). */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = wordShingles(text, k)
+  /** MinHash signature array from a PRE-COMPUTED shingle-array column:
+    * sig[i] = min over shingles of xxhash64(shingle, seed=i).
+    * Takes the shingles column (not the text) so the shingle build — the
+    * expensive part — is evaluated once, not once per hash. */
+  def minhashSignatureOf(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
-  }
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))): _*)
+
+  /** MinHash signature from raw text (convenience; prefer the shingle-column
+    * form in multi-use plans). */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashSignatureOf(wordShingles(text, k), numHashes)
 
   /** Near-dup candidate pairs via banded MinHash-LSH, verified by exact
     * shingle Jaccard. bands × rows must equal numHashes. Band keys are
@@ -86,26 +91,27 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = withSig.select(col("id"), col("text"),
+    // shingles + signatures computed ONCE and persisted: the banding
+    // self-join has 4 scan branches (2 sides × sizes/kept), and at 10^12
+    // docs the signature table is exactly the stage you'd materialize.
+    val withSig = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
+      .withColumn("sig", minhashSignatureOf(col("shingles"), numHashes))
+      .persist()
+    val banded = withSig.select(col("id"), col("shingles"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
     val sizes = banded.groupBy("band", "bh").count()
     val kept = banded.join(sizes.where(col("count") <= maxBucket), Seq("band", "bh"))
-    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("t_a"))
-      .join(kept.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("t_b")),
+    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
+      .join(kept.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b")),
         Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "t_a", "t_b")
+      .select("id_a", "id_b", "sh_a", "sh_b")
       .distinct()
-    // verify candidates with exact shingle Jaccard (cheap: candidate set small)
-    val ja = {
-      val a = wordShingles(col("t_a"), k)
-      val b = wordShingles(col("t_b"), k)
-      round(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"), 4)
-    }
+    // verify candidates with exact shingle Jaccard on the CARRIED arrays
+    val ja = round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
     cand.withColumn("jaccard", ja)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -137,7 +143,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")).persist()
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("sig"), c * chunkBits)

@@ -38,10 +38,16 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms precomputed on each side BEFORE the join — one pass per vector
+    // instead of one per (query, corpus) pair
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", round(
+        when(col("qn") * col("cn") === 0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -72,12 +78,14 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", round(
+        when(col("qn") * col("cn") === 0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -89,11 +97,15 @@ object Similarity {
   def neardupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-      .join(c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b")), Seq("bucket"))
+      norm(col(vecCol)).as("nm"), lshBucket(col(vecCol), planes).as("bucket"))
+      .persist()
+    c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nm").as("n_a"))
+      .join(c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nm").as("n_b")),
+        Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("sim", round(
+        when(col("n_a") * col("n_b") === 0, 0.0)
+          .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .distinct()

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"), // near dup of 1
+    (4L, "completely different words about spark shuffles and partitions here"),
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exact(docs).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("n-gram Jaccard finds exact and near dups with correct scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // doc1/doc2: identical → jaccard 1.0
+    assert(pairs.contains((1L, 2L, 1.0)))
+    // doc1/doc3: 8 shingles each (10 words, k=3); "dog" at position 8 flips
+    // shingles s6/s7 → common 6, union 10 → 0.6
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j == 0.6 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(4L) })
+  }
+
+  test("minhash near-dup recalls everything the exact jaccard op finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashNearDup(docs, k = 3, numHashes = 16, bands = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+    // verify step guarantees precision too: every emitted pair is a true pair
+    assert(mh.subsetOf(exact), s"spurious: ${mh -- exact}")
+  }
+
+  test("simhash: identical texts at distance 0, near dups within threshold") {
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    val nd = pairs.find { case (a, b, _) => a == 1L && b == 3L }
+    assert(nd.nonEmpty && nd.get._3 > 0, s"1-3 should be near but not identical: $pairs")
+  }
+
+  test("shingle document-frequency cap drops boilerplate blocks") {
+    // 60 docs sharing one boilerplate sentence: with maxDf=50 the shared
+    // shingles are dropped and no pairs survive on boilerplate alone
+    val many = (1 to 60).map(i => (i.toLong, s"standard legal boilerplate notice applies here fully item$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(many, k = 3, threshold = 0.3, maxDf = 50)
+    assert(pairs.count() == 0)
+  }
+}

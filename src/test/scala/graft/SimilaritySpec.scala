@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: exact ranking with deterministic ties") {
+    val corpus = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0.7f, 0.7f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+    val out = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" === 0), k = 3)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // by descending cosine to (1,0)
+    assert(out(0)._4 > 0.99 && out(1)._4 > 0.7 && out(2)._4 == 0.0)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered embeddings") {
+    // clustered corpus: LSH recall is meaningful when true neighbors are
+    // actually close (on uniform-random vectors top-5 "neighbors" are
+    // near-orthogonal and land in arbitrary buckets — measured recall 0.1)
+    val rng = new scala.util.Random(1)
+    val centers = Seq.fill(6)(Seq.fill(32)(rng.nextGaussian().toFloat))
+    val corpus = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val q = corpus.where($"vec_id" < 12)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, q, k = 5, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall — cluster members share hyperplane buckets")
+  }
+
+  test("neardup pairs finds planted duplicates") {
+    val base = Seq.tabulate(64)(i => (i % 7).toFloat / 7f + 0.1f)
+    val corpus = vecs(
+      (0L, base), (1L, base.map(_ * 2f)), // same direction → cosine 1
+      (2L, base.updated(0, base(0) + 0.02f)), // near dup
+      (3L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))) // far
+    val pairs = Similarity.neardupPairs(corpus, threshold = 0.999, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("dot/norm fold is left-to-right deterministic") {
+    val df = vecs((0L, Seq(0.1f, 0.2f, 0.3f)))
+    val d = df.select(Similarity.dot($"embedding", $"embedding")).as[Double].head()
+    val expected = Seq(0.1f, 0.2f, 0.3f).foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+    assert(d == expected) // bitwise equality, not approximate
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.fixtures.InvoiceCorpus
+import graft.graph.TripleStore
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("AvailableNow ingest: docs dir → committed triple snapshots, incremental on rerun") {
+    val docsDir = Files.createTempDirectory("graft_docs_").toString
+    val store = Files.createTempDirectory("graft_sstore_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+
+    InvoiceCorpus.docs(spark, 20).toDF().write.mode("append").parquet(docsDir)
+    val q1 = Streams.ingestDocs(spark, docsDir, store, ckpt)
+    q1.awaitTermination()
+    val n1 = TripleStore.read(spark, store).count()
+    assert(n1 > 0)
+
+    // rerun with NO new files: stream bookkeeping processes nothing new
+    val q2 = Streams.ingestDocs(spark, docsDir, store, ckpt)
+    q2.awaitTermination()
+    assert(TripleStore.read(spark, store).count() == n1)
+
+    // land new docs (NEW doc_ids — same ids would rightly be dropped by
+    // dropDuplicates' cross-batch state) → only they are processed
+    InvoiceCorpus.docs(spark, 30).toDF()
+      .where($"doc_id" >= "inv-000020")
+      .write.mode("append").parquet(docsDir)
+    val q3 = Streams.ingestDocs(spark, docsDir, store, ckpt)
+    q3.awaitTermination()
+    val n3 = TripleStore.read(spark, store).count()
+    assert(n3 > n1)
+  }
+
+  test("watermarked tumbling-window aggregation over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = Streams.windowedEventStats(events, "1 hour", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:45:00"), "click", 2.0),
+      (t("2024-01-01 11:10:00"), "view", 5.0))
+    query.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    mem.addData((t("2024-01-01 13:00:00"), "view", 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_test")
+      .select($"window_start".cast("string"), $"event_type", $"n", $"total_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    query.stop()
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.fixtures.InvoiceCorpus
+import graft.graph.TripleStore
+import graft.run.Pipeline
+import java.nio.file.Files
+
+/** Snapshot-commit semantics + the kill/resume equivalence property
+  * (north_rule: "resumable from checkpoint with per-partition lineage").
+  */
+class TripleStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store_").toString
+
+  test("commit, read back, counters") {
+    val root = tmp()
+    val df = Seq(("s1", "p1", "o1"), ("s2", "p2", "o2")).toDF("subj", "pred", "obj")
+    TripleStore.commitBatch(df, root, 0, Map("docs" -> 2L))
+    assert(TripleStore.committedBatches(root) == Set(0))
+    assert(TripleStore.read(spark, root).count() == 2)
+    val counters = TripleStore.counters(spark, root)
+      .as[(Int, String, Long)].collect().toSet
+    assert(counters.contains((0, "docs", 2L)))
+    assert(counters.contains((0, "p1", 1L)))
+  }
+
+  test("uncommitted batch is invisible; recommit is idempotent") {
+    val root = tmp()
+    val df = Seq(("s", "p", "o")).toDF("subj", "pred", "obj")
+    // write data without manifest (simulated crash between write and commit)
+    df.withColumn("batch", org.apache.spark.sql.functions.lit(7))
+      .write.partitionBy("pred", "batch").mode("overwrite").parquet(s"$root/data")
+    assert(TripleStore.read(spark, root).count() == 0)
+    // now commit properly — same files, now visible exactly once
+    TripleStore.commitBatch(df, root, 7)
+    assert(TripleStore.read(spark, root).count() == 1)
+    TripleStore.commitBatch(df, root, 7) // re-run the same batch
+    assert(TripleStore.read(spark, root).count() == 1)
+  }
+
+  test("kill/resume equivalence: interrupted run + resume == uninterrupted run") {
+    val docs = InvoiceCorpus.docs(spark, 60).toDF().cache()
+    val rootA = tmp() // interrupted then resumed
+    val rootB = tmp() // uninterrupted
+    intercept[RuntimeException] {
+      Pipeline.runResumable(spark, docs, rootA, nBatches = 3, failAfterBatches = 1)
+    }
+    val committedMid = TripleStore.committedBatches(rootA)
+    assert(committedMid.nonEmpty && committedMid.size < 5) // partial progress
+    Pipeline.runResumable(spark, docs, rootA, nBatches = 3) // resume
+    Pipeline.runResumable(spark, docs, rootB, nBatches = 3)
+    val a = Pipeline.readGraph(spark, rootA)
+    val b = Pipeline.readGraph(spark, rootB)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+    // per-partition lineage counters present for every data batch
+    val counters = TripleStore.counters(spark, rootA)
+    assert(counters.where($"key" === "docs").count() == 3)
+  }
+}
