@@ -1,0 +1,116 @@
+package graft
+
+import graft.fixtures.InvoiceCorpus
+import graft.run.{FastExtract, Pipeline}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (north_rule: throughput efficiency ≥ 0.8
+  * from N → 4N executors). No real cluster exists in this sandbox; two
+  * protocols approximate it, best first:
+  *
+  *  - mode=cluster (default): Spark `local-cluster[n,4,3g]` — n REAL
+  *    executor JVMs with their own heaps and GC, 4 cores each. 2 executors
+  *    vs 8 executors is exactly the N→4N executor shape; only the network
+  *    is missing (shuffles cross process boundaries but not a wire).
+  *    Requires the packaged jar (sbt package) so executors can load the
+  *    engine classes.
+  *  - mode=threads: local[8] vs local[32] in one JVM — cheaper but
+  *    understates scaling (one shared heap: 32 allocator threads contend in
+  *    one GC, which a real cluster never does).
+  *
+  * Output: one JSON line per level + a summary with
+  * eff = (T_N / T_4N) / 4 per phase.
+  */
+object ScalingBench {
+
+  private val Jar = "target/scala-2.13/facturaispark_2.13-0.1.0.jar"
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else
+      sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "500000").toLong
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE",
+      if (new java.io.File(Jar).exists) "cluster" else "threads")
+    val baseExecs = sys.env.getOrElse("SPARK_GRAFT_BASE_EXECS", "2").toInt
+    val coresPerExec = 4
+    val levels = Seq(baseExecs, baseExecs * 4)
+
+    def sessionAt(execs: Int): SparkSession = {
+      val cores = execs * coresPerExec
+      val b = SparkSession.builder()
+        .appName(s"graft-scaling-$execs")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      val s = (if (mode == "cluster")
+        b.master(s"local-cluster[$execs,$coresPerExec,3072]")
+          .config("spark.jars", new java.io.File(Jar).getAbsolutePath)
+          .config("spark.executor.memory", "3g")
+      else b.master(s"local[$cores]")).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    def runAt(execs: Int): (Double, Double, Long, Long) = {
+      val spark = sessionAt(execs)
+      import spark.implicits._
+      try {
+        // wait for all executors before planning (partition counts and
+        // locality are sampled at plan time)
+        if (mode == "cluster") {
+          val deadline = System.currentTimeMillis() + 60000
+          while (spark.sparkContext.getExecutorMemoryStatus.size < execs + 1 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200)
+        }
+        // identical deterministic input at every level (pure fn of seed/idx);
+        // generation parallelism pinned to 2 tasks/core at this level
+        val docs = InvoiceCorpus.docs(spark, nDocs,
+          partitions = execs * coresPerExec * 2).toDF()
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // warmup: executor launch + JIT + codegen, not measured
+        FastExtract.triples(
+          InvoiceCorpus.docs(spark, 200).toDF()
+            .selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]).count()
+
+        var nT = 0L; var nG = 0L
+        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt
+        // measured iterations, min = steady state
+        val (tExtract, tPipeline) = (1 to iters).map { _ =>
+          val te = time {
+            nT = FastExtract.triples(
+              docs.selectExpr("doc_id", "page_w", "page_h", "spans")
+                .as[graft.model.OcrDoc]).count()
+          }
+          val tp = time { val g = Pipeline.run(docs); nG = g.count(); g.unpersist() }
+          spark.sharedState.cacheManager.clearCache()
+          (te, tp)
+        }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+        (tExtract, tPipeline, nT, nG)
+      } finally spark.stop()
+    }
+
+    val rows = levels.map { e =>
+      val (te, tp, nt, ng) = runAt(e)
+      val label = if (mode == "cluster") s"$e executors x $coresPerExec cores"
+        else s"local[${e * coresPerExec}]"
+      println(f"""{"level":"$label","docs":$nDocs,"extract_sec":$te%.2f,""" +
+        f""""pipeline_sec":$tp%.2f,"triples":$nt,"graph_edges":$ng,""" +
+        f""""extract_triples_per_sec":${nt / te}%.1f,"pipeline_triples_per_sec":${ng / tp}%.1f}""")
+      (e, te, tp)
+    }
+    val (e1, te1, tp1) = rows.head
+    val (e2, te2, tp2) = rows.last
+    val factor = e2.toDouble / e1
+    val effE = (te1 / te2) / factor
+    val effP = (tp1 / tp2) / factor
+    val caveat = if (mode == "cluster")
+      "separate executor JVMs via local-cluster; shuffle crosses processes but not a network"
+    else "single JVM, shared memory bus/GC; understates real cluster scaling"
+    println(f"""{"scaling":"${e1}x$coresPerExec -> ${e2}x$coresPerExec ($mode)","factor":$factor%.0f,""" +
+      f""""extract_efficiency":$effE%.3f,"pipeline_efficiency":$effP%.3f,"caveat":"$caveat"}""")
+  }
+}

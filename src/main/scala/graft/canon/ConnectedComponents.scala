@@ -59,14 +59,34 @@ object ConnectedComponents {
   }
 
   /** @param edges DataFrame with string columns (src, dst)
+    * @param smallThreshold below this edge count the problem is solved with
+    *        driver-side union-find instead of the iterative distributed
+    *        algorithm — identical result, none of the ~2s/iteration stage
+    *        latency. The standard hybrid: a 10^12-doc corpus has ~10^6-10^8
+    *        candidate edges over ENTITIES (not docs), so many real workloads
+    *        take the driver path too; the distributed path is there for the
+    *        ones that don't.
     * @return (id, component) for every node that appears in `edges`;
     *         component = min id of the node's component.
     */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+  def run(edges: DataFrame, maxIter: Int = 20,
+      smallThreshold: Long = 100000L): DataFrame = {
+    val cleaned = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+    // single action: take(threshold+1) both sizes the edge set AND collects
+    // it when small — no separate count() pass over the linking chain
+    if (smallThreshold >= 0) {
+      val head = cleaned.take(smallThreshold.toInt + 1)
+      if (head.length <= smallThreshold) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return unionFindLocal(spark,
+          head.map(r => (r.getString(0), r.getString(1))))
+      }
+    }
+
+    var e = cleaned.localCheckpoint()
     var sig = signature(e)
     var converged = e.isEmpty
     var i = 0
@@ -81,6 +101,28 @@ object ConnectedComponents {
     val nodes = e.select(col("src").as("id"), col("dst").as("component"))
     val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()
     nodes.union(roots).distinct()
+  }
+
+  /** Driver-side union-find with path compression — exact same contract as
+    * the distributed path, for edge sets that fit on the driver. */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min-root
+    }
+    val out = parent.keys.toSeq.map(k => (k, find(k)))
+    spark.createDataset(out).toDF("id", "component")
   }
 
   /** Canonical member per component — the most plausible CLEAN surface form:

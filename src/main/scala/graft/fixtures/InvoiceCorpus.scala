@@ -20,6 +20,11 @@ import scala.util.Random
   * distributed via `spark.range(n).mapPartitions` and is partition-layout
   * independent, so the same corpus can be synthesized at any scale on any
   * cluster with no data movement.
+  *
+  * Money is Long CENTS end-to-end (exact 2-decimal arithmetic, zero
+  * BigDecimal allocation in the hot path); rendering is manual
+  * StringBuilder work — the generator doubles as the benchmark input
+  * producer, so its memory traffic is kept minimal.
   */
 object InvoiceCorpus {
 
@@ -71,8 +76,8 @@ object InvoiceCorpus {
   val units: Vector[String] = Vector("H", "Jour", "Forfait", "Mois", "Licence", "Unite")
   val docTypes: Vector[String] = Vector(
     "FACTURE", "FACTURE PROFORMA", "DEVIS", "FACTURE D'ACOMPTE", "FACTURE DE SOLDE")
-  val tvaRates: Vector[BigDecimal] =
-    Vector(BigDecimal("0.20"), BigDecimal("0.14"), BigDecimal("0.10"), BigDecimal("0.07"))
+  /** TVA rates in percent (complex_facture_generator.py:255). */
+  val tvaRatesPct: Vector[Int] = Vector(20, 14, 10, 7)
 
   val ddmmyyyy: DateTimeFormatter = DateTimeFormatter.ofPattern("dd/MM/yyyy")
 
@@ -80,7 +85,7 @@ object InvoiceCorpus {
       phone: String, email: String, ice: String)
 
   final case class Item(description: String, quantity: Int, unit: String,
-      unitPrice: BigDecimal, total: BigDecimal)
+      unitPriceCents: Long, totalCents: Long)
 
   final case class InvoiceRecord(
       docId: String,
@@ -93,34 +98,49 @@ object InvoiceCorpus {
       vendorSurface: String, // possibly OCR-noised name as printed on the doc
       clientSurface: String,
       items: Seq[Item],
-      subtotal: BigDecimal,
-      tvaRate: BigDecimal,
-      tva: BigDecimal,
-      timbre: BigDecimal,
-      totalTtc: BigDecimal)
+      subtotalCents: Long,
+      tvaRatePct: Int,
+      tvaCents: Long,
+      timbreCents: Long,
+      totalTtcCents: Long)
 
   /** Canonical entity key for a vendor surface form: lower + non-alnum → '_'. */
-  def slug(name: String): String =
-    name.toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+  def slug(name: String): String = {
+    val sb = new java.lang.StringBuilder(name.length)
+    var lastUnd = true // suppress leading underscore
+    var i = 0
+    while (i < name.length) {
+      val c = Character.toLowerCase(name.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { sb.append(c); lastUnd = false }
+      else if (!lastUnd) { sb.append('_'); lastUnd = true }
+      i += 1
+    }
+    var len = sb.length
+    if (len > 0 && sb.charAt(len - 1) == '_') len -= 1
+    sb.substring(0, len)
+  }
 
-  private def money(rng: Random, lo: Double, hi: Double): BigDecimal =
-    BigDecimal((lo + rng.nextDouble() * (hi - lo)).toString)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+  private def pad2(x: Long): String = if (x < 10) "0" + x else x.toString
 
-  /** French-locale money rendering used on the printed spans: comma decimal
-    * separator (complex_facture_generator.py renders "1234,56 DH"). */
-  def frMoney(x: BigDecimal): String = x.setScale(2).toString.replace('.', ',')
+  /** French-locale money rendering from cents: "1234,56". */
+  def frMoney(cents: Long): String = (cents / 100).toString + "," + pad2(cents % 100)
+
+  /** Dot-decimal money from cents: "1234.56" (triple object form,
+    * = DECIMAL(18,2) cast-to-string). */
+  def dotMoney(cents: Long): String = (cents / 100).toString + "." + pad2(cents % 100)
 
   private def genCompany(idx: Int, rng: Random): Company = {
     val name = companies(idx)
     val city = cities(rng.nextInt(cities.size))
-    val addr = s"${streetTypes(rng.nextInt(streetTypes.size))} " +
-      s"${streetNames(rng.nextInt(streetNames.size))}, ${10 + rng.nextInt(290)}, " +
-      s"$city ${10000 + rng.nextInt(90000)}"
-    val phone = f"+212 0${5 + rng.nextInt(3)}%d${10 + rng.nextInt(90)}%d-${10 + rng.nextInt(90)}%d-${10 + rng.nextInt(90)}%d"
-    val email = s"contact@${slug(name).take(18)}.ma"
+    val addr = streetTypes(rng.nextInt(streetTypes.size)) + " " +
+      streetNames(rng.nextInt(streetNames.size)) + ", " + (10 + rng.nextInt(290)) + ", " +
+      city + " " + (10000 + rng.nextInt(90000))
+    val phone = "+212 0" + (5 + rng.nextInt(3)) + (10 + rng.nextInt(90)) +
+      "-" + (10 + rng.nextInt(90)) + "-" + (10 + rng.nextInt(90)) + "-" + (10 + rng.nextInt(90))
+    val email = "contact@" + slug(name).take(18) + ".ma"
     // ICE shape: "00" + 10 digits + "000" + 2 digits (complex_facture_generator.py:151)
-    val ice = f"00${1000000000L + (math.abs(name.hashCode.toLong) % 9000000000L)}%d000${10 + idx}%d"
+    val ice = "00" + (1000000000L + (math.abs(name.hashCode.toLong) % 9000000000L)) +
+      "000" + (10 + idx)
     Company(name, addr, city, phone, email, ice)
   }
 
@@ -146,8 +166,11 @@ object InvoiceCorpus {
   /** Pure per-doc generator: everything derives from (seed, idx). */
   def record(idx: Long, seed: Long = DefaultSeed, noiseP: Double = 0.25): InvoiceRecord = {
     val rng = new Random(seed * 1000003L + idx * 7919L)
-    val docId = f"inv-$idx%06d"
-    val number = s"FACT-${2024 + rng.nextInt(2)}-${1000 + rng.nextInt(9000)}"
+    val docId = {
+      val s = idx.toString
+      "inv-" + ("0" * math.max(0, 6 - s.length)) + s
+    }
+    val number = "FACT-" + (2024 + rng.nextInt(2)) + "-" + (1000 + rng.nextInt(9000))
     val docType = docTypes(rng.nextInt(docTypes.size))
     val date = LocalDate.of(2023, 9, 1).plusDays(rng.nextInt(700).toLong)
     val dueDate = date.plusDays((15 + rng.nextInt(46)).toLong) // +15..60d (:283)
@@ -163,17 +186,17 @@ object InvoiceCorpus {
     val clientSurface = noisyName(client.name, rng, noiseP)
     val items = (0 until (2 + rng.nextInt(4))).map { _ =>
       val q = 1 + rng.nextInt(30)
-      val up = money(rng, 100, 2000)
-      val tot = (up * q).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      Item(services(rng.nextInt(services.size)), q, units(rng.nextInt(units.size)), up, tot)
+      val upCents = 10000L + rng.nextInt(190001).toLong // 100.00 .. 2000.00
+      Item(services(rng.nextInt(services.size)), q, units(rng.nextInt(units.size)),
+        upCents, upCents * q)
     }
-    val subtotal = items.map(_.total).sum.setScale(2)
-    val rate = tvaRates(rng.nextInt(tvaRates.size))
-    val tva = (subtotal * rate).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val timbre = BigDecimal("20.00")
-    val ttc = (subtotal + tva + timbre).setScale(2)
+    val subtotal = items.iterator.map(_.totalCents).sum
+    val ratePct = tvaRatesPct(rng.nextInt(tvaRatesPct.size))
+    val tva = (subtotal * ratePct + 50) / 100 // HALF_UP at cents
+    val timbre = 2000L
     InvoiceRecord(docId, number, docType, date, dueDate, vendor, client,
-      vendorSurface, clientSurface, items, subtotal, rate, tva, timbre, ttc)
+      vendorSurface, clientSurface, items, subtotal, ratePct, tva, timbre,
+      subtotal + tva + timbre)
   }
 
   // --- span layout -----------------------------------------------------
@@ -184,28 +207,31 @@ object InvoiceCorpus {
   // 1338.5.
   private val H = 24 // standard span height
 
+  private def fmtDate(d: LocalDate): String =
+    pad2(d.getDayOfMonth.toLong) + "/" + pad2(d.getMonthValue.toLong) + "/" + d.getYear
+
   def spansOf(r: InvoiceRecord, seed: Long = DefaultSeed): Seq[OcrSpan] = {
     val rng = new Random(seed * 2000003L + r.docId.hashCode.toLong)
     def conf() = 0.75 + rng.nextDouble() * 0.24
     val b = Vector.newBuilder[(String, String, String, Int, Int)] // kind,text,ref,x,y
     def t(text: String, x: Int, y: Int): Unit = b += (("text", text, "", x, y))
     // header band
-    b += (("media", "", s"img://${r.docId}/logo", 60, 40))
+    b += (("media", "", "img://" + r.docId + "/logo", 60, 40))
     t(r.docType, 400, 60)
-    t(s"N° ${r.number}", 400, 110)
-    t("Date:", 640, 60); t(r.date.format(ddmmyyyy), 760, 60)
-    t("Échéance:", 640, 110); t(r.dueDate.format(ddmmyyyy), 790, 110)
+    t("N° " + r.number, 400, 110)
+    t("Date:", 640, 60); t(fmtDate(r.date), 760, 60)
+    t("Échéance:", 640, 110); t(fmtDate(r.dueDate), 790, 110)
     // company_info band (émetteur)
     t(r.vendorSurface, 80, 300)
     t(r.vendor.address, 80, 340)
-    t(s"Tél: ${r.vendor.phone}", 80, 380)
+    t("Tél: " + r.vendor.phone, 80, 380)
     t(r.vendor.email, 80, 420)
-    t(s"ICE: ${r.vendor.ice}", 80, 460)
+    t("ICE: " + r.vendor.ice, 80, 460)
     // client_info band (destinataire)
     t("Destinataire:", 80, 580)
     t(r.clientSurface, 80, 620)
     t(r.client.address, 80, 660)
-    t(s"ICE: ${r.client.ice}", 80, 700)
+    t("ICE: " + r.client.ice, 80, 700)
     // items band: header row + one row per item, 40px spacing (> 2×row_tol 15)
     t("Description", 80, 860); t("Qté", 480, 860); t("Unité", 560, 860)
     t("P.U.", 660, 860); t("Total", 820, 860)
@@ -214,16 +240,16 @@ object InvoiceCorpus {
       t(it.description, 80, y)
       t(it.quantity.toString, 480, y)
       t(it.unit, 560, y)
-      t(frMoney(it.unitPrice), 660, y)
-      t(frMoney(it.total), 820, y)
+      t(frMoney(it.unitPriceCents), 660, y)
+      t(frMoney(it.totalCents), 820, y)
     }
     // total band
-    t(s"Sous-total HT: ${frMoney(r.subtotal)} DH", 600, 1150)
-    t(s"TVA (${(r.tvaRate * 100).toBigInt}%): ${frMoney(r.tva)} DH", 600, 1190)
-    t(s"Timbre fiscal: ${frMoney(r.timbre)} DH", 600, 1230)
-    t(s"TOTAL TTC: ${frMoney(r.totalTtc)} DH", 600, 1270)
+    t("Sous-total HT: " + frMoney(r.subtotalCents) + " DH", 600, 1150)
+    t("TVA (" + r.tvaRatePct + "%): " + frMoney(r.tvaCents) + " DH", 600, 1190)
+    t("Timbre fiscal: " + frMoney(r.timbreCents) + " DH", 600, 1230)
+    t("TOTAL TTC: " + frMoney(r.totalTtcCents) + " DH", 600, 1270)
     // footer band
-    b += (("media", "", s"img://${r.docId}/stamp", 80, 1340))
+    b += (("media", "", "img://" + r.docId + "/stamp", 80, 1340))
     t("Merci de votre confiance", 400, 1385)
     // reading order W1: sort by (y_center, x_center), offset = ordinal
     // (vlm/utils/geometry_utils.py:339-359); ties broken by x then text.
@@ -236,11 +262,15 @@ object InvoiceCorpus {
       }
   }
 
-  /** The corpus as a distributed Dataset — pure function of (seed, idx). */
+  /** The corpus as a distributed Dataset — pure function of (seed, idx).
+    * @param partitions explicit generation parallelism; 0 → cluster default.
+    *        Explicit matters on a cluster: defaultParallelism is sampled at
+    *        PLAN time, before all executors may have registered. */
   def docs(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
-      noiseP: Double = 0.25): Dataset[OcrDoc] = {
+      noiseP: Double = 0.25, partitions: Int = 0): Dataset[OcrDoc] = {
     import spark.implicits._
-    spark.range(n).mapPartitions { it =>
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, p).mapPartitions { it =>
       it.map { i =>
         val r = record(i, seed, noiseP)
         OcrDoc(r.docId, 1000, 1409, spansOf(r, seed))
@@ -269,16 +299,16 @@ object InvoiceCorpus {
         Triple(inv, HasClient, cKey),
         Triple(vKey, HasICE, r.vendor.ice),
         Triple(cKey, HasICE, r.client.ice),
-        Triple(inv, HasSubtotalHT, r.subtotal.toString),
-        Triple(inv, HasTVA, r.tva.toString),
-        Triple(inv, HasTotalTTC, r.totalTtc.toString))
+        Triple(inv, HasSubtotalHT, dotMoney(r.subtotalCents)),
+        Triple(inv, HasTVA, dotMoney(r.tvaCents)),
+        Triple(inv, HasTotalTTC, dotMoney(r.totalTtcCents)))
       val itemTriples = r.items.zipWithIndex.flatMap { case (it, k) =>
         val li = lineItemNode(r.docId, k)
         Seq(
           Triple(inv, HasLineItem, li),
           Triple(li, HasDescription, it.description),
           Triple(li, HasQuantity, it.quantity.toString),
-          Triple(li, HasAmount, it.total.toString))
+          Triple(li, HasAmount, dotMoney(it.totalCents)))
       }
       // sameAs ground truth: noisy surface forms are the same entity as the
       // clean gazetteer name (FIXTURES.md §3).

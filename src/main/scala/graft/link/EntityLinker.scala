@@ -46,9 +46,19 @@ object EntityLinker {
       jaccardMin: Double = 0.6,
       editSimMin: Double = 0.85,
       useIce: Boolean = true,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidateEdgesFromEntities(entities(mentions), numHashes, jaccardMin,
+      editSimMin, useIce, maxBucket)
 
-    val ents = entities(mentions)
+  /** Same as candidateEdges but over a pre-built (persisted) entity table —
+    * callers that also need the entities avoid computing them twice. */
+  def candidateEdgesFromEntities(
+      ents: DataFrame,
+      numHashes: Int = 8,
+      jaccardMin: Double = 0.6,
+      editSimMin: Double = 0.85,
+      useIce: Boolean = true,
+      maxBucket: Int = 1000): DataFrame = {
 
     // MinHash signature: sig_i = min over tokens of xxhash64(token, seed=i)
     val sigs = (0 until numHashes).map { i =>

@@ -189,6 +189,41 @@ object FastExtract {
     DocResult(bld.result(), vm)
   }
 
+  /** Mentions-only extraction: the vendor/client/ICE lookups WITHOUT the
+    * triple assembly (notably without the quadratic line-item row search) —
+    * the EL stage needs 2 rows/doc, not the whole extraction. Field
+    * semantics are shared with extractDoc via the same helpers; parity with
+    * the full path is asserted in ExtractParitySpec. */
+  def mentionsOnly(doc: OcrDoc): Seq[VendorMention] = {
+    val spans = doc.spans
+    if (spans.isEmpty) return Nil
+    val totalH = spans.map(s => s.bbox.y + s.bbox.h).max.toDouble
+    var vendorSurface: String = null
+    var clientSurface: String = null
+    var vendorIce: String = null
+    var clientIce: String = null
+    spans.foreach { s =>
+      if (s.conf > 0.5 && s.text.trim.length > 1) {
+        val yc = s.bbox.y + s.bbox.h / 2.0
+        val zone = zoneOf(if (totalH > 0) yc / totalH else 0.0)
+        if (zone == "company_info") {
+          if (vendorSurface == null) vendorSurface = s.text
+          if (vendorIce == null && iceRe.matches(s.text))
+            vendorIce = iceRe.findFirstMatchIn(s.text).get.group(1)
+        } else if (zone == "client_info") {
+          if (clientSurface == null && !s.text.endsWith(":")) clientSurface = s.text
+          if (clientIce == null && iceRe.matches(s.text))
+            clientIce = iceRe.findFirstMatchIn(s.text).get.group(1)
+        }
+      }
+    }
+    val v = Option(vendorSurface).map(s =>
+      VendorMention(doc.doc_id, "vendor", s, Option(vendorIce).getOrElse(""), entitySlug(s)))
+    val c = Option(clientSurface).map(s =>
+      VendorMention(doc.doc_id, "client", s, Option(clientIce).getOrElse(""), entitySlug(s)))
+    Seq(v, c).flatten
+  }
+
   def triples(docs: Dataset[OcrDoc]): Dataset[Triple] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -198,6 +233,6 @@ object FastExtract {
   def vendorMentions(docs: Dataset[OcrDoc]): Dataset[VendorMention] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.mapPartitions(_.flatMap(d => extractDoc(d).mentions))
+    docs.mapPartitions(_.flatMap(mentionsOnly))
   }
 }

@@ -40,11 +40,8 @@ object Pipeline {
     docs.selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]
   }
 
-  /** Canonical entity map (entity_key → canonical key) from the docs. */
-  def canonicalEntityMap(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val vm =
-      if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
-      else Extract.vendorMentions(docs)
+  /** Canonical entity map from a (persisted) vendor-mention table. */
+  def canonicalEntityMapFromMentions(vm: DataFrame, cfg: Config = Config()): DataFrame = {
     val edges = EntityLinker.candidateEdges(
       vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
     val comps = ConnectedComponents.run(edges)
@@ -53,12 +50,25 @@ object Pipeline {
     ConnectedComponents.canonicalMap(comps, counts)
   }
 
-  /** Rewrite surface vendor nodes to canonical ones and add sameAs edges. */
+  /** Canonical entity map (entity_key → canonical key) from the docs. */
+  def canonicalEntityMap(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val vm = (
+      if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
+      else Extract.vendorMentions(docs)).persist()
+    canonicalEntityMapFromMentions(vm, cfg)
+  }
+
+  /** Rewrite surface vendor nodes to canonical ones and add sameAs edges.
+    * The canonical map is tiny relative to the triples (entities, not docs)
+    * but its size estimate is opaque to Catalyst (it comes through a window
+    * over joins), so without the explicit hint the rewrite degrades to a
+    * sort-merge join that shuffles ALL triples twice — broadcast() is the
+    * difference between 0 and 2 full-corpus shuffles here. */
   def canonicalize(rawTriples: DataFrame, canonMap: DataFrame): DataFrame = {
-    val m = canonMap
+    val m = broadcast(canonMap
       .select(
         concat(lit("vendor:"), col("id")).as("surf_node"),
-        concat(lit("vendor:"), col("canonical")).as("canon_node"))
+        concat(lit("vendor:"), col("canonical")).as("canon_node")))
 
     // objects of hasVendor/hasClient and subjects of hasICE are vendor nodes
     val objRewritten = rawTriples
@@ -87,13 +97,64 @@ object Pipeline {
     if (cfg.fast) FastExtract.triples(asOcrDocs(docs)).toDF()
     else Extract.triples(docs)
 
-  /** Full run: docs → canonical triple graph (deduplicated). */
+  /** Full run: docs → canonical triple graph (deduplicated).
+    *
+    * The docs table is scanned exactly TWICE (raw triples; vendor mentions)
+    * — everything downstream works on persisted small projections. At real
+    * scale the raw-triple stage would be a store-backed checkpoint instead
+    * of a persist (runResumable does exactly that).
+    */
+  /** Full run: docs → canonical triple graph (deduplicated).
+    *
+    * Plan shape (the 100 TB view):
+    *  - docs are scanned exactly TWICE, both narrow: once for the raw
+    *    triple stream, once for the tiny vendor-mention projection;
+    *  - the raw triple stream flows through ONE broadcast join (canonical
+    *    map) and is never shuffled, persisted, or scanned twice — doc-scoped
+    *    subjects embed the doc_id and are duplicate-free by construction;
+    *  - vendor-scoped triples (hasICE, sameAs) are REGENERATED from the
+    *    entity table (entities × canonical map — thousands of rows), not
+    *    deduplicated out of the full graph: dedup work is proportional to
+    *    the number of entities, not the number of documents.
+    */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val vm = (
+      if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
+      else Extract.vendorMentions(docs)).persist()
+    val ents = EntityLinker.entities(vm) // persisted inside
+    val edges = EntityLinker.candidateEdgesFromEntities(
+      ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
+    val comps = ConnectedComponents.run(edges)
+    val counts = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+      .select(col("entity_key").as("id"), col("n"))
+    val canonMap = ConnectedComponents.canonicalMap(comps, counts).persist()
+
+    val m = broadcast(canonMap.select(
+      concat(lit("vendor:"), col("id")).as("surf_node"),
+      concat(lit("vendor:"), col("canonical")).as("canon_node")))
+
+    // doc-scoped stream: single pass, one broadcast join, no dedup needed
     val raw = rawTriples(docs, cfg)
-    val canonMap = canonicalEntityMap(docs, cfg)
-    canonicalize(raw, canonMap)
+    val docTriples = raw.where(col("pred") =!= "hasICE")
+      .join(m, col("obj") === m("surf_node"), "left")
+      .withColumn("obj",
+        when(col("pred").isin("hasVendor", "hasClient"), coalesce(col("canon_node"), col("obj")))
+          .otherwise(col("obj")))
       .select("subj", "pred", "obj")
+
+    // vendor-scoped triples from the ENTITY table (not the doc stream):
+    // hasICE per canonical vendor + sameAs per linked surface form
+    val iceTriples = ents.where(col("ice").isNotNull)
+      .join(canonMap, ents("entity_key") === canonMap("id"))
+      .select(concat(lit("vendor:"), col("canonical")).as("subj"),
+        lit("hasICE").as("pred"), col("ice").as("obj"))
       .distinct()
+    val sameAs = canonMap.where(col("id") =!= col("canonical"))
+      .select(concat(lit("vendor:"), col("id")).as("subj"),
+        lit("sameAs").as("pred"),
+        concat(lit("vendor:"), col("canonical")).as("obj"))
+
+    docTriples.unionByName(iceTriples).unionByName(sameAs)
   }
 
   /** Resumable run: documents are split into `nBatches` deterministic

@@ -1,9 +1,11 @@
 package graft.run
 
-import graft.ops.Dedup
+import graft.fixtures.InvoiceCorpus
+import graft.link.EntityLinker
+import graft.canon.ConnectedComponents
 import org.apache.spark.sql.functions._
 
-/** Dev profiling scratch. */
+/** Dev profiling scratch: pipeline phase breakdown. */
 object Prof {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -13,35 +15,34 @@ object Prof {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(8, 8)
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    docs.cache().count()
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val spark = Sessions.local(cores, cores)
+    import spark.implicits._
+    val docs = InvoiceCorpus.docs(spark, n).toDF()
+    val ds = docs.selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]
 
-    val k = 5; val numHashes = 16; val bands = 8; val rows = 2
-    val withSig = docs.select(col("doc_id").as("id"), col("text"),
-      Dedup.minhashSignature(col("text"), k, numHashes).as("sig"))
-    time("signatures")(withSig.write.mode("overwrite").parquet("/tmp/prof_sig"))
-    val sig2 = spark.read.parquet("/tmp/prof_sig")
-    val banded = sig2.select(col("id"), col("text"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
-    time("banding")(banded.count())
-    val sizes = banded.groupBy("band", "bh").count()
-    val kept = banded.join(sizes.where(col("count") <= 2000), Seq("band", "bh"))
-    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("t_a"))
-      .join(kept.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("t_b")),
-        Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "t_a", "t_b").distinct()
-    println("[prof] candidates = " + time("cand")(cand.count()))
-    val ja = {
-      val a = Dedup.wordShingles(col("t_a"), k)
-      val b = Dedup.wordShingles(col("t_b"), k)
-      round(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"), 4)
+    (1 to 2).foreach { iter =>
+      println(s"[prof] --- iteration $iter (cores=$cores, docs=$n) ---")
+      val raw = FastExtract.triples(ds).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("raw extract+persist")(raw.count())
+      val vm = FastExtract.vendorMentions(ds).toDF().persist()
+      time("vendor mentions+persist")(vm.count())
+      val edges = time("EL edges (build plan)")(
+        EntityLinker.candidateEdges(vm, 8, 0.6, 0.85, true))
+      val edgesN = time("EL edges (count)")(edges.count())
+      println(s"[prof] edges = $edgesN")
+      val comps = time("CC")(ConnectedComponents.run(edges))
+      time("CC materialize")(comps.count())
+      val counts = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+        .select(col("entity_key").as("id"), col("n"))
+      val canonMap = ConnectedComponents.canonicalMap(comps, counts)
+      time("canonMap")(canonMap.count())
+      val g = Pipeline.canonicalize(raw, canonMap).select("subj", "pred", "obj").distinct()
+      time("canonicalize+distinct")(g.count())
+      spark.sharedState.cacheManager.clearCache()
     }
-    time("verify")(cand.withColumn("jaccard", ja).where(col("jaccard") >= 0.2).count())
-    time("full op")(Dedup.minhashNearDup(docs, 5, 16, 8, 0.2).count())
     spark.stop()
   }
 }

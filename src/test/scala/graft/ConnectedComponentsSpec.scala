@@ -9,6 +9,23 @@ class ConnectedComponentsSpec extends SparkSuite {
     ConnectedComponents.run(edges.toDF("src", "dst"))
       .as[(String, String)].collect().toMap
 
+  /** Force the distributed large-star/small-star path. */
+  private def ccDist(edges: (String, String)*): Map[String, String] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), smallThreshold = -1L)
+      .as[(String, String)].collect().toMap
+
+  test("driver union-find and distributed path agree on every shape") {
+    val shapes: Seq[Seq[(String, String)]] = Seq(
+      Seq(("b", "a"), ("c", "b"), ("y", "z")), // two components
+      Seq(("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("a", "b")), // chain
+      Seq(("a", "b"), ("b", "c"), ("c", "a")), // cycle
+      (1 to 30).map(i => (f"n$i%03d", "hub")), // star
+      Seq(("a", "a"), ("a", "b"))) // self loop
+    shapes.foreach { es =>
+      assert(cc(es: _*) == ccDist(es: _*), s"paths disagree on $es")
+    }
+  }
+
   test("two disjoint components") {
     val m = cc(("b", "a"), ("c", "b"), ("y", "z"))
     assert(m == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
