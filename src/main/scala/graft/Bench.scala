@@ -15,6 +15,7 @@ object Bench {
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -228,7 +228,12 @@ object SparkEntry {
     "q34_media_decode" -> ((s, d) =>
       Multimodal.decodeAndFeaturize(
         Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
-        .select("media_ref", "kind", "width", "height", "n_frames"))
+        .select("media_ref", "kind", "width", "height", "n_frames")),
+    "q35_fieldtag_expr" -> ((s, d) =>
+      // the fused custom Catalyst expression (doGenCode path) — same oracle
+      // CASE as q13, so the driver gate itself proves expression parity
+      t(s, d, "documents").select(col("doc_id"),
+        call_function("invoice_field_tag", col("text")).as("field_type")))
   )
 
   // ======================================================================
@@ -451,6 +456,8 @@ object SparkEntry {
     "q31_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q35_fieldtag_expr" ->
+      s"SELECT doc_id, $classifySql AS field_type FROM documents"
   )
 }

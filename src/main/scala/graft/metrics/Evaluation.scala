@@ -42,4 +42,27 @@ object Evaluation {
       .withColumn("precision", col("tp") / greatest(col("tp") + col("fp"), lit(1)))
       .withColumn("recall", col("tp") / greatest(col("tp") + col("fn"), lit(1)))
   }
+
+  /** F14 — character error rate over (predicted, expected) text pairs:
+    * Σ levenshtein / Σ length(expected)
+    * (fine-tuning-ocr/.../trocr_finetuning.py:260-265). */
+  def cer(pairs: DataFrame, predCol: String = "pred", expCol: String = "expected"): Double = {
+    val row = pairs.agg(
+      sum(levenshtein(col(predCol), col(expCol))).cast("double").as("errs"),
+      sum(length(col(expCol))).cast("double").as("chars")).head()
+    if (row.isNullAt(1) || row.getDouble(1) == 0) 0.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** A2/A7-style corpus statistics: success rate, conf aggregates, block
+    * counts (ocr_starter_final.py:457-483) over a mention table with
+    * (doc_id, conf) columns. */
+  def corpusStats(mentions: DataFrame): DataFrame =
+    mentions.agg(
+      countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("n_blocks"),
+      avg("conf").as("avg_conf"),
+      min("conf").as("min_conf"),
+      max("conf").as("max_conf"),
+      stddev("conf").as("std_conf"),
+      (count(lit(1)).cast("double") / countDistinct("doc_id")).as("avg_blocks_per_doc"))
 }

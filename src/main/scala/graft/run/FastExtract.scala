@@ -28,22 +28,10 @@ object FastExtract {
 
   private val RowTol = 15.0
 
-  // ---- F5 tagger (data_preparation.py:147-167), Scala form ----
-  def classifyTextType(text: String): String = {
-    val tl = text.toLowerCase(Locale.ROOT).trim
-    def anyOf(ws: String*) = ws.exists(tl.contains)
-    if (anyOf("facture", "invoice", "bill")) "header"
-    else if (anyOf("€", "$", "eur", "usd", "ttc", "ht", "mad", "dh", "dhs")) "amount"
-    else if ((tl.contains("date") || tl.contains("/") || tl.contains("-")) && text.length < 15) "date"
-    else if (tl.contains("@") || tl.contains("email")) "email"
-    else if (anyOf("tel", "phone", "+33", "01", "02", "03", "04", "05", "06", "07", "+212")) "phone"
-    else if (anyOf("rue", "avenue", "place", "boulevard")) "address"
-    else {
-      val digitsOnly = text.replace(".", "").replace("-", "")
-      if (digitsOnly.nonEmpty && digitsOnly.forall(c => c >= '0' && c <= '9')) "number"
-      else "text"
-    }
-  }
+  // ---- F5 tagger (data_preparation.py:147-167) — canonical scalar lives in
+  // graft.functions.FieldTag (shared with the Catalyst expression) ----
+  def classifyTextType(text: String): String =
+    graft.functions.FieldTag.classify(text)
 
   /** F6 (data_preparation.py:238-256). */
   def enhanceTextType(text: String, zone: String): String = {

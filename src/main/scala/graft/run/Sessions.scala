@@ -9,6 +9,7 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

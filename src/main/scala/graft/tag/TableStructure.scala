@@ -1,0 +1,75 @@
+package graft.tag
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational (window-based) forms of the reference's ordered-geometry
+  * operators — the scalable shapes of SURVEY.md §2.5 for span tables that
+  * are too wide for per-row array HOFs:
+  *
+  *  - W1 reading order: row_number over (y_center, x_center)
+  *  - W2 row grouping (row_tolerance 15, geometry_utils.py:260-319):
+  *    lag/cumsum sessionization over y
+  *  - W3 column layout (threshold 100, min 3/column,
+  *    geometry_utils.py:207-257): same pattern over x
+  *  - F12 region envelope (ocr_integration.py:169-183): min/max per group
+  *
+  * All need ONE shuffle (partitionBy doc_id); the greedy anchored grouping
+  * of the reference is reproduced exactly when adjacent rows are separated
+  * by more than the tolerance — true of printed tables by construction.
+  *
+  * Input: a flat span table with (doc_id, offset, xc, yc) columns.
+  */
+object TableStructure {
+
+  private def byDoc = Window.partitionBy("doc_id")
+
+  /** W1 — reading order ordinal (0-based), deterministic tie-break by
+    * offset (SURVEY.md §7.4 risk 4). */
+  def withReadingOrder(spans: DataFrame): DataFrame =
+    spans.withColumn("reading_order",
+      row_number().over(byDoc.orderBy(col("yc").asc, col("xc").asc, col("offset").asc)) - 1)
+
+  /** W2 — table-row ids via y sessionization. */
+  def withRowIds(spans: DataFrame, rowTolerance: Double = 15.0): DataFrame = {
+    val w = byDoc.orderBy(col("yc").asc, col("xc").asc, col("offset").asc)
+    spans
+      .withColumn("prev_yc", lag("yc", 1).over(w))
+      .withColumn("new_row",
+        when(col("prev_yc").isNull || col("yc") - col("prev_yc") > rowTolerance, 1).otherwise(0))
+      .withColumn("row_id", sum("new_row").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("prev_yc", "new_row")
+  }
+
+  /** W3 — column ids via x sessionization (column_threshold 100). */
+  def withColumnIds(spans: DataFrame, colThreshold: Double = 100.0): DataFrame = {
+    val w = byDoc.orderBy(col("xc").asc, col("yc").asc, col("offset").asc)
+    spans
+      .withColumn("prev_xc", lag("xc", 1).over(w))
+      .withColumn("new_col",
+        when(col("prev_xc").isNull || col("xc") - col("prev_xc") > colThreshold, 1).otherwise(0))
+      .withColumn("col_id", sum("new_col").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("prev_xc", "new_col")
+  }
+
+  /** Table summary per doc: rows, max columns per row, regularity flag
+    * (geometry_utils.py detect_table_structure output shape). */
+  def tableSummary(spans: DataFrame, rowTolerance: Double = 15.0): DataFrame =
+    withRowIds(spans, rowTolerance)
+      .groupBy("doc_id", "row_id").agg(count(lit(1)).as("cells"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max("cells").as("n_cols"),
+        (countDistinct("cells") === 1).as("is_regular"))
+
+  /** F12 — envelope bbox per group of rects (min/max aggregation). */
+  def envelope(spans: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column, x2: Column, y2: Column): DataFrame =
+    spans.groupBy(groupCols.map(col): _*)
+      .agg(min(x).as("min_x"), min(y).as("min_y"),
+        max(x2).as("max_x"), max(y2).as("max_y"))
+}

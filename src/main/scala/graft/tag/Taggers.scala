@@ -179,4 +179,40 @@ object Taggers {
     abs(y1 - y2) <= tol
   def verticallyAligned(x1: Column, x2: Column, tol: Double = 10.0): Column =
     abs(x1 - x2) <= tol
+
+  /** F15 — full-text assembly: span texts joined with ' ' in offset order
+    * (ocr_starter_final.py:164,284). Expects the spans array in offset
+    * order (the input contract). */
+  def fullText(spans: Column): Column =
+    array_join(transform(filter(spans, s => s.getField("kind") === "text"),
+      s => s.getField("text")), " ")
+
+  /** F15 zone-ordered variant (data_preparation.py:315-332): concat in the
+    * fixed zone order header→company_info→client_info→items→total→footer,
+    * offset order within a zone. Expects tagged spans with a `zone` field. */
+  val zoneOrder: Seq[String] =
+    Seq("header", "company_info", "client_info", "items", "total", "footer")
+
+  def zoneRank(zone: Column): Column =
+    zoneOrder.zipWithIndex.foldLeft(lit(99): Column) { case (acc, (z, i)) =>
+      when(zone === z, i).otherwise(acc)
+    }
+
+  def zoneOrderedText(taggedSpans: Column): Column = {
+    val sorted = array_sort(
+      filter(taggedSpans, s => s.getField("kind") === "text"),
+      (l, r) => {
+        val zl = zoneRank(l.getField("zone")); val zr = zoneRank(r.getField("zone"))
+        when(zl < zr, -1).when(zl > zr, 1)
+          .when(l.getField("offset") < r.getField("offset"), -1)
+          .when(l.getField("offset") > r.getField("offset"), 1)
+          .otherwise(0).cast("int")
+      })
+    array_join(transform(sorted, s => s.getField("text")), " ")
+  }
+
+  /** A8 — bounded max: max of values strictly below a cap
+    * (zone_detector.py:321-331 `<100`; layout_analyzer.py:311-322 `<=10`). */
+  def boundedMax(c: Column, bound: Double): Column =
+    max(when(c < bound, c))
 }

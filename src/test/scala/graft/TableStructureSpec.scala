@@ -1,0 +1,56 @@
+package graft
+
+import graft.tag.TableStructure
+import org.apache.spark.sql.functions._
+
+class TableStructureSpec extends SparkSuite {
+  import spark.implicits._
+
+  // a 3×3 printed table + one stray footer span
+  private lazy val spans = Seq(
+    // (doc_id, offset, xc, yc)
+    ("d1", 0, 100.0, 100.0), ("d1", 1, 300.0, 102.0), ("d1", 2, 500.0, 98.0),
+    ("d1", 3, 100.0, 150.0), ("d1", 4, 300.0, 151.0), ("d1", 5, 500.0, 149.0),
+    ("d1", 6, 100.0, 200.0), ("d1", 7, 300.0, 200.0), ("d1", 8, 500.0, 200.0),
+    ("d1", 9, 100.0, 400.0),
+    ("d2", 0, 50.0, 10.0), ("d2", 1, 60.0, 10.0)).toDF("doc_id", "offset", "xc", "yc")
+
+  test("W1 reading order: (y, x) with offset tiebreak") {
+    val out = TableStructure.withReadingOrder(spans)
+      .where($"doc_id" === "d1").orderBy("reading_order")
+      .select("offset").as[Int].collect().toSeq
+    assert(out == Seq(2, 0, 1, 5, 3, 4, 6, 7, 8, 9)) // within row: by xc... y asc first
+  }
+
+  test("W2 row grouping with tolerance 15") {
+    val out = TableStructure.withRowIds(spans)
+      .where($"doc_id" === "d1")
+      .groupBy("row_id").agg(count(lit(1)).as("n")).orderBy("row_id")
+      .select("n").as[Long].collect().toSeq
+    assert(out == Seq(3, 3, 3, 1))
+  }
+
+  test("W3 column grouping with threshold 100") {
+    val out = TableStructure.withColumnIds(spans.where($"doc_id" === "d1" && $"offset" < 9))
+      .groupBy("col_id").agg(count(lit(1)).as("n")).orderBy("col_id")
+      .select("n").as[Long].collect().toSeq
+    assert(out == Seq(3, 3, 3))
+  }
+
+  test("table summary: rows, cols, regularity") {
+    val s = TableStructure.tableSummary(spans.where($"offset" < 9 && $"doc_id" === "d1"))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(s == (("d1", 3L, 3L, true)))
+    val irregular = TableStructure.tableSummary(spans.where($"doc_id" === "d1"))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(!irregular._4) // the stray footer row breaks regularity
+  }
+
+  test("F12 envelope") {
+    val env = TableStructure.envelope(
+      spans.where($"doc_id" === "d2"), Seq("doc_id"),
+      $"xc" - 5, $"yc" - 5, $"xc" + 5, $"yc" + 5)
+      .as[(String, Double, Double, Double, Double)].head()
+    assert(env == (("d2", 45.0, 5.0, 65.0, 15.0)))
+  }
+}
