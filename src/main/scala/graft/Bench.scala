@@ -12,7 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toLong
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -38,7 +38,11 @@ object Bench {
     }
 
     // KG headline: mention-detect → triples (narrow path) and the full
-    // pipeline (EL + CC + canonicalize + dedup)
+    // pipeline (EL + CC + canonicalize + dedup); small unmeasured warmup
+    // first so the headline reflects steady state, not JIT/codegen
+    FastExtract.triples(
+      InvoiceCorpus.docs(spark, 500).toDF()
+        .selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]).count()
     val docs = InvoiceCorpus.docs(spark, kgDocs).toDF()
     var nTriples = 0L
     val tExtract = time {
