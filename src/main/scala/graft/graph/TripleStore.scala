@@ -69,9 +69,19 @@ object TripleStore {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Snapshot time travel: read the store as of a given snapshot id —
+    * only batches committed with id ≤ asOfBatch are visible (the
+    * Iceberg-snapshot read semantics on the manifest log). */
+  def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame = {
+    val committed = committedBatches(root).filter(_ <= asOfBatch)
+    readBatches(spark, root, committed)
+  }
+
   /** Read only committed batches. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val committed = committedBatches(root)
+  def read(spark: SparkSession, root: String): DataFrame =
+    readBatches(spark, root, committedBatches(root))
+
+  private def readBatches(spark: SparkSession, root: String, committed: Set[Int]): DataFrame = {
     if (committed.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, String, String)].toDF("subj", "pred", "obj")

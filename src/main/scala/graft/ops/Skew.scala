@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY.md §4; north_star: "skew from
+  * mega-vendors is handled with salted aggregations and AQE skew-join
+  * hints").
+  *
+  * The corpus is Zipf-shaped by construction (30% of invoices hit one
+  * vendor), so any groupBy/join on vendor keys has one hot partition. Two
+  * mitigations compose with AQE (which is ON in every engine session):
+  *
+  *  - salted aggregation: partial agg on (key, salt) → final agg on key.
+  *    The hot key's rows split across `salts` partitions in the first
+  *    shuffle; the second shuffle moves only `salts` pre-aggregated rows.
+  *  - salted broadcast-side replication for joins where the build side is
+  *    small but the probe side is hot-keyed.
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: exact same result as
+    * `df.groupBy(key).agg(aggs)` for DECOMPOSABLE aggregates (sum/count/
+    * min/max), with the hot key spread over `salts` partitions first.
+    *
+    * @param partials (partialAggExprs, finalAggExprs) — the partial
+    *        expressions run per (key, salt); the final ones combine them.
+    */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int)(
+      partials: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy("__key")
+      .agg(finals.head, finals.tail: _*)
+      .withColumnRenamed("__key", "key")
+
+  /** Salted count per key — the exact shape the canonical-map weighting
+    * needs (mention counts per entity key, mega-vendor dominant). */
+  def saltedCount(df: DataFrame, keyCol: String, salts: Int = 16,
+      outCol: String = "n"): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__pc"))
+      .groupBy(col(keyCol))
+      .agg(sum("__pc").as(outCol))
+
+  /** Key-frequency profile — the diagnostic that decides whether salting
+    * is worth it (top-k hot keys with their share). */
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / total, 4))
+      .orderBy(col("n").desc)
+      .limit(k)
+  }
+}

@@ -45,7 +45,9 @@ object Pipeline {
     val edges = EntityLinker.candidateEdges(
       vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
     val comps = ConnectedComponents.run(edges)
-    val counts = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+    // salted two-phase count: the mention distribution is Zipf-shaped
+    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation
+    val counts = graft.ops.Skew.saltedCount(vm, "entity_key", salts = 16)
       .select(col("entity_key").as("id"), col("n"))
     ConnectedComponents.canonicalMap(comps, counts)
   }
@@ -99,13 +101,6 @@ object Pipeline {
 
   /** Full run: docs → canonical triple graph (deduplicated).
     *
-    * The docs table is scanned exactly TWICE (raw triples; vendor mentions)
-    * — everything downstream works on persisted small projections. At real
-    * scale the raw-triple stage would be a store-backed checkpoint instead
-    * of a persist (runResumable does exactly that).
-    */
-  /** Full run: docs → canonical triple graph (deduplicated).
-    *
     * Plan shape (the 100 TB view):
     *  - docs are scanned exactly TWICE, both narrow: once for the raw
     *    triple stream, once for the tiny vendor-mention projection;
@@ -125,7 +120,9 @@ object Pipeline {
     val edges = EntityLinker.candidateEdgesFromEntities(
       ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
     val comps = ConnectedComponents.run(edges)
-    val counts = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+    // salted two-phase count: the mention distribution is Zipf-shaped
+    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation
+    val counts = graft.ops.Skew.saltedCount(vm, "entity_key", salts = 16)
       .select(col("entity_key").as("id"), col("n"))
     val canonMap = ConnectedComponents.canonicalMap(comps, counts).persist()
 

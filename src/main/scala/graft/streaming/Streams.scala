@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** State record for sessionizeStream (top-level so Spark can derive its
+    * Encoder). */
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
   /** Input-contract schema (BASELINE.json input_hint), needed explicitly:
     * streaming sources don't infer. */
   val docSchema: StructType = StructType(Seq(
@@ -61,6 +65,61 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** Custom-state sessionization over a keyed event stream —
+    * `flatMapGroupsWithState` with event-time timeout: a session closes
+    * when no event arrives for `gapSeconds` (by watermark), emitting one
+    * row per closed session. The arbitrary-stateful-processing shape of
+    * SURVEY.md §2.9 / the builder mandate (mapGroupsWithState family).
+    *
+    * Input columns: (user_id: Long, ts: Timestamp, value: Double) with a
+    * watermark already applied by the caller.
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // the watermarked event-time column must survive to the stateful
+    // operator unchanged (EventTimeTimeout requirement) — keep `ts` as-is
+    val typed = events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap → close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator((userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total))
+          } else {
+            val sorted = rows.map { case (u, t, v) => (u, t.getTime / 1000, v) }
+              .toSeq.sortBy(_._2)
+            var closed = List.empty[(Long, java.sql.Timestamp, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some(s) if ts - s.lastTs <= gapSeconds =>
+                  cur = Some(s.copy(lastTs = ts, n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed ::= ((userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total))
+                  cur = Some(SessionState(ts, ts, 1, v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events", "total_value")
   }
 
   /** Watermarked tumbling-window aggregation over an event stream

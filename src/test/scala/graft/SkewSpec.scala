@@ -1,0 +1,57 @@
+package graft
+
+import graft.fixtures.InvoiceCorpus
+import graft.functions.MinHashAgg
+import graft.graph.TripleStore
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted count == plain groupBy count on the Zipf-shaped corpus") {
+    val vm = graft.run.FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 150)).toDF()
+    val plain = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(vm, "entity_key", salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(plain == salted)
+  }
+
+  test("key profile surfaces the mega-vendor") {
+    val vm = graft.run.FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 300)).toDF()
+    val top = Skew.keyProfile(vm, "entity_key", 3).as[(String, Long, Double)].collect()
+    // company 0 gets ~30% of vendor mentions (~15% of all mentions) by design
+    assert(top.head._1.startsWith("atlas_tech"), top.head)
+    assert(top.head._3 > 0.08, top.head)
+  }
+
+  test("salted generic agg equals plain agg (sum)") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0)).toDF("k", "v")
+    val out = Skew.saltedAgg(df, col("k"), 4)(
+      Seq(sum("v").as("pv")), Seq(sum("pv").as("total")))
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 6.0, "b" -> 4.0))
+  }
+
+  test("typed Aggregator: group minhash = elementwise min of member hashes") {
+    val mh = MinHashAgg.of(8)
+    val df = Seq(
+      ("g1", Seq("a", "b")), ("g1", Seq("b", "c")), ("g2", Seq("a", "b", "c")))
+      .toDF("g", "tokens")
+    val sigs = df.groupBy("g").agg(mh(col("tokens")).as("sig"))
+      .as[(String, Array[Long])].collect().toMap
+    // g2's token set == union of g1's members → identical group signature
+    assert(sigs("g1").toSeq == sigs("g2").toSeq)
+    assert(sigs("g1").length == 8)
+  }
+
+  test("triple-store snapshot time travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    TripleStore.commitBatch(Seq(("s1", "p", "o1")).toDF("subj", "pred", "obj"), root, 0)
+    TripleStore.commitBatch(Seq(("s2", "p", "o2")).toDF("subj", "pred", "obj"), root, 1)
+    assert(TripleStore.readAsOf(spark, root, 0).count() == 1)
+    assert(TripleStore.readAsOf(spark, root, 1).count() == 2)
+    assert(TripleStore.read(spark, root).count() == 2)
+  }
+}

@@ -38,6 +38,33 @@ class StreamsSpec extends SparkSuite {
     assert(n3 > n1)
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes sessions by watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val out = Streams.sessionizeStream(events, gapSeconds = 1800)
+    val query = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then a 2h gap (new one)
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (1L, t("2024-01-01 10:10:00"), 2.0))
+    query.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 12:30:00"), 5.0))
+    query.processAllAvailable()
+    // push the watermark far past everything → last session times out
+    mem.addData((2L, t("2024-01-01 20:00:00"), 0.0))
+    query.processAllAvailable()
+    mem.addData((2L, t("2024-01-02 09:00:00"), 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("sess_test")
+      .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    query.stop()
+    assert(rows.contains((1L, "2024-01-01 10:00:00", 2L, 3.0)), rows)
+    assert(rows.contains((1L, "2024-01-01 12:30:00", 1L, 5.0)), rows)
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
