@@ -233,7 +233,24 @@ object SparkEntry {
       // the fused custom Catalyst expression (doGenCode path) — same oracle
       // CASE as q13, so the driver gate itself proves expression parity
       t(s, d, "documents").select(col("doc_id"),
-        call_function("invoice_field_tag", col("text")).as("field_type")))
+        call_function("invoice_field_tag", col("text")).as("field_type"))),
+    "q36_embedding_neardup" -> ((s, d) => {
+      // exact all-pairs cosine near-dup on a bounded id range (oracle-able);
+      // the LSH-blocked scale path is q37
+      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        Similarity.norm(col("embedding")).as("n_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        Similarity.norm(col("embedding")).as("n_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim_raw",
+          when(col("n_a") * col("n_b") === 0, 0.0)
+            .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+        .where(col("sim_raw") >= 0.2) // filter on the unrounded value (= oracle)
+        .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+    }),
+    "q37_embedding_neardup_lsh" -> ((s, d) => // rows-only (hash-based blocking)
+      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2, planes = 4))
   )
 
   // ======================================================================
@@ -458,6 +475,21 @@ object SparkEntry {
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q35_fieldtag_expr" ->
-      s"SELECT doc_id, $classifySql AS field_type FROM documents"
+      s"SELECT doc_id, $classifySql AS field_type FROM documents",
+    "q36_embedding_neardup" -> {
+      def dotSql(x: String, y: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           | [CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) FOR p IN list_zip($x, $y)]),
+           | (acc, v) -> acc + v)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nm
+         | FROM embeddings WHERE vec_id < 200)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(CASE WHEN a.nm * b.nm = 0 THEN 0.0
+         |   ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nm * b.nm) END, 4) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE CASE WHEN a.nm * b.nm = 0 THEN 0.0
+         |  ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nm * b.nm) END >= 0.2""".stripMargin
+    }
   )
 }
