@@ -109,4 +109,18 @@ object EntityLinker {
       lshEdges.union(iceEdges).distinct()
     }
   }
+
+  /** Bucket-size audit for the LSH blocking — "no silent caps": rows with
+    * `capped = true` are the buckets candidateEdges drops at `maxBucket`.
+    * Run this alongside linking to quantify (and log) what the cap costs. */
+  def blockStats(mentions: DataFrame, numHashes: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val ents = entities(mentions)
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(col("tokens"), t => xxhash64(t, lit(i))))
+    }
+    ents.select(posexplode(array(sigs: _*)).as(Seq("band", "h")))
+      .groupBy("band", "h").count()
+      .withColumn("capped", col("count") > maxBucket)
+  }
 }

@@ -54,4 +54,15 @@ class SkewSpec extends SparkSuite {
     assert(TripleStore.readAsOf(spark, root, 1).count() == 2)
     assert(TripleStore.read(spark, root).count() == 2)
   }
+
+  test("EL block-size audit exposes capped buckets") {
+    val vm = graft.run.FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 100)).toDF()
+    val stats = graft.link.EntityLinker.blockStats(vm, maxBucket = 5)
+    assert(stats.count() > 0)
+    // with a tiny cap, the shared-token buckets show up as capped
+    assert(stats.where($"capped").count() > 0)
+    // with the production cap nothing is silently dropped on this corpus
+    assert(graft.link.EntityLinker.blockStats(vm, maxBucket = 1000)
+      .where($"capped").count() == 0)
+  }
 }
