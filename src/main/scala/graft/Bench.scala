@@ -31,9 +31,14 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
     }
 
@@ -60,7 +65,8 @@ object Bench {
     val extras = f""""kg_docs":$kgDocs,"kg_triples":$nTriples,"kg_graph_edges":$nGraph,""" +
       f""""extract_triples_per_sec":${nTriples / tExtract}%.1f,""" +
       f""""pipeline_triples_per_sec":${nGraph / tPipeline}%.1f,""" +
-      f""""extract_docs_per_sec":${kgDocs / tExtract}%.1f"""
+      f""""extract_docs_per_sec":${kgDocs / tExtract}%.1f,""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}""")
     spark.stop()
   }
