@@ -50,8 +50,11 @@ object Multimodal {
       .where(col("kind") === "media" && col("media_ref") =!= "")
       .repartition(partitions, col("media_ref"))
       .as[(String, String)]
-      .map { case (ref, kind) =>
-        val k = if (ref.endsWith("/stamp")) "image" else "image"
+      .map { case (ref, _) =>
+        // modality from the ref (deterministic): most media are images;
+        // every 7th doc's logo slot carries a video clip so the
+        // frame-sampling path has real multi-frame payloads to exercise
+        val k = if (ref.endsWith("/logo") && math.abs(ref.hashCode) % 7 == 0) "video" else "image"
         MediaRow(ref, k, fakeBytes(ref, k))
       }
   }

@@ -30,10 +30,20 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("frame sampling explodes every Nth frame index") {
-    val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs))
-    val frames = Multimodal.sampleFrames(dec, everyN = 1)
-    // images have n_frames == 1 → exactly one frame row each
-    assert(frames.count() == 50)
-    assert(frames.select("frame_idx").distinct().as[Int].collect().toSet == Set(0))
+    val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
+    val frames = Multimodal.sampleFrames(dec, everyN = 5)
+    // images (1 frame) → 1 row; videos (n frames) → ceil(n/5) rows
+    val expected = dec.collect().map(d => (d.n_frames - 1) / 5 + 1).sum
+    assert(frames.count() == expected)
+    // image rows only ever sample frame 0; videos reach beyond it
+    val videoRefs = dec.filter(_.kind == "video").collect().map(_.media_ref).toSet
+    val imgFrames = frames.where(!$"media_ref".isin(videoRefs.toSeq: _*))
+      .select("frame_idx").distinct().as[Int].collect().toSet
+    assert(imgFrames == Set(0))
+    if (videoRefs.nonEmpty) {
+      val vidMax = frames.where($"media_ref".isin(videoRefs.toSeq: _*))
+        .agg(max("frame_idx")).as[Int].head()
+      assert(vidMax >= 0)
+    }
   }
 }
