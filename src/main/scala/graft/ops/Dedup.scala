@@ -30,13 +30,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** Word k-gram shingles of a text column (distinct). */
+  /** Word k-gram shingles of a text column (distinct). Documents with fewer
+    * than k words yield an EMPTY array — not [null]: a null element would
+    * give every tiny doc the same LSH band hashes AND jaccard
+    * intersect([null],[null]) = 1.0, i.e. false-positive duplicates. */
   def wordShingles(text: Column, k: Int): Column = {
     val words = split(trim(text), "\\s+")
-    array_distinct(
+    array_distinct(filter(
       transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
         i => when(size(words) >= k,
-          array_join(slice(words, i + lit(1), lit(k)), " "))))
+          array_join(slice(words, i + lit(1), lit(k)), " "))),
+      s => s.isNotNull))
   }
 
   /** Near-dup pairs by exact n-gram Jaccard with shingle-join blocking.
@@ -82,6 +86,53 @@ object Dedup {
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     minhashSignatureOf(wordShingles(text, k), numHashes)
 
+  // ---- typed fast path (same story as FastExtract: Spark array HOFs are
+  // interpreted; signature building is the curation hot loop) -------------
+
+  /** Scala twin of wordShingles — MUST stay semantically identical
+    * (MinhashParity test). */
+  def wordShinglesScala(text: String, k: Int): Seq[String] = {
+    val words = text.trim.split("\\s+")
+    if (words.length < k) Seq.empty
+    else words.sliding(k).map(_.mkString(" ")).toVector.distinct
+  }
+
+  /** Scala twin of minhashSignatureOf with EXACT xxhash64 parity: calls the
+    * same catalyst hash function the Column expression compiles to
+    * (XxHash64Function), seeding with the hashed string like
+    * `xxhash64(shingle, lit(i))` does. */
+  def minhashSignatureScala(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h1 = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(i, IntegerType, h1)
+        if (h < sigs(i)) sigs(i) = h
+        i += 1
+      }
+    }
+    sigs
+  }
+
+  /** (id, shingles, sig) via the typed fast path. Empty-shingle docs get an
+    * empty sig (they can't participate in near-dup at this k). */
+  def minhashSignaturesFast(df: DataFrame, k: Int, numHashes: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = wordShinglesScala(text, k)
+        (id, sh, if (sh.isEmpty) Array.empty[Long] else minhashSignatureScala(sh, numHashes))
+      })
+      .toDF("id", "shingles", "sig")
+  }
+
   /** Near-dup candidate pairs via banded MinHash-LSH, verified by exact
     * shingle Jaccard. bands × rows must equal numHashes. Band keys are
     * hashes of signature slices; pairs agreeing on ANY band are candidates.
@@ -94,25 +145,42 @@ object Dedup {
     // shingles + signatures computed ONCE and persisted: the banding
     // self-join has 4 scan branches (2 sides × sizes/kept), and at 10^12
     // docs the signature table is exactly the stage you'd materialize.
-    val withSig = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
-      .withColumn("sig", minhashSignatureOf(col("shingles"), numHashes))
+    // Integral ids take the typed fast path (JIT-compiled signatures with
+    // exact xxhash64 parity — MinhashParity test); other id types use the
+    // Column-HOF path. Docs with no shingles (< k words) are dropped — they
+    // cannot near-dup at this k, and keeping them would alias their empty
+    // signatures into shared buckets.
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val withSig = (
+      if (idIsIntegral) minhashSignaturesFast(df, k, numHashes, idCol, textCol)
+      else df
+        .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
+        .withColumn("sig", minhashSignatureOf(col("shingles"), numHashes)))
+      .where(size(col("shingles")) >= 1)
       .persist()
-    val banded = withSig.select(col("id"), col("shingles"),
+    // banding carries ONLY the id — the shingle arrays are kilobytes per
+    // doc and the band explode multiplies them 8×; candidates are rare, so
+    // shingles are joined back onto the (small) candidate pair set instead
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
     val sizes = banded.groupBy("band", "bh").count()
     val kept = banded.join(sizes.where(col("count") <= maxBucket), Seq("band", "bh"))
-    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
-      .join(kept.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b")),
-        Seq("band", "bh"))
+    val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .distinct()
-    // verify candidates with exact shingle Jaccard on the CARRIED arrays
+    // verify candidates with exact shingle Jaccard (shingles joined back)
+    val withShingles = cand
+      .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
     val ja = round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
-    cand.withColumn("jaccard", ja)
+    withShingles.withColumn("jaccard", ja)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

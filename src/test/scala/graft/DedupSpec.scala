@@ -47,6 +47,23 @@ class DedupSpec extends SparkSuite {
     assert(nd.nonEmpty && nd.get._3 > 0, s"1-3 should be near but not identical: $pairs")
   }
 
+  test("fast (typed/XxHash64Function) signatures == Column xxhash64 signatures") {
+    val texts = docs.select("doc_id", "text")
+    val fast = Dedup.minhashSignaturesFast(texts, k = 3, numHashes = 16)
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val col16 = texts
+      .select($"doc_id".as("id"), Dedup.minhashSignature($"text", 3, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fast.keySet == col16.keySet)
+    fast.foreach { case (id, sig) => assert(sig == col16(id), s"id=$id") }
+  }
+
+  test("tiny docs (< k words) are never false-positive duplicates") {
+    val tiny = Seq((1L, "a b"), (2L, "x y"), (3L, "p q r s")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDup(tiny, k = 5, threshold = 0.1).count() == 0)
+    assert(Dedup.ngramJaccardPairs(tiny, k = 5, threshold = 0.1).count() == 0)
+  }
+
   test("shingle document-frequency cap drops boilerplate blocks") {
     // 60 docs sharing one boilerplate sentence: with maxDf=50 the shared
     // shingles are dropped and no pairs survive on boilerplate alone
