@@ -204,14 +204,47 @@ object Dedup {
       lit(0L), (acc, v) => acc + v)
   }
 
+  /** Scala twin of simhash — exact same bit votes via XxHash64Function
+    * (xxhash64 single-arg = seed 42), JIT-compiled (SimhashParity test). */
+  def simhashScala(text: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1; i += 1 }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) * 2 >= tokens.length) sig |= (1L << i); i += 1 }
+    sig
+  }
+
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming, found by the
     * pigeonhole principle: split the 64-bit signature into (maxHamming+1)
-    * chunks — any pair within distance k agrees on ≥1 chunk exactly. */
+    * chunks — any pair within distance k agrees on ≥1 chunk exactly.
+    * Integral ids take the typed fast signature path (parity-tested). */
   def simhashNearDup(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")).persist()
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val withSig = (
+      if (idIsIntegral) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) => (id, simhashScala(t)) })
+          .toDF("id", "sig")
+      } else df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
+      .persist()
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("sig"), c * chunkBits)

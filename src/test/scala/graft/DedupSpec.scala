@@ -58,6 +58,14 @@ class DedupSpec extends SparkSuite {
     fast.foreach { case (id, sig) => assert(sig == col16(id), s"id=$id") }
   }
 
+  test("fast (typed) simhash == Column simhash") {
+    val col64 = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
+      case (id, t) => assert(Dedup.simhashScala(t) == col64(id), s"id=$id")
+    }
+  }
+
   test("tiny docs (< k words) are never false-positive duplicates") {
     val tiny = Seq((1L, "a b"), (2L, "x y"), (3L, "p q r s")).toDF("doc_id", "text")
     assert(Dedup.minhashNearDup(tiny, k = 5, threshold = 0.1).count() == 0)
