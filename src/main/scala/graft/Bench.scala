@@ -7,7 +7,20 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds plus the KG
   * throughput headline (triples/sec on a freshly synthesized corpus —
   * generation is included in the timing; it's a narrow mapPartitions and
-  * represents the scan cost of a real docs table). */
+  * represents the scan cost of a real docs table).
+  *
+  * Measurement protocol (r2, after the r1 headline contradicted the
+  * steady-state table by 10–35×):
+  *  - the KG headline runs FIRST, in a clean JVM, right after a warmup of
+  *    BOTH paths — r1 ran it last, after 37 queries had accumulated leaked
+  *    cache blocks (since fixed at the source: operators localCheckpoint
+  *    instead of persist) and heap pressure;
+  *  - extract and pipeline are each measured twice, min taken (machine
+  *    load from the driver harness decays slowly; min-of-k is the
+  *    steady-state estimator BASELINE.md uses);
+  *  - the cache is cleared and a GC is requested between sections so no
+  *    measurement pays for a predecessor's blocks.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,6 +42,27 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def cleanup(): Unit = { spark.catalog.clearCache(); System.gc() }
+
+    def asOcr(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]
+
+    // ---- KG headline first: warm up BOTH paths, then min of 2 runs ----
+    FastExtract.triples(asOcr(InvoiceCorpus.docs(spark, 500).toDF())).count()
+    Pipeline.run(InvoiceCorpus.docs(spark, 500).toDF()).count()
+    cleanup()
+
+    val docs = InvoiceCorpus.docs(spark, kgDocs).toDF()
+    var nTriples = 0L
+    val tExtract = (1 to 2).map { _ =>
+      val t = time { nTriples = FastExtract.triples(asOcr(docs)).count() }
+      cleanup(); t
+    }.min
+    var nGraph = 0L
+    val tPipeline = (1 to 2).map { _ =>
+      val t = time { nGraph = Pipeline.run(docs).count() }
+      cleanup(); t
+    }.min
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
@@ -40,23 +74,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
+      cleanup()
     }
-
-    // KG headline: mention-detect → triples (narrow path) and the full
-    // pipeline (EL + CC + canonicalize + dedup); small unmeasured warmup
-    // first so the headline reflects steady state, not JIT/codegen
-    FastExtract.triples(
-      InvoiceCorpus.docs(spark, 500).toDF()
-        .selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]).count()
-    val docs = InvoiceCorpus.docs(spark, kgDocs).toDF()
-    var nTriples = 0L
-    val tExtract = time {
-      nTriples = FastExtract.triples(
-        docs.selectExpr("doc_id", "page_w", "page_h", "spans")
-          .as[graft.model.OcrDoc]).count()
-    }
-    var nGraph = 0L
-    val tPipeline = time { nGraph = Pipeline.run(docs).count() }
     results("kg_extract") = tExtract
     results("kg_pipeline") = tPipeline
 

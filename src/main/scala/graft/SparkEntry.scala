@@ -171,7 +171,14 @@ object SparkEntry {
       Dedup.exact(t(s, d, "documents"))),
     "q20_ngram_jaccard_neardup" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 5, threshold = 0.2, maxDf = 50)),
-    "q21_minhash_neardup" -> ((s, d) => // rows-only (hash-based)
+    "q21_minhash_neardup" -> ((s, d) =>
+      // ORACLED (r2): candidates are verified by exact shingle Jaccard, so
+      // the output equals the exact-Jaccard pair set whenever LSH recall is
+      // 1.0 — which is deterministically checkable, not a coin flip: the
+      // planted duplicates in `documents` all sit at jaccard ≥ 0.875
+      // (measured), where missing all 8 bands has p < 3e-5 per pair and the
+      // xxhash64 band hashes are a fixed function of the data. DedupSpec
+      // asserts the pair-set equality as a property on the planted corpus.
       Dedup.minhashNearDup(t(s, d, "documents"), k = 5, numHashes = 16, bands = 8,
         threshold = 0.2)),
     "q22_simhash_neardup" -> ((s, d) => // rows-only (hash-based)
@@ -220,8 +227,17 @@ object SparkEntry {
           col("n"), col("total_value"))),
 
     // ---- KG pipeline on the fixture corpus (rows-only; gated in sbt test) --
-    "q32_kg_triples" -> ((s, d) =>
-      Extract.triples(InvoiceCorpus.docs(s, 200).toDF())),
+    "q32_kg_triples" -> ((s, d) => {
+      // production extraction path (typed FastExtract — the one Pipeline
+      // uses); declarative-vs-fast parity is locked by ExtractParitySpec and
+      // the declarative path stays driver-exercised via entry(). r1 ran the
+      // interpreted-HOF path here: 32.7 s of the bench for 200 docs.
+      import s.implicits._
+      graft.run.FastExtract.triples(
+        InvoiceCorpus.docs(s, 200).toDF()
+          .selectExpr("doc_id", "page_w", "page_h", "spans")
+          .as[graft.model.OcrDoc]).toDF()
+    }),
     "q33_kg_entity_resolution" -> ((s, d) =>
       Pipeline.run(InvoiceCorpus.docs(s, 200).toDF())
         .where(col("pred") === "sameAs")),
@@ -250,7 +266,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
     }),
     "q37_embedding_neardup_lsh" -> ((s, d) => // rows-only (hash-based blocking)
-      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2, planes = 4))
+      // banded multi-table defaults (planes=2, tables=12): recall ≈ 0.99 at
+      // the 0.2 threshold (SimilaritySpec gates ≥ 0.95); r1's single
+      // 4-plane AND-bucket measured 72%
+      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2))
   )
 
   // ======================================================================
@@ -404,6 +423,27 @@ object SparkEntry {
         |common AS (
         | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
         | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2""".stripMargin,
+    // exact n-gram Jaccard pairs WITHOUT the df cap: equals the minhash-LSH
+    // output because every candidate is verified by exact Jaccard and LSH
+    // recall on the planted duplicates (all at j ≥ 0.875) is deterministic
+    // (see the q21 query comment; DedupSpec asserts the set equality)
+    "q21_minhash_neardup" ->
+      """WITH words AS (
+        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, shingle FROM (
+        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+        |  WHERE len(w) >= 5)),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
         | GROUP BY a.id, b.id)
         |SELECT id_a, id_b,
         | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard

@@ -97,6 +97,15 @@ object ConnectedComponents {
       sig = s2
       i += 1
     }
+    // Refuse to return a half-converged forest: a node mapping to more than
+    // one component would silently fan out every downstream join on the
+    // canonical map. large/small-star converges in O(log² n) rounds, so
+    // hitting maxIter means the input (or maxIter) is pathological — fail
+    // loudly instead (ADVICE r1).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach the edge-multiset fixpoint in $maxIter " +
+          "iterations; raise maxIter (convergence is O(log² n) rounds)")
     // At the fixpoint every edge points child → component root.
     val nodes = e.select(col("src").as("id"), col("dst").as("component"))
     val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()

@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("invoice_field_tag"),
       new ExpressionInfo(classOf[InvoiceFieldTag].getName, "invoice_field_tag"),
       (exprs: Seq[Expression]) => InvoiceFieldTag(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
   }
 }

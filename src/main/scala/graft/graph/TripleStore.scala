@@ -33,11 +33,13 @@ object TripleStore {
   def committedBatches(root: String): Set[Int] = {
     val d = snapsDir(root)
     if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
-        s.stripPrefix("snap-").stripSuffix(".json").toInt
-      }.toSet
+    else scala.util.Using.resource(Files.list(d)) { stream => // close the dir stream (fd leak under polling)
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+          s.stripPrefix("snap-").stripSuffix(".json").toInt
+        }.toSet
+    }
   }
 
   /** Append one batch of triples (must carry columns subj, pred, obj) and
@@ -45,18 +47,20 @@ object TripleStore {
     * a committed batch overwrites the same files and re-commits. */
   def commitBatch(triples: DataFrame, root: String, batchId: Int,
       extraCounters: Map[String, Long] = Map.empty): Unit = {
-    val spark = triples.sparkSession
-    val df = triples.select("subj", "pred", "obj").withColumn("batch", lit(batchId))
+    // Counters are computed from the batch DataFrame BEFORE the write (one
+    // localCheckpoint pass feeding both): re-reading the store after every
+    // commit re-lists all files — O(batches) listing per commit, O(B²)
+    // for a run — and the listing, not the pruned read, dominates at scale.
+    val df = triples.select("subj", "pred", "obj").localCheckpoint()
+    val counts = df.groupBy("pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // partition by predicate: subject-lookups and per-predicate scans prune
-    df.write
+    df.withColumn("batch", lit(batchId))
+      .write
       .mode("overwrite")
       .partitionBy("pred", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$root/data")
-    val counts = spark.read.parquet(s"$root/data")
-      .where(col("batch") === batchId)
-      .groupBy("pred").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val all = counts ++ extraCounters
     val countersJson = all.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
@@ -97,15 +101,17 @@ object TripleStore {
     val d = snapsDir(root)
     import spark.implicits._
     if (!Files.exists(d)) return Seq.empty[(Int, String, Long)].toDF("batch", "key", "value")
-    val rows = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snap-"))
-      .flatMap { p =>
-        val txt = Files.readString(p)
-        val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)
-        "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
-          .filter(_.group(1) != "batch")
-          .map(m => (batch, m.group(1), m.group(2).toLong))
-      }.toSeq
+    val rows = scala.util.Using.resource(Files.list(d)) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snap-"))
+        .flatMap { p =>
+          val txt = Files.readString(p)
+          val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)
+          "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+            .filter(_.group(1) != "batch")
+            .map(m => (batch, m.group(1), m.group(2).toLong))
+        }.toSeq
+    }
     rows.toDF("batch", "key", "value")
   }
 }

@@ -37,7 +37,11 @@ object EntityLinker {
         count(lit(1)).as("n_mentions"),
         min(when(col("ice") =!= "", col("ice"))).as("ice"))
       .withColumn("tokens", array_distinct(split(col("entity_key"), "_")))
-      .persist() // reused by 4 scan branches (blocks × bucket sizes × 2 join sides)
+      // reused by 4 scan branches (blocks × bucket sizes × 2 join sides);
+      // localCheckpoint instead of persist: entity tables are small, the
+      // blocks self-clean when unreferenced (no CacheManager leak across
+      // repeated linker calls in a long-lived session)
+      .localCheckpoint()
 
   /** Candidate sameAs edges (src < dst, entity_key level). */
   def candidateEdges(

@@ -52,9 +52,30 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, k: Int = 5, threshold: Double = 0.5,
       maxDf: Int = 50, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), k)).as("shingle"))
-      .where(col("shingle").isNotNull)
+    // Shingle explode — the expensive part — is computed ONCE and
+    // materialized: it feeds `sizes`, the df-cap AND both self-join sides
+    // (4 scan branches). localCheckpoint, not persist: blocks are
+    // context-cleaned when the result goes out of scope, so repeated calls
+    // in a long-lived session don't accumulate cached blocks.
+    // Integral ids take the typed fast shingle path (Spark array HOFs are
+    // interpreted; wordShinglesScala is parity-locked by MinhashParity).
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val sh0 =
+      if (idIsIntegral) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            wordShinglesScala(text, k).map(s => (id, s)) })
+          .toDF("id", "shingle")
+      } else df.select(col(idCol).as("id"),
+          explode(wordShingles(col(textCol), k)).as("shingle"))
+        .where(col("shingle").isNotNull)
+    val sh = sh0.localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
@@ -66,11 +87,13 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 4))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // threshold on the UNROUNDED ratio (= what the DuckDB oracle filters
+      // on); rounding happens only in the output projection
+      .withColumn("jaccard_raw",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .where(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** MinHash signature array from a PRE-COMPUTED shingle-array column:
@@ -89,10 +112,16 @@ object Dedup {
   // ---- typed fast path (same story as FastExtract: Spark array HOFs are
   // interpreted; signature building is the curation hot loop) -------------
 
+  /** Spark's trim() (0x20 SPACE only — Java String.trim also strips
+    * tabs/newlines and would diverge) via the same UTF8String call the
+    * StringTrim expression compiles to. */
+  private def sparkTrim(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).trim().toString
+
   /** Scala twin of wordShingles — MUST stay semantically identical
-    * (MinhashParity test). */
+    * (MinhashParity test, incl. tab/newline-padded adversarial cases). */
   def wordShinglesScala(text: String, k: Int): Seq[String] = {
-    val words = text.trim.split("\\s+")
+    val words = sparkTrim(text).split("\\s+")
     if (words.length < k) Seq.empty
     else words.sliding(k).map(_.mkString(" ")).toVector.distinct
   }
@@ -154,13 +183,16 @@ object Dedup {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
+    // localCheckpoint (not persist): materialized once for the 4 scan
+    // branches, blocks context-cleaned when unreferenced — no CacheManager
+    // leak across repeated calls (bench sweeps, resumable batch loops)
     val withSig = (
       if (idIsIntegral) minhashSignaturesFast(df, k, numHashes, idCol, textCol)
       else df
         .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
         .withColumn("sig", minhashSignatureOf(col("shingles"), numHashes)))
       .where(size(col("shingles")) >= 1)
-      .persist()
+      .localCheckpoint()
     // banding carries ONLY the id — the shingle arrays are kilobytes per
     // doc and the band explode multiplies them 8×; candidates are rare, so
     // shingles are joined back onto the (small) candidate pair set instead
@@ -178,11 +210,13 @@ object Dedup {
     val withShingles = cand
       .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-    val ja = round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
-    withShingles.withColumn("jaccard", ja)
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val ja = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // threshold on the unrounded ratio (matches the exact-Jaccard oracle);
+    // round only in the output projection
+    withShingles.withColumn("jaccard_raw", ja)
+      .where(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of
@@ -210,7 +244,7 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
-    val tokens = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val tokens = sparkTrim(text.toLowerCase(java.util.Locale.ROOT)).split("\\s+")
     val counts = new Array[Int](64)
     tokens.foreach { t =>
       val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
@@ -244,7 +278,7 @@ object Dedup {
           .mapPartitions(_.map { case (id, t) => (id, simhashScala(t)) })
           .toDF("id", "sig")
       } else df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
-      .persist()
+      .localCheckpoint() // self-cleaning materialization (see minhashNearDup)
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("sig"), c * chunkBits)

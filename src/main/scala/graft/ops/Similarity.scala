@@ -9,26 +9,43 @@ import org.apache.spark.sql.functions._
   *  - bruteForceTopK: exact cosine top-k of a SMALL broadcast query set
   *    against the full corpus — the correctness baseline. One broadcast
   *    join, no shuffle of the corpus side, one per-query top-k.
-  *  - lshTopK: random-hyperplane LSH bucketing — the 100 TB path: corpus is
-  *    hashed once into buckets; queries probe only their own bucket.
-  *  - neardupPairs: all-pairs cosine ≥ t within LSH buckets.
+  *  - lshTopK / neardupPairs: banded random-hyperplane LSH — `tables`
+  *    independent hash tables of `planes` sign bits each; a pair is a
+  *    candidate if it agrees on ALL bits of ANY table (the AND-OR banding
+  *    construction, same as minhashNearDup). Candidates are then verified
+  *    with EXACT cosine, so precision is 1.0 and recall is governed by
+  *    p = 1 − θ/π per bit:  recall(s) = 1 − (1 − p^planes)^tables
+  *    (`recallEstimate` below — pick parameters against it, don't guess).
   *
-  * Dot products fold left-to-right (functions.aggregate), so results are
+  * Parameter guidance at scale: hyperplane LSH pays off when the threshold
+  * is HIGH (θ small, p → 1): few planes prune hard at high recall. At low
+  * thresholds (≥0.2 ≈ θ 78°) the true-pair set itself approaches a constant
+  * fraction of all pairs — output is Θ(n²) and NO index beats a verified
+  * scan by more than a constant; use more tables of fewer planes and treat
+  * the candidate volume as the price of the recall target.
+  *
+  * Dot products fold left-to-right in double precision (native `vec_dot`
+  * expression, codegen'd — graft.functions.VectorDot), so results are
   * bitwise-reproducible and match the oracle's sequential fold exactly.
   */
 object Similarity {
 
-  /** Left-fold dot product of two float-array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-fold dot product of two float-array columns in double precision
+    * (native codegen expression; see VectorDot for the exact semantics). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Expected recall of the banded construction for a true pair at cosine
+    * similarity `s`: bits agree independently with p = 1 − acos(s)/π. */
+  def recallEstimate(s: Double, planes: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(s) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, planes), tables)
   }
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
@@ -59,30 +76,46 @@ object Similarity {
   private def planeSign(p: Column, d: Column): Column =
     when(pmod(xxhash64(p, d), lit(2)) === 0, 1.0).otherwise(-1.0)
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a long.
-    * sign bit p = sign of Σ_d v[d] · s(p,d). */
-  def lshBucket(vec: Column, planes: Int): Column =
+  /** Hyperplane bucket id for one table: `planes` sign bits packed into a
+    * long; table t uses the independent global planes
+    * [t·planes, (t+1)·planes). sign bit p = sign of Σ_d v[d] · s(p,d). */
+  private def bucketOf(vec: Column, planes: Int, table: Int): Column =
     (0 until planes).map { p =>
+      val gp = table * planes + p
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * planeSign(lit(p), d)),
+          (v, d) => v.cast("double") * planeSign(lit(gp), d)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Bucketed ANN top-k: queries probe only their own hyperplane bucket.
-    * Recall < 1 by construction; verified against bruteForceTopK in tests.
-    * At scale the corpus hash is computed once (narrow) and the join is a
-    * shuffle on bucket id instead of a broadcast of the corpus. */
+  /** All per-table bucket ids of a vector, as array<long> (index = table). */
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t => bucketOf(vec, planes, t)): _*)
+
+  /** Single-table bucket id (kept for bucket-audit queries). */
+  def lshBucket(vec: Column, planes: Int): Column = bucketOf(vec, planes, 0)
+
+  /** Bucketed ANN top-k: queries probe their bucket in each of `tables`
+    * tables; candidates deduplicated, then scored with exact cosine.
+    * Recall < 1 by construction — size it with `recallEstimate`; verified
+    * against bruteForceTopK in SimilaritySpec. At scale the corpus hash is
+    * computed once (narrow) and each table join is a shuffle on bucket id
+    * instead of a broadcast of the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("cn"),
+      posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+      norm(col(vecCol)).as("qn"),
+      posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
+    val scored = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+      .dropDuplicates("query_id", "neighbor_id") // a pair can agree in >1 table
       .withColumn("sim", round(
         when(col("qn") * col("cn") === 0, 0.0)
           .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 4))
@@ -93,21 +126,43 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (sim ≥ threshold), LSH-blocked:
-    * only pairs sharing a bucket are scored. */
-  def neardupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
+    * candidate pairs share a bucket in ≥1 of `tables` tables; every
+    * candidate is verified with exact cosine (precision 1.0). Defaults hit
+    * recallEstimate(0.2, 2, 12) ≈ 0.99 at the lowest similarity of
+    * interest — low-threshold mining needs many shallow tables (scale note
+    * in the object doc). Bands carry ONLY ids; vectors join back onto the
+    * deduplicated candidate set. */
+  def neardupPairs(corpus: DataFrame, threshold: Double, planes: Int = 2,
+      tables: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // localCheckpoint: reused by the band explode and both vector join-backs;
+    // blocks self-clean when the result goes out of scope (no persist leak)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nm"), lshBucket(col(vecCol), planes).as("bucket"))
-      .persist()
-    c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nm").as("n_a"))
-      .join(c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nm").as("n_b")),
-        Seq("bucket"))
+      norm(col(vecCol)).as("nm"),
+      lshBuckets(col(vecCol), planes, tables).as("buckets"))
+      .localCheckpoint()
+    val banded = c.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cand = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(
-        when(col("n_a") * col("n_b") === 0, 0.0)
-          .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
-      .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select("id_a", "id_b")
       .distinct()
+    cand
+      .join(c.select(col("id").as("id_a"), col("v").as("v_a"), col("nm").as("n_a")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("nm").as("n_b")), "id_b")
+      .withColumn("sim_raw",
+        when(col("n_a") * col("n_b") === 0, 0.0)
+          .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      .where(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
   }
+
+  /** Bucket-size audit — "no silent caps": the per-(table, bucket)
+    * population that bounds the candidate volume Σ f². */
+  def bucketStats(corpus: DataFrame, planes: Int, tables: Int,
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").count()
 }

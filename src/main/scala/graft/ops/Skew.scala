@@ -23,12 +23,21 @@ object Skew {
     * `df.groupBy(key).agg(aggs)` for DECOMPOSABLE aggregates (sum/count/
     * min/max), with the hot key spread over `salts` partitions first.
     *
+    * The salt MUST be a DETERMINISTIC function of the row (`saltFrom`,
+    * e.g. a row-identity column): a nondeterministic salt (such as
+    * `monotonically_increasing_id`) can re-salt rows into different
+    * (key, salt) groups between task attempts after a partial shuffle
+    * fetch — the classic retry hazard that silently double-counts or drops
+    * rows at cluster scale and never reproduces in local mode.
+    *
+    * @param saltFrom deterministic row-identity column(s) the salt is
+    *        hashed from (xxhash64 → pmod salts)
     * @param partials (partialAggExprs, finalAggExprs) — the partial
     *        expressions run per (key, salt); the final ones combine them.
     */
-  def saltedAgg(df: DataFrame, key: Column, salts: Int)(
+  def saltedAgg(df: DataFrame, key: Column, saltFrom: Column, salts: Int)(
       partials: Seq[Column], finals: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy("__key")
@@ -36,10 +45,11 @@ object Skew {
       .withColumnRenamed("__key", "key")
 
   /** Salted count per key — the exact shape the canonical-map weighting
-    * needs (mention counts per entity key, mega-vendor dominant). */
-  def saltedCount(df: DataFrame, keyCol: String, salts: Int = 16,
-      outCol: String = "n"): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    * needs (mention counts per entity key, mega-vendor dominant).
+    * `saltFrom` must be deterministic per row (see saltedAgg). */
+  def saltedCount(df: DataFrame, keyCol: String, saltFrom: Column,
+      salts: Int = 16, outCol: String = "n"): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__pc"))
       .groupBy(col(keyCol))

@@ -75,10 +75,34 @@ object FastExtract {
   private val dateRe = "^\\d{2}/\\d{2}/\\d{4}$".r
   private val numberRe = "(FACT-\\d+-\\d+)".r
   private val iceRe = "^ICE:\\s*(\\d+)$".r
-  private val ddmmyyyy = DateTimeFormatter.ofPattern("dd/MM/yyyy")
+
+  /** Spark's OWN date parser (the class `to_date(c, "dd/MM/yyyy")` compiles
+    * to under the CORRECTED time-parser policy) — not a hand-rolled
+    * java.time formatter: java.time's default SMART resolver quietly turns
+    * "31/02/2024" into 2024-02-29 where Spark's STRICT resolution yields
+    * null and drops the triple (ADVICE r1; adversarial cases in
+    * ExtractParitySpec). Parity by construction, like XxHash64Function. */
+  private val sparkDateFmt =
+    org.apache.spark.sql.catalyst.util.DateFormatter("dd/MM/yyyy", true)
 
   private def isoDate(s: String): Option[String] =
-    try Some(LocalDate.parse(s, ddmmyyyy).toString) catch { case _: Exception => None }
+    try Some(LocalDate.ofEpochDay(sparkDateFmt.parse(s).toLong).toString)
+    catch { case _: Exception => None }
+
+  /** Spark's trim() semantics (strips 0x20 SPACE only — NOT Java trim,
+    * which also strips tabs/newlines) via the same UTF8String call the
+    * StringTrim expression makes. */
+  def sparkTrimmedLength(s: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).trim().numChars()
+
+  /** Spark's non-ANSI cast(string as int) semantics via the same
+    * UTF8String.toInt the Cast expression calls (accepts surrounding
+    * whitespace, rejects decimals — toIntOption differs on " 2 "). */
+  def sparkToInt(s: String): Option[Int] = {
+    val w = new org.apache.spark.unsafe.types.UTF8String.IntWrapper
+    if (org.apache.spark.unsafe.types.UTF8String.fromString(s).toInt(w)) Some(w.value)
+    else None
+  }
 
   def entitySlug(name: String): String =
     name.toLowerCase(Locale.ROOT).replaceAll("[^a-z0-9]+", "_")
@@ -106,8 +130,9 @@ object FastExtract {
       val xc = s.bbox.x + s.bbox.w / 2.0
       W(s, yc, xc, zoneOf(if (totalH > 0) yc / totalH else 0.0))
     }
-    // P2 mention filter (order preserved = offset order)
-    val mentions = widened.filter(w => w.s.conf > 0.5 && w.s.text.trim.length > 1)
+    // P2 mention filter (order preserved = offset order); trim is Spark's
+    // space-only trim, NOT Java trim (parity with Extract.scala's trim())
+    val mentions = widened.filter(w => w.s.conf > 0.5 && sparkTrimmedLength(w.s.text) > 1)
 
     val inv = s"invoice:${doc.doc_id}"
     val bld = Seq.newBuilder[Triple]
@@ -162,7 +187,7 @@ object FastExtract {
       val li = s"lineItem:${doc.doc_id}/$n"
       tr(inv, "hasLineItem", li)
       cells.headOption.foreach(c => tr(li, "hasDescription", c.s.text))
-      cells.lift(1).flatMap(c => c.s.text.toIntOption)
+      cells.lift(1).flatMap(c => sparkToInt(c.s.text))
         .foreach(q => tr(li, "hasQuantity", q.toString))
       cells.lift(4).flatMap(c => normalizeAmount(c.s.text))
         .foreach(tr(li, "hasAmount", _))
@@ -191,7 +216,7 @@ object FastExtract {
     var vendorIce: String = null
     var clientIce: String = null
     spans.foreach { s =>
-      if (s.conf > 0.5 && s.text.trim.length > 1) {
+      if (s.conf > 0.5 && sparkTrimmedLength(s.text) > 1) {
         val yc = s.bbox.y + s.bbox.h / 2.0
         val zone = zoneOf(if (totalH > 0) yc / totalH else 0.0)
         if (zone == "company_info") {

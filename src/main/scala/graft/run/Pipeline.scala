@@ -32,7 +32,25 @@ object Pipeline {
       /** typed mapPartitions extraction (FastExtract) vs declarative Column
         * HOFs (Extract) — semantically identical (ExtractParitySpec),
         * ~10× faster per core; requires the widened OcrDoc schema */
-      fast: Boolean = true)
+      fast: Boolean = true,
+      /** canonical-map rewrite strategy: the map is broadcast when its row
+        * count is ≤ this limit, otherwise the rewrite falls back to a
+        * shuffled join (identical output — PipelineSpec forces the fallback
+        * with limit=0). At 10^8+ entities a broadcast would blow the driver/
+        * executor memory budget; the fallback trades 2 triple-stream
+        * shuffles for that safety. */
+      broadcastEntityLimit: Long = 10000000L)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.run.Pipeline")
+
+  /** Broadcast the canonical map only while it fits the broadcast budget;
+    * log the choice either way (the 0-vs-2-full-corpus-shuffle decision is
+    * worth a line in any run log). `mapRows` must be the map's exact row
+    * count — callers have it for free because the map is materialized
+    * (localCheckpoint) before use. */
+  private def maybeBroadcast(m: DataFrame, mapRows: Long, limit: Long): DataFrame =
+    if (mapRows <= limit) { log.info(s"canonical map: broadcast ($mapRows rows <= $limit)"); broadcast(m) }
+    else { log.warn(s"canonical map: shuffled-join fallback ($mapRows rows > $limit)"); m }
 
   private def asOcrDocs(docs: DataFrame) = {
     val spark = docs.sparkSession
@@ -46,8 +64,10 @@ object Pipeline {
       vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
     val comps = ConnectedComponents.run(edges)
     // salted two-phase count: the mention distribution is Zipf-shaped
-    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation
-    val counts = graft.ops.Skew.saltedCount(vm, "entity_key", salts = 16)
+    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.
+    // Salt = hash(doc_id, role): deterministic per mention row (retry-safe).
+    val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
+        saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
       .select(col("entity_key").as("id"), col("n"))
     ConnectedComponents.canonicalMap(comps, counts)
   }
@@ -56,7 +76,7 @@ object Pipeline {
   def canonicalEntityMap(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
-      else Extract.vendorMentions(docs)).persist()
+      else Extract.vendorMentions(docs)).localCheckpoint()
     canonicalEntityMapFromMentions(vm, cfg)
   }
 
@@ -66,11 +86,12 @@ object Pipeline {
     * over joins), so without the explicit hint the rewrite degrades to a
     * sort-merge join that shuffles ALL triples twice — broadcast() is the
     * difference between 0 and 2 full-corpus shuffles here. */
-  def canonicalize(rawTriples: DataFrame, canonMap: DataFrame): DataFrame = {
-    val m = broadcast(canonMap
-      .select(
-        concat(lit("vendor:"), col("id")).as("surf_node"),
-        concat(lit("vendor:"), col("canonical")).as("canon_node")))
+  def canonicalize(rawTriples: DataFrame, canonMap: DataFrame,
+      broadcastEntityLimit: Long = 10000000L): DataFrame = {
+    val mapped = canonMap.select(
+      concat(lit("vendor:"), col("id")).as("surf_node"),
+      concat(lit("vendor:"), col("canonical")).as("canon_node"))
+    val m = maybeBroadcast(mapped, canonMap.count(), broadcastEntityLimit)
 
     // objects of hasVendor/hasClient and subjects of hasICE are vendor nodes
     val objRewritten = rawTriples
@@ -113,22 +134,30 @@ object Pipeline {
     *    the number of entities, not the number of documents.
     */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // localCheckpoint (not persist) throughout: same materialize-once
+    // semantics for the multi-branch reuse, but the blocks self-clean when
+    // the run's DataFrames go out of scope — no CacheManager accumulation
+    // across runs in a long-lived session (ADVICE r1).
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
-      else Extract.vendorMentions(docs)).persist()
-    val ents = EntityLinker.entities(vm) // persisted inside
+      else Extract.vendorMentions(docs)).localCheckpoint()
+    val ents = EntityLinker.entities(vm) // localCheckpoint'd inside
     val edges = EntityLinker.candidateEdgesFromEntities(
       ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
     val comps = ConnectedComponents.run(edges)
     // salted two-phase count: the mention distribution is Zipf-shaped
-    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation
-    val counts = graft.ops.Skew.saltedCount(vm, "entity_key", salts = 16)
+    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.
+    // Salt = hash(doc_id, role): deterministic per mention row (retry-safe).
+    val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
+        saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
       .select(col("entity_key").as("id"), col("n"))
-    val canonMap = ConnectedComponents.canonicalMap(comps, counts).persist()
+    val canonMap = ConnectedComponents.canonicalMap(comps, counts).localCheckpoint()
 
-    val m = broadcast(canonMap.select(
-      concat(lit("vendor:"), col("id")).as("surf_node"),
-      concat(lit("vendor:"), col("canonical")).as("canon_node")))
+    val m = maybeBroadcast(
+      canonMap.select(
+        concat(lit("vendor:"), col("id")).as("surf_node"),
+        concat(lit("vendor:"), col("canonical")).as("canon_node")),
+      canonMap.count(), cfg.broadcastEntityLimit)
 
     // doc-scoped stream: single pass, one broadcast join, no dedup needed
     val raw = rawTriples(docs, cfg)
@@ -192,7 +221,7 @@ object Pipeline {
         if (done >= failAfterBatches) throw new RuntimeException(s"injected failure before batch $b")
         val batchDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === b)
         val raw = rawTriples(batchDocs, cfg)
-        val triples = canonicalize(raw, canonMap)
+        val triples = canonicalize(raw, canonMap, cfg.broadcastEntityLimit)
           .select("subj", "pred", "obj").distinct()
         val nDocs = batchDocs.count()
         TripleStore.commitBatch(triples, storeRoot, b, Map("docs" -> nDocs))

@@ -59,7 +59,9 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val triples = Extract.triples(batch).select("subj", "pred", "obj")
-          TripleStore.commitBatch(triples, storeRoot, batchId.toInt,
+          // toIntExact: fail loudly if the stream ever outlives Int batch
+          // ids instead of silently wrapping into an already-committed id
+          TripleStore.commitBatch(triples, storeRoot, Math.toIntExact(batchId),
             Map("stream_batch" -> batchId))
         }
         ()

@@ -136,11 +136,13 @@ object Taggers {
       .otherwise(lit(1.0) - levenshtein(lower(a), lower(b)).cast("double") / maxLen.cast("double"))
   }
 
-  /** J1 — doc-id normalization for the filename-stem join
-    * (data_preparation.py:59-76; vlm_processor.py:236-242).
+  /** J1 — doc-id normalization for the filename-stem join. All THREE stem
+    * shapes the reference probes (vlm/evaluation.py:301-305:
+    * `enhanced_<stem>_ocr.json`, `<stem>_ocr.json`, `ocr_<stem>.json`;
+    * plus data_preparation.py:59's strip) normalize to the bare stem.
     */
   def normalizeDocId(stem: Column): Column =
-    regexp_replace(stem, "^enhanced_|_ocr$", "")
+    regexp_replace(stem, "^enhanced_|^ocr_|_ocr$", "")
 
   /** Confidence normalization to [0,1] (data_preparation.py:131):
     * conf/100 if conf > 1 else conf.

@@ -29,6 +29,22 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(4L) })
   }
 
+  test("q21 oracle contract: minhash pair set == exact-Jaccard pair set on the driver documents table") {
+    // the driver's q21 DuckDB oracle IS the exact-Jaccard pair set (no df
+    // cap) — valid because every LSH candidate is verified by exact Jaccard
+    // and recall on this table is deterministically 1.0 (all true pairs sit
+    // at j ≥ 0.875; band hashes are a fixed function of the data). This
+    // test pins that contract to the actual table the driver runs on.
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(real, k = 5, threshold = 0.2, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val mh = Dedup.minhashNearDup(real, k = 5, numHashes = 16, bands = 8, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact, s"missed: ${exact -- mh}; spurious: ${mh -- exact}")
+    assert(exact.forall(_._3 >= 0.875), "planted-dup margin moved — re-check the oracle safety argument")
+  }
+
   test("minhash near-dup recalls everything the exact jaccard op finds") {
     val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

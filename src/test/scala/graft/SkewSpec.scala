@@ -13,9 +13,32 @@ class SkewSpec extends SparkSuite {
     val vm = graft.run.FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 150)).toDF()
     val plain = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    val salted = Skew.saltedCount(vm, "entity_key", salts = 16)
+    val salted = Skew.saltedCount(vm, "entity_key",
+        saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
       .as[(String, Long)].collect().toMap
     assert(plain == salted)
+  }
+
+  test("salt is deterministic under re-evaluation (retry-safe by construction)") {
+    // the r1 salt (monotonically_increasing_id) could re-salt rows between
+    // task attempts; the fix hashes a row-identity column. Property: the
+    // salted result is IDENTICAL across independent re-evaluations of a
+    // recomputed (non-cached, multi-action) input, and equals plain groupBy.
+    val vm = graft.run.FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 120)).toDF()
+    def salted() = Skew.saltedCount(vm, "entity_key",
+        saltFrom = xxhash64(col("doc_id"), col("role")), salts = 8)
+      .as[(String, Long)].collect().toMap
+    val a = salted(); val b = salted()
+    assert(a == b)
+    val plain = vm.groupBy("entity_key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(a == plain)
+    // and the per-row salt itself is a pure function of the row
+    val salts1 = vm.select(pmod(xxhash64(xxhash64(col("doc_id"), col("role"))), lit(8)))
+      .as[Long].collect().sorted.toSeq
+    val salts2 = vm.repartition(7).select(pmod(xxhash64(xxhash64(col("doc_id"), col("role"))), lit(8)))
+      .as[Long].collect().sorted.toSeq
+    assert(salts1 == salts2)
   }
 
   test("key profile surfaces the mega-vendor") {
@@ -28,7 +51,7 @@ class SkewSpec extends SparkSuite {
 
   test("salted generic agg equals plain agg (sum)") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0)).toDF("k", "v")
-    val out = Skew.saltedAgg(df, col("k"), 4)(
+    val out = Skew.saltedAgg(df, col("k"), saltFrom = xxhash64(col("v")), salts = 4)(
       Seq(sum("v").as("pv")), Seq(sum("pv").as("total")))
       .as[(String, Double)].collect().toMap
     assert(out == Map("a" -> 6.0, "b" -> 4.0))
