@@ -269,7 +269,81 @@ object SparkEntry {
       // banded multi-table defaults (planes=2, tables=12): recall ≈ 0.99 at
       // the 0.2 threshold (SimilaritySpec gates ≥ 0.95); r1's single
       // 4-plane AND-bucket measured 72%
-      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2))
+      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2)),
+
+    // ---- r2 operators: cross-validation, zone eval, F18, layout, W6 ----
+    "q38_ocr_amount_validation" -> ((s, d) => {
+      // OCR⋈VLM amount cross-validation (ocr_integration.py:185-210,
+      // 281-310): orders play the VLM amounts, lineitem rows play the OCR
+      // span texts of the same doc; banded decimal-key join inside
+      val vlm = t(s, d, "orders").select(col("o_orderkey").as("doc_id"),
+        dec2(col("o_totalprice")).as("amount"), lit(0.9).as("confidence"))
+      val ocr = t(s, d, "lineitem").select(col("l_orderkey").as("doc_id"),
+        concat(lit("Montant: "), dec2(col("l_extendedprice")).cast("string"),
+          lit(" DH")).as("text"))
+      graft.link.CrossValidate.validateAmounts(vlm, ocr)
+        .select(col("doc_id"), col("amount").cast("double").as("amount"),
+          round(col("confidence"), 4).as("confidence"), col("validated_by_ocr"))
+    }),
+    "q39_zone_eval" -> ((s, d) => {
+      // zone-level evaluation formulas (evaluation.py:346-396) over
+      // deterministic pseudo-detections — the formulas are the operator
+      import graft.metrics.Evaluation
+      val doc = t(s, d, "documents")
+      val det = length(col("text")) % 2 === 0
+      val exp_ = col("doc_id") % 3 === 0
+      val detCnt = (col("doc_id") % 4).cast("int")
+      val expCnt = (length(col("text")) % 3).cast("int")
+      doc.select(col("doc_id"),
+          Evaluation.zoneDetectionEval(det, exp_).as("z"),
+          Evaluation.tableCountEval(detCnt, expCnt).as("tbl"))
+        .select(col("doc_id"),
+          col("z.precision").as("zp"), col("z.recall").as("zr"),
+          round(col("z.f1_score"), 4).as("zf1"),
+          round(col("tbl.precision"), 4).as("cp"),
+          round(col("tbl.recall"), 4).as("cr"),
+          round(col("tbl.f1_score"), 4).as("cf1"))
+    }),
+    "q40_qa_map_explode" -> ((s, d) => {
+      // F18: Q→A MapType iteration (vlm_processor.py:193-196) — map built
+      // from per-doc analysis columns, exploded entry-by-entry in order
+      val doc = t(s, d, "documents")
+      val m = map(
+        lit("lang?"), TextOps.langId(col("text")),
+        lit("len?"), length(col("text")).cast("string"),
+        lit("tokens?"), TextOps.tokenCountWs(col("text")).cast("string"))
+      graft.tag.LayoutAnalyzer.qaEntries(
+        doc.select(col("doc_id"), m.as("detailed_analysis")))
+    }),
+    "q41_layout_sections" -> ((s, d) => {
+      // layout-analyzer sections (layout_analyzer.py:38-64) over the
+      // documents table: text plays the basic description, a constructed
+      // Q→A map exercises the column-count path incl. the >10 fallback
+      import graft.tag.LayoutAnalyzer
+      val doc = t(s, d, "documents")
+      val m = map(
+        lit("Y a-t-il des tableaux ou listes d'articles?"),
+        concat(lit("tableau avec "), (col("doc_id") % 12).cast("string"),
+          lit(" colonnes")))
+      doc.select(col("doc_id"),
+          LayoutAnalyzer.documentStructure(col("text"), m).as("ds"),
+          LayoutAnalyzer.estimateColumnCount(m).as("column_count"),
+          round(LayoutAnalyzer.readabilityScore(col("text")), 4).as("readability"),
+          LayoutAnalyzer.alignmentAnalysis(col("text")).as("al"))
+        .select(col("doc_id"), col("ds.type").as("doc_type"),
+          col("ds.complexity").as("complexity"),
+          array_join(col("ds.sections"), ",").as("sections"),
+          col("column_count"), col("readability"),
+          col("al.main_alignment").as("main_alignment"),
+          col("al.consistency").as("consistency"))
+    }),
+    "q42_proximity_groups" -> ((s, d) => { // rows-only (per-doc greedy loop)
+      import s.implicits._
+      graft.tag.Proximity.proximityGroups(
+        InvoiceCorpus.docs(s, 200).toDF()
+          .selectExpr("doc_id", "page_w", "page_h", "spans")
+          .as[graft.model.OcrDoc], threshold = 50.0)
+    })
   )
 
   // ======================================================================
@@ -316,6 +390,22 @@ object SparkEntry {
     TextOps.langMarkers.map { case (l, ms) =>
       l -> ms.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
     }
+
+  /** Inner SELECT producing (doc_id, s_<lang>..., best, zh) from documents. */
+  private val langScoresFromDocs: String = {
+    val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val best = langScoreSql.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    s"SELECT doc_id, $scores, $best AS best, $zh AS zh FROM documents"
+  }
+
+  /** The language decision CASE over the langScoresFromDocs columns. */
+  private val langCaseSql: String = {
+    val chain = langScoreSql.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = best AND zh <= s_$l THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain WHEN zh > 0 THEN 'zh' ELSE 'und' END"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -466,16 +556,7 @@ object SparkEntry {
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         | FROM scored) WHERE rank <= 5""".stripMargin,
-    "q25_lang_id" -> {
-      val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
-      val best = langScoreSql.map("s_" + _._1).mkString("greatest(", ", ", ")")
-      val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
-      val chain = langScoreSql.map { case (l, _) =>
-        s"WHEN s_$l > 0 AND s_$l = best AND zh <= s_$l THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, CASE $chain WHEN zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang
-         |FROM (SELECT doc_id, $scores, $best AS best, $zh AS zh FROM documents)""".stripMargin
-    },
+    "q25_lang_id" -> s"SELECT doc_id, $langCaseSql AS pred_lang FROM ($langScoresFromDocs)",
     "q26_quality_score" -> {
       val all = TextOps.langMarkers.flatMap(_._2).distinct
       val hits = all.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
@@ -514,8 +595,96 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q34's fake decode is a PURE function of media_ref (codec libs absent
+    // by design — Multimodal.scala); the committed expected-rows fixture is
+    // therefore a legitimate oracle: it pins the full decode plumbing
+    // (media table build, batch shape, frame explode) against drift.
+    // MultimodalSpec asserts the live output still equals this fixture.
+    "q34_media_decode" ->
+      """SELECT media_ref, kind, width, height, n_frames
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q34_media_decode.parquet')""".stripMargin,
     "q35_fieldtag_expr" ->
       s"SELECT doc_id, $classifySql AS field_type FROM documents",
+    "q38_ocr_amount_validation" ->
+      """SELECT o_orderkey AS doc_id,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        | round(CASE WHEN v THEN least(0.9 + 0.2, 1.0) ELSE 0.9 END, 4) AS confidence,
+        | v AS validated_by_ocr
+        |FROM (
+        | SELECT o_orderkey, o_totalprice,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |     AND abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        |           - CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) < 0.01) AS v
+        | FROM orders)""".stripMargin,
+    "q39_zone_eval" ->
+      """SELECT doc_id,
+        | CASE WHEN agree THEN 1.0 ELSE 0.0 END AS zp,
+        | CASE WHEN agree THEN 1.0 ELSE 0.0 END AS zr,
+        | round(CASE WHEN agree THEN 1.0 ELSE 0.0 END, 4) AS zf1,
+        | round(cp, 4) AS cp, round(cr, 4) AS cr,
+        | round(CASE WHEN cp + cr > 0 THEN 2 * cp * cr / (cp + cr) ELSE 0.0 END, 4) AS cf1
+        |FROM (
+        | SELECT doc_id,
+        |  (length(text) % 2 = 0) = (doc_id % 3 = 0) AS agree,
+        |  CASE WHEN e = 0 THEN (CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)
+        |       ELSE (CASE WHEN d > 0 THEN least(d, e) / d ELSE 0.0 END) END AS cp,
+        |  CASE WHEN e = 0 THEN 1.0 ELSE least(d, e) / e END AS cr
+        | FROM (SELECT doc_id, text,
+        |        CAST(doc_id % 4 AS DOUBLE) AS d,
+        |        CAST(length(text) % 3 AS DOUBLE) AS e FROM documents))""".stripMargin,
+    "q40_qa_map_explode" -> {
+      val tokens = """CASE WHEN length(trim(text)) = 0 THEN 0
+                     | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+      s"""WITH lang AS (SELECT doc_id, $langCaseSql AS pred_lang FROM ($langScoresFromDocs))
+         |SELECT d.doc_id, 0 AS q_index, 'lang?' AS question, l.pred_lang AS answer
+         | FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+         |UNION ALL SELECT doc_id, 1, 'len?', CAST(length(text) AS VARCHAR) FROM documents
+         |UNION ALL SELECT doc_id, 2, 'tokens?', CAST(($tokens) AS VARCHAR) FROM documents""".stripMargin
+    },
+    "q41_layout_sections" -> {
+      def anyOf(expr: String, words: Seq[String]): String =
+        words.map(w => s"contains($expr, '$w')").mkString("(", " OR ", ")")
+      val bd = "lower(text)"
+      val answer = "'tableau avec ' || CAST(doc_id % 12 AS VARCHAR) || ' colonnes'"
+      val at = s"lower(text || ' ' || $answer)"
+      val sections = Seq(
+        "header" -> Seq("en-tête", "header", "titre"),
+        "sender_info" -> Seq("émetteur", "sender", "entreprise"),
+        "recipient_info" -> Seq("destinataire", "recipient", "client"),
+        "invoice_details" -> Seq("détails", "numéro", "date"),
+        "items_table" -> Seq("tableau", "articles", "services"),
+        "totals" -> Seq("total", "montant", "somme"),
+        "footer" -> Seq("pied", "footer", "conditions"))
+        .map { case (n, kws) => s"CASE WHEN ${anyOf(at, kws)} THEN '$n' END" }
+        .mkString("[", ", ", "]")
+      val readability =
+        s"""least(greatest(0.7
+           | + CASE WHEN ${anyOf(bd, Seq("claire", "clear", "lisible"))} THEN 0.2 ELSE 0.0 END
+           | + CASE WHEN ${anyOf(bd, Seq("organisé", "structured"))} THEN 0.1 ELSE 0.0 END
+           | - CASE WHEN ${anyOf(bd, Seq("flou", "blur", "illisible"))} THEN 0.3 ELSE 0.0 END
+           | - CASE WHEN ${anyOf(bd, Seq("désorganisé", "messy"))} THEN 0.2 ELSE 0.0 END,
+           | 0.0), 1.0)""".stripMargin
+      s"""SELECT doc_id,
+         | CASE WHEN ${anyOf(bd, Seq("facture", "invoice"))} THEN 'invoice'
+         |      WHEN ${anyOf(bd, Seq("devis", "quote"))} THEN 'quote'
+         |      WHEN ${anyOf(bd, Seq("commande", "order"))} THEN 'order'
+         |      ELSE 'unknown' END AS doc_type,
+         | CASE WHEN ci >= 2 THEN 'complex' WHEN ci = 1 THEN 'medium' ELSE 'simple' END AS complexity,
+         | array_to_string(list_filter($sections, x -> x IS NOT NULL), ',') AS sections,
+         | CASE WHEN doc_id % 12 <= 10 THEN CAST(doc_id % 12 AS INT) ELSE 1 END AS column_count,
+         | round($readability, 4) AS readability,
+         | CASE WHEN ${anyOf(bd, Seq("centré", "center"))} THEN 'center'
+         |      WHEN ${anyOf(bd, Seq("droite", "right"))} THEN 'right'
+         |      ELSE 'left' END AS main_alignment,
+         | CASE WHEN ${anyOf(bd, Seq("organisé", "structured", "aligné"))} THEN 'excellent'
+         |      WHEN ${anyOf(bd, Seq("désorganisé", "messy"))} THEN 'poor'
+         |      ELSE 'good' END AS consistency
+         |FROM (SELECT doc_id, text,
+         |  (${anyOf(bd, Seq("tableau", "table"))})::INT
+         |   + (${anyOf(bd, Seq("multiple", "plusieurs"))})::INT AS ci
+         | FROM documents)""".stripMargin
+    },
     "q36_embedding_neardup" -> {
       def dotSql(x: String, y: String) =
         s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

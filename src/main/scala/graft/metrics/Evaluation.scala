@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Precision/recall/F1 gates — the Spark form of the reference's evaluation
@@ -52,6 +52,70 @@ object Evaluation {
       sum(length(col(expCol))).cast("double").as("chars")).head()
     if (row.isNullAt(1) || row.getDouble(1) == 0) 0.0 else row.getDouble(0) / row.getDouble(1)
   }
+
+  // ---- zone-level evaluation scorecard (vlm/evaluation.py:346-425) -------
+
+  private def f1Of(p: Column, r: Column): Column =
+    when(p + r > 0, lit(2) * p * r / (p + r)).otherwise(0.0)
+
+  /** Binary per-zone P/R/F1 (evaluation.py:346-371
+    * `_evaluate_zone_detection`), REFERENCE QUIRK INCLUDED: a true negative
+    * (zone absent, not detected) scores precision = recall = 1.0 — absence
+    * agreement counts as a perfect score, so corpus averages are inflated
+    * on sparse zones exactly like the reference's are.
+    * Returns struct(precision, recall, f1_score). */
+  def zoneDetectionEval(detected: Column, expected: Column): Column = {
+    val p = when(detected && expected, 1.0)
+      .when(!detected && !expected, 1.0) // TN → P = R = 1.0 (:362-363)
+      .otherwise(0.0)
+    val r = p // identical case analysis in the reference
+    struct(p.as("precision"), r.as("recall"), f1Of(p, r).as("f1_score"))
+  }
+
+  /** Count-based table evaluation (evaluation.py:373-396): TP approximated
+    * as min(detected, expected); expected = 0 → recall 1 and precision 1
+    * iff nothing was detected. */
+  def tableCountEval(detectedCount: Column, expectedCount: Column): Column = {
+    val d = detectedCount.cast("double")
+    val e = expectedCount.cast("double")
+    val tp = least(d, e)
+    val p = when(e === 0, when(d === 0, 1.0).otherwise(0.0))
+      .otherwise(when(d > 0, tp / d).otherwise(0.0))
+    val r = when(e === 0, 1.0).otherwise(tp / e)
+    struct(p.as("precision"), r.as("recall"), f1Of(p, r).as("f1_score"),
+      detectedCount.cast("long").as("detected_count"),
+      expectedCount.cast("long").as("expected_count"))
+  }
+
+  /** Value-match amount evaluation (evaluation.py:398-425): each EXPECTED
+    * value that has ≥1 detected value within 0.01 counts one match
+    * (inner break = per-expected, not per-pair); precision = matches /
+    * |detected| (0 if none detected), recall = matches / |expected|
+    * (1 if none expected). Array columns of double values. */
+  def amountValuesEval(detectedValues: Column, expectedValues: Column): Column = {
+    val matches = size(filter(expectedValues, e =>
+      exists(detectedValues, d => abs(d - e) < 0.01))).cast("double")
+    val p = when(size(detectedValues) > 0, matches / size(detectedValues)).otherwise(0.0)
+    val r = when(size(expectedValues) > 0, matches / size(expectedValues)).otherwise(1.0)
+    struct(p.as("precision"), r.as("recall"), f1Of(p, r).as("f1_score"),
+      matches.cast("long").as("matches"),
+      size(detectedValues).cast("long").as("detected_count"),
+      size(expectedValues).cast("long").as("expected_count"))
+  }
+
+  /** Full per-document zone scorecard (evaluation.py:319-343): joins the
+    * detected zone report (ZoneDetector.detectZones output) with a ground
+    * truth table (doc_id, header_present, footer_present, n_tables,
+    * amounts array<double>) and emits the reference's evaluation shape. */
+  def evaluateZones(zoneReport: DataFrame, truth: DataFrame): DataFrame =
+    zoneReport.join(truth, "doc_id").select(
+      col("doc_id"),
+      zoneDetectionEval(col("header.detected"), col("header_present")).as("header_eval"),
+      zoneDetectionEval(col("footer.detected"), col("footer_present")).as("footer_eval"),
+      tableCountEval(col("table_zone.detected").cast("int"), col("n_tables")).as("tables_eval"),
+      amountValuesEval(
+        transform(col("footer.totals"), t => t.getField("value").cast("double")),
+        col("amounts")).as("amounts_eval"))
 
   /** A2/A7-style corpus statistics: success rate, conf aggregates, block
     * counts (ocr_starter_final.py:457-483) over a mention table with

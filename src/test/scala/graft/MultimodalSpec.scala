@@ -29,6 +29,16 @@ class MultimodalSpec extends SparkSuite {
       .forall { case (a, b) => a.width == b.width && a.feature.sameElements(b.feature) })
   }
 
+  test("q34 expected-rows fixture is current (driver oracle drift guard)") {
+    // the committed parquet at src/test/resources/expected IS the driver's
+    // q34 oracle — if the decode stub or media-table plumbing changes, this
+    // test forces the fixture (and the change) to be re-justified together
+    val expected = spark.read.parquet("src/test/resources/expected/q34_media_decode.parquet")
+    val actual = SparkEntry.queries("q34_media_decode")(spark, "/root/testdata/sf0.01")
+    assert(actual.exceptAll(expected).count() == 0, "live rows missing from fixture")
+    assert(expected.exceptAll(actual).count() == 0, "fixture rows missing from live output")
+  }
+
   test("frame sampling explodes every Nth frame index") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
     val frames = Multimodal.sampleFrames(dec, everyN = 5)

@@ -30,6 +30,21 @@ class PipelineSpec extends SparkSuite {
     assert(pr.f1 == 1.0, pr)
   }
 
+  test("canonical-map shuffled-join fallback (broadcastEntityLimit=0) == broadcast path") {
+    // at 10^8+ entities the canonical map exceeds any broadcast budget;
+    // forcing the limit to 0 drives every rewrite through the shuffled-join
+    // fallback, which must produce the identical graph
+    val broadcastGraph = Pipeline.run(docs).select("subj", "pred", "obj")
+    val shuffledGraph = Pipeline.run(docs, Pipeline.Config(broadcastEntityLimit = 0L))
+      .select("subj", "pred", "obj")
+    assert(broadcastGraph.exceptAll(shuffledGraph).count() == 0)
+    assert(shuffledGraph.exceptAll(broadcastGraph).count() == 0)
+    // and the fallback plan really dropped the broadcast hint on the rewrite
+    val plan = Pipeline.run(docs, Pipeline.Config(broadcastEntityLimit = 0L))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), "no broadcast hint expected in fallback plan")
+  }
+
   test("LSH-only entity linking (useIce=false) still links noisy variants") {
     val pr = Evaluation.triplePR(
       Pipeline.run(docs, Pipeline.Config(useIce = false)), expected)
