@@ -595,6 +595,13 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q33's oracle is the GENERATOR-side ground truth (the planted sameAs
+    // edges of the fixture corpus, written by graft.tools.GenFixtures from
+    // InvoiceCorpus.expectedTriples) — independent of the extractor+linker
+    // under test, so this is a true correctness oracle, not an output pin.
+    "q33_kg_entity_resolution" ->
+      """SELECT subj, pred, obj
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q33_expected_sameas.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing
