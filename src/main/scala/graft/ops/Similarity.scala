@@ -96,6 +96,76 @@ object Similarity {
   /** Single-table bucket id (kept for bucket-audit queries). */
   def lshBucket(vec: Column, planes: Int): Column = bucketOf(vec, planes, 0)
 
+  // ---- typed fast bucket path (same story as Dedup's fast minhash: the
+  // Column form evaluates planes×tables interpreted aggregate() folds per
+  // vector; this JIT loop computes all buckets + the norm in ONE pass, with
+  // EXACT xxhash64 parity — LshParity test) ------------------------------
+
+  /** ±1 sign matrix signs(globalPlane)(dim), the Scala twin of `planeSign`:
+    * sign = +1 iff pmod(xxhash64(p, d), 2) == 0 with the same seed chain
+    * the Column expression compiles to (seed 42, fold over args). */
+  def lshSignsMatrix(dim: Int, planes: Int, tables: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    Array.tabulate(tables * planes) { gp =>
+      val seedP = XxHash64Function.hash(gp, IntegerType, 42L)
+      Array.tabulate(dim) { d =>
+        val h = XxHash64Function.hash(d, IntegerType, seedP)
+        if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** All per-table buckets of one vector against a precomputed sign matrix
+    * (left-fold projection order = the Column form's aggregate). */
+  def lshBucketsScala(vec: Array[Float], signs: Array[Array[Double]],
+      planes: Int, tables: Int): Array[Long] =
+    Array.tabulate(tables) { t =>
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val s = signs(t * planes + p)
+        var proj = 0.0
+        var d = 0
+        while (d < vec.length) { proj += vec(d).toDouble * s(d); d += 1 }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+  /** (id, v, nm, buckets) — typed single-pass when the id is integral
+    * (JIT buckets + norm), Column HOFs otherwise. Identical output either
+    * way (LshParity). */
+  private def withBuckets(corpus: DataFrame, planes: Int, tables: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val idIsIntegral = corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (idIsIntegral) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          var signs: Array[Array[Double]] = null
+          it.map { case (id, v) =>
+            if (signs == null || signs(0).length != v.length)
+              signs = lshSignsMatrix(v.length, planes, tables)
+            var sq = 0.0
+            var d = 0
+            while (d < v.length) { sq += v(d).toDouble * v(d).toDouble; d += 1 }
+            (id, v, math.sqrt(sq), lshBucketsScala(v, signs, planes, tables))
+          }
+        }
+        .toDF("id", "v", "nm", "buckets")
+    } else
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nm"),
+        lshBuckets(col(vecCol), planes, tables).as("buckets"))
+  }
+
   /** Bucketed ANN top-k: queries probe their bucket in each of `tables`
     * tables; candidates deduplicated, then scored with exact cosine.
     * Recall < 1 by construction — size it with `recallEstimate`; verified
@@ -106,12 +176,12 @@ object Similarity {
       tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
-      posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
-      posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
+    val c = withBuckets(corpus, planes, tables, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("nm").as("cn"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val q = withBuckets(queries, planes, tables, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nm").as("qn"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val scored = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
@@ -137,9 +207,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // localCheckpoint: reused by the band explode and both vector join-backs;
     // blocks self-clean when the result goes out of scope (no persist leak)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nm"),
-      lshBuckets(col(vecCol), planes, tables).as("buckets"))
+    val c = withBuckets(corpus, planes, tables, idCol, vecCol)
       .localCheckpoint()
     val banded = c.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))

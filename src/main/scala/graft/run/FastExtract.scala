@@ -89,11 +89,18 @@ object FastExtract {
     try Some(LocalDate.ofEpochDay(sparkDateFmt.parse(s).toLong).toString)
     catch { case _: Exception => None }
 
-  /** Spark's trim() semantics (strips 0x20 SPACE only — NOT Java trim,
-    * which also strips tabs/newlines) via the same UTF8String call the
-    * StringTrim expression makes. */
-  def sparkTrimmedLength(s: String): Int =
-    org.apache.spark.unsafe.types.UTF8String.fromString(s).trim().numChars()
+  /** Spark's trim()+length() semantics, allocation-free: strip 0x20 SPACE
+    * only (NOT Java trim, which also strips tabs/newlines — UTF8String.trim
+    * contract), then count CODE POINTS (UTF8String.numChars contract —
+    * Java String.length would double-count supplementary-plane chars).
+    * Parity with `length(trim(text))` asserted in ExtractParitySpec. */
+  def sparkTrimmedLength(s: String): Int = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.codePointCount(i, j)
+  }
 
   /** Spark's non-ANSI cast(string as int) semantics via the same
     * UTF8String.toInt the Cast expression calls (accepts surrounding

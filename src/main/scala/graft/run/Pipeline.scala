@@ -72,12 +72,18 @@ object Pipeline {
     ConnectedComponents.canonicalMap(comps, counts)
   }
 
-  /** Canonical entity map (entity_key → canonical key) from the docs. */
+  /** Canonical entity map (entity_key → canonical key) from the docs.
+    * The doc-scale mention table is persisted (columnar cache — it's
+    * rescanned by the entity build AND the salted count) only within this
+    * call: the result is materialized (localCheckpoint) and the mention
+    * cache released before returning, so nothing doc-scale outlives the
+    * call (the r1 leak, ADVICE). */
   def canonicalEntityMap(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
-      else Extract.vendorMentions(docs)).localCheckpoint()
-    canonicalEntityMapFromMentions(vm, cfg)
+      else Extract.vendorMentions(docs)).persist()
+    try canonicalEntityMapFromMentions(vm, cfg).localCheckpoint()
+    finally vm.unpersist()
   }
 
   /** Rewrite surface vendor nodes to canonical ones and add sameAs edges.
@@ -134,24 +140,28 @@ object Pipeline {
     *    the number of entities, not the number of documents.
     */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    // localCheckpoint (not persist) throughout: same materialize-once
-    // semantics for the multi-branch reuse, but the blocks self-clean when
-    // the run's DataFrames go out of scope — no CacheManager accumulation
-    // across runs in a long-lived session (ADVICE r1).
+    // Cache discipline (r1 leak post-mortem, ADVICE): the DOC-SCALE mention
+    // table is persist()ed — the columnar cache matters, it's rescanned by
+    // the entity build and the salted count — but only for the duration of
+    // this call: everything derived from it is ENTITY-scale and
+    // materialized via self-cleaning localCheckpoint before `finally`
+    // releases the cache. Nothing doc-scale outlives run().
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
-      else Extract.vendorMentions(docs)).localCheckpoint()
-    val ents = EntityLinker.entities(vm) // localCheckpoint'd inside
-    val edges = EntityLinker.candidateEdgesFromEntities(
-      ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
-    val comps = ConnectedComponents.run(edges)
-    // salted two-phase count: the mention distribution is Zipf-shaped
-    // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.
-    // Salt = hash(doc_id, role): deterministic per mention row (retry-safe).
-    val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
-        saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
-      .select(col("entity_key").as("id"), col("n"))
-    val canonMap = ConnectedComponents.canonicalMap(comps, counts).localCheckpoint()
+      else Extract.vendorMentions(docs)).persist()
+    val (ents, canonMap) = try {
+      val ents = EntityLinker.entities(vm) // entity-scale, localCheckpoint'd inside
+      val edges = EntityLinker.candidateEdgesFromEntities(
+        ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
+      val comps = ConnectedComponents.run(edges)
+      // salted two-phase count: the mention distribution is Zipf-shaped
+      // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.
+      // Salt = hash(doc_id, role): deterministic per mention row (retry-safe).
+      val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
+          saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
+        .select(col("entity_key").as("id"), col("n"))
+      (ents, ConnectedComponents.canonicalMap(comps, counts).localCheckpoint())
+    } finally vm.unpersist()
 
     val m = maybeBroadcast(
       canonMap.select(

@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.recallEstimate(0.2, 2, 12) >= 0.95)
   }
 
+  test("LshParity: typed fast buckets == Column hyperplane buckets (exact xxhash64 chain)") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Seq.fill(48)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val colBuckets = corpus
+      .select($"vec_id", Similarity.lshBuckets($"embedding", 3, 5).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fastBuckets = corpus.as[(Long, Array[Float])].collect().map { case (id, v) =>
+      id -> Similarity.lshBucketsScala(v,
+        Similarity.lshSignsMatrix(v.length, 3, 5), 3, 5).toSeq
+    }.toMap
+    assert(colBuckets == fastBuckets)
+  }
+
   test("dot/norm fold is left-to-right deterministic") {
     val df = vecs((0L, Seq(0.1f, 0.2f, 0.3f)))
     val d = df.select(Similarity.dot($"embedding", $"embedding")).as[Double].head()
