@@ -31,6 +31,7 @@ object ScalingBench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE",
       if (new java.io.File(Jar).exists) "cluster" else "threads")
     val baseExecs = sys.env.getOrElse("SPARK_GRAFT_BASE_EXECS", "2").toInt
+    val execMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "3072").toInt
     val coresPerExec = 4
     val levels = Seq(baseExecs, baseExecs * 4)
 
@@ -45,9 +46,9 @@ object ScalingBench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
       val s = (if (mode == "cluster")
-        b.master(s"local-cluster[$execs,$coresPerExec,3072]")
+        b.master(s"local-cluster[$execs,$coresPerExec,$execMb]")
           .config("spark.jars", new java.io.File(Jar).getAbsolutePath)
-          .config("spark.executor.memory", "3g")
+          .config("spark.executor.memory", s"${execMb}m")
       else b.master(s"local[$cores]")).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
