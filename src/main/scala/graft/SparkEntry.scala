@@ -343,6 +343,11 @@ object SparkEntry {
         InvoiceCorpus.docs(s, 200).toDF()
           .selectExpr("doc_id", "page_w", "page_h", "spans")
           .as[graft.model.OcrDoc], threshold = 50.0)
+    }),
+    "q43_ivf_ann" -> ((s, d) => { // rows-only (k-means centers carry fp reduce-order noise)
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+        nCentroids = 16, nprobe = 4)
     })
   )
 

@@ -233,4 +233,78 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     corpus.select(posexplode(lshBuckets(col(vecCol), planes, tables)).as(Seq("tbl", "bucket")))
       .groupBy("tbl", "bucket").count()
+
+  // ---- IVF (inverted-file) ANN — the second scale path of the builder
+  // mandate ("an IVF or LSH-bucketed variant"). Coarse quantizer = MLlib
+  // k-means (compose existing ops before building custom ones); inverted
+  // lists = the corpus partitioned by centroid id; queries probe their
+  // `nprobe` nearest centroids and rerank with exact cosine. -------------
+
+  /** Train the coarse quantizer: k centroids over the corpus embeddings.
+    * Returns the centers (small — they ride to executors in closures). */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int,
+      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  private def nearestCentroids(v: Array[Float], centers: Array[Array[Double]],
+      n: Int): Array[Int] =
+    centers.indices
+      .map { c =>
+        val ctr = centers(c)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        (d, c)
+      }
+      .sortBy(identity) // distance, then centroid index — deterministic ties
+      .take(n).map(_._2).toArray
+
+  /** IVF ANN top-k: corpus rows live in the inverted list of their nearest
+    * centroid; each query probes its `nprobe` nearest lists and reranks
+    * with exact cosine. Recall is governed by nprobe/nCentroids (measured
+    * against bruteForceTopK in SimilaritySpec). At scale: the quantizer
+    * trains on a sample, assignment is one narrow pass, and the probe join
+    * is an equi join on centroid id — per-query work is corpus·nprobe/k̄
+    * instead of the full scan. Integral ids assumed (typed assignment). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = ivfCentroids(corpus, nCentroids, vecCol)
+
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(sq), nearestCentroids(v, centers, 1)(0))
+      }).toDF("neighbor_id", "cv", "cn", "cid")
+
+    val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        val nm = math.sqrt(sq)
+        nearestCentroids(v, centers, nprobe).map(cid => (id, v, nm, cid))
+      }).toDF("query_id", "qv", "qn", "cid")
+
+    val scored = c.join(q, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        when(col("qn") * col("cn") === 0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
 }

@@ -74,6 +74,26 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.recallEstimate(0.2, 2, 12) >= 0.95)
   }
 
+  test("IVF ANN: high recall vs brute force on clustered embeddings, full-probe == exact") {
+    val rng = new scala.util.Random(3)
+    val centers = Seq.fill(8)(Seq.fill(32)(rng.nextGaussian().toFloat))
+    val corpus = (0 until 160).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val q = corpus.where($"vec_id" < 16)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall — cluster members share IVF lists")
+    // probing EVERY list degenerates to the exact scan — result identical
+    val full = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("LshParity: typed fast buckets == Column hyperplane buckets (exact xxhash64 chain)") {
     val rng = new scala.util.Random(11)
     val corpus = (0 until 60)
