@@ -55,14 +55,40 @@ object EntityLinker {
       editSimMin, useIce, maxBucket)
 
   /** Same as candidateEdges but over a pre-built (persisted) entity table —
-    * callers that also need the entities avoid computing them twice. */
+    * callers that also need the entities avoid computing them twice.
+    *
+    * HYBRID (same pattern as ConnectedComponents.run): below
+    * `smallThreshold` entities the whole LSH→verify chain runs driver-side
+    * with EXACT parity (XxHash64Function band hashes,
+    * UTF8String.levenshteinDistance — the very functions the Column
+    * expressions compile to; LocalElParitySpec). The distributed chain is
+    * 5+ stage barriers (blocks, bucket sizes, kept, self-join, distinct) —
+    * pure fixed latency when the entity table fits on the driver, which a
+    * 10^12-doc corpus with 10^5–10^7 DISTINCT vendors often still does.
+    * `smallThreshold = 0` forces the distributed path. */
   def candidateEdgesFromEntities(
       ents: DataFrame,
       numHashes: Int = 8,
       jaccardMin: Double = 0.6,
       editSimMin: Double = 0.85,
       useIce: Boolean = true,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      smallThreshold: Long = 50000L): DataFrame = {
+
+    if (smallThreshold > 0) {
+      // single action sizes AND collects (no separate count pass)
+      val head = ents.select("entity_key", "surface", "tokens", "ice")
+        .take(math.min(smallThreshold, Int.MaxValue - 1).toInt + 1)
+      if (head.length <= smallThreshold) {
+        val spark = ents.sparkSession
+        import spark.implicits._
+        val rows = head.map(r => LocalEnt(r.getString(0), r.getString(1),
+          r.getSeq[String](2), if (r.isNullAt(3)) null else r.getString(3)))
+        return spark.createDataset(
+          edgesLocal(rows, numHashes, jaccardMin, editSimMin, useIce, maxBucket))
+          .toDF("src", "dst")
+      }
+    }
 
     // MinHash signature: sig_i = min over tokens of xxhash64(token, seed=i)
     val sigs = (0 until numHashes).map { i =>
@@ -112,6 +138,100 @@ object EntityLinker {
         .select("src", "dst")
       lshEdges.union(iceEdges).distinct()
     }
+  }
+
+  private final case class LocalEnt(key: String, surface: String,
+      tokens: Seq[String], ice: String)
+
+  /** Driver-side twin of the distributed LSH→verify chain. Parity by
+    * construction: band hashes via XxHash64Function (what `xxhash64(t,
+    * lit(i))` compiles to), edit distance via UTF8String.levenshteinDistance
+    * (what `levenshtein` compiles to), same bucket cap, same ICE veto. */
+  private def edgesLocal(ents: Array[LocalEnt], numHashes: Int,
+      jaccardMin: Double, editSimMin: Double, useIce: Boolean,
+      maxBucket: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // minhash signature per entity: sig_i = min over tokens of
+    // xxhash64(token, i) — the expression folds args left-to-right from
+    // seed 42: hash(token, 42) first, then i with that as seed (same chain
+    // Dedup.minhashSignatureScala locks)
+    def sig(tokens: Seq[String]): Array[Long] = {
+      val s = Array.fill(numHashes)(Long.MaxValue)
+      tokens.foreach { t =>
+        val h1 = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XxHash64Function.hash(i, IntegerType, h1)
+          if (h < s(i)) s(i) = h
+          i += 1
+        }
+      }
+      s
+    }
+
+    // buckets: (band, hash) → entity indices, capped at maxBucket
+    val buckets = scala.collection.mutable.HashMap.empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    val sigs = ents.map(e => sig(e.tokens))
+    ents.indices.foreach { i =>
+      var b = 0
+      while (b < numHashes) {
+        buckets.getOrElseUpdate((b, sigs(i)(b)), scala.collection.mutable.ArrayBuffer.empty) += i
+        b += 1
+      }
+    }
+
+    def editSim(a: String, b: String): Double = {
+      val ml = math.max(a.length, b.length)
+      if (ml == 0) 1.0
+      else 1.0 - UTF8String.fromString(a.toLowerCase)
+        .levenshteinDistance(UTF8String.fromString(b.toLowerCase)).toDouble / ml
+    }
+    def jaccard(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      val u = (sa ++ sb).size
+      if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+    }
+
+    val out = scala.collection.mutable.TreeSet.empty[(String, String)]
+    buckets.valuesIterator.filter(_.size <= maxBucket).foreach { members =>
+      val m = members.toArray
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) {
+          val (a, b) = (ents(m(i)), ents(m(j)))
+          val (src, dst) = if (a.key < b.key) (a, b) else (b, a)
+          if (src.key != dst.key && !out.contains((src.key, dst.key))) {
+            val iceConflict = src.ice != null && dst.ice != null && src.ice != dst.ice
+            if (!iceConflict &&
+              (jaccard(src.tokens, dst.tokens) >= jaccardMin ||
+                editSim(src.surface, dst.surface) >= editSimMin))
+              out += ((src.key, dst.key))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (useIce) {
+      val byIce = ents.filter(_.ice != null).groupBy(_.ice)
+      byIce.valuesIterator.foreach { es =>
+        val keys = es.map(_.key).sorted
+        var i = 0
+        while (i < keys.length) {
+          var j = i + 1
+          while (j < keys.length) {
+            if (keys(i) != keys(j)) out += ((keys(i), keys(j)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    out.toSeq
   }
 
   /** Bucket-size audit for the LSH blocking — "no silent caps": rows with
