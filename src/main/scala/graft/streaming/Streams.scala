@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.run.{Extract, Pipeline}
 import graft.graph.TripleStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -123,6 +123,22 @@ object Streams {
       }
       .toDF("user_id", "session_start", "n_events", "total_value")
   }
+
+  /** Streaming exact dedup for a document stream: keep the FIRST arrival
+    * per content key, tolerating out-of-order duplicates within the
+    * watermark (`dropDuplicatesWithinWatermark` — state for a key is
+    * dropped once the watermark passes it, so state size is bounded by the
+    * lateness window instead of growing with the corpus, which is what
+    * makes streaming dedup viable at 10^12 docs; the batch dedup family in
+    * ops/Dedup is the full-corpus complement). Key defaults to the exact
+    * text hash — swap in a simhash/minhash band for streaming NEAR-dedup. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      keyExpr: Column = xxhash64(col("text")), lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__key", keyExpr)
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
 
   /** Watermarked tumbling-window aggregation over an event stream
     * (ts, event_type, value): counts + sums per (window, type), tolerating

@@ -65,6 +65,28 @@ class StreamsSpec extends SparkSuite {
     assert(rows.contains((1L, "2024-01-01 12:30:00", 1L, 5.0)), rows)
   }
 
+  test("streaming dedup keeps the first arrival per text, drops in-watermark duplicates") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.dedupStream(docs)
+    val query = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, "alpha"),
+      (t("2024-01-01 10:01:00"), 2L, "alpha"), // dup within watermark → dropped
+      (t("2024-01-01 10:02:00"), 3L, "beta"))
+    query.processAllAvailable()
+    mem.addData((t("2024-01-01 10:03:00"), 4L, "beta")) // dup, later batch, in window
+    query.processAllAvailable()
+    mem.addData((t("2024-01-01 12:00:00"), 5L, "gamma")) // advances watermark
+    query.processAllAvailable()
+    val ids = spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(ids == Set(1L, 3L, 5L), ids)
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
