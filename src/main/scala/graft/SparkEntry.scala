@@ -348,6 +348,21 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
         nCentroids = 16, nprobe = 4)
+    }),
+    "q44_validation_score" -> ((s, d) => {
+      // integration/validation scoring (ocr_integration.py:250-318) over
+      // deterministic pseudo-inputs — the scoring formulas are the operator
+      import graft.link.CrossValidate
+      val doc = t(s, d, "documents")
+      val score = CrossValidate.integrationScore(
+        col("doc_id") % 2 === 0, col("doc_id") % 3 === 0,
+        length(col("text")) % 2 === 0, col("doc_id") % 5 === 0,
+        (col("doc_id") % 100).cast("double") / 100.0)
+      val vlmConf = (length(col("text")) % 10).cast("double") / 10.0
+      doc.select(col("doc_id"),
+        round(score, 4).as("integration_score"),
+        round(CrossValidate.overallConfidence(vlmConf, score), 4).as("overall_confidence"),
+        CrossValidate.reliability(score).as("reliability"))
     })
   )
 
@@ -697,6 +712,17 @@ object SparkEntry {
          |   + (${anyOf(bd, Seq("multiple", "plusieurs"))})::INT AS ci
          | FROM documents)""".stripMargin
     },
+    "q44_validation_score" ->
+      """SELECT doc_id,
+        | round(s, 4) AS integration_score,
+        | round((CAST(length(text) % 10 AS DOUBLE) / 10.0) * 0.6 + s * 0.4, 4) AS overall_confidence,
+        | CASE WHEN s > 0.7 THEN 'high' WHEN s > 0.4 THEN 'medium' ELSE 'low' END AS reliability
+        |FROM (
+        | SELECT doc_id, text,
+        |  CAST((doc_id % 2 = 0)::INT + (doc_id % 3 = 0)::INT
+        |     + (length(text) % 2 = 0)::INT + (doc_id % 5 = 0)::INT
+        |     + (CAST(doc_id % 100 AS DOUBLE) / 100.0 > 0.7)::INT AS DOUBLE) / 5.0 AS s
+        | FROM documents)""".stripMargin,
     "q36_embedding_neardup" -> {
       def dotSql(x: String, y: String) =
         s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -75,4 +75,25 @@ object CrossValidate {
         when(col("validated_by_ocr"), least(col(confCol) + 0.2, lit(1.0)))
           .otherwise(col(confCol)))
   }
+
+  // ---- integration / validation scoring (ocr_integration.py:250-310) ----
+
+  /** `_calculate_integration_score` (:250-285): one point per zone family
+    * that carries OCR data (header, footer, tables, matched amounts) plus
+    * one for avg OCR confidence > 0.7, over a 5-point scale. */
+  def integrationScore(headerHasOcr: Column, footerHasOcr: Column,
+      tableHasOcr: Column, amountsMatched: Column, avgOcrConf: Column): Column =
+    (headerHasOcr.cast("int") + footerHasOcr.cast("int") +
+      tableHasOcr.cast("int") + amountsMatched.cast("int") +
+      (avgOcrConf > 0.7).cast("int")).cast("double") / 5.0
+
+  /** `_calculate_overall_confidence` (:312-318): 0.6·VLM + 0.4·integration. */
+  def overallConfidence(vlmConf: Column, integration: Column): Column =
+    vlmConf * 0.6 + integration * 0.4
+
+  /** `_cross_validate_results` reliability tiers (:308-310). */
+  def reliability(integration: Column): Column =
+    when(integration > 0.7, "high")
+      .when(integration > 0.4, "medium")
+      .otherwise("low")
 }

@@ -66,6 +66,46 @@ object TableStructure {
         max("cells").as("n_cols"),
         (countDistinct("cells") === 1).as("is_regular"))
 
+  /** REFERENCE-EXACT greedy table-structure detection
+    * (geometry_utils.py:260-319 `detect_table_structure`): rows are built by
+    * popping the first remaining element and absorbing every later element
+    * whose y-center is within `rowTolerance` OF THE SEED (not of the row's
+    * running span — the quirk that splits interleaved rows differently from
+    * the sessionization form above; TableStructureSpec pins one case).
+    * cols = max row length; is_regular = every row has the first row's
+    * length. One narrow mapPartitions per doc — the in-row greedy is
+    * O(spans²) on tens of spans. */
+  def detectStructureGreedy(docs: org.apache.spark.sql.Dataset[graft.model.OcrDoc],
+      rowTolerance: Double = 15.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map { d =>
+      val ys = d.spans.sortBy(_.offset).map(s => s.bbox.y + s.bbox.h / 2.0).toArray
+      val assigned = Array.fill(ys.length)(false)
+      val rowLens = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < ys.length) {
+        if (!assigned(i)) {
+          assigned(i) = true
+          var len = 1
+          var j = i + 1
+          while (j < ys.length) {
+            if (!assigned(j) && math.abs(ys(j) - ys(i)) <= rowTolerance) {
+              assigned(j) = true; len += 1
+            }
+            j += 1
+          }
+          rowLens += len
+        }
+        i += 1
+      }
+      val nRows = rowLens.length
+      val nCols = if (rowLens.isEmpty) 0 else rowLens.max
+      val isRegular = rowLens.isEmpty || rowLens.forall(_ == rowLens.head)
+      (d.doc_id, nRows, nCols, isRegular)
+    }).toDF("doc_id", "n_rows", "n_cols", "is_regular")
+  }
+
   /** F12 — envelope bbox per group of rects (min/max aggregation). */
   def envelope(spans: DataFrame, groupCols: Seq[String],
       x: Column, y: Column, x2: Column, y2: Column): DataFrame =

@@ -46,6 +46,31 @@ class TableStructureSpec extends SparkSuite {
     assert(!irregular._4) // the stray footer row breaks regularity
   }
 
+  test("greedy detect_table_structure == relational summary on separated rows; quirk pinned") {
+    import graft.model.{BBox, OcrDoc, OcrSpan}
+    def doc(id: String, ys: Seq[Int]) = OcrDoc(id, 800, 1000, ys.zipWithIndex.map {
+      case (y, i) => OcrSpan("text", s"c$i", null, i, 0.9, BBox(i * 50, y, 0, 0))
+    })
+    // well-separated rows (gap > 2×tol): greedy == sessionization
+    val sep = spark.createDataset(Seq(doc("s", Seq(0, 0, 0, 50, 50, 50, 100, 100))))
+    val g = TableStructure.detectStructureGreedy(sep)
+      .as[(String, Int, Int, Boolean)].head()
+    assert(g == (("s", 3, 3, false))) // rows of 3,3,2 → irregular
+    // the reference quirk: y = 0,14,28 — sessionization chains into ONE row
+    // (adjacent gaps ≤ 15), the greedy anchors on the SEED so 28 splits off
+    val chain = spark.createDataset(Seq(doc("q", Seq(0, 14, 28))))
+    val gq = TableStructure.detectStructureGreedy(chain)
+      .as[(String, Int, Int, Boolean)].head()
+    assert(gq == (("q", 2, 2, false)), gq) // {0,14} + {28}
+    val rel = TableStructure.tableSummary(
+      chain.toDF().select($"doc_id", explode($"spans").as("s"))
+        .select($"doc_id", $"s.offset".as("offset"),
+          ($"s.bbox.x" + $"s.bbox.w" / 2.0).as("xc"),
+          ($"s.bbox.y" + $"s.bbox.h" / 2.0).as("yc")))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(rel._2 == 1L) // one chained row — the documented divergence
+  }
+
   test("F12 envelope") {
     val env = TableStructure.envelope(
       spans.where($"doc_id" === "d2"), Seq("doc_id"),
