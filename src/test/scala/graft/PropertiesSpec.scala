@@ -83,6 +83,36 @@ class PropertiesSpec extends SparkSuite {
 
   // -- corpus determinism: same (seed, idx) → identical docs anywhere -------
 
+  test("property: banded tolerance join == naive O(n²) scan on random amounts (incl. ±0.01 boundaries)") {
+    // CrossValidate replaces the theta join |a−b|<0.01 with ±1 probes on
+    // floor(v·100) decimal keys; this must equal the reference's full scan
+    // for ANY inputs, especially values straddling the key boundary
+    val rng = new scala.util.Random(13)
+    val amounts = Seq.tabulate(120) { i =>
+      val base = BigDecimal(rng.nextInt(10000)) / 100
+      (i.toLong % 10, base + BigDecimal(rng.nextInt(3) - 1) / 1000) // ±0.001 jitter → x.xx9 / x.xx0 / x.xx1
+    }
+    val texts = Seq.tabulate(150) { i =>
+      val v = BigDecimal(rng.nextInt(10000)) / 100 + BigDecimal(rng.nextInt(3) - 1) / 1000
+      (i.toLong % 10, s"montant $v DH")
+    }
+    val vlm = amounts.toDF("doc_id", "amount").withColumn("confidence", lit(0.5))
+    val ocr = texts.toDF("doc_id", "text")
+    val got = graft.link.CrossValidate.validateAmounts(vlm, ocr)
+      .select($"doc_id", $"amount".cast("string"), $"validated_by_ocr")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (d, a, v) => (d, BigDecimal(a), v) }.toSet
+    // naive reference scan: any number in any same-doc text within 0.01
+    val numRe = "\\d+\\.?\\d*".r
+    val byDoc = texts.groupBy(_._1).view.mapValues(_.flatMap(t =>
+      numRe.findAllIn(t._2.replace(',', '.')).map(BigDecimal(_)))).toMap
+    val expected = amounts.map { case (d, a) =>
+      (d, a, byDoc.getOrElse(d, Nil).exists(n => (n - a).abs < BigDecimal("0.01")))
+    }.toSet
+    assert(got == expected,
+      s"gotOnly=${got -- expected} expectedOnly=${expected -- got}")
+  }
+
   test("property: corpus is partition-layout independent") {
     val a = InvoiceCorpus.docs(spark, 60, partitions = 1).collect().sortBy(_.doc_id)
     val b = InvoiceCorpus.docs(spark, 60, partitions = 7).collect().sortBy(_.doc_id)
