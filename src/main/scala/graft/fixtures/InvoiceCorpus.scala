@@ -153,7 +153,7 @@ object InvoiceCorpus {
     if (rng.nextDouble() >= noiseP) name
     else rng.nextInt(3) match {
       case 0 => // title-case variant
-        name.toLowerCase.split(' ').map(w => if (w.isEmpty) w else w.head.toUpper + w.tail).mkString(" ")
+        name.toLowerCase.split(' ').map(w => if (w.isEmpty) w else s"${w.head.toUpper}${w.tail}").mkString(" ")
       case 1 => // OCR confusion: O→0 and S→5 on the first token
         val ts = name.split(' ')
         (ts.head.replace('O', '0').replace('S', '5') +: ts.tail).mkString(" ")

@@ -68,7 +68,7 @@ object CrossValidate {
     vlmAmounts
       .join(matched,
         vlmAmounts(docCol) === matched("__mdoc") && amt === matched("__mamt"), "left")
-      .select(vlmAmounts.columns.map(vlmAmounts(_)) :+ col("__validated"): _*)
+      .select(vlmAmounts.columns.toIndexedSeq.map(vlmAmounts(_)) :+ col("__validated"): _*)
       .withColumn("validated_by_ocr", coalesce(col("__validated"), lit(false)))
       .drop("__validated")
       .withColumn(confCol,

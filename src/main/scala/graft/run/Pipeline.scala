@@ -119,7 +119,7 @@ object Pipeline {
         col("canon_node").as("obj"))
       .withColumn("doc_id", lit(null).cast("string"))
 
-    rewritten.unionByName(sameAs.select(rewritten.columns.map(col): _*))
+    rewritten.unionByName(sameAs.select(rewritten.columns.toIndexedSeq.map(col): _*))
   }
 
   private def rawTriples(docs: DataFrame, cfg: Config): DataFrame =
