@@ -52,14 +52,15 @@ object Bench {
     Pipeline.run(InvoiceCorpus.docs(spark, 500).toDF()).count()
     cleanup()
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val docs = InvoiceCorpus.docs(spark, kgDocs).toDF()
     var nTriples = 0L
-    val tExtract = (1 to 2).map { _ =>
+    val tExtract = (1 to iters).map { _ =>
       val t = time { nTriples = FastExtract.triples(asOcr(docs)).count() }
       cleanup(); t
     }.min
     var nGraph = 0L
-    val tPipeline = (1 to 2).map { _ =>
+    val tPipeline = (1 to iters).map { _ =>
       val t = time { nGraph = Pipeline.run(docs).count() }
       cleanup(); t
     }.min
