@@ -19,6 +19,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // catalog tables (bucketed sinks) land in a temp warehouse, not ./
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -128,4 +128,20 @@ object DocSources {
   def writeTsv(df: DataFrame, keyCol: String, valueCol: String, outDir: String): Unit =
     df.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
       .write.mode("overwrite").option("sep", "\t").csv(outDir)
+
+  /** Bucketed sink — the co-located-join layout for the 100 TB star joins:
+    * two tables bucketed (and sorted) by the same key into the same bucket
+    * count join with ZERO shuffle exchanges — at a 10^12-doc corpus the
+    * doc_id join between the docs table and any per-doc derivative (triples,
+    * zone reports, media features) is THE recurring join, and pre-bucketing
+    * removes its full-corpus shuffle from every downstream job. Requires a
+    * catalog table (bucket metadata lives in the catalog, not the files).
+    * DocSourcesSpec asserts the shuffle-free plan. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      nBuckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

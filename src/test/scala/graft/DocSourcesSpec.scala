@@ -59,4 +59,25 @@ class DocSourcesSpec extends SparkSuite {
     val lines = spark.read.option("sep", "\t").csv(dir).as[(String, String)].collect()
     assert(lines.toSeq == Seq(("img1.png", """{"k":1}""")))
   }
+
+  test("bucketed sink: same-key same-bucket-count join runs with ZERO shuffle exchanges") {
+    val docs = (0 until 500).map(i => (f"inv-$i%06d", i)).toDF("doc_id", "a")
+    val derived = (0 until 500).map(i => (f"inv-$i%06d", i * 2)).toDF("doc_id", "b")
+    DocSources.writeBucketed(docs, "bt_docs", "doc_id", nBuckets = 8)
+    DocSources.writeBucketed(derived, "bt_triples", "doc_id", nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bt_docs").join(spark.table("bt_triples"), "doc_id")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucket metadata supplies the partitioning — no Exchange anywhere
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bt_docs")
+      spark.sql("DROP TABLE IF EXISTS bt_triples")
+    }
+  }
 }
