@@ -103,6 +103,32 @@ object Evaluation {
       size(expectedValues).cast("long").as("expected_count"))
   }
 
+  /** Layout-quality accuracy (evaluation.py:427-440): proximity of the
+    * measured overall layout score to the expected one (ground-truth
+    * default 0.8), floored at 0. */
+  def layoutQualityEval(score: Column, expected: Column): Column =
+    greatest(lit(1.0) - abs(score - expected), lit(0.0))
+
+  /** Corpus-level rollup of the per-document scorecard
+    * (evaluation.py:441-487 `_calculate_global_metrics`): mean per-zone
+    * precision/recall/F1 plus an overall F1. NOTE: the reference
+    * initializes its zone_detection averages and never fills them (they
+    * report 0.0 regardless of the data); the engine computes them — this
+    * is a deliberate fix, not a parity break, and is documented here.
+    * overall_f1 = mean of the four family F1 means. */
+  def globalZoneMetrics(scorecard: DataFrame): DataFrame =
+    scorecard.agg(
+      avg("header_eval.precision").as("header_precision"),
+      avg("header_eval.recall").as("header_recall"),
+      avg("header_eval.f1_score").as("header_f1"),
+      avg("footer_eval.precision").as("footer_precision"),
+      avg("footer_eval.recall").as("footer_recall"),
+      avg("footer_eval.f1_score").as("footer_f1"),
+      avg("tables_eval.f1_score").as("table_f1"),
+      avg("amounts_eval.f1_score").as("amount_f1"))
+      .withColumn("overall_f1",
+        (col("header_f1") + col("footer_f1") + col("table_f1") + col("amount_f1")) / 4.0)
+
   /** Full per-document zone scorecard (evaluation.py:319-343): joins the
     * detected zone report (ZoneDetector.detectZones output) with a ground
     * truth table (doc_id, header_present, footer_present, n_tables,

@@ -66,6 +66,29 @@ object TableStructure {
         max("cells").as("n_cols"),
         (countDistinct("cells") === 1).as("is_regular"))
 
+  /** W3 column-layout summary with the reference's membership rules
+    * (geometry_utils.py:207-257 `detect_column_layout`): x-sessionized
+    * columns (consecutive-gap threshold — same recurrence as
+    * withColumnIds), then columns with fewer than `minPerColumn` elements
+    * are DROPPED, except the FINAL short column, which merges into the
+    * last kept column (reference quirks reproduced: fewer than
+    * `minPerColumn` elements in total → one catch-all column; ALL columns
+    * short → zero columns, because the merge target list is empty).
+    * Returns (doc_id, n_columns). */
+  def columnLayout(spans: DataFrame, colThreshold: Double = 100.0,
+      minPerColumn: Int = 3): DataFrame = {
+    val sizes = withColumnIds(spans, colThreshold)
+      .groupBy("doc_id", "col_id").agg(count(lit(1)).as("n"))
+    sizes.groupBy("doc_id")
+      .agg(
+        sum("n").as("total"),
+        sum(when(col("n") >= minPerColumn, 1).otherwise(0)).as("kept"))
+      .select(col("doc_id"),
+        when(col("total") < minPerColumn, lit(1)) // early return: all in one column
+          .otherwise(col("kept")) // final short col merges (count unchanged); all-short → 0
+          .cast("int").as("n_columns"))
+  }
+
   /** REFERENCE-EXACT greedy table-structure detection
     * (geometry_utils.py:260-319 `detect_table_structure`): rows are built by
     * popping the first remaining element and absorbing every later element

@@ -71,6 +71,24 @@ class TableStructureSpec extends SparkSuite {
     assert(rel._2 == 1L) // one chained row — the documented divergence
   }
 
+  test("column layout: min-membership filter, final-short merge, all-short quirk") {
+    def docOf(id: String, xs: Seq[Int]) = xs.zipWithIndex.map { case (x, i) =>
+      (id, i, x.toDouble, 10.0 * i) // xc spread, yc arbitrary
+    }
+    val d = (
+      // d1: cols at x≈0 (4 elems), x≈500 (3), x≈900 (2, FINAL, short → merges)
+      docOf("d1", Seq(0, 5, 10, 15, 500, 505, 510, 900, 905)) ++
+        // d2: two short cols (2+2), total ≥ 3 → non-final dropped, final short
+        // with NO kept columns → zero columns (reference quirk)
+        docOf("d2", Seq(0, 5, 500, 505)) ++
+        // d3: fewer than minPerColumn in total → one catch-all column
+        docOf("d3", Seq(0, 900))
+      ).toDF("doc_id", "offset", "xc", "yc")
+    val out = TableStructure.columnLayout(d)
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("d1" -> 2, "d2" -> 0, "d3" -> 1), out)
+  }
+
   test("F12 envelope") {
     val env = TableStructure.envelope(
       spans.where($"doc_id" === "d2"), Seq("doc_id"),

@@ -54,6 +54,28 @@ class ZoneEvalSpec extends SparkSuite {
     assert(got == Seq((0.5, 0.5, 1L), (0.0, 0.0, 0L), (0.0, 1.0, 0L), (0.5, 1.0, 1L)))
   }
 
+  test("layout-quality accuracy: proximity to expected, floored at 0") {
+    val df = Seq((0.8, 0.8), (0.6, 0.8), (0.0, 0.8), (1.0, 0.0)).toDF("s", "e")
+    val got = df.select(round(Evaluation.layoutQualityEval($"s", $"e"), 4))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.8, 0.2, 0.0))
+  }
+
+  test("global metrics rollup averages the per-doc scorecard") {
+    val tagged = Extract.tag(InvoiceCorpus.docs(spark, 12).toDF())
+    val report = ZoneDetector.detectZones(tagged)
+    val truth = report.select($"doc_id",
+      lit(true).as("header_present"), lit(true).as("footer_present"),
+      lit(1).as("n_tables"),
+      transform($"footer.totals", t => t.getField("value").cast("double")).as("amounts"))
+    val g = Evaluation.globalZoneMetrics(Evaluation.evaluateZones(report, truth))
+      .select("header_precision", "amount_f1", "overall_f1")
+      .as[(Double, Double, Double)].head()
+    // detected zones agree with planted truth for header/amounts
+    assert(g._1 == 1.0 && g._2 == 1.0)
+    assert(g._3 > 0.0 && g._3 <= 1.0)
+  }
+
   test("end-to-end scorecard over the real zone report") {
     val tagged = Extract.tag(InvoiceCorpus.docs(spark, 20).toDF())
     val report = ZoneDetector.detectZones(tagged)
