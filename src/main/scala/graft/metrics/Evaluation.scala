@@ -143,6 +143,33 @@ object Evaluation {
         transform(col("footer.totals"), t => t.getField("value").cast("double")),
         col("amounts")).as("amounts_eval"))
 
+  /** OCR text-level metrics (model_evaluation.py:283-353
+    * `calculate_metrics`), reference semantics exactly:
+    *  - exact_accuracy: share of pairs equal after lower + FULL whitespace
+    *    strip (Python str.strip — not Spark's space-only trim);
+    *  - avg_edit_distance: mean levenshtein over LOWERED texts;
+    *  - avg_similarity: mean of 1 − dist/max(len(pred), len(gt)) with the
+    *    reference QUIRK that an empty-vs-empty pair scores 0, not 1
+    *    (`if max_len > 0 else 0` — unlike F13 editSimilarity, which gives
+    *    1.0 there; both behaviors are deliberate and tested). */
+  def ocrTextMetrics(pairs: DataFrame, predCol: String = "pred",
+      expCol: String = "expected"): DataFrame = {
+    def pyStrip(c: Column) = regexp_replace(c, "^\\s+|\\s+$", "")
+    val dist = levenshtein(lower(col(predCol)), lower(col(expCol)))
+    val maxLen = greatest(length(col(predCol)), length(col(expCol)))
+    pairs.select(
+        (lower(pyStrip(col(predCol))) === lower(pyStrip(col(expCol))))
+          .cast("int").as("exact"),
+        dist.as("dist"),
+        when(maxLen > 0, lit(1.0) - dist.cast("double") / maxLen.cast("double"))
+          .otherwise(0.0).as("sim"))
+      .agg(
+        avg("exact").as("exact_accuracy"),
+        avg("dist").as("avg_edit_distance"),
+        avg("sim").as("avg_similarity"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   /** A2/A7-style corpus statistics: success rate, conf aggregates, block
     * counts (ocr_starter_final.py:457-483) over a mention table with
     * (doc_id, conf) columns. */

@@ -76,6 +76,23 @@ class ZoneEvalSpec extends SparkSuite {
     assert(g._3 > 0.0 && g._3 <= 1.0)
   }
 
+  test("OCR text metrics: exact accuracy (py-strip), mean edit distance, empty-pair similarity quirk") {
+    val pairs = Seq(
+      ("Facture 42", "facture 42"),   // exact after lower (dist 2 on lowered? no — lowered equal → dist 0)
+      ("\tFACTURE\n", "facture"),     // exact after python strip + lower
+      ("abcd", "abxd"),               // dist 1, maxLen 4 → sim 0.75
+      ("", ""))                       // reference quirk: sim 0, NOT 1
+      .toDF("pred", "expected")
+    val m = Evaluation.ocrTextMetrics(pairs)
+      .select(round($"exact_accuracy", 4), round($"avg_edit_distance", 4),
+        round($"avg_similarity", 4), $"n_pairs")
+      .as[(Double, Double, Double, Long)].head()
+    // exact: rows 1,2,4 (empty==empty) → 3/4; dists: 0, 2 ("\tfacture\n" vs
+    // "facture" — levenshtein on LOWERED but UNSTRIPPED = 2), 1, 0 → avg
+    // 0.75; sims: 1.0, 1−2/9, 0.75, 0 (quirk) → avg ≈ 0.6319
+    assert(m == ((0.75, 0.75, 0.6319, 4L)), m)
+  }
+
   test("end-to-end scorecard over the real zone report") {
     val tagged = Extract.tag(InvoiceCorpus.docs(spark, 20).toDF())
     val report = ZoneDetector.detectZones(tagged)
