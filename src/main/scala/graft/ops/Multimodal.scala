@@ -99,6 +99,25 @@ object Multimodal {
     }
   }
 
+  /** Resize plumbing (vlm_processor.py:161-174 `_load_and_preprocess_image`):
+    * PIL.thumbnail semantics on the metadata — only when EITHER dimension
+    * exceeds the max box, scale by the single factor min(maxW/w, maxH/h)
+    * (aspect preserved), floor to int with a 1-pixel minimum. The pixel
+    * resample itself is the codec stub boundary (LANCZOS in production);
+    * the dimension arithmetic — what every downstream layout computation
+    * consumes — is real and exact. Pure Column expressions, narrow. */
+  def withResizedDims(decoded: DataFrame, maxW: Int = 1024, maxH: Int = 1024): DataFrame = {
+    val needs = col("width") > maxW || col("height") > maxH
+    val scale = least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"))
+    decoded
+      .withColumn("out_width",
+        when(needs, greatest(floor(col("width") * scale).cast("int"), lit(1)))
+          .otherwise(col("width")))
+      .withColumn("out_height",
+        when(needs, greatest(floor(col("height") * scale).cast("int"), lit(1)))
+          .otherwise(col("height")))
+  }
+
   /** Frame sampling plumbing for video payloads: every `everyN`th frame
     * index (decode itself stubbed). Demonstrates the explode shape: one
     * input row → N frame rows, still narrow. */

@@ -39,6 +39,18 @@ class MultimodalSpec extends SparkSuite {
     assert(expected.exceptAll(actual).count() == 0, "fixture rows missing from live output")
   }
 
+  test("resize: PIL.thumbnail dimension semantics (single scale factor, only when over the box)") {
+    val dims = Seq(
+      (2048, 1024), // over on W → scale 0.5 → (1024, 512)
+      (512, 4096),  // over on H → scale 0.25 → (128, 1024)
+      (800, 600),   // inside the box → untouched
+      (3000, 3000)) // both over → (1024, 1024)
+      .toDF("width", "height")
+    val out = Multimodal.withResizedDims(dims)
+      .select("out_width", "out_height").as[(Int, Int)].collect().toSeq
+    assert(out == Seq((1024, 512), (128, 1024), (800, 600), (1024, 1024)), out)
+  }
+
   test("frame sampling explodes every Nth frame index") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
     val frames = Multimodal.sampleFrames(dec, everyN = 5)
