@@ -72,9 +72,12 @@ object ScalingBench {
         def time(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
-        // warmup: executor launch + JIT + codegen, not measured
+        // warmup: executor launch + JIT + codegen, not measured. Cluster
+        // mode warms EVERY executor JVM's C2 on the hot loop (a 200-doc
+        // warmup leaves fresh executors JIT-cold for a single-iter run).
+        val warmDocs = if (mode == "cluster") 20000L else 200L
         FastExtract.triples(
-          InvoiceCorpus.docs(spark, 200).toDF()
+          InvoiceCorpus.docs(spark, warmDocs).toDF()
             .selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]).count()
 
         var nT = 0L; var nG = 0L

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.run.{Extract, Pipeline}
+import graft.run.{FastExtract, Pipeline}
 import graft.graph.TripleStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -58,7 +58,15 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val triples = Extract.triples(batch).select("subj", "pred", "obj")
+          // production extraction path (typed; parity with the declarative
+          // form is ExtractParitySpec's contract) — also avoids re-running
+          // Catalyst over the deep HOF tree for every micro-batch
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val triples = FastExtract.triples(
+              batch.selectExpr("doc_id", "page_w", "page_h", "spans")
+                .as[graft.model.OcrDoc]).toDF()
+            .select("subj", "pred", "obj")
           // toIntExact: fail loudly if the stream ever outlives Int batch
           // ids instead of silently wrapping into an already-committed id
           TripleStore.commitBatch(triples, storeRoot, Math.toIntExact(batchId),
