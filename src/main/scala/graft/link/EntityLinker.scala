@@ -50,9 +50,10 @@ object EntityLinker {
       jaccardMin: Double = 0.6,
       editSimMin: Double = 0.85,
       useIce: Boolean = true,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000,
+      smallThreshold: Long = 50000L): DataFrame =
     candidateEdgesFromEntities(entities(mentions), numHashes, jaccardMin,
-      editSimMin, useIce, maxBucket)
+      editSimMin, useIce, maxBucket, smallThreshold)
 
   /** Same as candidateEdges but over a pre-built (persisted) entity table —
     * callers that also need the entities avoid computing them twice.

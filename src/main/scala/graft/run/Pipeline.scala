@@ -39,7 +39,12 @@ object Pipeline {
         * with limit=0). At 10^8+ entities a broadcast would blow the driver/
         * executor memory budget; the fallback trades 2 triple-stream
         * shuffles for that safety. */
-      broadcastEntityLimit: Long = 10000000L)
+      broadcastEntityLimit: Long = 10000000L,
+      /** entity count below which the LSH→verify linking chain runs
+        * driver-side (EntityLinker hybrid, LocalElParitySpec-identical);
+        * 0 forces the distributed chain — what ScalingBench measures, since
+        * the driver shortcut deliberately does NOT scale with executors. */
+      elSmallThreshold: Long = 50000L)
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.run.Pipeline")
 
@@ -61,7 +66,8 @@ object Pipeline {
   /** Canonical entity map from a (persisted) vendor-mention table. */
   def canonicalEntityMapFromMentions(vm: DataFrame, cfg: Config = Config()): DataFrame = {
     val edges = EntityLinker.candidateEdges(
-      vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
+      vm, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce,
+      smallThreshold = cfg.elSmallThreshold)
     val comps = ConnectedComponents.run(edges)
     // salted two-phase count: the mention distribution is Zipf-shaped
     // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.
@@ -152,7 +158,8 @@ object Pipeline {
     val (ents, canonMap) = try {
       val ents = EntityLinker.entities(vm) // entity-scale, localCheckpoint'd inside
       val edges = EntityLinker.candidateEdgesFromEntities(
-        ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce)
+        ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce,
+        smallThreshold = cfg.elSmallThreshold)
       val comps = ConnectedComponents.run(edges)
       // salted two-phase count: the mention distribution is Zipf-shaped
       // (mega-vendor holds ~30% of rows) — north_star's salted aggregation.

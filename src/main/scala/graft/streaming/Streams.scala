@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   *
   *  - docs ingestion: `readStream` over the docs table directory,
   *    `Trigger.AvailableNow` (drain-and-stop), `dropDuplicates("doc_id")`
-  *    for idempotence, foreachBatch → the same Extract.triples batch code +
+  *    for idempotence, foreachBatch → the production FastExtract batch code +
   *    TripleStore snapshot commit. Exactly-once per micro-batch via the
   *    snapshot manifest (batchId is the commit key).
   *  - event-time analytics: watermarked tumbling-window aggregation, the
