@@ -641,8 +641,8 @@ object SparkEntry {
         | SELECT o_orderkey, o_totalprice,
         |  EXISTS (SELECT 1 FROM lineitem
         |   WHERE l_orderkey = o_orderkey
-        |     AND abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))
-        |           - CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) < 0.01) AS v
+        |     AND abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |           - CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) < 0.01) AS v
         | FROM orders)""".stripMargin,
     "q39_zone_eval" ->
       """SELECT doc_id,

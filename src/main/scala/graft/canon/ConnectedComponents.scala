@@ -86,12 +86,12 @@ object ConnectedComponents {
       }
     }
 
-    var e = cleaned.localCheckpoint()
+    var e = graft.Materialize(cleaned)
     var sig = signature(e)
     var converged = e.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = graft.Materialize(smallStar(largeStar(e)))
       val s2 = signature(e)
       converged = s2 == sig
       sig = s2

@@ -51,7 +51,7 @@ object TripleStore {
     // localCheckpoint pass feeding both): re-reading the store after every
     // commit re-lists all files — O(batches) listing per commit, O(B²)
     // for a run — and the listing, not the pruned read, dominates at scale.
-    val df = triples.select("subj", "pred", "obj").localCheckpoint()
+    val df = graft.Materialize(triples.select("subj", "pred", "obj"))
     val counts = df.groupBy("pred").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // partition by predicate: subject-lookups and per-predicate scans prune

@@ -59,8 +59,14 @@ object CrossValidate {
 
     // renamed output columns break the vlmAmounts→matched lineage so the
     // final enrichment join is not flagged as an ambiguous self-join
+    // FLOAT64 comparison, deliberately: the reference
+    // (_find_matching_amounts) compares Python floats, so decimal-boundary
+    // pairs follow float64 rounding (|10.00−9.99| ≈ 0.00999... VALIDATES,
+    // |1.01−1.00| ≈ 0.01000...9 does not). The ±1 banding above is computed
+    // in exact decimal and still covers every float64 match: a float64 diff
+    // < 0.01 implies a decimal diff ≤ 0.0100, i.e. a key distance ≤ 1.
     val matched = probes.join(ocrKeys, Seq(docCol, "__k"))
-      .where(abs(col("__n") - col("__a")) < 0.01) // exact decimal arithmetic
+      .where(abs(col("__n").cast("double") - col("__a").cast("double")) < 0.01)
       .select(col(docCol).as("__mdoc"), col("__a").as("__mamt"))
       .distinct()
       .withColumn("__validated", lit(true))

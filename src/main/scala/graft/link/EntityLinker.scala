@@ -38,10 +38,11 @@ object EntityLinker {
         min(when(col("ice") =!= "", col("ice"))).as("ice"))
       .withColumn("tokens", array_distinct(split(col("entity_key"), "_")))
       // reused by 4 scan branches (blocks × bucket sizes × 2 join sides);
-      // localCheckpoint instead of persist: entity tables are small, the
-      // blocks self-clean when unreferenced (no CacheManager leak across
-      // repeated linker calls in a long-lived session)
-      .localCheckpoint()
+      // materialization policy is config-gated (graft.Materialize: default
+      // self-cleaning localCheckpoint; "reliable" for preemptible clusters,
+      // "none" for pure lineage). Lazy: audit callers (blockStats) may not
+      // consume it, so don't pay a job until the first action.
+      .transform(d => graft.Materialize(d, eager = false))
 
   /** Candidate sameAs edges (src < dst, entity_key level). */
   def candidateEdges(

@@ -75,7 +75,7 @@ object Dedup {
       } else df.select(col(idCol).as("id"),
           explode(wordShingles(col(textCol), k)).as("shingle"))
         .where(col("shingle").isNotNull)
-    val sh = sh0.localCheckpoint()
+    val sh = graft.Materialize(sh0)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
@@ -192,7 +192,7 @@ object Dedup {
         .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
         .withColumn("sig", minhashSignatureOf(col("shingles"), numHashes)))
       .where(size(col("shingles")) >= 1)
-      .localCheckpoint()
+      .transform(d => graft.Materialize(d))
     // banding carries ONLY the id — the shingle arrays are kilobytes per
     // doc and the band explode multiplies them 8×; candidates are rare, so
     // shingles are joined back onto the (small) candidate pair set instead
@@ -278,7 +278,7 @@ object Dedup {
           .mapPartitions(_.map { case (id, t) => (id, simhashScala(t)) })
           .toDF("id", "sig")
       } else df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
-      .localCheckpoint() // self-cleaning materialization (see minhashNearDup)
+      .transform(d => graft.Materialize(d)) // config-gated materialization (see minhashNearDup)
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("sig"), c * chunkBits)

@@ -1,17 +1,25 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata, exactly
   * as they'd arrive from `spark.read.format("binaryFile")` or an Iceberg
-  * table with a blob column. The Spark-side mechanics — schema, batch-shaped
-  * per-partition processing, partitioning discipline — are real and tested;
-  * the codec calls themselves are STUBBED with deterministic fakes because
-  * no image/audio libraries ship in this container (clearly marked below).
-  * Swapping a stub for a real decoder changes ONE function body and no plan
+  * table with a blob column.
+  *
+  * The IMAGE modality is REAL end to end: payloads are actual PNG bytes
+  * (encoded with javax.imageio, which ships in this JDK's `java.desktop`
+  * module — no extra dependency), and `decodeAndFeaturize` decodes them
+  * with `ImageIO.read` and computes pixel-statistics features from the
+  * decoded raster. Only the VIDEO modality keeps a deterministic
+  * fake-container stub (no ffmpeg in a stock JVM; clearly marked below) —
+  * swapping it for a real demuxer changes one function body and no plan
   * shape.
   *
   * The batch-shaped processing mirrors the reference's per-image model
@@ -25,13 +33,44 @@ object Multimodal {
   final case class DecodedMedia(media_ref: String, kind: String,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
-  /** Deterministic fake payload for a media_ref — a stand-in for reading
-    * the blob from object storage. Header encodes (w, h, frames). */
-  def fakeBytes(mediaRef: String, kind: String): Array[Byte] = {
+  /** Deterministic dimensions for a media_ref — the stand-in for whatever
+    * size the original asset had. Kept as a pure function of the ref so the
+    * committed q34 expected-rows fixture is reproducible. */
+  private def dimsOf(mediaRef: String): (Int, Int) = {
     val h = mediaRef.hashCode
-    val w = 64 + math.abs(h % 192)
-    val ht = 64 + math.abs((h / 7) % 192)
-    val frames = if (kind == "video") 1 + math.abs((h / 31) % 48) else 1
+    (64 + math.abs(h % 192), 64 + math.abs((h / 7) % 192))
+  }
+
+  /** REAL PNG payload for a media_ref: a w×h image with a deterministic
+    * pixel pattern, encoded by javax.imageio. This is the fixture-side
+    * stand-in for fetching the blob from object storage — the bytes that
+    * come back ARE a decodable image. */
+  def pngBytes(mediaRef: String): Array[Byte] = {
+    val (w, h) = dimsOf(mediaRef)
+    val seed = mediaRef.hashCode
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Int](w * h)
+    var i = 0
+    while (i < rgb.length) {
+      val x = i % w
+      val y = i / w
+      val v = seed * 31 + x * 7 + y * 13 // cheap deterministic pattern
+      rgb(i) = ((v & 0xff) << 16) | (((v >> 4) & 0xff) << 8) | ((v >> 8) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB (video only) — deterministic fake container payload. Header
+    * encodes (w, h, frames); body carries bytes the feature stub reads.
+    * A real implementation fetches and demuxes the clip (ffmpeg). */
+  def fakeVideoBytes(mediaRef: String): Array[Byte] = {
+    val h = mediaRef.hashCode
+    val (w, ht) = dimsOf(mediaRef)
+    val frames = 1 + math.abs((h / 31) % 48)
     val header = Array[Byte](
       (w >> 8).toByte, w.toByte, (ht >> 8).toByte, ht.toByte, frames.toByte)
     val body = Array.tabulate[Byte](64)(i => ((h >> (i % 24)) & 0xff).toByte)
@@ -41,81 +80,129 @@ object Multimodal {
   /** Media table for a docs corpus: one row per media span, binary payload
     * attached. Repartitioned by media_ref so downstream per-partition
     * decoders see balanced work (payload sizes are skewed in real corpora —
-    * hash-repartition on the ref, not the doc, is the right unit). */
-  def mediaTable(docs: DataFrame, partitions: Int = 32): Dataset[MediaRow] = {
+    * hash-repartition on the ref, not the doc, is the right unit).
+    * `partitions <= 0` (the default) derives the count from the cluster's
+    * `defaultParallelism` instead of hardcoding a width that a 100× cluster
+    * would bottleneck on. */
+  def mediaTable(docs: DataFrame, partitions: Int = 0): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val nPart =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     docs.select(explode(col("spans")).as("s"))
       .select(col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))
       .where(col("kind") === "media" && col("media_ref") =!= "")
-      .repartition(partitions, col("media_ref"))
+      .repartition(nPart, col("media_ref"))
       .as[(String, String)]
       .map { case (ref, _) =>
         // modality from the ref (deterministic): most media are images;
         // every 7th doc's logo slot carries a video clip so the
         // frame-sampling path has real multi-frame payloads to exercise
         val k = if (ref.endsWith("/logo") && math.abs(ref.hashCode) % 7 == 0) "video" else "image"
-        MediaRow(ref, k, fakeBytes(ref, k))
+        MediaRow(ref, k, if (k == "video") fakeVideoBytes(ref) else pngBytes(ref))
       }
   }
 
-  // =======================================================================
-  // STUB: codec boundary. In production these call the real decoder
-  // (libjpeg / ffmpeg / torchvision) inside the per-partition loop.
-  // Deterministic fakes keep the pipeline testable end-to-end.
-  // =======================================================================
-
-  /** STUB — "decode" the 5-byte fake header into dimensions. A real
-    * implementation would decode the image/container here. */
-  private def decodeHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
+  /** STUB (video only) — "decode" the 5-byte fake header into dimensions. */
+  private def decodeVideoHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val w = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
     val h = ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
     val frames = bytes(4) & 0xff
     (w, h, frames)
   }
 
-  /** STUB — feature extraction: a deterministic 8-dim "embedding" from the
-    * payload bytes. A real implementation runs the vision tower here. */
-  private def featureStub(bytes: Array[Byte]): Array[Float] =
+  /** STUB (video only) — feature from container bytes; a real
+    * implementation runs the vision tower over sampled frames. */
+  private def videoFeatureStub(bytes: Array[Byte]): Array[Float] =
     Array.tabulate(8)(i => ((bytes(5 + i) & 0xff).toFloat / 255f) - 0.5f)
 
+  /** REAL image feature: 8 pixel statistics from the decoded raster —
+    * mean R/G/B, mean luminance, and a 4-bin luminance histogram
+    * (fractions). Deterministic and decoded-pixel-exact. */
+  private def imageFeature(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      hist(((r + g + b) / 3) >> 6) += 1L
+      i += 1
+    }
+    val n = rgb.length.toDouble
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      ((sr + sg + sb) / (3 * n) / 255.0).toFloat,
+      (hist(0) / n).toFloat, (hist(1) / n).toFloat, (hist(2) / n).toFloat,
+      (hist(3) / n).toFloat)
+  }
+
   /** Batch-shaped decode + feature-extract over the media table:
-    * per-partition init happens ONCE (model load in production), rows are
-    * processed in `batchSize` groups (the Arrow-batch shape of mapInPandas).
-    */
+    * per-partition init happens ONCE (model load in production; here the
+    * ImageIO cache policy), rows are processed in `batchSize` groups (the
+    * Arrow-batch shape of mapInPandas). Image rows are decoded with the
+    * JDK's real PNG/JPEG codec; video rows go through the labeled stub. */
   def decodeAndFeaturize(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition heavyweight init would go here (one model per
-      // partition, not per row — unlike ocr_starter_final.py:129 which
-      // re-creates the reader per image)
+      // per-partition heavyweight init (one setup per partition, not per
+      // row — unlike ocr_starter_final.py:129 which re-creates the reader
+      // per image): keep ImageIO off its disk scratch cache
+      ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h, f) = decodeHeaderStub(r.bytes)
-          DecodedMedia(r.media_ref, r.kind, w, h, f, featureStub(r.bytes))
+          if (r.kind == "image") {
+            val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
+            DecodedMedia(r.media_ref, r.kind, img.getWidth, img.getHeight, 1,
+              imageFeature(img))
+          } else {
+            val (w, h, f) = decodeVideoHeaderStub(r.bytes)
+            DecodedMedia(r.media_ref, r.kind, w, h, f, videoFeatureStub(r.bytes))
+          }
         }
       }
     }
   }
 
   /** Resize plumbing (vlm_processor.py:161-174 `_load_and_preprocess_image`):
-    * PIL.thumbnail semantics on the metadata — only when EITHER dimension
-    * exceeds the max box, scale by the single factor min(maxW/w, maxH/h)
-    * (aspect preserved), floor to int with a 1-pixel minimum. The pixel
-    * resample itself is the codec stub boundary (LANCZOS in production);
-    * the dimension arithmetic — what every downstream layout computation
-    * consumes — is real and exact. Pure Column expressions, narrow. */
+    * PIL.Image.thumbnail semantics on the metadata — resize only when
+    * EITHER dimension exceeds the max box; the binding dimension takes the
+    * box value and the other is chosen between floor and ceil of the exact
+    * scaled value by whichever best preserves the aspect ratio (Pillow ≥7
+    * `round_aspect`; floor wins ties, 1-pixel minimum). The pixel resample
+    * itself is the codec boundary (LANCZOS in production); the dimension
+    * arithmetic — what every downstream layout computation consumes — is
+    * real and exact. Pure Column expressions, narrow. */
   def withResizedDims(decoded: DataFrame, maxW: Int = 1024, maxH: Int = 1024): DataFrame = {
     val needs = col("width") > maxW || col("height") > maxH
-    val scale = least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"))
+    val aspect = col("width").cast("double") / col("height")
+    // Pillow: if box_x / box_y >= aspect, height binds (y = maxH)
+    val heightBinds = lit(maxW.toDouble / maxH) >= aspect
+    // height binds: out_w = round_aspect(maxH·aspect, key n → |aspect − n/maxH|)
+    val nW = lit(maxH) * aspect
+    val wF = floor(nW); val wC = ceil(nW)
+    val wPick = when(
+      abs(aspect - wF / maxH) <= abs(aspect - wC / maxH), wF).otherwise(wC)
+    // width binds: out_h = round_aspect(maxW/aspect, key n → 0 if n==0 else |aspect − maxW/n|)
+    val nH = lit(maxW) / aspect
+    val hF = floor(nH); val hC = ceil(nH)
+    val hKeyF = when(hF === 0, 0.0).otherwise(abs(aspect - lit(maxW) / hF))
+    val hKeyC = when(hC === 0, 0.0).otherwise(abs(aspect - lit(maxW) / hC))
+    val hPick = when(hKeyF <= hKeyC, hF).otherwise(hC)
     decoded
       .withColumn("out_width",
-        when(needs, greatest(floor(col("width") * scale).cast("int"), lit(1)))
-          .otherwise(col("width")))
+        when(needs,
+          when(heightBinds, greatest(wPick, lit(1L))).otherwise(lit(maxW.toLong)))
+          .otherwise(col("width")).cast("int"))
       .withColumn("out_height",
-        when(needs, greatest(floor(col("height") * scale).cast("int"), lit(1)))
-          .otherwise(col("height")))
+        when(needs,
+          when(heightBinds, lit(maxH.toLong)).otherwise(greatest(hPick, lit(1L))))
+          .otherwise(col("height")).cast("int"))
   }
 
   /** Frame sampling plumbing for video payloads: every `everyN`th frame

@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product of two float-array columns in double precision
-    * (native codegen expression; see VectorDot for the exact semantics). */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    * (native codegen expression; see VectorDot for the exact semantics).
+    * Built directly from the Expression — works on ANY SparkSession, not
+    * just ones with GraftExtensions installed; the `vec_dot` SQL
+    * registration (Sessions.local) remains for SQL-string users. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -205,10 +212,10 @@ object Similarity {
   def neardupPairs(corpus: DataFrame, threshold: Double, planes: Int = 2,
       tables: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // localCheckpoint: reused by the band explode and both vector join-backs;
-    // blocks self-clean when the result goes out of scope (no persist leak)
-    val c = withBuckets(corpus, planes, tables, idCol, vecCol)
-      .localCheckpoint()
+    // materialized (config-gated, graft.Materialize): reused by the band
+    // explode and both vector join-backs; default localCheckpoint blocks
+    // self-clean when the result goes out of scope (no persist leak)
+    val c = graft.Materialize(withBuckets(corpus, planes, tables, idCol, vecCol))
     val banded = c.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cand = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
@@ -240,15 +247,30 @@ object Similarity {
   // lists = the corpus partitioned by centroid id; queries probe their
   // `nprobe` nearest centroids and rerank with exact cosine. -------------
 
-  /** Train the coarse quantizer: k centroids over the corpus embeddings.
-    * Returns the centers (small — they ride to executors in closures). */
+  /** Train the coarse quantizer: k centroids over a SAMPLE of the corpus
+    * embeddings (a 16–1024-centroid codebook does not need 10^9 rows —
+    * k-means iterates maxIter times over its input, so at scale the fit
+    * must see a bounded sample, not the corpus). `fitSampleRows` caps the
+    * expected training size: one count job sizes the fraction, then a
+    * seeded uniform sample feeds the fit. ≤ 0 disables sampling (fit on
+    * everything). Returns the centers (small — they ride to executors in
+    * closures). */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int,
-      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      fitSampleRows: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val sampled =
+      if (fitSampleRows <= 0) feats
+      else {
+        val n = feats.count()
+        if (n <= fitSampleRows) feats
+        else feats.sample(withReplacement = false,
+          fraction = math.min(1.0, fitSampleRows.toDouble / n * 1.1), seed)
+      }
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .fit(feats)
+      .fit(sampled)
     model.clusterCenters.map(_.toArray)
   }
 
@@ -274,11 +296,12 @@ object Similarity {
     * instead of the full scan. Integral ids assumed (typed assignment). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSampleRows: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centers = ivfCentroids(corpus, nCentroids, vecCol)
+    val centers = ivfCentroids(corpus, nCentroids, vecCol, fitSampleRows = fitSampleRows)
 
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]

@@ -56,11 +56,19 @@ object Skew {
       .agg(sum("__pc").as(outCol))
 
   /** Key-frequency profile — the diagnostic that decides whether salting
-    * is worth it (top-k hot keys with their share). */
+    * is worth it (top-k hot keys with their share). One pass over the data:
+    * `rollup` emits the per-key counts AND the grand-total row from the
+    * same partial aggregation (no separate full-scan `count()` job, no
+    * single-partition global window over the distinct keys);
+    * `grouping()` tells the total row apart from a genuinely-null key. */
   def keyProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(keyCol).agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / total, 4))
+    val counts = df.rollup(keyCol)
+      .agg(count(lit(1)).as("n"), grouping(col(keyCol)).as("__g"))
+    val total = counts.where(col("__g") === 1).select(col("n").as("__total"))
+    counts.where(col("__g") === 0)
+      .crossJoin(broadcast(total)) // 1 row — a broadcast, not a cartesian
+      .withColumn("share", round(col("n") / col("__total"), 4))
+      .select(col(keyCol), col("n"), col("share"))
       .orderBy(col("n").desc)
       .limit(k)
   }

@@ -88,7 +88,7 @@ object Pipeline {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
       else Extract.vendorMentions(docs)).persist()
-    try canonicalEntityMapFromMentions(vm, cfg).localCheckpoint()
+    try graft.Materialize(canonicalEntityMapFromMentions(vm, cfg))
     finally vm.unpersist()
   }
 
@@ -167,7 +167,7 @@ object Pipeline {
       val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
           saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
         .select(col("entity_key").as("id"), col("n"))
-      (ents, ConnectedComponents.canonicalMap(comps, counts).localCheckpoint())
+      (ents, graft.Materialize(ConnectedComponents.canonicalMap(comps, counts)))
     } finally vm.unpersist()
 
     val m = maybeBroadcast(

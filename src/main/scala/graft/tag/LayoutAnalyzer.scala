@@ -148,13 +148,17 @@ object LayoutAnalyzer {
       size(col("address_blocks")) +
       size(col("footer.totals"))
 
-  /** Column-count estimate (:433-444): first answer mentioning 'colonne',
-    * max of its numbers ≤ 10, else 1. (The reference raises ValueError when
-    * an answer has numbers but none ≤ 10 — the engine returns 1 there;
-    * library code must not crash on data.) */
+  /** Column-count estimate (:433-444): the reference scans answers
+    * mentioning 'colonne' and returns on the FIRST one that also has
+    * numbers (a number-free colonne-answer does NOT stop the scan), then
+    * takes max of its numbers ≤ 10, else 1. (The reference raises
+    * ValueError when that answer has numbers but none ≤ 10 — the engine
+    * returns 1 there; library code must not crash on data.) */
   def estimateColumnCount(detailed: Column): Column = {
     val colAnswer = get(
-      filter(map_entries(detailed), e => lower(e.getField("value")).contains("colonne")),
+      filter(map_entries(detailed), e =>
+        lower(e.getField("value")).contains("colonne") &&
+          e.getField("value").rlike("\\b\\d+\\b")),
       lit(0)).getField("value")
     val nums = filter(
       transform(regexp_extract_all(colAnswer, lit("\\b(\\d+)\\b"), lit(1)),

@@ -40,11 +40,17 @@ class CrossValidateSpec extends SparkSuite {
       (3L, "5.00", 0.3, false)))
   }
 
-  test("strict inequality: a 0.01 difference does NOT match") {
-    val vlm = Seq((1L, BigDecimal("10.00"), 0.5)).toDF("doc_id", "amount", "confidence")
-    val ocr = Seq((1L, "9.99 exactement")).toDF("doc_id", "text")
-    val v = CrossValidate.validateAmounts(vlm, ocr)
-      .select("validated_by_ocr").as[Boolean].head()
-    assert(!v)
+  test("0.01-boundary pairs follow FLOAT64 rounding, exactly like the reference") {
+    // the reference compares Python floats: |10.00−9.99| = 0.00999...787
+    // VALIDATES, |1.01−1.00| = 0.01000...009 does not — decimal-exact
+    // arithmetic would call both 0.0100 and reject both (ADVICE r2)
+    val vlm = Seq(
+      (1L, BigDecimal("10.00"), 0.5),
+      (2L, BigDecimal("1.01"), 0.5)).toDF("doc_id", "amount", "confidence")
+    val ocr = Seq((1L, "9.99 exactement"), (2L, "1.00 exactement")).toDF("doc_id", "text")
+    val out = CrossValidate.validateAmounts(vlm, ocr)
+      .select("doc_id", "validated_by_ocr").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "float64 diff just below 0.01 must validate")
+    assert(!out(2L), "float64 diff at/above 0.01 must not validate")
   }
 }

@@ -58,6 +58,11 @@ class LayoutAnalyzerSpec extends SparkSuite {
     assert(cc("q?" -> "pas de tableau") == 1)
     assert(cc("q?" -> "tableau de 25 colonnes") == 1) // >10 filtered (ref would crash)
     assert(cc("q1?" -> "2 colonnes ici", "q2?" -> "9 colonnes là") == 2) // FIRST answer wins
+    // a number-free colonne-answer does NOT stop the scan — the reference
+    // (_estimate_column_count :433-444) only returns when the answer has
+    // digits, so the LATER numbered answer wins here
+    assert(cc("q1?" -> "des colonnes, oui", "q2?" -> "7 colonnes") == 7)
+    assert(cc("q1?" -> "des colonnes, oui", "q2?" -> "sans nombre") == 1)
   }
 
   test("visual hierarchy: primary elements classified, emphasis duplicates kept in order") {

@@ -1,5 +1,8 @@
 package graft
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import graft.fixtures.InvoiceCorpus
 import graft.ops.Multimodal
 import org.apache.spark.sql.functions._
@@ -13,16 +16,44 @@ class MultimodalSpec extends SparkSuite {
     val media = Multimodal.mediaTable(docs, partitions = 8)
     val rows = media.collect()
     assert(rows.length == 50) // logo + stamp per doc
-    assert(rows.forall(_.bytes.length == 69)) // 5-byte header + 64-byte body
+    // image payloads are REAL PNGs (magic bytes); video keeps the labeled
+    // fake-container stub (5-byte header + 64-byte body)
+    assert(rows.filter(_.kind == "image").forall(r =>
+      (r.bytes(0) & 0xff) == 0x89 && r.bytes(1) == 'P' && r.bytes(2) == 'N' && r.bytes(3) == 'G'))
+    assert(rows.filter(_.kind == "video").forall(_.bytes.length == 69))
     assert(media.rdd.getNumPartitions == 8)
     assert(rows.map(_.media_ref).distinct.length == 50)
   }
 
-  test("decode stub: schema and deterministic dims") {
+  test("media table derives partition width from the cluster when unset") {
+    val media = Multimodal.mediaTable(docs)
+    assert(media.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
+  test("image decode is real: ImageIO reads back the encoded dimensions and pixels") {
+    val ref = "doc-000007/logo"
+    val bytes = Multimodal.pngBytes(ref)
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val h = ref.hashCode
+    assert(img.getWidth == 64 + math.abs(h % 192))
+    assert(img.getHeight == 64 + math.abs((h / 7) % 192))
+    // PNG is lossless: a decoded pixel equals the deterministic pattern
+    val v = h * 31 + 3 * 7 + 2 * 13
+    val expected = ((v & 0xff) << 16) | (((v >> 4) & 0xff) << 8) | ((v >> 8) & 0xff)
+    assert((img.getRGB(3, 2) & 0xffffff) == expected)
+  }
+
+  test("decode: schema, deterministic dims, real pixel-stat features for images") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs), batchSize = 16)
     val rows = dec.collect()
     assert(rows.forall(r => r.width >= 64 && r.width < 256 && r.height >= 64 && r.height < 256))
     assert(rows.forall(_.feature.length == 8))
+    // image features are raster statistics: means in [0,1], the 4-bin
+    // luminance histogram sums to 1
+    rows.filter(_.kind == "image").foreach { r =>
+      assert(r.feature.forall(f => f >= 0f && f <= 1f), r.feature.mkString(","))
+      assert(math.abs(r.feature.drop(4).map(_.toDouble).sum - 1.0) < 1e-5)
+    }
     // determinism: same ref → same decode
     val twice = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).collect()
     assert(rows.sortBy(_.media_ref).zip(twice.sortBy(_.media_ref))
@@ -31,7 +62,7 @@ class MultimodalSpec extends SparkSuite {
 
   test("q34 expected-rows fixture is current (driver oracle drift guard)") {
     // the committed parquet at src/test/resources/expected IS the driver's
-    // q34 oracle — if the decode stub or media-table plumbing changes, this
+    // q34 oracle — if the decode path or media-table plumbing changes, this
     // test forces the fixture (and the change) to be re-justified together
     val expected = spark.read.parquet("src/test/resources/expected/q34_media_decode.parquet")
     val actual = SparkEntry.queries("q34_media_decode")(spark, "/root/testdata/sf0.01")
@@ -39,16 +70,20 @@ class MultimodalSpec extends SparkSuite {
     assert(expected.exceptAll(actual).count() == 0, "fixture rows missing from live output")
   }
 
-  test("resize: PIL.thumbnail dimension semantics (single scale factor, only when over the box)") {
+  test("resize: PIL.thumbnail round_aspect semantics (binding dim takes the box, other rounds to best aspect)") {
     val dims = Seq(
-      (2048, 1024), // over on W → scale 0.5 → (1024, 512)
-      (512, 4096),  // over on H → scale 0.25 → (128, 1024)
+      (2048, 1024), // over on W, aspect 2 → (1024, 512)
+      (512, 4096),  // over on H, aspect 0.125 → (128, 1024)
       (800, 600),   // inside the box → untouched
-      (3000, 3000)) // both over → (1024, 1024)
+      (3000, 3000), // both over → (1024, 1024)
+      (1001, 2000), // 1024·0.5005 = 512.512 → CEIL wins round_aspect → (513, 1024)
+      (999, 2000),  // 1024·0.4995 = 511.488 → floor wins → (511, 1024)
+      (2000, 1))    // degenerate: floor→0 has key 0, then 1-pixel min → (1024, 1)
       .toDF("width", "height")
     val out = Multimodal.withResizedDims(dims)
       .select("out_width", "out_height").as[(Int, Int)].collect().toSeq
-    assert(out == Seq((1024, 512), (128, 1024), (800, 600), (1024, 1024)), out)
+    assert(out == Seq((1024, 512), (128, 1024), (800, 600), (1024, 1024),
+      (513, 1024), (511, 1024), (1024, 1)), out)
   }
 
   test("frame sampling explodes every Nth frame index") {
