@@ -181,7 +181,7 @@ object SparkEntry {
       // asserts the pair-set equality as a property on the planted corpus.
       Dedup.minhashNearDup(t(s, d, "documents"), k = 5, numHashes = 16, bands = 8,
         threshold = 0.2)),
-    "q22_simhash_neardup" -> ((s, d) => // rows-only (hash-based)
+    "q22_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
     "q23_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -226,7 +226,7 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))),
 
-    // ---- KG pipeline on the fixture corpus (rows-only; gated in sbt test) --
+    // ---- KG pipeline on the fixture corpus ----
     "q32_kg_triples" -> ((s, d) => {
       // production extraction path (typed FastExtract — the one Pipeline
       // uses); declarative-vs-fast parity is locked by ExtractParitySpec and
@@ -337,7 +337,7 @@ object SparkEntry {
           col("al.main_alignment").as("main_alignment"),
           col("al.consistency").as("consistency"))
     }),
-    "q42_proximity_groups" -> ((s, d) => { // rows-only (per-doc greedy loop)
+    "q42_proximity_groups" -> ((s, d) => {
       import s.implicits._
       graft.tag.Proximity.proximityGroups(
         InvoiceCorpus.docs(s, 200).toDF()
@@ -622,6 +622,27 @@ object SparkEntry {
     "q33_kg_entity_resolution" ->
       """SELECT subj, pred, obj
         |FROM read_parquet('/root/repo/src/test/resources/expected/q33_expected_sameas.parquet')""".stripMargin,
+    // q32's oracle is likewise GENERATOR-side: expectedRawTriples derives
+    // the raw extraction ground truth (surface keys, no dedup) from the
+    // records alone; ExtractParitySpec gates live == fixture so this is a
+    // true correctness oracle for the extraction contract.
+    "q32_kg_triples" ->
+      """SELECT subj, pred, obj
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q32_expected_raw.parquet')""".stripMargin,
+    // q42's oracle is an INDEPENDENT driver-side transcription of the
+    // reference greedy loop over the generator's spans (GenFixtures
+    // .greedyReference); ProximitySpec gates the engine against it.
+    "q42_proximity_groups" ->
+      """SELECT doc_id, "offset", group_id
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q42_expected_groups.parquet')""".stripMargin,
+    // q22's oracle is a naive all-pairs hamming scan over the sf0.01
+    // documents' signatures (GenFixtures) — it verifies the distributed
+    // pigeonhole blocking independently; the signature function itself is
+    // parity-locked in SimhashParity. Tied to sf0.01, the driver's
+    // correctness scale.
+    "q22_simhash_neardup" ->
+      """SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q22_expected_pairs.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

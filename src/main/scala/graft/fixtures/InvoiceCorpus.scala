@@ -321,4 +321,44 @@ object InvoiceCorpus {
       head ++ itemTriples ++ sameAs
     }.distinct()
   }
+
+  /** Generator-side ground truth for the RAW (pre-entity-resolution)
+    * extraction: what a correct extractor must produce from the printed
+    * spans — SURFACE vendor keys (not canonical), no sameAs edges, no
+    * dedup (vendor hasICE repeats across docs exactly as extraction emits
+    * it). Derived from the records alone, independent of the extractor
+    * under test; ExtractParitySpec gates FastExtract.triples == this set
+    * (multiplicity included), which makes the committed q32 fixture a true
+    * correctness oracle. */
+  def expectedRawTriples(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
+      noiseP: Double = 0.25): Dataset[Triple] = {
+    import spark.implicits._
+    import Vocab._
+    spark.range(n).flatMap { i =>
+      val r = record(i, seed, noiseP)
+      val inv = invoiceNode(r.docId)
+      val vKey = vendorNode(slug(r.vendorSurface))
+      val cKey = vendorNode(slug(r.clientSurface))
+      Seq(
+        Triple(inv, RdfType, "facturai:Invoice"),
+        Triple(inv, HasNumber, r.number),
+        Triple(inv, HasDate, r.date.toString),
+        Triple(inv, HasDueDate, r.dueDate.toString),
+        Triple(inv, HasVendor, vKey),
+        Triple(inv, HasClient, cKey),
+        Triple(vKey, HasICE, r.vendor.ice),
+        Triple(cKey, HasICE, r.client.ice),
+        Triple(inv, HasSubtotalHT, dotMoney(r.subtotalCents)),
+        Triple(inv, HasTVA, dotMoney(r.tvaCents)),
+        Triple(inv, HasTotalTTC, dotMoney(r.totalTtcCents))) ++
+        r.items.zipWithIndex.flatMap { case (it, k) =>
+          val li = lineItemNode(r.docId, k)
+          Seq(
+            Triple(inv, HasLineItem, li),
+            Triple(li, HasDescription, it.description),
+            Triple(li, HasQuantity, it.quantity.toString),
+            Triple(li, HasAmount, dotMoney(it.totalCents)))
+        }
+    }
+  }
 }

@@ -11,32 +11,105 @@ import org.apache.spark.sql.functions._
   *    (InvoiceCorpus.expectedTriples — independent of the extractor/linker
   *    under test; PipelineSpec separately gates extractor-vs-generator
   *    f1 == 1.0 on this corpus).
-  *  - q34_media_decode: output of the deterministic decode stub (a pure
-  *    function of media_ref; the codecs are stubbed by design). Pins the
-  *    media-table plumbing against drift; MultimodalSpec re-checks live
-  *    output == fixture.
+  *  - q32_expected_raw: the GENERATOR-side ground truth for the RAW
+  *    extraction (InvoiceCorpus.expectedRawTriples — surface keys, no
+  *    dedup; ExtractParitySpec gates live extraction == this set).
+  *  - q34_media_decode: output of the deterministic decode path (pure
+  *    function of media_ref). Pins the media-table plumbing against drift;
+  *    MultimodalSpec re-checks live output == fixture.
+  *  - q42_expected_groups: an INDEPENDENT driver-side transcription of the
+  *    reference's greedy proximity loop (geometry_utils.py:139-204 — a
+  *    literal remaining-list while-loop, not the engine's groupGreedy array
+  *    walk) over the generator's spans. ProximitySpec gates the engine
+  *    against it.
+  *  - q22_expected_pairs: a naive all-pairs hamming scan over the sf0.01
+  *    documents' simhash signatures — verifies the distributed pigeonhole
+  *    blocking independently (the signature function itself is separately
+  *    parity-locked Column-vs-typed by SimhashParity). TIED to
+  *    /root/testdata/sf0.01, the scale the driver's correctness gate runs.
   *
   * Run: sbt "runMain graft.tools.GenFixtures"
   */
 object GenFixtures {
+
+  /** Reference-literal greedy grouping (geometry_utils.py:139-204): seed a
+    * group with the first REMAINING element, scan the remaining list once,
+    * absorbing anything close to a current member; repeat. Kept structurally
+    * distinct from tag.Proximity.groupGreedy on purpose — two independent
+    * transcriptions of the same reference contract. */
+  def greedyReference(centers: IndexedSeq[(Double, Double)], threshold: Double): Map[Int, Int] = {
+    val remaining = scala.collection.mutable.LinkedHashSet(centers.indices: _*)
+    val out = scala.collection.mutable.Map[Int, Int]()
+    var g = 0
+    while (remaining.nonEmpty) {
+      val seed = remaining.head
+      remaining.remove(seed)
+      val members = scala.collection.mutable.ArrayBuffer(seed)
+      out(seed) = g
+      remaining.toVector.foreach { i =>
+        val near = members.exists { m =>
+          val dx = centers(i)._1 - centers(m)._1
+          val dy = centers(i)._2 - centers(m)._2
+          math.sqrt(dx * dx + dy * dy) <= threshold
+        }
+        if (near) { members += i; out(i) = g; remaining.remove(i) }
+      }
+      g += 1
+    }
+    out.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.run.Sessions.local(4, 8, "gen-fixtures")
+    import spark.implicits._
     val out = "src/test/resources/expected"
 
     InvoiceCorpus.expectedTriples(spark, 200).toDF()
       .where(col("pred") === "sameAs")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q33_sameas_dir")
 
+    InvoiceCorpus.expectedRawTriples(spark, 200).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q32_raw_dir")
+
     graft.ops.Multimodal.decodeAndFeaturize(
         graft.ops.Multimodal.mediaTable(InvoiceCorpus.docs(spark, 200).toDF())).toDF()
       .select("media_ref", "kind", "width", "height", "n_frames")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q34_media_dir")
 
+    // q42: reference-literal greedy over the generator's spans (driver-side,
+    // 200 docs × tens of spans)
+    val groups = (0L until 200L).flatMap { i =>
+      val r = InvoiceCorpus.record(i)
+      val spans = InvoiceCorpus.spansOf(r).sortBy(_.offset).toIndexedSeq
+      val centers = spans.map(s => (s.bbox.x + s.bbox.w / 2.0, s.bbox.y + s.bbox.h / 2.0))
+      val g = greedyReference(centers, 50.0)
+      spans.indices.map(ix => (r.docId, spans(ix).offset, g(ix)))
+    }
+    spark.createDataset(groups).toDF("doc_id", "offset", "group_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q42_groups_dir")
+
+    // q22: naive O(n²) hamming scan over sf0.01 documents (500 docs)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val sigs = docs.map { case (id, t) => (id, graft.ops.Dedup.simhashScala(t)) }
+    val pairs = for {
+      a <- sigs.indices.iterator
+      b <- (a + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+      if h <= 3
+    } yield (sigs(a)._1, sigs(b)._1, h)
+    spark.createDataset(pairs.toVector).toDF("id_a", "id_b", "hamming")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q22_pairs_dir")
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     Seq("q33_sameas" -> "q33_expected_sameas.parquet",
-        "q34_media" -> "q34_media_decode.parquet").foreach { case (dir, name) =>
+        "q32_raw" -> "q32_expected_raw.parquet",
+        "q34_media" -> "q34_media_decode.parquet",
+        "q42_groups" -> "q42_expected_groups.parquet",
+        "q22_pairs" -> "q22_expected_pairs.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
@@ -45,7 +118,7 @@ object GenFixtures {
       scala.util.Using.resource(Files.walk(d))(
         _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.foreach(Files.delete))
     }
-    println(s"[gen-fixtures] wrote $out/q33_expected_sameas.parquet and $out/q34_media_decode.parquet")
+    println(s"[gen-fixtures] wrote q33/q32/q34/q42/q22 fixtures under $out")
     spark.stop()
   }
 }

@@ -96,4 +96,18 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.ngramJaccardPairs(many, k = 3, threshold = 0.3, maxDf = 50)
     assert(pairs.count() == 0)
   }
+  test("q22 oracle contract: pigeonhole blocking == naive all-pairs hamming (fixture current)") {
+    // the committed parquet is GenFixtures' O(n^2) hamming scan over the
+    // sf0.01 documents (independent of the chunk-join blocking under test;
+    // the signature fn itself is parity-locked in the simhash tests above)
+    // and IS the driver's q22 oracle
+    val docsTable = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val live = Dedup.simhashNearDup(docsTable, maxHamming = 3)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("hamming").cast("int"))
+    val fixture = spark.read.parquet("src/test/resources/expected/q22_expected_pairs.parquet")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("hamming").cast("int"))
+    assert(live.exceptAll(fixture).count() == 0, "live pairs missing from fixture")
+    assert(fixture.exceptAll(live).count() == 0, "fixture pairs missing from live output")
+  }
+
 }

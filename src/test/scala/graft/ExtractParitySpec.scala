@@ -81,4 +81,22 @@ class ExtractParitySpec extends SparkSuite {
       .as[String].collect().toSet
     assert(dates.isEmpty, s"fabricated dates: $dates")
   }
+  test("q32 oracle contract: live raw extraction == generator-side ground truth (fixture current)") {
+    // expectedRawTriples is derived from the records alone (surface keys,
+    // no dedup) — independent of the extractor; the committed parquet at
+    // src/test/resources/expected IS the driver's q32 oracle, so this test
+    // gates both the extraction contract and the fixture's freshness.
+    val docs = InvoiceCorpus.docs(spark, 200).toDF()
+    val live = FastExtract.triples(
+      docs.selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc])
+      .toDF().select("subj", "pred", "obj")
+    val gen = InvoiceCorpus.expectedRawTriples(spark, 200).toDF().select("subj", "pred", "obj")
+    assert(live.exceptAll(gen).count() == 0, "extractor emitted triples the generator does not predict")
+    assert(gen.exceptAll(live).count() == 0, "extractor missed generator-predicted triples")
+    val fixture = spark.read.parquet("src/test/resources/expected/q32_expected_raw.parquet")
+      .select("subj", "pred", "obj")
+    assert(gen.exceptAll(fixture).count() == 0 && fixture.exceptAll(gen).count() == 0,
+      "committed q32 fixture is stale — rerun graft.tools.GenFixtures")
+  }
+
 }
