@@ -41,13 +41,10 @@ object Multimodal {
     (64 + math.abs(h % 192), 64 + math.abs((h / 7) % 192))
   }
 
-  /** REAL PNG payload for a media_ref: a w×h image with a deterministic
-    * pixel pattern, encoded by javax.imageio. This is the fixture-side
-    * stand-in for fetching the blob from object storage — the bytes that
-    * come back ARE a decodable image. */
-  def pngBytes(mediaRef: String): Array[Byte] = {
-    val (w, h) = dimsOf(mediaRef)
-    val seed = mediaRef.hashCode
+  /** REAL PNG encode of a w×h deterministic pixel pattern (javax.imageio —
+    * ships in the JDK). Shared by the media fixtures here and the S2
+    * page-render stub (sources.PdfIngest). */
+  def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val rgb = new Array[Int](w * h)
     var i = 0
@@ -62,6 +59,14 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** REAL PNG payload for a media_ref: a w×h image with a deterministic
+    * pixel pattern. This is the fixture-side stand-in for fetching the blob
+    * from object storage — the bytes that come back ARE a decodable image. */
+  def pngBytes(mediaRef: String): Array[Byte] = {
+    val (w, h) = dimsOf(mediaRef)
+    encodePng(w, h, mediaRef.hashCode)
   }
 
   /** STUB (video only) — deterministic fake container payload. Header

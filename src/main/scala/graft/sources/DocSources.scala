@@ -20,6 +20,8 @@ object DocSources {
     *    (data_preparation.py:96-109)
     *  - "nouveau format": text_blocks[{text, confidence, bbox{x,y,w,h}}]
     *    (data_preparation.py:111-139; ocr_starter_final.py:86-118)
+    *  - Google Vision: text_annotations[{description, confidence?,
+    *    bounding_poly.vertices[{x,y}]}] (ocr_integration.py:118-139)
     */
   val ocrJsonSchema: StructType = StructType(Seq(
     StructField("image_path", StringType),
@@ -35,7 +37,14 @@ object DocSources {
       StructField("confidence", DoubleType),
       StructField("bbox", StructType(Seq(
         StructField("x", IntegerType), StructField("y", IntegerType),
-        StructField("width", IntegerType), StructField("height", IntegerType))))))))))
+        StructField("width", IntegerType), StructField("height", IntegerType)))))))),
+    // variant 3: Google Vision annotations (vertex polygons, sparse fields)
+    StructField("text_annotations", ArrayType(StructType(Seq(
+      StructField("description", StringType),
+      StructField("confidence", DoubleType),
+      StructField("bounding_poly", StructType(Seq(
+        StructField("vertices", ArrayType(StructType(Seq(
+          StructField("x", IntegerType), StructField("y", IntegerType))))))))))))))
 
   /** P5 — 4-point polygon → rect struct<x,y,w,h>
     * (data_preparation.py:119-126, :396-400). */
@@ -94,7 +103,28 @@ object DocSources {
         b.getField("bbox").getField("width").as("w"),
         b.getField("bbox").getField("height").as("h")).as("bbox")))
 
-    val blocks = when(col("texts").isNotNull, v1Blocks).otherwise(v2Blocks)
+    // variant 3 → blocks with the reference's exact Vision semantics
+    // (ocr_integration.py:120-139): bbox = [v0.x, v0.y, v2.x, v2.y] when ≥4
+    // vertices else zeros; missing vertex coords default 0; confidence
+    // defaults 0.8; description defaults ''
+    val v3Blocks = transform(col("text_annotations"), a => {
+      val vs = a.getField("bounding_poly").getField("vertices")
+      def vx(i: Int) = coalesce(element_at(vs, i + 1).getField("x"), lit(0))
+      def vy(i: Int) = coalesce(element_at(vs, i + 1).getField("y"), lit(0))
+      val ok = size(vs) >= 4
+      struct(
+        coalesce(a.getField("description"), lit("")).as("text"),
+        coalesce(a.getField("confidence"), lit(0.8)).as("confidence"),
+        struct(
+          when(ok, vx(0)).otherwise(lit(0)).as("x"),
+          when(ok, vy(0)).otherwise(lit(0)).as("y"),
+          when(ok, vx(2) - vx(0)).otherwise(lit(0)).as("w"),
+          when(ok, vy(2) - vy(0)).otherwise(lit(0)).as("h")).as("bbox"))
+    })
+
+    val blocks = when(col("texts").isNotNull, v1Blocks)
+      .when(col("text_blocks").isNotNull, v2Blocks)
+      .otherwise(v3Blocks)
     raw.select(col("doc_id"), blocks.as("blocks"))
       .select(col("doc_id"), transform(col("blocks"), (b, i) => struct(
         lit("text").as("kind"),

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2 — PDF → page-images ingest (preprocessing/pdf_to_images.py:6-76),
+  * the first job of a real deployment's lifecycle: a directory of PDFs
+  * becomes the partitioned page-image table every downstream stage (OCR,
+  * layout, multimodal decode) reads.
+  *
+  * Spark shape: `binaryFile` scan (whole-file rows, predicate-prunable on
+  * path/length) → one narrow `mapPartitions` render boundary → page rows.
+  * One input file fans out to N page rows inside the partition — no
+  * shuffle; rendering parallelism equals scan parallelism, which at 100 TB
+  * is governed by `spark.sql.files.maxPartitionBytes` (binary files never
+  * split mid-file, so a partition is a bag of whole PDFs).
+  *
+  * The RENDERER itself is the stub boundary (no PDF rasterizer ships in a
+  * stock JVM — PyMuPDF's `get_pixmap` in the reference): `renderPdfStub`
+  * fakes the page count and geometry deterministically from the payload,
+  * but everything around it is real — the emitted page images are ACTUAL
+  * PNGs (javax.imageio), page naming follows the reference
+  * (`page_%03d.png`, 1-based, under `<stem>_images/`), and the DPI scaling
+  * math is PyMuPDF's (`Matrix(dpi/72, dpi/72)` on 72-dpi page points).
+  * Swapping the stub for PDFBox's `PDFRenderer` changes one function body
+  * and no plan shape.
+  */
+object PdfIngest {
+
+  /** A4 page geometry in PDF points (72 dpi): 612 × 792. */
+  val PageWPts = 612
+  val PageHPts = 792
+
+  final case class PageImage(doc_id: String, page: Int, media_ref: String,
+      width: Int, height: Int, png: Array[Byte])
+
+  /** STUB — the rasterizer boundary. A real implementation opens the PDF
+    * (PDFBox/PyMuPDF) and renders each page; this fake derives the page
+    * count (1–4) from the payload deterministically and renders each page
+    * as a REAL PNG at the dpi-scaled A4 geometry. */
+  def renderPdfStub(bytes: Array[Byte], dpi: Int): Seq[(Int, Int, Array[Byte])] = {
+    val scale = dpi / 72.0 // fitz.Matrix(dpi/72, dpi/72)
+    val w = math.round(PageWPts * scale).toInt
+    val h = math.round(PageHPts * scale).toInt
+    val seed = java.util.Arrays.hashCode(bytes)
+    val nPages = 1 + math.abs(seed % 4)
+    (0 until nPages).map(p => (w, h, graft.ops.Multimodal.encodePng(w, h, seed * 31 + p)))
+  }
+
+  /** The ingest job: scan `*.pdf` under `path`, render every page, emit the
+    * page-image table (doc_id = filename stem; media_ref mirrors the
+    * reference's `<stem>_images/page_%03d.png` naming). */
+  def pageImageTable(spark: SparkSession, path: String, dpi: Int = 300): Dataset[PageImage] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.[pP][dD][fF]") // GlobFilter is case-sensitive
+      .load(path)
+      .select(
+        regexp_replace(element_at(split(col("path"), "/"), -1), "(?i)\\.pdf$", "").as("stem"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (stem, bytes) =>
+        renderPdfStub(bytes, dpi).zipWithIndex.map { case ((w, h, png), i) =>
+          PageImage(stem, i + 1, f"${stem}_images/page_${i + 1}%03d.png", w, h, png)
+        }
+      })
+  }
+
+  /** Bridge into the multimodal decode path: page images as MediaRows. */
+  def toMediaRows(pages: Dataset[PageImage]): Dataset[graft.ops.Multimodal.MediaRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map(p => graft.ops.Multimodal.MediaRow(p.media_ref, "image", p.png))
+  }
+
+  /** Page-image sink: partitioned parquet keyed by doc_id — the cluster
+    * form of the reference's output directory tree (one row group per
+    * partition file instead of one PNG file per page). */
+  def writePages(pages: Dataset[PageImage], outDir: String): Unit =
+    pages.toDF().write.mode("overwrite").partitionBy("doc_id").parquet(outDir)
+}

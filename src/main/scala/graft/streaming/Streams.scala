@@ -148,6 +148,37 @@ object Streams {
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
+  /** Streaming NEAR-dedup: suppress documents whose simhash is within
+    * `maxHamming` bits of an earlier in-watermark arrival. Same pigeonhole
+    * construction as the batch `Dedup.simhashNearDup`: the 64-bit signature
+    * splits into (maxHamming+1) chunks and any hamming≤k pair agrees on ≥1
+    * chunk — expressed in streaming as a CHAIN of per-chunk
+    * `dropDuplicatesWithinWatermark` stages (multiple stateful operators,
+    * append mode): a doc survives only if EVERY chunk is first-seen, i.e.
+    * it is suppressed when ANY chunk matches an earlier doc — exactly the
+    * pigeonhole OR. Each stage's state is bounded by the lateness window.
+    *
+    * Divergence from the batch op, documented: the batch op verifies
+    * candidates with exact hamming; a one-pass stream cannot re-compare
+    * against the suppressed representative, so chunk collisions of
+    * far-apart docs (standard LSH collateral, ~2^-16/chunk for random
+    * text) are suppressed too. Use the batch op for exact semantics;
+    * this is the bounded-state crawl-refetch guard. */
+  def neardupStream(docs: DataFrame, tsCol: String = "ts", maxHamming: Int = 3,
+      lateness: String = "10 minutes", textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val banded = docs
+      .withColumn("__sig", graft.ops.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .select(col("*") +: (0 until nChunks).map(c =>
+        shiftrightunsigned(col("__sig"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1).as(s"__b$c")): _*)
+    (0 until nChunks)
+      .foldLeft(banded)((d, c) => d.dropDuplicatesWithinWatermark(s"__b$c"))
+      .drop("__sig" +: (0 until nChunks).map(c => s"__b$c"): _*)
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream
     * (ts, event_type, value): counts + sums per (window, type), tolerating
     * `lateness` out-of-order data. Works on any streaming DataFrame with

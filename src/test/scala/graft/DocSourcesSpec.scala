@@ -37,6 +37,37 @@ class DocSourcesSpec extends SparkSuite {
     assert(d2._2 == "Total: 9,99" && d2._4 == 0.7 && (d2._5, d2._6, d2._7, d2._8) == ((5, 6, 50, 12)))
   }
 
+  test("S3 variant 3: Google Vision text_annotations (vertices, sparse fields, defaults)") {
+    val dir = Files.createTempDirectory("graft_vision_")
+    // reference semantics (ocr_integration.py:120-139): bbox from vertices
+    // [v0, _, v2, _] when ≥4, else zeros; confidence defaults 0.8; missing
+    // vertex coordinates default 0
+    Files.writeString(dir.resolve("ocr_doc9.json"),
+      """{"text_annotations":[
+        |{"description":"FACTURE N 42","confidence":0.95,
+        | "bounding_poly":{"vertices":[{"x":10,"y":20},{"x":110,"y":20},{"x":110,"y":44},{"x":10,"y":44}]}},
+        |{"description":"sans confiance",
+        | "bounding_poly":{"vertices":[{"y":5},{"x":60,"y":5},{"x":60,"y":15},{"x":0,"y":15}]}},
+        |{"description":"trois sommets",
+        | "bounding_poly":{"vertices":[{"x":1,"y":1},{"x":2,"y":1},{"x":2,"y":2}]}}]}""".stripMargin.replace("\n", ""))
+
+    val rows = DocSources.readOcrJson(spark, dir.toString + "/*.json")
+      .select($"doc_id", explode($"spans").as("s"))
+      .select($"doc_id", $"s.text", $"s.offset", $"s.conf",
+        $"s.bbox.x", $"s.bbox.y", $"s.bbox.w", $"s.bbox.h")
+      .as[(String, String, Int, Double, Int, Int, Int, Int)]
+      .collect().sortBy(_._3)
+
+    assert(rows.map(_._1).distinct.toSeq == Seq("doc9")) // ocr_<stem> normalization
+    assert(rows.length == 3)
+    assert(rows(0)._2 == "FACTURE N 42" && rows(0)._4 == 0.95)
+    assert((rows(0)._5, rows(0)._6, rows(0)._7, rows(0)._8) == ((10, 20, 100, 24)))
+    // missing confidence → 0.8; missing v0.x → 0 so w = v2.x − 0
+    assert(rows(1)._4 == 0.8 && (rows(1)._5, rows(1)._6, rows(1)._7, rows(1)._8) == ((0, 5, 60, 10)))
+    // < 4 vertices → zero bbox
+    assert((rows(2)._5, rows(2)._6, rows(2)._7, rows(2)._8) == ((0, 0, 0, 0)))
+  }
+
   test("P5 round trip: rect → poly → rect") {
     val df = Seq((3, 4, 10, 20)).toDF("x", "y", "w", "h")
       .select(struct($"x", $"y", $"w", $"h").as("r"))

@@ -87,6 +87,44 @@ class StreamsSpec extends SparkSuite {
     assert(ids == Set(1L, 3L, 5L), ids)
   }
 
+  test("streaming near-dedup suppresses a MUTATED near-dup within the watermark") {
+    implicit val sq = spark.sqlContext
+    val base = "invoice total amount due thirty days net payment terms " +
+      "vendor atlas tech solutions casablanca morocco reference number " +
+      "four two seven nine delivery address boulevard hassan second floor"
+    // pick a deterministic mutation whose simhash is a GENUINE near-dup
+    // (0 < hamming ≤ 3) — precondition asserted, not assumed
+    val candidates = Seq(
+      base.replace("thirty", "sixty"), base.replace("atlas", "altas"),
+      base.replace("four", "five"), base.replace("floor", "flor"),
+      base.replace("net", "gross"))
+    val h0 = graft.ops.Dedup.simhashScala(base)
+    val mutated = candidates.find { c =>
+      val h = java.lang.Long.bitCount(h0 ^ graft.ops.Dedup.simhashScala(c))
+      h > 0 && h <= 3
+    }
+    assert(mutated.nonEmpty, "fixture problem: no candidate mutation within hamming 3")
+    val far = "completely unrelated text about spark structured streaming " +
+      "state stores watermarks and checkpoint directories growing unbounded"
+    assert(java.lang.Long.bitCount(h0 ^ graft.ops.Dedup.simhashScala(far)) > 3)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.neardupStream(docs)
+    val query = out.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), 1L, base))
+    query.processAllAvailable()
+    mem.addData(
+      (t("2024-01-01 10:01:00"), 2L, mutated.get), // near-dup → suppressed
+      (t("2024-01-01 10:02:00"), 3L, far))         // distinct → kept
+    query.processAllAvailable()
+    val ids = spark.table("neardup_test").select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(ids == Set(1L, 3L), ids)
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
