@@ -86,12 +86,18 @@ object ConnectedComponents {
       }
     }
 
-    var e = graft.Materialize(cleaned)
+    // LAZY materialization + signature = ONE job per round: the signature
+    // aggregate is the action that computes AND stores the checkpoint, so a
+    // round costs one cross-process job instead of three (eager checkpoint,
+    // isEmpty probe, signature) — the per-job scheduling latency of this
+    // loop is the pipeline's serial component on a real cluster. Emptiness
+    // falls out of the signature's count.
+    var e = graft.Materialize(cleaned, eager = false)
     var sig = signature(e)
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      e = graft.Materialize(smallStar(largeStar(e)))
+      e = graft.Materialize(smallStar(largeStar(e)), eager = false)
       val s2 = signature(e)
       converged = s2 == sig
       sig = s2

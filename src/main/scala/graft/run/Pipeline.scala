@@ -155,8 +155,8 @@ object Pipeline {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
       else Extract.vendorMentions(docs)).persist()
-    val (ents, canonMap) = try {
-      val ents = EntityLinker.entities(vm) // entity-scale, localCheckpoint'd inside
+    val (ents, canonMap, mapRows) = try {
+      val ents = EntityLinker.entities(vm) // entity-scale, materialized inside
       val edges = EntityLinker.candidateEdgesFromEntities(
         ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce,
         smallThreshold = cfg.elSmallThreshold)
@@ -167,14 +167,20 @@ object Pipeline {
       val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
           saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
         .select(col("entity_key").as("id"), col("n"))
-      (ents, graft.Materialize(ConnectedComponents.canonicalMap(comps, counts)))
+      // LAZY materialize + count in ONE job (the count is the action that
+      // computes and stores the map — no separate eager-checkpoint job);
+      // the count must run inside the try, while the mention cache that the
+      // map's lineage (and ents') reads is still live.
+      val cm = graft.Materialize(
+        ConnectedComponents.canonicalMap(comps, counts), eager = false)
+      (ents, cm, cm.count())
     } finally vm.unpersist()
 
     val m = maybeBroadcast(
       canonMap.select(
         concat(lit("vendor:"), col("id")).as("surf_node"),
         concat(lit("vendor:"), col("canonical")).as("canon_node")),
-      canonMap.count(), cfg.broadcastEntityLimit)
+      mapRows, cfg.broadcastEntityLimit)
 
     // doc-scoped stream: single pass, one broadcast join, no dedup needed
     val raw = rawTriples(docs, cfg)
