@@ -28,6 +28,7 @@ object CurationBench {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {

@@ -363,6 +363,22 @@ object SparkEntry {
         round(score, 4).as("integration_score"),
         round(CrossValidate.overallConfidence(vlmConf, score), 4).as("overall_confidence"),
         CrossValidate.reliability(score).as("reliability"))
+    }),
+    "q45_image_quality" -> ((s, d) => {
+      // P8 — quality metrics + gated enhancement + rollback on REAL decoded
+      // pixels (image_enhancement.py:99-128, :291-358); metrics are a pure
+      // function of media_ref (its PNG payload is) → committed fixture
+      // oracle, drift-guarded in ImageQualitySpec
+      graft.ops.ImageQuality.enhance(
+          Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
+        .select(col("media_ref"),
+          round(col("sharpness"), 4).as("sharpness"),
+          round(col("contrast"), 4).as("contrast"),
+          round(col("brightness"), 4).as("brightness"),
+          round(col("noise"), 4).as("noise"),
+          round(col("quality_score"), 4).as("quality_score"),
+          col("needs_contrast"), col("needs_denoise"), col("needs_sharpen"),
+          col("conservative"), col("rolled_back"))
     })
   )
 
@@ -651,6 +667,13 @@ object SparkEntry {
     "q34_media_decode" ->
       """SELECT media_ref, kind, width, height, n_frames
         |FROM read_parquet('/root/repo/src/test/resources/expected/q34_media_decode.parquet')""".stripMargin,
+    // q45: the metrics/gates are a pure function of media_ref (the PNG
+    // payload is); committed live-output fixture, drift-guarded in
+    // ImageQualitySpec — same pattern and justification as q34.
+    "q45_image_quality" ->
+      """SELECT media_ref, sharpness, contrast, brightness, noise, quality_score,
+        | needs_contrast, needs_denoise, needs_sharpen, conservative, rolled_back
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q45_image_quality.parquet')""".stripMargin,
     "q35_fieldtag_expr" ->
       s"SELECT doc_id, $classifySql AS field_type FROM documents",
     "q38_ocr_amount_validation" ->

@@ -18,6 +18,13 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // coalesce small post-shuffle stages by SIZE, not parallelism: the
+      // entity-scale stage chain (groupBy/join/CC over ~10^2-10^6 rows)
+      // otherwise keeps shuffle.partitions-wide stages whose per-task
+      // cross-process scheduling latency GROWS with executor count —
+      // measured as the pipeline's main scaling-efficiency loss. Big
+      // shuffles still get wide plans (size-based targets).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // catalog tables (bucketed sinks) land in a temp warehouse, not ./
       .config("spark.sql.warehouse.dir",

@@ -102,6 +102,11 @@ object GenFixtures {
     spark.createDataset(pairs.toVector).toDF("id_a", "id_b", "hamming")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q22_pairs_dir")
 
+    // q45: live output of the P8 quality pipeline (pure fn of media_ref;
+    // drift-guarded by ImageQualitySpec — q34's justification)
+    graft.SparkEntry.queries("q45_image_quality")(spark, "/root/testdata/sf0.01")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q45_quality_dir")
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -109,7 +114,8 @@ object GenFixtures {
         "q32_raw" -> "q32_expected_raw.parquet",
         "q34_media" -> "q34_media_decode.parquet",
         "q42_groups" -> "q42_expected_groups.parquet",
-        "q22_pairs" -> "q22_expected_pairs.parquet").foreach { case (dir, name) =>
+        "q22_pairs" -> "q22_expected_pairs.parquet",
+        "q45_quality" -> "q45_image_quality.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
