@@ -187,7 +187,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
-    "q24_lsh_ann" -> ((s, d) => { // rows-only (hash-based)
+    "q24_lsh_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, planes = 4)
     }),
@@ -265,7 +265,7 @@ object SparkEntry {
         .where(col("sim_raw") >= 0.2) // filter on the unrounded value (= oracle)
         .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
     }),
-    "q37_embedding_neardup_lsh" -> ((s, d) => // rows-only (hash-based blocking)
+    "q37_embedding_neardup_lsh" -> ((s, d) =>
       // banded multi-table defaults (planes=2, tables=12): recall ≈ 0.99 at
       // the 0.2 threshold (SimilaritySpec gates ≥ 0.95); r1's single
       // 4-plane AND-bucket measured 72%
@@ -659,6 +659,17 @@ object SparkEntry {
     "q22_simhash_neardup" ->
       """SELECT id_a, id_b, hamming
         |FROM read_parquet('/root/repo/src/test/resources/expected/q22_expected_pairs.parquet')""".stripMargin,
+    // q37/q24: the hyperplane LSH is deterministic (xxhash64-parity
+    // planes), so GenFixtures computes the expected outputs with an
+    // INDEPENDENT all-pairs driver scan (shared-bucket test + exact
+    // left-fold cosine) — verifying the distributed band join / dedup /
+    // rank plumbing; drift-guarded in SimilaritySpec.
+    "q37_embedding_neardup_lsh" ->
+      """SELECT id_a, id_b, sim
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q37_expected_pairs.parquet')""".stripMargin,
+    "q24_lsh_ann" ->
+      """SELECT query_id, neighbor_id, rank, sim
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q24_expected_topk.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

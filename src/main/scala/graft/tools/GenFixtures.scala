@@ -107,6 +107,56 @@ object GenFixtures {
     graft.SparkEntry.queries("q45_image_quality")(spark, "/root/testdata/sf0.01")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q45_quality_dir")
 
+    // q37/q24: the hyperplane LSH is fully DETERMINISTIC (xxhash64-parity
+    // planes), so the expected outputs are computable by an independent
+    // driver-side scan: buckets via lshBucketsScala (itself parity-locked
+    // Column-vs-typed by LshParity), candidates by shared-bucket test over
+    // ALL pairs, exact left-fold cosine — verifying the distributed band
+    // join / dedup / rank plumbing against naive code.
+    {
+      import graft.ops.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double =
+        if (na * nb == 0) 0.0 else dot(a, b) / (na * nb)
+      val norms = emb.map { case (_, v) => math.sqrt(dot(v, v)) }
+
+      // q37: neardupPairs(threshold=0.2, planes=2, tables=12)
+      val s37 = Similarity.lshSignsMatrix(emb.head._2.length, 2, 12)
+      val b37 = emb.map { case (_, v) => Similarity.lshBucketsScala(v, s37, 2, 12) }
+      val pairs37 = for {
+        i <- emb.indices.iterator
+        j <- (i + 1) until emb.length
+        if b37(i).zip(b37(j)).exists { case (x, y) => x == y }
+        s = cos(emb(i)._2, norms(i), emb(j)._2, norms(j))
+        if s >= 0.2
+      } yield (emb(i)._1, emb(j)._1, r4(s))
+      spark.createDataset(pairs37.toVector).toDF("id_a", "id_b", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q37_pairs_dir")
+
+      // q24: lshTopK(k=5, planes=4, tables=4, queries = vec_id < 8)
+      val s24 = Similarity.lshSignsMatrix(emb.head._2.length, 4, 4)
+      val b24 = emb.map { case (_, v) => Similarity.lshBucketsScala(v, s24, 4, 4) }
+      val top24 = emb.indices.filter(emb(_)._1 < 8).flatMap { qi =>
+        val cands = emb.indices.filter(ci => ci != qi &&
+          b24(qi).zip(b24(ci)).exists { case (x, y) => x == y })
+        cands.map(ci => (emb(ci)._1, r4(cos(emb(qi)._2, norms(qi), emb(ci)._2, norms(ci)))))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, s), rk) => (emb(qi)._1, id, rk + 1, s) }
+      }
+      spark.createDataset(top24).toDF("query_id", "neighbor_id", "rank", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q24_topk_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -115,7 +165,9 @@ object GenFixtures {
         "q34_media" -> "q34_media_decode.parquet",
         "q42_groups" -> "q42_expected_groups.parquet",
         "q22_pairs" -> "q22_expected_pairs.parquet",
-        "q45_quality" -> "q45_image_quality.parquet").foreach { case (dir, name) =>
+        "q45_quality" -> "q45_image_quality.parquet",
+        "q37_pairs" -> "q37_expected_pairs.parquet",
+        "q24_topk" -> "q24_expected_topk.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

@@ -137,4 +137,20 @@ class SimilaritySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan) // `*` = whole-stage codegen span
   }
+  test("q37/q24 oracle contract: distributed LSH == independent all-pairs driver scan (fixtures current)") {
+    // GenFixtures computes both expected outputs with naive shared-bucket +
+    // exact-cosine code over the sf0.01 embeddings; these ARE the driver's
+    // q37/q24 oracles, so this gates the band-join/dedup/rank plumbing AND
+    // the fixtures' freshness
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val live37 = Similarity.neardupPairs(emb, threshold = 0.2)
+    val fix37 = spark.read.parquet("src/test/resources/expected/q37_expected_pairs.parquet")
+    assert(live37.exceptAll(fix37).count() == 0, "live q37 pairs missing from fixture")
+    assert(fix37.exceptAll(live37).count() == 0, "fixture q37 pairs missing from live output")
+    val live24 = Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, planes = 4)
+    val fix24 = spark.read.parquet("src/test/resources/expected/q24_expected_topk.parquet")
+    assert(live24.exceptAll(fix24).count() == 0, "live q24 rows missing from fixture")
+    assert(fix24.exceptAll(live24).count() == 0, "fixture q24 rows missing from live output")
+  }
+
 }
