@@ -344,10 +344,13 @@ object SparkEntry {
           .selectExpr("doc_id", "page_w", "page_h", "spans")
           .as[graft.model.OcrDoc], threshold = 50.0)
     }),
-    "q43_ivf_ann" -> ((s, d) => { // rows-only (k-means centers carry fp reduce-order noise)
+    "q43_ivf_ann" -> ((s, d) => {
+      // deterministic quantizer (driver Lloyd's over the id-sorted sample)
+      // makes the inverted lists — and so the probe results — bit-stable,
+      // which lets this be hash-oracled against an independent driver scan
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-        nCentroids = 16, nprobe = 4)
+        nCentroids = 16, nprobe = 4, deterministicQuantizer = true)
     }),
     "q44_validation_score" -> ((s, d) => {
       // integration/validation scoring (ocr_integration.py:250-318) over
@@ -670,6 +673,14 @@ object SparkEntry {
     "q24_lsh_ann" ->
       """SELECT query_id, neighbor_id, rank, sim
         |FROM read_parquet('/root/repo/src/test/resources/expected/q24_expected_topk.parquet')""".stripMargin,
+    // q43: with the deterministic driver-Lloyd's quantizer the inverted
+    // lists are bit-stable, so the expected top-k is computable by an
+    // independent naive driver scan (assignment loop + probe-set filter +
+    // exact left-fold cosine rerank) in GenFixtures; drift-guarded in
+    // SimilaritySpec (determinism across runs + recall gates).
+    "q43_ivf_ann" ->
+      """SELECT query_id, neighbor_id, rank, sim
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q43_expected_topk.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

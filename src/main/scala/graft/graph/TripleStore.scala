@@ -42,6 +42,36 @@ object TripleStore {
     }
   }
 
+  /** batch id → batches its manifest superseded (compaction snapshots). */
+  private def replacedBy(root: String): Map[Int, Set[Int]] = {
+    val d = snapsDir(root)
+    if (!Files.exists(d)) Map.empty
+    else scala.util.Using.resource(Files.list(d)) { stream =>
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("snap-"))
+        .flatMap { p =>
+          val txt = Files.readString(p)
+          val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          val repl = "\"replaces\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+            .map(_.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+          for (b <- batch; r <- repl) yield b -> r
+        }.toMap
+    }
+  }
+
+  /** Batches visible to a reader as of snapshot `asOf` (MaxValue = latest):
+    * committed ids ≤ asOf, minus those superseded by a compaction snapshot
+    * that is itself ≤ asOf — so time travel BEFORE a compaction point still
+    * sees the original micro-batches (until `vacuum` physically drops them,
+    * the Iceberg expire-snapshots trade-off). */
+  private def visibleBatches(root: String, asOf: Int): Set[Int] = {
+    val committed = committedBatches(root).filter(_ <= asOf)
+    val replaced = replacedBy(root)
+      .collect { case (b, r) if b <= asOf && committed(b) => r }
+      .flatten.toSet
+    committed -- replaced
+  }
+
   /** Append one batch of triples (must carry columns subj, pred, obj) and
     * commit it atomically with its lineage counters. Idempotent: re-running
     * a committed batch overwrites the same files and re-commits. */
@@ -76,14 +106,12 @@ object TripleStore {
   /** Snapshot time travel: read the store as of a given snapshot id —
     * only batches committed with id ≤ asOfBatch are visible (the
     * Iceberg-snapshot read semantics on the manifest log). */
-  def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame = {
-    val committed = committedBatches(root).filter(_ <= asOfBatch)
-    readBatches(spark, root, committed)
-  }
+  def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame =
+    readBatches(spark, root, visibleBatches(root, asOfBatch))
 
-  /** Read only committed batches. */
+  /** Read only committed (and not compacted-away) batches. */
   def read(spark: SparkSession, root: String): DataFrame =
-    readBatches(spark, root, committedBatches(root))
+    readBatches(spark, root, visibleBatches(root, Int.MaxValue))
 
   private def readBatches(spark: SparkSession, root: String, committed: Set[Int]): DataFrame = {
     if (committed.isEmpty) {
@@ -94,6 +122,78 @@ object TripleStore {
         .where(col("batch").isin(committed.toSeq: _*))
         .select("subj", "pred", "obj")
     }
+  }
+
+  /** Iceberg-style rewrite-data-files: fold all currently visible batches
+    * into ONE new batch partition and commit a snapshot whose manifest
+    * atomically supersedes them. At 10^12-doc scale a store accumulates
+    * thousands of micro-batch commits — per-predicate reads then union
+    * thousands of `batch=<k>` partitions of small files, and file
+    * listing/open overhead (not bytes) dominates the scan; compaction
+    * restores O(preds) large files. Crash-safe by the same protocol as
+    * commitBatch: data files land first, the manifest ATOMIC_MOVE is the
+    * commit point — a crash mid-compaction leaves the old batches visible
+    * and the half-written compacted files invisible garbage. Readers of
+    * snapshots OLDER than the compaction id still see the original
+    * micro-batches (time travel unaffected) until `vacuum`.
+    *
+    * `filesPerPred` bounds output files per predicate partition (at a real
+    * deployment size by target bytes instead — parameterized so callers
+    * derive it from store size / 128 MB).
+    * Returns the new compacted batch id. */
+  def compact(spark: SparkSession, root: String, filesPerPred: Int = 1): Int = {
+    val visible = visibleBatches(root, Int.MaxValue)
+    require(visible.nonEmpty, "compact: nothing committed")
+    val newId = committedBatches(root).max + 1
+    val df = graft.Materialize(readBatches(spark, root, visible)
+      // spread within each predicate partition, bounded file count
+      .repartition(filesPerPred, col("pred"), pmod(xxhash64(col("subj")), lit(filesPerPred))))
+    val counts = df.groupBy("pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.withColumn("batch", lit(newId))
+      .write.mode("overwrite")
+      .partitionBy("pred", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$root/data")
+    val countersJson = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val manifest =
+      s"""{"batch": $newId, "committed_at": "${java.time.Instant.now()}", "replaces": ${visible.toSeq.sorted.mkString("[", ", ", "]")}, "counters": $countersJson}"""
+    val tmp = snapsDir(root).resolve(s".snap-$newId.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, snapsDir(root).resolve(s"snap-$newId.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    newId
+  }
+
+  /** Physically delete data partitions of batches superseded by a committed
+    * compaction snapshot (Iceberg expire-snapshots). After this, time
+    * travel to pre-compaction snapshot ids no longer sees those rows —
+    * the standard retention trade-off; run it once readers have moved past
+    * the compaction point. Latest-snapshot `read` is unaffected. */
+  def vacuum(root: String): Int = {
+    val replaced = replacedBy(root).values.flatten.toSet
+    val dataDir = Paths.get(root, "data")
+    if (!Files.exists(dataDir) || replaced.isEmpty) return 0
+    var removed = 0
+    scala.util.Using.resource(Files.list(dataDir)) { preds =>
+      preds.iterator().asScala.filter(Files.isDirectory(_)).foreach { predDir =>
+        scala.util.Using.resource(Files.list(predDir)) { batches =>
+          batches.iterator().asScala
+            .filter { b =>
+              val n = b.getFileName.toString
+              n.startsWith("batch=") && replaced(n.stripPrefix("batch=").toInt)
+            }
+            .toVector.foreach { b =>
+              scala.util.Using.resource(Files.walk(b))(
+                _.sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala.foreach(Files.delete))
+              removed += 1
+            }
+        }
+      }
+    }
+    removed
   }
 
   /** Lineage counters of all committed snapshots as a DataFrame. */

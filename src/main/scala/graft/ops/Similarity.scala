@@ -274,6 +274,78 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Deterministic coarse quantizer: Lloyd's iteration on the DRIVER over
+    * a seeded, id-ordered sample. At 10^12 rows a 16–1024-centroid codebook
+    * trains on a bounded sample regardless (see ivfCentroids), so the fit
+    * is a driver-scale job — and running it sequentially over the
+    * id-sorted sample makes the centers BIT-REPRODUCIBLE across runs,
+    * partition layouts, and cluster sizes, unlike the distributed MLlib
+    * fit whose treeAggregate combine order injects fp noise into the
+    * centers (which then flips near-boundary inverted-list assignments —
+    * the reason q43 could not be hash-oracled until this path existed).
+    * Init = k-means++ with a seeded RNG; assignment ties break to the
+    * lowest centroid index; means fold in sample order; empty clusters
+    * keep their previous center. */
+  def ivfCentroidsDeterministic(corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, fitSampleRows: Int = 100000,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pairs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val sampled =
+      if (fitSampleRows <= 0) pairs
+      else {
+        val n = pairs.count()
+        if (n <= fitSampleRows) pairs
+        else pairs.sample(withReplacement = false,
+          fraction = math.min(1.0, fitSampleRows.toDouble / n * 1.1), seed)
+      }
+    val sample: Array[Array[Double]] =
+      sampled.collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    require(sample.nonEmpty, "ivfCentroidsDeterministic: empty corpus")
+    val k = math.min(nCentroids, sample.length)
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    init += sample(rnd.nextInt(sample.length))
+    while (init.length < k) {
+      val d2 = sample.map(p => init.iterator.map(c => dist2(p, c)).min)
+      val total = d2.sum
+      if (total == 0) init += sample(rnd.nextInt(sample.length))
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        init += sample(i)
+      }
+    }
+    var cs = init.toArray
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0; var bd = dist2(p, cs(0)); var c = 1
+        while (c < k) { val d = dist2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cs = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cs(c) else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    cs
+  }
+
   private def nearestCentroids(v: Array[Float], centers: Array[Array[Double]],
       n: Int): Array[Int] =
     centers.indices
@@ -297,11 +369,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      fitSampleRows: Int = 100000): DataFrame = {
+      fitSampleRows: Int = 100000,
+      deterministicQuantizer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centers = ivfCentroids(corpus, nCentroids, vecCol, fitSampleRows = fitSampleRows)
+    val centers =
+      if (deterministicQuantizer)
+        ivfCentroidsDeterministic(corpus, nCentroids, idCol, vecCol,
+          fitSampleRows = fitSampleRows)
+      else ivfCentroids(corpus, nCentroids, vecCol, fitSampleRows = fitSampleRows)
 
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]

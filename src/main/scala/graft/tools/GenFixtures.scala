@@ -155,6 +155,33 @@ object GenFixtures {
       }
       spark.createDataset(top24).toDF("query_id", "neighbor_id", "rank", "sim")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q24_topk_dir")
+
+      // q43: ivfTopK(k=5, nCentroids=16, nprobe=4, deterministic
+      // quantizer). The quantizer (driver Lloyd's, seeded, id-sorted
+      // sample) is the shared SPEC of the codebook; the inverted-list
+      // assignment, probe-set selection, exact rerank and ranking below
+      // are an independent naive transcription of IVF search.
+      val centers43 = Similarity.ivfCentroidsDeterministic(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), 16)
+      def d2(a: Array[Float], c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val x = a(i) - c(i); s += x * x; i += 1 }
+        s
+      }
+      val assign43 = emb.map { case (_, v) =>
+        centers43.indices.minBy(c => (d2(v, centers43(c)), c))
+      }
+      val top43 = emb.indices.filter(emb(_)._1 < 8).flatMap { qi =>
+        val probes = centers43.indices
+          .sortBy(c => (d2(emb(qi)._2, centers43(c)), c)).take(4).toSet
+        emb.indices.filter(ci => ci != qi && probes(assign43(ci)))
+          .map(ci => (emb(ci)._1, r4(cos(emb(qi)._2, norms(qi), emb(ci)._2, norms(ci)))))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, s), rk) => (emb(qi)._1, id, rk + 1, s) }
+      }
+      spark.createDataset(top43).toDF("query_id", "neighbor_id", "rank", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q43_topk_dir")
     }
 
     // flatten the single part files to stable names
@@ -167,7 +194,8 @@ object GenFixtures {
         "q22_pairs" -> "q22_expected_pairs.parquet",
         "q45_quality" -> "q45_image_quality.parquet",
         "q37_pairs" -> "q37_expected_pairs.parquet",
-        "q24_topk" -> "q24_expected_topk.parquet").foreach { case (dir, name) =>
+        "q24_topk" -> "q24_expected_topk.parquet",
+        "q43_topk" -> "q43_expected_topk.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
@@ -176,7 +204,7 @@ object GenFixtures {
       scala.util.Using.resource(Files.walk(d))(
         _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.foreach(Files.delete))
     }
-    println(s"[gen-fixtures] wrote q33/q32/q34/q42/q22 fixtures under $out")
+    println(s"[gen-fixtures] wrote q33/q32/q34/q42/q22/q45/q37/q24/q43 fixtures under $out")
     spark.stop()
   }
 }

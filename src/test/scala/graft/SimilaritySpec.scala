@@ -94,6 +94,33 @@ class SimilaritySpec extends SparkSuite {
     assert(full == exact)
   }
 
+  test("IVF deterministic quantizer: bit-identical centers across runs/layouts, same recall gates") {
+    val rng = new scala.util.Random(3)
+    val centers = Seq.fill(8)(Seq.fill(32)(rng.nextGaussian().toFloat))
+    val corpus = (0 until 160).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    // centers are BIT-reproducible — including under a different partition
+    // layout (the id-sorted driver fold ignores partitioning); the MLlib
+    // fit can't promise this (treeAggregate fp reduce order), which is why
+    // q43's hash-oracle requires this path
+    val c1 = Similarity.ivfCentroidsDeterministic(corpus, 8)
+    val c2 = Similarity.ivfCentroidsDeterministic(corpus.repartition(7), 8)
+    assert(c1.length == 8 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    val q = corpus.where($"vec_id" < 16)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8, nprobe = 2,
+      deterministicQuantizer = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact intersect ivf).size.toDouble / exact.size >= 0.9)
+    val full = Similarity.ivfTopK(corpus, q, k = 5, nCentroids = 8, nprobe = 8,
+      deterministicQuantizer = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("LshParity: typed fast buckets == Column hyperplane buckets (exact xxhash64 chain)") {
     val rng = new scala.util.Random(11)
     val corpus = (0 until 60)
@@ -137,7 +164,7 @@ class SimilaritySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan) // `*` = whole-stage codegen span
   }
-  test("q37/q24 oracle contract: distributed LSH == independent all-pairs driver scan (fixtures current)") {
+  test("q37/q24/q43 oracle contract: distributed ANN == independent driver scans (fixtures current)") {
     // GenFixtures computes both expected outputs with naive shared-bucket +
     // exact-cosine code over the sf0.01 embeddings; these ARE the driver's
     // q37/q24 oracles, so this gates the band-join/dedup/rank plumbing AND
@@ -151,6 +178,12 @@ class SimilaritySpec extends SparkSuite {
     val fix24 = spark.read.parquet("src/test/resources/expected/q24_expected_topk.parquet")
     assert(live24.exceptAll(fix24).count() == 0, "live q24 rows missing from fixture")
     assert(fix24.exceptAll(live24).count() == 0, "fixture q24 rows missing from live output")
+    // q43: deterministic-quantizer IVF vs the independent naive probe scan
+    val live43 = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+      nCentroids = 16, nprobe = 4, deterministicQuantizer = true)
+    val fix43 = spark.read.parquet("src/test/resources/expected/q43_expected_topk.parquet")
+    assert(live43.exceptAll(fix43).count() == 0, "live q43 rows missing from fixture")
+    assert(fix43.exceptAll(live43).count() == 0, "fixture q43 rows missing from live output")
   }
 
 }

@@ -40,6 +40,48 @@ class TripleStoreSpec extends SparkSuite {
     assert(TripleStore.read(spark, root).count() == 1)
   }
 
+  test("compact folds micro-batches into one snapshot; time travel + vacuum semantics") {
+    val root = tmp()
+    // 5 micro-batch commits of 3 triples each (distinct rows per batch)
+    (0 until 5).foreach { b =>
+      val df = (0 until 3).map(i => (s"s$b-$i", s"p${i % 2}", s"o$b-$i"))
+        .toDF("subj", "pred", "obj")
+      TripleStore.commitBatch(df, root, b)
+    }
+    val before = TripleStore.read(spark, root)
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(before.size == 15)
+
+    val cid = TripleStore.compact(spark, root)
+    assert(cid == 5)
+    // latest read: identical triple multiset, but served from ONE batch
+    val after = TripleStore.read(spark, root)
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(after == before)
+    // physical check: visible data is the single compacted batch partition,
+    // one file per predicate partition (filesPerPred = 1)
+    import scala.jdk.CollectionConverters._
+    def batchDirs: Seq[String] = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data")))(
+      _.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq)
+    assert(batchDirs.count(_ == s"batch=$cid") == 2) // one per pred partition
+    // time travel BEFORE the compaction id still reads the micro-batches
+    assert(TripleStore.readAsOf(spark, root, 2).count() == 9)
+    // as-of the compaction id == latest
+    assert(TripleStore.readAsOf(spark, root, cid).count() == 15)
+
+    // vacuum drops the superseded partitions; latest read unaffected
+    val removed = TripleStore.vacuum(root)
+    assert(removed == 10) // 5 batches × 2 pred partitions
+    assert(batchDirs.toSet == Set(s"batch=$cid"))
+    val postVacuum = TripleStore.read(spark, root)
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(postVacuum == before)
+    // a fresh commit after compaction gets the next id and stacks normally
+    TripleStore.commitBatch(Seq(("x", "p0", "y")).toDF("subj", "pred", "obj"), root, cid + 1)
+    assert(TripleStore.read(spark, root).count() == 16)
+  }
+
   test("kill/resume equivalence: interrupted run + resume == uninterrupted run") {
     val docs = InvoiceCorpus.docs(spark, 60).toDF().cache()
     val rootA = tmp() // interrupted then resumed
