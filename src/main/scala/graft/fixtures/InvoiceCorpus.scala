@@ -267,10 +267,18 @@ object InvoiceCorpus {
     *        Explicit matters on a cluster: defaultParallelism is sampled at
     *        PLAN time, before all executors may have registered. */
   def docs(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
-      noiseP: Double = 0.25, partitions: Int = 0): Dataset[OcrDoc] = {
+      noiseP: Double = 0.25, partitions: Int = 0): Dataset[OcrDoc] =
+    docsRange(spark, 0, n, seed, noiseP, partitions)
+
+  /** Index slice [from, until) of the same deterministic corpus — an
+    * increment of fresh documents disjoint from docs(spark, from)
+    * (doc i is a pure function of (seed, i), independent of the range). */
+  def docsRange(spark: SparkSession, from: Long, until: Long,
+      seed: Long = DefaultSeed, noiseP: Double = 0.25,
+      partitions: Int = 0): Dataset[OcrDoc] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, p).mapPartitions { it =>
+    spark.range(from, until, 1, p).mapPartitions { it =>
       it.map { i =>
         val r = record(i, seed, noiseP)
         OcrDoc(r.docId, 1000, 1409, spansOf(r, seed))

@@ -72,11 +72,18 @@ object TripleStore {
     committed -- replaced
   }
 
+  /** Currently visible batch ids (committed minus compacted-away). */
+  def visibleBatchIds(root: String): Set[Int] = visibleBatches(root, Int.MaxValue)
+
   /** Append one batch of triples (must carry columns subj, pred, obj) and
     * commit it atomically with its lineage counters. Idempotent: re-running
-    * a committed batch overwrites the same files and re-commits. */
+    * a committed batch overwrites the same files and re-commits.
+    * `replaces` (compaction / incremental-maintenance snapshots): batch ids
+    * this snapshot atomically supersedes — they stop being visible the
+    * instant the manifest lands. */
   def commitBatch(triples: DataFrame, root: String, batchId: Int,
-      extraCounters: Map[String, Long] = Map.empty): Unit = {
+      extraCounters: Map[String, Long] = Map.empty,
+      replaces: Set[Int] = Set.empty): Unit = {
     // Counters are computed from the batch DataFrame BEFORE the write (one
     // localCheckpoint pass feeding both): re-reading the store after every
     // commit re-lists all files — O(batches) listing per commit, O(B²)
@@ -94,8 +101,11 @@ object TripleStore {
     val all = counts ++ extraCounters
     val countersJson = all.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val replacesJson =
+      if (replaces.isEmpty) ""
+      else s""" "replaces": ${replaces.toSeq.sorted.mkString("[", ", ", "]")},"""
     val manifest =
-      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}", "counters": $countersJson}"""
+      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}",$replacesJson "counters": $countersJson}"""
     Files.createDirectories(snapsDir(root))
     val tmp = snapsDir(root).resolve(s".snap-$batchId.json.tmp")
     Files.writeString(tmp, manifest)
@@ -145,24 +155,13 @@ object TripleStore {
     val visible = visibleBatches(root, Int.MaxValue)
     require(visible.nonEmpty, "compact: nothing committed")
     val newId = committedBatches(root).max + 1
-    val df = graft.Materialize(readBatches(spark, root, visible)
+    val df = readBatches(spark, root, visible)
       // spread within each predicate partition, bounded file count
-      .repartition(filesPerPred, col("pred"), pmod(xxhash64(col("subj")), lit(filesPerPred))))
-    val counts = df.groupBy("pred").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    df.withColumn("batch", lit(newId))
-      .write.mode("overwrite")
-      .partitionBy("pred", "batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$root/data")
-    val countersJson = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    val manifest =
-      s"""{"batch": $newId, "committed_at": "${java.time.Instant.now()}", "replaces": ${visible.toSeq.sorted.mkString("[", ", ", "]")}, "counters": $countersJson}"""
-    val tmp = snapsDir(root).resolve(s".snap-$newId.json.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, snapsDir(root).resolve(s"snap-$newId.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+      .repartition(filesPerPred, col("pred"), pmod(xxhash64(col("subj")), lit(filesPerPred)))
+    // commitBatch materializes before writing, which both severs the
+    // read-from-the-dir-being-written lineage and makes the manifest move
+    // the single commit point
+    commitBatch(df, root, newId, replaces = visible)
     newId
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.run.Main facturaispark.jar \
   *     --docs <parquet path | synthetic:N> --store <storeRoot> \
-  *     [--batches N] [--no-ice] [--report]
+  *     [--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]
   *
   * Runs the resumable pipeline: documents → canonical triple graph in the
   * snapshot store. Re-running the same command after a kill resumes at the
@@ -31,9 +31,12 @@ object Main {
         case "--batches" => m("batches") = args(i + 1); i += 2
         case "--no-ice" => m("noIce") = "true"; i += 1
         case "--report" => m("report") = "true"; i += 1
+        case "--compact" => m("compact") = "true"; i += 1
+        case "--vacuum" => m("vacuum") = "true"; i += 1
+        case "--incremental" => m("incremental") = "true"; i += 1
         case other => throw new IllegalArgumentException(
           s"unknown argument '$other' — expected --docs <path|synthetic:N> --store <dir> " +
-            "[--batches N] [--no-ice] [--report]")
+            "[--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]")
       }
     }
     require(m.contains("docs"), "--docs <parquet path | synthetic:N> is required")
@@ -55,7 +58,13 @@ object Main {
 
     val docs = opts("docs") match {
       case s if s.startsWith("synthetic:") =>
-        InvoiceCorpus.docs(spark, s.stripPrefix("synthetic:").toLong).toDF()
+        s.stripPrefix("synthetic:").split(':') match {
+          case Array(n) => InvoiceCorpus.docs(spark, n.toLong).toDF()
+          // synthetic:FROM:UNTIL — a disjoint increment of the same corpus
+          // (doc i is a pure function of i), for --incremental runs
+          case Array(a, b) => InvoiceCorpus.docsRange(spark, a.toLong, b.toLong).toDF()
+          case _ => throw new IllegalArgumentException(s"bad --docs '$s'")
+        }
       case path => spark.read.parquet(path)
     }
     val store = opts("store")
@@ -67,12 +76,33 @@ object Main {
       println(s"[graft] resuming: ${committedBefore.size} snapshot(s) already committed")
 
     val t0 = System.nanoTime()
-    Pipeline.runResumable(spark, docs, store, batches, cfg)
+    // --incremental: `--docs` names ONLY the new documents; the old corpus
+    // is never re-extracted (registry-based maintenance, one atomic snapshot)
+    if (opts.contains("incremental")) {
+      val id = Pipeline.runIncremental(spark, docs, store, cfg)
+      println(s"[graft] incremental update committed as snapshot $id")
+    } else Pipeline.runResumable(spark, docs, store, batches, cfg)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val nTriples = Pipeline.readGraph(spark, store).count()
     println(f"[graft] done: $nTriples triples committed in $secs%.1f s " +
       f"(${nTriples / math.max(secs, 0.001)}%.0f triples/s incl. resume check)")
+
+    // store maintenance (Iceberg rewrite-data-files / expire-snapshots):
+    // fold the run's micro-batch snapshots into one, optionally dropping
+    // the superseded partitions — the small-file defense for long-lived
+    // stores fed by many incremental runs
+    if (opts.contains("compact")) {
+      val cid = TripleStore.compact(spark, store)
+      println(s"[graft] compacted store into snapshot $cid")
+      if (opts.contains("vacuum")) {
+        val removed = TripleStore.vacuum(store)
+        println(s"[graft] vacuum: removed $removed superseded batch partition(s)")
+      }
+      val postCompact = Pipeline.readGraph(spark, store).count()
+      require(postCompact == nTriples,
+        s"compaction changed the graph: $nTriples -> $postCompact")
+    }
 
     if (opts.contains("report")) {
       println("[graft] lineage counters per snapshot:")

@@ -48,6 +48,15 @@ object Pipeline {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.run.Pipeline")
 
+  /** Snapshot id of the canonical-map + entity-registry stage commit. */
+  private val CanonBatch = 1000000
+
+  /** Internal bookkeeping predicates: the canonical map and the entity
+    * registry ride in the triple store (they need its atomic-snapshot
+    * semantics) but are never part of the user-visible graph. */
+  private[run] val InternalPreds: Seq[String] =
+    Seq("canonicalOf", "_reg_surface", "_reg_n", "_reg_ice")
+
   /** Broadcast the canonical map only while it fits the broadcast budget;
     * log the choice either way (the 0-vs-2-full-corpus-shuffle decision is
     * worth a line in any run log). `mapRows` must be the map's exact row
@@ -91,6 +100,59 @@ object Pipeline {
     try graft.Materialize(canonicalEntityMapFromMentions(vm, cfg))
     finally vm.unpersist()
   }
+
+  /** Canonical map plus the (materialized) entity table it was built from —
+    * the registry that `runIncremental` needs to extend the map later
+    * without re-extracting the corpus. Both results are entity-scale and
+    * forced (one job) before the doc-scale mention cache is released. */
+  def canonicalEntityMapAndEnts(docs: DataFrame,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val vm = (
+      if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
+      else Extract.vendorMentions(docs)).persist()
+    try {
+      val ents = EntityLinker.entities(vm)
+      val edges = EntityLinker.candidateEdgesFromEntities(
+        ents, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin, cfg.useIce,
+        smallThreshold = cfg.elSmallThreshold)
+      val comps = ConnectedComponents.run(edges)
+      val counts = graft.ops.Skew.saltedCount(vm, "entity_key",
+          saltFrom = xxhash64(col("doc_id"), col("role")), salts = 16)
+        .select(col("entity_key").as("id"), col("n"))
+      val cm = graft.Materialize(
+        ConnectedComponents.canonicalMap(comps, counts), eager = false)
+      cm.count() // materializes cm AND ents' lazy checkpoint in one job
+      (cm, ents)
+    } finally vm.unpersist()
+  }
+
+  /** Encode the entity table (entity_key, surface, n_mentions, ice) as
+    * registry triples so it rides the store's snapshot protocol. All three
+    * attributes re-aggregate decomposably (min / sum / min), which is what
+    * makes `runIncremental` EXACT: merged registry == the entity table of
+    * a full extract over old ∪ new. */
+  private def registryTriples(ents: DataFrame): DataFrame = {
+    val base = ents.select(
+      concat(lit("vendor:"), col("entity_key")).as("s"),
+      col("surface"), col("n_mentions"), col("ice"))
+    base.select(col("s").as("subj"), lit("_reg_surface").as("pred"),
+        col("surface").as("obj"))
+      .unionByName(base.select(col("s").as("subj"), lit("_reg_n").as("pred"),
+        col("n_mentions").cast("string").as("obj")))
+      .unionByName(base.where(col("ice").isNotNull).select(col("s").as("subj"),
+        lit("_reg_ice").as("pred"), col("ice").as("obj")))
+  }
+
+  /** Inverse of registryTriples (one row per (entity, attribute)). */
+  private def decodeRegistry(store: DataFrame): DataFrame =
+    store.where(col("pred").isin("_reg_surface", "_reg_n", "_reg_ice"))
+      .select(regexp_replace(col("subj"), "^vendor:", "").as("entity_key"),
+        col("pred"), col("obj"))
+      .groupBy("entity_key")
+      .agg(
+        min(when(col("pred") === "_reg_surface", col("obj"))).as("surface"),
+        min(when(col("pred") === "_reg_n", col("obj"))).cast("long").as("n_mentions"),
+        min(when(col("pred") === "_reg_ice", col("obj"))).as("ice"))
 
   /** Rewrite surface vendor nodes to canonical ones and add sameAs edges.
     * The canonical map is tiny relative to the triples (entities, not docs)
@@ -220,16 +282,19 @@ object Pipeline {
   def runResumable(spark: SparkSession, docs: DataFrame, storeRoot: String,
       nBatches: Int = 4, cfg: Config = Config(),
       failAfterBatches: Int = Int.MaxValue): Unit = {
-    val CanonBatch = 1000000
     val committed = TripleStore.committedBatches(storeRoot)
 
-    // stage 1: global canonical entity map (its own snapshot)
+    // stage 1: global canonical entity map + entity registry (one snapshot;
+    // the registry is what lets runIncremental extend the map later without
+    // re-extracting this corpus)
     if (!committed.contains(CanonBatch)) {
-      val canonTriples = canonicalEntityMap(docs, cfg)
+      val (cm, ents) = canonicalEntityMapAndEnts(docs, cfg)
+      val canonTriples = cm
         .select(
           concat(lit("vendor:"), col("id")).as("subj"),
           lit("canonicalOf").as("pred"),
           concat(lit("vendor:"), col("canonical")).as("obj"))
+        .unionByName(registryTriples(ents))
       TripleStore.commitBatch(canonTriples, storeRoot, CanonBatch)
     }
     val canonMap = TripleStore.read(spark, storeRoot)
@@ -257,6 +322,135 @@ object Pipeline {
     * distinct). */
   def readGraph(spark: SparkSession, storeRoot: String): DataFrame =
     TripleStore.read(spark, storeRoot)
-      .where(col("pred") =!= "canonicalOf")
+      .where(!col("pred").isin(InternalPreds: _*))
       .distinct()
+
+  /** Incremental maintenance — extend an existing store with NEW documents
+    * without re-extracting the old corpus (the 10^12-doc operational path:
+    * a daily increment must not cost a full-corpus rebuild).
+    *
+    * How: the stored entity REGISTRY (decomposable per-entity aggregates)
+    * re-aggregates with the new docs' mentions into exactly the entity
+    * table a full extract over old ∪ new would produce; entity linking +
+    * CC + canonical selection then run over that merged, ENTITY-scale
+    * table. Old doc-scoped triples are re-pointed through the (old
+    * canonical → new canonical) delta — entity-scale, broadcast — and
+    * vendor-scoped triples (sameAs, hasICE) are regenerated from the
+    * merged table, so the result equals a full rebuild (IncrementalSpec)
+    * while touching old DOCUMENTS zero times.
+    *
+    * Prior sameAs components are seeded into the new edge set, so a
+    * learned merge is never un-learned (monotone) even if new entities
+    * push an LSH bucket past its cap.
+    *
+    * Atomicity: the ENTIRE update — re-pointed old triples, new docs'
+    * triples, regenerated vendor-scoped triples, refreshed canonical map
+    * and registry — lands as ONE snapshot whose manifest atomically
+    * `replaces` every previously visible batch. A crash at any point
+    * before the manifest move leaves the store byte-identical; rerunning
+    * the increment is then safe. (Requires a materializing
+    * `spark.graft.materialize` mode — the default — since the commit
+    * rewrites the directory it read.) Returns the new snapshot id. */
+  def runIncremental(spark: SparkSession, newDocs: DataFrame, storeRoot: String,
+      cfg: Config = Config()): Int = {
+    val visible = TripleStore.visibleBatchIds(storeRoot)
+    require(visible.nonEmpty, "runIncremental: empty store — runResumable first")
+    val store = TripleStore.read(spark, storeRoot)
+    val priorEnts = decodeRegistry(store)
+    val priorMap = store.where(col("pred") === "canonicalOf").select(
+      regexp_replace(col("subj"), "^vendor:", "").as("id"),
+      regexp_replace(col("obj"), "^vendor:", "").as("canonical"))
+    require(priorMap.isEmpty || priorEnts.take(1).nonEmpty,
+      "runIncremental: store has a canonical map but no entity registry " +
+        "(pre-registry format) — rebuild the canon snapshot with the " +
+        "current runResumable first")
+
+    val vm = (
+      if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(newDocs)).toDF()
+      else Extract.vendorMentions(newDocs)).persist()
+    val (merged, newMap, mapRows) = try {
+      val newEnts = EntityLinker.entities(vm)
+        .select("entity_key", "surface", "n_mentions", "ice")
+      val mergedEnts = graft.Materialize(
+        priorEnts.unionByName(newEnts)
+          .groupBy("entity_key")
+          .agg(min("surface").as("surface"),
+            sum("n_mentions").as("n_mentions"),
+            min("ice").as("ice"))
+          .withColumn("tokens", array_distinct(split(col("entity_key"), "_"))),
+        eager = false)
+      val edges = EntityLinker.candidateEdgesFromEntities(
+          mergedEnts, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin,
+          cfg.useIce, smallThreshold = cfg.elSmallThreshold)
+        .unionByName(priorMap.where(col("id") =!= col("canonical"))
+          .select(col("id").as("src"), col("canonical").as("dst")))
+      val comps = ConnectedComponents.run(edges)
+      val counts = mergedEnts.select(col("entity_key").as("id"), col("n_mentions").as("n"))
+      val nm = graft.Materialize(
+        ConnectedComponents.canonicalMap(comps, counts), eager = false)
+      (mergedEnts, nm, nm.count())
+    } finally vm.unpersist()
+
+    // entity-scale delta: old canonical → its new canonical (where changed)
+    val delta = priorMap.select(col("canonical").as("old_c")).distinct()
+      .join(newMap.withColumnRenamed("canonical", "new_c"),
+        col("old_c") === col("id"), "left")
+      .select(col("old_c"), coalesce(col("new_c"), col("old_c")).as("new_c"))
+      .where(col("old_c") =!= col("new_c"))
+    val d = broadcast(delta.select(
+      concat(lit("vendor:"), col("old_c")).as("surf_node"),
+      concat(lit("vendor:"), col("new_c")).as("canon_node")))
+
+    // old doc-scoped triples re-pointed through the delta (sameAs/hasICE
+    // are regenerated from the merged table below — cheaper than rewriting)
+    val oldDocTriples = store
+      .where(!col("pred").isin(InternalPreds: _*) &&
+        !col("pred").isin("sameAs", "hasICE"))
+      .join(d, col("obj") === d("surf_node"), "left")
+      .withColumn("obj",
+        when(col("pred").isin("hasVendor", "hasClient"),
+          coalesce(col("canon_node"), col("obj"))).otherwise(col("obj")))
+      .select("subj", "pred", "obj")
+
+    // new docs' doc-scoped triples through the NEW map (run()'s shape)
+    val m = maybeBroadcast(
+      newMap.select(
+        concat(lit("vendor:"), col("id")).as("surf_node"),
+        concat(lit("vendor:"), col("canonical")).as("canon_node")),
+      mapRows, cfg.broadcastEntityLimit)
+    val newDocTriples = rawTriples(newDocs, cfg)
+      .where(col("pred") =!= "hasICE")
+      .join(m, col("obj") === m("surf_node"), "left")
+      .withColumn("obj",
+        when(col("pred").isin("hasVendor", "hasClient"),
+          coalesce(col("canon_node"), col("obj"))).otherwise(col("obj")))
+      .select("subj", "pred", "obj")
+
+    // vendor-scoped triples regenerated from the merged entity table
+    val iceTriples = merged.where(col("ice").isNotNull)
+      .join(newMap, merged("entity_key") === newMap("id"))
+      .select(concat(lit("vendor:"), col("canonical")).as("subj"),
+        lit("hasICE").as("pred"), col("ice").as("obj"))
+      .distinct()
+    val sameAs = newMap.where(col("id") =!= col("canonical"))
+      .select(concat(lit("vendor:"), col("id")).as("subj"),
+        lit("sameAs").as("pred"),
+        concat(lit("vendor:"), col("canonical")).as("obj"))
+    val canonTriples = newMap.select(
+      concat(lit("vendor:"), col("id")).as("subj"),
+      lit("canonicalOf").as("pred"),
+      concat(lit("vendor:"), col("canonical")).as("obj"))
+
+    val combined = oldDocTriples
+      .unionByName(newDocTriples)
+      .unionByName(iceTriples)
+      .unionByName(sameAs)
+      .unionByName(canonTriples)
+      .unionByName(registryTriples(merged))
+    val newId = TripleStore.committedBatches(storeRoot).max + 1
+    val nDocs = newDocs.select("doc_id").distinct().count()
+    TripleStore.commitBatch(combined, storeRoot, newId,
+      Map("docs_added" -> nDocs), replaces = visible)
+    newId
+  }
 }
