@@ -45,6 +45,29 @@ object Bench {
     }
     def cleanup(): Unit = { spark.catalog.clearCache(); System.gc() }
 
+    // Substrate calibration anchor: a fixed, allocation-free integer-mixing
+    // loop, single-thread and all-threads. The shared host's effective CPU
+    // speed varies run-to-run by >1.5× WITHOUT showing up as steal ticks
+    // (measured: a 1.77× median whole-sweep ratio between two quiet-window
+    // runs of the SAME code, steal < 3% in both) — so absolute seconds in
+    // this report only compare across rounds after dividing by the calib
+    // ratio. Within-run numbers (scaling efficiency, per-query relatives)
+    // are unaffected.
+    def mixLoop(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 13) ^ i; i += 1 }
+      h
+    }
+    mixLoop(20000000L) // JIT warmup
+    val calibSingle = time { if (mixLoop(400000000L) == 42L) println("") }
+    val nThreads = cpus.toInt
+    val calibAll = time {
+      val ts = (1 to nThreads).map(_ => new Thread(() => {
+        if (mixLoop(400000000L) == 42L) println("")
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+
     def asOcr(df: org.apache.spark.sql.DataFrame) =
       df.selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]
 
@@ -87,6 +110,7 @@ object Bench {
       f""""extract_triples_per_sec":${nTriples / tExtract}%.1f,""" +
       f""""pipeline_triples_per_sec":${nGraph / tPipeline}%.1f,""" +
       f""""extract_docs_per_sec":${kgDocs / tExtract}%.1f,""" +
+      f""""calib_single_sec":$calibSingle%.3f,"calib_allcores_sec":$calibAll%.3f,""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}""")
     spark.stop()
