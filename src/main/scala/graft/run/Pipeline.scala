@@ -350,7 +350,19 @@ object Pipeline {
     * before the manifest move leaves the store byte-identical; rerunning
     * the increment is then safe. (Requires a materializing
     * `spark.graft.materialize` mode — the default — since the commit
-    * rewrites the directory it read.) Returns the new snapshot id. */
+    * rewrites the directory it read.)
+    *
+    * Cost model: one full-store read+write pass per increment (the
+    * re-point doubles as compaction — the result is one large snapshot).
+    * Amortize by batching increments. A delta-empty fast path (skip the
+    * re-point when no old canonical changes — provably exact, since a
+    * surface's canonical can only change when its representative's does)
+    * would avoid the store pass for most quiet increments, but requires
+    * splitting canon/registry into their own snapshot chain and a
+    * two-phase commit whose crash recovery is NOT idempotent (a re-run
+    * would double-count the increment's mentions in the registry); the
+    * single-snapshot design trades that IO for unconditional atomicity.
+    * Returns the new snapshot id. */
   def runIncremental(spark: SparkSession, newDocs: DataFrame, storeRoot: String,
       cfg: Config = Config()): Int = {
     val visible = TripleStore.visibleBatchIds(storeRoot)
