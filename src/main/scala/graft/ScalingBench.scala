@@ -60,7 +60,30 @@ object ScalingBench {
       s
     }
 
-    def runAt(execs: Int): (Double, Double, Long, Long) = {
+    // Substrate calibration: a fixed allocation-free integer-mixing loop on
+    // exactly the level's thread count. Per-thread work is constant, so on
+    // an unloaded box the wall time is the same at every level; neighbor
+    // contention (which inflates measured iterations WITHOUT guest steal
+    // ticks — observed 1.77× between quiet windows) inflates it by the same
+    // factor. Dividing each iteration by its adjacent calibration converts
+    // wall seconds into substrate-relative units, making the two levels
+    // comparable even when they ran in different speed windows.
+    def mixLoop(n: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < n) { h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 13) ^ i; i += 1 }
+      h
+    }
+    mixLoop(20000000L) // JIT
+    def calibSec(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map(_ => new Thread(() => {
+        if (mixLoop(200000000L) == 42L) println("")
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def runAt(execs: Int): (Double, Double, Double, Double, Long, Long) = {
       val spark = sessionAt(execs)
       import spark.implicits._
       try {
@@ -98,7 +121,8 @@ object ScalingBench {
           val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim
           val f = l.split("\\s+"); if (f.length > 8) f(8).toLong else 0L
         }
-        val (tExtract, tPipeline) = (1 to iters).map { it =>
+        val meas = (1 to iters).map { it =>
+          val c = calibSec(execs * coresPerExec)
           val s0 = stealTicks()
           val te = time {
             nT = FastExtract.triples(
@@ -117,32 +141,42 @@ object ScalingBench {
           val s2 = stealTicks()
           spark.sharedState.cacheManager.clearCache()
           System.err.println(f"[scaling] iter $it extract=$te%.2f (steal ${s1 - s0} ticks) " +
-            f"pipeline=$tp%.2f (steal ${s2 - s1} ticks)")
-          (te, tp)
-        }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
-        (tExtract, tPipeline, nT, nG)
+            f"pipeline=$tp%.2f (steal ${s2 - s1} ticks) calib=$c%.2f s")
+          (te, tp, c)
+        }
+        val tExtract = meas.map(_._1).min
+        val tPipeline = meas.map(_._2).min
+        val teNorm = meas.map(m => m._1 / m._3).min
+        val tpNorm = meas.map(m => m._2 / m._3).min
+        (tExtract, tPipeline, teNorm, tpNorm, nT, nG)
       } finally spark.stop()
     }
 
     val rows = levels.map { e =>
-      val (te, tp, nt, ng) = runAt(e)
+      val (te, tp, teN, tpN, nt, ng) = runAt(e)
       val label = if (mode == "cluster") s"$e executors x $coresPerExec cores"
         else s"local[${e * coresPerExec}]"
       println(f"""{"level":"$label","docs":$nDocs,"extract_sec":$te%.2f,""" +
         f""""pipeline_sec":$tp%.2f,"triples":$nt,"graph_edges":$ng,""" +
         f""""extract_triples_per_sec":${nt / te}%.1f,"pipeline_triples_per_sec":${ng / tp}%.1f}""")
-      (e, te, tp)
+      (e, te, tp, teN, tpN)
     }
     if (rows.size < 2) return // single-level run: per-level line already printed
-    val (e1, te1, tp1) = rows.head
-    val (e2, te2, tp2) = rows.last
+    val (e1, te1, tp1, teN1, tpN1) = rows.head
+    val (e2, te2, tp2, teN2, tpN2) = rows.last
     val factor = e2.toDouble / e1
     val effE = (te1 / te2) / factor
     val effP = (tp1 / tp2) / factor
+    // calibration-normalized: each level's time in substrate-relative units
+    // (seconds ÷ adjacent mix-loop seconds), removing cross-window drift
+    val effEC = (teN1 / teN2) / factor
+    val effPC = (tpN1 / tpN2) / factor
     val caveat = if (mode == "cluster")
       "separate executor JVMs via local-cluster; shuffle crosses processes but not a network"
     else "single JVM, shared memory bus/GC; understates real cluster scaling"
     println(f"""{"scaling":"${e1}x$coresPerExec -> ${e2}x$coresPerExec ($mode)","factor":$factor%.0f,""" +
-      f""""extract_efficiency":$effE%.3f,"pipeline_efficiency":$effP%.3f,"caveat":"$caveat"}""")
+      f""""extract_efficiency":$effE%.3f,"pipeline_efficiency":$effP%.3f,""" +
+      f""""extract_efficiency_calibrated":$effEC%.3f,"pipeline_efficiency_calibrated":$effPC%.3f,""" +
+      f""""caveat":"$caveat"}""")
   }
 }

@@ -325,6 +325,15 @@ object Pipeline {
       .where(!col("pred").isin(InternalPreds: _*))
       .distinct()
 
+  /** The graph as of a snapshot id — e.g. the state before an incremental
+    * update (whose snapshot `replaces` earlier batches only for readers at
+    * or past it). Pre-compaction history needs the superseded partitions
+    * still on disk (i.e. before `TripleStore.vacuum`). */
+  def readGraphAsOf(spark: SparkSession, storeRoot: String, asOfBatch: Int): DataFrame =
+    TripleStore.readAsOf(spark, storeRoot, asOfBatch)
+      .where(!col("pred").isin(InternalPreds: _*))
+      .distinct()
+
   /** Incremental maintenance — extend an existing store with NEW documents
     * without re-extracting the old corpus (the 10^12-doc operational path:
     * a daily increment must not cost a full-corpus rebuild).

@@ -51,6 +51,15 @@ class IncrementalSpec extends SparkSuite {
 
     // the entire update is ONE visible snapshot superseding everything
     assert(TripleStore.visibleBatchIds(incrRoot) == Set(snapId))
+    // graph time travel: as-of just before the increment == the old-corpus
+    // graph (superseded partitions still on disk until vacuum)
+    val preIncr = Pipeline.readGraphAsOf(spark, incrRoot, snapId - 1)
+      .as[(String, String, String)].collect().toSet
+    val oldOnly = tmp()
+    Pipeline.runResumable(spark, oldDocs, oldOnly, nBatches = 2)
+    val oldGraph = Pipeline.readGraph(spark, oldOnly)
+      .as[(String, String, String)].collect().toSet
+    assert(preIncr == oldGraph, "as-of read before the increment must equal the old-corpus graph")
     // expiring the superseded batches does not change the graph
     TripleStore.vacuum(incrRoot)
     val postVacuum = Pipeline.readGraph(spark, incrRoot)
