@@ -281,7 +281,8 @@ object Pipeline {
     */
   def runResumable(spark: SparkSession, docs: DataFrame, storeRoot: String,
       nBatches: Int = 4, cfg: Config = Config(),
-      failAfterBatches: Int = Int.MaxValue): Unit = {
+      failAfterBatches: Int = Int.MaxValue,
+      extraCounters: Map[String, Long] = Map.empty): Unit = {
     val committed = TripleStore.committedBatches(storeRoot)
 
     // stage 1: global canonical entity map + entity registry (one snapshot;
@@ -312,7 +313,8 @@ object Pipeline {
         val triples = canonicalize(raw, canonMap, cfg.broadcastEntityLimit)
           .select("subj", "pred", "obj").distinct()
         val nDocs = batchDocs.count()
-        TripleStore.commitBatch(triples, storeRoot, b, Map("docs" -> nDocs))
+        TripleStore.commitBatch(triples, storeRoot, b,
+          Map("docs" -> nDocs) ++ extraCounters)
         done += 1
       }
     }
@@ -373,7 +375,7 @@ object Pipeline {
     * single-snapshot design trades that IO for unconditional atomicity.
     * Returns the new snapshot id. */
   def runIncremental(spark: SparkSession, newDocs: DataFrame, storeRoot: String,
-      cfg: Config = Config()): Int = {
+      cfg: Config = Config(), extraCounters: Map[String, Long] = Map.empty): Int = {
     val visible = TripleStore.visibleBatchIds(storeRoot)
     require(visible.nonEmpty, "runIncremental: empty store — runResumable first")
     val store = TripleStore.read(spark, storeRoot)
@@ -471,7 +473,7 @@ object Pipeline {
     val newId = TripleStore.committedBatches(storeRoot).max + 1
     val nDocs = newDocs.select("doc_id").distinct().count()
     TripleStore.commitBatch(combined, storeRoot, newId,
-      Map("docs_added" -> nDocs), replaces = visible)
+      Map("docs_added" -> nDocs) ++ extraCounters, replaces = visible)
     newId
   }
 }

@@ -77,6 +77,58 @@ object Streams {
       .start()
   }
 
+  /** Streaming KG construction with GLOBAL canonicalization: each
+    * micro-batch of documents lands as a fully canonical graph update —
+    * the first batch bootstraps the store (canonical map + entity
+    * registry via runResumable), every later batch extends it through
+    * `Pipeline.runIncremental`, so after every micro-batch the store
+    * equals a full batch rebuild over all documents seen so far
+    * (IncrementalSpec's equality, applied streaming).
+    *
+    * Exactly-once: each applied batch stamps `stream_batch = <id>` into
+    * its snapshot counters; a foreachBatch replay (crash after commit,
+    * before the streaming checkpoint ack) finds the stamp and skips —
+    * on top of runIncremental's own single-manifest atomicity (a crash
+    * MID-update leaves the store byte-identical, so the replay applies
+    * cleanly).
+    *
+    * Cost: each increment re-points the full store (see runIncremental's
+    * cost model) — size micro-batches accordingly (Trigger.AvailableNow
+    * or a generous processing-time trigger, not seconds-level cadence).
+    */
+  def ingestDocsCanonical(spark: SparkSession, docsDir: String,
+      storeRoot: String, checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // one landed file = one increment
+      .parquet(docsDir)
+      .dropDuplicates("doc_id")
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.functions.col
+          val docs = batch.select("doc_id", "page_w", "page_h", "spans")
+          val alreadyApplied = TripleStore.counters(spark, storeRoot)
+            .where(col("key") === "stream_batch" && col("value") === batchId)
+            .limit(1).count() > 0
+          if (!alreadyApplied) {
+            val marker = Map("stream_batch" -> batchId)
+            if (TripleStore.committedBatches(storeRoot).isEmpty)
+              Pipeline.runResumable(spark, docs, storeRoot, nBatches = 1,
+                extraCounters = marker)
+            else
+              Pipeline.runIncremental(spark, docs, storeRoot,
+                extraCounters = marker)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Custom-state sessionization over a keyed event stream —
     * `flatMapGroupsWithState` with event-time timeout: a session closes
     * when no event arrives for `gapSeconds` (by watermark), emitting one

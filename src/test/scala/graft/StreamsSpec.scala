@@ -38,6 +38,39 @@ class StreamsSpec extends SparkSuite {
     assert(n3 > n1)
   }
 
+  test("streaming canonical ingest: per-batch incremental canonicalization == batch rebuild") {
+    val docsDir = Files.createTempDirectory("graft_cdocs_").toString
+    val store = Files.createTempDirectory("graft_cstore_").toString
+    val ckpt = Files.createTempDirectory("graft_cckpt_").toString
+
+    // two landed files → with maxFilesPerTrigger=1, bootstrap + increment(s)
+    InvoiceCorpus.docs(spark, 40).toDF()
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    InvoiceCorpus.docsRange(spark, 40, 80).toDF()
+      .coalesce(1).write.mode("append").parquet(docsDir)
+
+    val q = Streams.ingestDocsCanonical(spark, docsDir, store, ckpt)
+    q.awaitTermination()
+
+    // after the stream drains, the store IS the canonical graph a full
+    // batch rebuild over all 80 docs would produce
+    val streamed = graft.run.Pipeline.readGraph(spark, store)
+      .as[(String, String, String)].collect().toSet
+    val batchRoot = Files.createTempDirectory("graft_cfull_").toString
+    graft.run.Pipeline.runResumable(spark,
+      InvoiceCorpus.docs(spark, 80).toDF(), batchRoot, nBatches = 1)
+    val full = graft.run.Pipeline.readGraph(spark, batchRoot)
+      .as[(String, String, String)].collect().toSet
+    assert(streamed == full,
+      s"streamed-only: ${(streamed diff full).take(3)}; full-only: ${(full diff streamed).take(3)}")
+
+    // replay with no new files: exactly-once bookkeeping applies nothing
+    val visible = TripleStore.visibleBatchIds(store)
+    val q2 = Streams.ingestDocsCanonical(spark, docsDir, store, ckpt)
+    q2.awaitTermination()
+    assert(TripleStore.visibleBatchIds(store) == visible)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes sessions by watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
