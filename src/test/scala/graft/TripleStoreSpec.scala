@@ -82,6 +82,62 @@ class TripleStoreSpec extends SparkSuite {
     assert(TripleStore.read(spark, root).count() == 16)
   }
 
+  test("model-based: random commit/compact/vacuum sequence == in-memory visibility model") {
+    // The store backs resume, compaction AND incremental maintenance, so
+    // its visibility semantics get a model check beyond the scripted
+    // cases: a seeded random op sequence is replayed against a trivial
+    // in-memory model of (batch → rows, replaced-set, vacuumed-set), and
+    // read / readAsOf must agree at every step.
+    val root = tmp()
+    val rnd = new scala.util.Random(7)
+    var nextId = 0
+    val data = scala.collection.mutable.Map[Int, Set[(String, String, String)]]()
+    val replacedBy = scala.collection.mutable.Map[Int, Set[Int]]() // snap → replaces
+    val gone = scala.collection.mutable.Set[Int]() // vacuumed batch ids
+
+    def committed: Set[Int] = data.keySet.toSet
+    def visibleAt(asOf: Int): Set[Int] = {
+      val vis = committed.filter(_ <= asOf)
+      vis -- replacedBy.collect { case (b, r) if b <= asOf && vis(b) => r }.flatten
+    }
+    def expectedAt(asOf: Int): Set[(String, String, String)] =
+      (visibleAt(asOf) -- gone).flatMap(data)
+    def readSet(asOf: Option[Int]): Set[(String, String, String)] = {
+      val df = asOf.map(TripleStore.readAsOf(spark, root, _))
+        .getOrElse(TripleStore.read(spark, root))
+      df.as[(String, String, String)].collect().toSet
+    }
+
+    val checkpoints = scala.collection.mutable.ArrayBuffer[Int]()
+    (1 to 18).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // commit a small batch of fresh rows
+          val rows = (0 until 1 + rnd.nextInt(3))
+            .map(i => (s"s$step-$i", s"p${rnd.nextInt(2)}", s"o$step-$i")).toSet
+          TripleStore.commitBatch(rows.toSeq.toDF("subj", "pred", "obj"), root, nextId)
+          data(nextId) = rows; nextId += 1
+        case 2 if committed.nonEmpty => // compact everything visible
+          val vis = visibleAt(Int.MaxValue)
+          val cid = TripleStore.compact(spark, root)
+          assert(cid == committed.max + 1)
+          data(cid) = (vis -- gone).flatMap(data)
+          replacedBy(cid) = vis
+          nextId = cid + 1
+        case 3 if committed.nonEmpty => // vacuum superseded partitions
+          TripleStore.vacuum(root)
+          gone ++= replacedBy.values.flatten
+        case _ => () // compact/vacuum on an empty store: no-op
+      }
+      assert(readSet(None) == expectedAt(Int.MaxValue), s"latest read diverged at step $step")
+      if (committed.nonEmpty) checkpoints += committed.max
+    }
+    // time travel at every recorded snapshot id still matches the model
+    // (including post-vacuum holes, which the model tracks via `gone`)
+    checkpoints.distinct.foreach { snap =>
+      assert(readSet(Some(snap)) == expectedAt(snap), s"as-of $snap diverged")
+    }
+  }
+
   test("kill/resume equivalence: interrupted run + resume == uninterrupted run") {
     val docs = InvoiceCorpus.docs(spark, 60).toDF().cache()
     val rootA = tmp() // interrupted then resumed
