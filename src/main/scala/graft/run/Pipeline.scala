@@ -354,6 +354,14 @@ object Pipeline {
     * learned merge is never un-learned (monotone) even if new entities
     * push an LSH bucket past its cap.
     *
+    * PRECONDITION: `newDocs` must be disjoint (by doc_id) from the
+    * documents already in the store — a re-ingested doc would double its
+    * mention counts in the registry (skewing canonical-representative
+    * weights) even though the triple set itself stays duplicate-free.
+    * The streaming path (`Streams.ingestDocsCanonical`) enforces this
+    * with cross-batch `dropDuplicates("doc_id")` state; batch callers
+    * own the boundary (e.g. ingest from a dated landing partition).
+    *
     * Atomicity: the ENTIRE update — re-pointed old triples, new docs'
     * triples, regenerated vendor-scoped triples, refreshed canonical map
     * and registry — lands as ONE snapshot whose manifest atomically
