@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * (encoded with javax.imageio, which ships in this JDK's `java.desktop`
   * module — no extra dependency), and `decodeAndFeaturize` decodes them
   * with `ImageIO.read` and computes pixel-statistics features from the
-  * decoded raster. Only the VIDEO modality keeps a deterministic
-  * fake-container stub (no ffmpeg in a stock JVM; clearly marked below) —
-  * swapping it for a real demuxer changes one function body and no plan
-  * shape.
+  * decoded raster. The AUDIO modality is REAL too: payloads are actual
+  * 16-bit PCM WAV files written by `javax.sound.sampled`'s WAV encoder
+  * (also `java.desktop`), decoded back through `AudioSystem` with
+  * sample-statistics features from the decoded PCM stream. Only the VIDEO
+  * modality keeps a deterministic fake-container stub (no ffmpeg in a
+  * stock JVM; clearly marked below) — swapping it for a real demuxer
+  * changes one function body and no plan shape.
   *
   * The batch-shaped processing mirrors the reference's per-image model
   * loop (ocr/ocr_starter_final.py:291-324) done right for a cluster:
@@ -69,6 +72,35 @@ object Multimodal {
     encodePng(w, h, mediaRef.hashCode)
   }
 
+  /** REAL WAV payload for a media_ref: 16-bit PCM mono at 8 kHz, 400–1200
+    * samples of a seeded sine + Gaussian-noise mix, written by
+    * `javax.sound.sampled`'s actual WAV encoder (java.desktop — the same
+    * zero-dependency-codec argument that made the image path real).
+    * Deterministic per ref, so the q34 expected-rows fixture stays a pure
+    * function of media_ref. */
+  def wavBytes(mediaRef: String): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val seed = mediaRef.hashCode
+    val rnd = new scala.util.Random(seed)
+    val n = 400 + math.abs(seed % 800)
+    val freq = 200.0 + math.abs(seed % 1000)
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = math.max(-32768, math.min(32767,
+        (math.sin(2 * math.Pi * freq * i / 8000.0) * 12000 +
+          rnd.nextGaussian() * 1500).toInt))
+      samples(2 * i) = (v & 0xff).toByte // little-endian per the format below
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** STUB (video only) — deterministic fake container payload. Header
     * encodes (w, h, frames); body carries bytes the feature stub reads.
     * A real implementation fetches and demuxes the clip (ffmpeg). */
@@ -101,10 +133,18 @@ object Multimodal {
       .as[(String, String)]
       .map { case (ref, _) =>
         // modality from the ref (deterministic): most media are images;
-        // every 7th doc's logo slot carries a video clip so the
-        // frame-sampling path has real multi-frame payloads to exercise
-        val k = if (ref.endsWith("/logo") && math.abs(ref.hashCode) % 7 == 0) "video" else "image"
-        MediaRow(ref, k, if (k == "video") fakeVideoBytes(ref) else pngBytes(ref))
+        // every 7th doc's logo slot carries a video clip (frame-sampling
+        // path), every 5th stamp slot a real WAV clip (audio decode path)
+        val k =
+          if (ref.endsWith("/logo") && math.abs(ref.hashCode) % 7 == 0) "video"
+          else if (ref.endsWith("/stamp") && math.abs(ref.hashCode) % 5 == 0) "audio"
+          else "image"
+        val payload = k match {
+          case "video" => fakeVideoBytes(ref)
+          case "audio" => wavBytes(ref)
+          case _ => pngBytes(ref)
+        }
+        MediaRow(ref, k, payload)
       }
   }
 
@@ -146,11 +186,45 @@ object Multimodal {
       (hist(3) / n).toFloat)
   }
 
+  /** REAL audio feature: 8 statistics from the decoded PCM stream — RMS
+    * level, peak level, zero-crossing rate, sample-rate (normalized to
+    * 48 kHz), and a 4-bin |amplitude| histogram (fractions summing to 1).
+    * Deterministic and decoded-sample-exact. */
+  private def audioFeature(samples: Array[Byte], nSamples: Int,
+      sampleRate: Float): Array[Float] = {
+    var sumSq = 0.0; var peak = 0; var zc = 0; var prev = 0
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < nSamples) {
+      val v = (samples(2 * i + 1) << 8) | (samples(2 * i) & 0xff) // LE signed16
+      val a = math.abs(v)
+      sumSq += v.toDouble * v
+      if (a > peak) peak = a
+      if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+      prev = v
+      hist(math.min(3, a >> 13)) += 1L
+      i += 1
+    }
+    val n = nSamples.toDouble
+    Array(
+      (math.sqrt(sumSq / n) / 32768.0).toFloat,
+      (peak / 32767.0).toFloat,
+      (zc / n).toFloat,
+      sampleRate / 48000f,
+      (hist(0) / n).toFloat, (hist(1) / n).toFloat,
+      (hist(2) / n).toFloat, (hist(3) / n).toFloat)
+  }
+
   /** Batch-shaped decode + feature-extract over the media table:
     * per-partition init happens ONCE (model load in production; here the
     * ImageIO cache policy), rows are processed in `batchSize` groups (the
     * Arrow-batch shape of mapInPandas). Image rows are decoded with the
-    * JDK's real PNG/JPEG codec; video rows go through the labeled stub. */
+    * JDK's real PNG/JPEG codec, audio rows with the JDK's real WAV codec
+    * (`AudioSystem`); video rows go through the labeled stub.
+    *
+    * Field mapping per modality: image/video → (width, height, frames);
+    * audio → width = sample rate in Hz, height = channel count,
+    * n_frames = PCM sample frames. */
   def decodeAndFeaturize(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -161,13 +235,23 @@ object Multimodal {
       ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          if (r.kind == "image") {
-            val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
-            DecodedMedia(r.media_ref, r.kind, img.getWidth, img.getHeight, 1,
-              imageFeature(img))
-          } else {
-            val (w, h, f) = decodeVideoHeaderStub(r.bytes)
-            DecodedMedia(r.media_ref, r.kind, w, h, f, videoFeatureStub(r.bytes))
+          r.kind match {
+            case "image" =>
+              val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
+              DecodedMedia(r.media_ref, r.kind, img.getWidth, img.getHeight, 1,
+                imageFeature(img))
+            case "audio" =>
+              val ais = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(new ByteArrayInputStream(r.bytes))
+              val fmt = ais.getFormat
+              val pcm = ais.readAllBytes()
+              val nSamples = pcm.length / (fmt.getSampleSizeInBits / 8 * fmt.getChannels)
+              DecodedMedia(r.media_ref, r.kind,
+                fmt.getSampleRate.toInt, fmt.getChannels, nSamples,
+                audioFeature(pcm, nSamples, fmt.getSampleRate))
+            case _ =>
+              val (w, h, f) = decodeVideoHeaderStub(r.bytes)
+              DecodedMedia(r.media_ref, r.kind, w, h, f, videoFeatureStub(r.bytes))
           }
         }
       }
@@ -215,6 +299,10 @@ object Multimodal {
     * input row → N frame rows, still narrow. */
   def sampleFrames(decoded: Dataset[DecodedMedia], everyN: Int = 5): DataFrame =
     decoded.toDF()
+      // frame sampling is a VISUAL op: audio rows (n_frames = PCM samples,
+      // thousands per clip) are excluded — windowed audio analysis is a
+      // different operator, not a frame grid
+      .where(col("kind") =!= "audio")
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN))))
       .select("media_ref", "frame_idx", "width", "height")

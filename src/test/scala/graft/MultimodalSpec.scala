@@ -46,7 +46,9 @@ class MultimodalSpec extends SparkSuite {
   test("decode: schema, deterministic dims, real pixel-stat features for images") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs), batchSize = 16)
     val rows = dec.collect()
-    assert(rows.forall(r => r.width >= 64 && r.width < 256 && r.height >= 64 && r.height < 256))
+    // visual rows carry pixel dims; audio rows carry (sampleRate, channels)
+    assert(rows.filter(_.kind != "audio").forall(r =>
+      r.width >= 64 && r.width < 256 && r.height >= 64 && r.height < 256))
     assert(rows.forall(_.feature.length == 8))
     // image features are raster statistics: means in [0,1], the 4-bin
     // luminance histogram sums to 1
@@ -58,6 +60,38 @@ class MultimodalSpec extends SparkSuite {
     val twice = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).collect()
     assert(rows.sortBy(_.media_ref).zip(twice.sortBy(_.media_ref))
       .forall { case (a, b) => a.width == b.width && a.feature.sameElements(b.feature) })
+  }
+
+  test("audio: real WAV payloads decode through AudioSystem with sample-exact features") {
+    // force the audio route on a larger corpus (every 5th stamp slot)
+    val media = Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
+    val audio = media.filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty, "fixture corpus should carry audio rows")
+    // payload IS a RIFF/WAVE file (magic bytes), not a stub
+    audio.foreach { r =>
+      assert(new String(r.bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(r.bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val dec = Multimodal.decodeAndFeaturize(media).filter(_.kind == "audio").collect()
+    dec.foreach { d =>
+      assert(d.width == 8000 && d.height == 1, "width=sampleRate, height=channels")
+      assert(d.n_frames >= 400 && d.n_frames < 1200)
+      val f = d.feature
+      assert(f.length == 8)
+      assert(f(0) > 0.1f && f(0) < 0.6f, s"RMS of a 12k-amplitude sine: ${f(0)}")
+      assert(f(1) > f(0), "peak >= RMS")
+      assert(f(2) > 0f && f(2) < 0.5f, s"zero-crossing rate: ${f(2)}")
+      assert(math.abs(f.drop(4).map(_.toDouble).sum - 1.0) < 1e-5,
+        "amplitude histogram sums to 1")
+    }
+    // independent decode: AudioSystem on the raw payload agrees with the
+    // distributed decode (frames + format)
+    val one = audio.head
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(one.bytes))
+    val decOne = dec.find(_.media_ref == one.media_ref).get
+    assert(ais.getFrameLength == decOne.n_frames)
+    assert(ais.getFormat.getSampleRate == 8000f)
   }
 
   test("q34 expected-rows fixture is current (driver oracle drift guard)") {
@@ -89,8 +123,10 @@ class MultimodalSpec extends SparkSuite {
   test("frame sampling explodes every Nth frame index") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
     val frames = Multimodal.sampleFrames(dec, everyN = 5)
-    // images (1 frame) → 1 row; videos (n frames) → ceil(n/5) rows
-    val expected = dec.collect().map(d => (d.n_frames - 1) / 5 + 1).sum
+    // images (1 frame) → 1 row; videos (n frames) → ceil(n/5) rows; audio
+    // rows are excluded (frame sampling is a visual op)
+    val expected = dec.collect().filter(_.kind != "audio")
+      .map(d => (d.n_frames - 1) / 5 + 1).sum
     assert(frames.count() == expected)
     // image rows only ever sample frame 0; videos reach beyond it
     val videoRefs = dec.filter(_.kind == "video").collect().map(_.media_ref).toSet
