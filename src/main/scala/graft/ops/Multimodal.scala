@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * decoded raster. The AUDIO modality is REAL too: payloads are actual
   * 16-bit PCM WAV files written by `javax.sound.sampled`'s WAV encoder
   * (also `java.desktop`), decoded back through `AudioSystem` with
-  * sample-statistics features from the decoded PCM stream. Only the VIDEO
-  * modality keeps a deterministic fake-container stub (no ffmpeg in a
-  * stock JVM; clearly marked below) — swapping it for a real demuxer
+  * sample-statistics features from the decoded PCM stream. The VIDEO
+  * modality is REAL as Motion-JPEG: payloads are standard RIFF-AVI
+  * containers (a desktop player opens them) whose frames are actual
+  * JPEGs; demux is a spec-compliant RIFF chunk walk and every frame
+  * decodes through the JDK JPEG codec. Interframe codecs (H.264 etc.)
+  * remain out of scope for a stock JVM — swapping the demux for ffmpeg
   * changes one function body and no plan shape.
   *
   * The batch-shaped processing mirrors the reference's per-image model
@@ -101,17 +104,116 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB (video only) — deterministic fake container payload. Header
-    * encodes (w, h, frames); body carries bytes the feature stub reads.
-    * A real implementation fetches and demuxes the clip (ffmpeg). */
-  def fakeVideoBytes(mediaRef: String): Array[Byte] = {
-    val h = mediaRef.hashCode
-    val (w, ht) = dimsOf(mediaRef)
-    val frames = 1 + math.abs((h / 31) % 48)
-    val header = Array[Byte](
-      (w >> 8).toByte, w.toByte, (ht >> 8).toByte, ht.toByte, frames.toByte)
-    val body = Array.tabulate[Byte](64)(i => ((h >> (i % 24)) & 0xff).toByte)
-    header ++ body
+  // ---- Motion-JPEG in a RIFF-AVI container: the VIDEO modality is real.
+  // A stock JVM has no interframe codec (H.264 needs ffmpeg — that
+  // boundary is honest and unchanged), but MJPEG-in-AVI is a public spec
+  // whose frames are plain JPEGs: the muxer below writes a standard AVI
+  // ('avih' + 'vids'/'MJPG' stream header + 'movi' '00dc' chunks, a file
+  // a desktop player opens), and the demuxer is a spec-compliant RIFF
+  // chunk walker; the per-frame decode is javax.imageio's actual JPEG
+  // codec. All three modalities now decode real bytes with zero
+  // dependencies beyond java.desktop. ----------------------------------
+
+  private def u32le(b: ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+  }
+  private def u16le(b: ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+  private def fourcc(b: ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes("US-ASCII"))
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    fourcc(b, id); u32le(b, payload.length); b.write(payload)
+    if ((payload.length & 1) == 1) b.write(0) // RIFF word alignment
+    b.toByteArray
+  }
+  private def riffList(kind: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    fourcc(b, "LIST"); u32le(b, payload.length + 4); fourcc(b, kind)
+    b.write(payload)
+    b.toByteArray
+  }
+
+  /** Mux JPEG frames into a standard RIFF-AVI (MJPEG) container. */
+  def aviMux(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 10): Array[Byte] = {
+    val n = jpegFrames.length
+    val avih = new ByteArrayOutputStream()
+    u32le(avih, 1000000 / fps); u32le(avih, 0); u32le(avih, 0); u32le(avih, 0)
+    u32le(avih, n); u32le(avih, 0); u32le(avih, 1); u32le(avih, 0)
+    u32le(avih, w); u32le(avih, h)
+    (0 until 4).foreach(_ => u32le(avih, 0)) // reserved
+    val strh = new ByteArrayOutputStream()
+    fourcc(strh, "vids"); fourcc(strh, "MJPG")
+    u32le(strh, 0); u16le(strh, 0); u16le(strh, 0); u32le(strh, 0)
+    u32le(strh, 1); u32le(strh, fps); u32le(strh, 0); u32le(strh, n)
+    u32le(strh, 0); u32le(strh, -1); u32le(strh, 0)
+    u16le(strh, 0); u16le(strh, 0); u16le(strh, w); u16le(strh, h) // rcFrame
+    val strf = new ByteArrayOutputStream() // BITMAPINFOHEADER
+    u32le(strf, 40); u32le(strf, w); u32le(strf, h)
+    u16le(strf, 1); u16le(strf, 24); fourcc(strf, "MJPG")
+    u32le(strf, w * h * 3); u32le(strf, 0); u32le(strf, 0)
+    u32le(strf, 0); u32le(strf, 0)
+    val hdrl = riffList("hdrl",
+      chunk("avih", avih.toByteArray) ++
+        riffList("strl", chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray)))
+    val movi = riffList("movi", jpegFrames.toArray.flatMap(f => chunk("00dc", f)))
+    val payload = new ByteArrayOutputStream()
+    fourcc(payload, "AVI "); payload.write(hdrl); payload.write(movi)
+    val out = new ByteArrayOutputStream()
+    fourcc(out, "RIFF"); u32le(out, payload.size()); payload.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Demux a RIFF-AVI: (width, height, JPEG frame payloads) via a
+    * spec-compliant chunk walk ('avih' for dimensions, '00dc' for frames). */
+  def aviDemux(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    def readU32(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    def id(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    require(id(0) == "RIFF" && id(8) == "AVI ", "not a RIFF-AVI payload")
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val cid = id(p); val sz = readU32(p + 4)
+        if (cid == "LIST") walk(p + 12, p + 8 + sz)
+        else if (cid == "avih") { w = readU32(p + 8 + 32); h = readU32(p + 8 + 36) }
+        else if (cid == "00dc") frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    (w, h, frames.toSeq)
+  }
+
+  /** REAL AVI payload for a media_ref: 2–7 JPEG frames (each a shifted
+    * deterministic pixel pattern, encoded by javax.imageio's JPEG codec)
+    * muxed into the standard container above. */
+  def aviBytes(mediaRef: String): Array[Byte] = {
+    val seed = mediaRef.hashCode
+    val (w, h) = dimsOf(mediaRef)
+    val nFrames = 2 + math.abs((seed / 31) % 6)
+    val frames = (0 until nFrames).map { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = y * 31 + x * 7 + (seed + f * 97) * 13
+          img.setRGB(x, y, ((v & 0xff) << 16) | (((v >> 4) & 0xff) << 8) | ((v >> 8) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    aviMux(frames, w, h)
   }
 
   /** Media table for a docs corpus: one row per media span, binary payload
@@ -140,26 +242,13 @@ object Multimodal {
           else if (ref.endsWith("/stamp") && math.abs(ref.hashCode) % 5 == 0) "audio"
           else "image"
         val payload = k match {
-          case "video" => fakeVideoBytes(ref)
+          case "video" => aviBytes(ref)
           case "audio" => wavBytes(ref)
           case _ => pngBytes(ref)
         }
         MediaRow(ref, k, payload)
       }
   }
-
-  /** STUB (video only) — "decode" the 5-byte fake header into dimensions. */
-  private def decodeVideoHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val w = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
-    val h = ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
-    val frames = bytes(4) & 0xff
-    (w, h, frames)
-  }
-
-  /** STUB (video only) — feature from container bytes; a real
-    * implementation runs the vision tower over sampled frames. */
-  private def videoFeatureStub(bytes: Array[Byte]): Array[Float] =
-    Array.tabulate(8)(i => ((bytes(5 + i) & 0xff).toFloat / 255f) - 0.5f)
 
   /** REAL image feature: 8 pixel statistics from the decoded raster —
     * mean R/G/B, mean luminance, and a 4-bin luminance histogram
@@ -220,7 +309,7 @@ object Multimodal {
     * ImageIO cache policy), rows are processed in `batchSize` groups (the
     * Arrow-batch shape of mapInPandas). Image rows are decoded with the
     * JDK's real PNG/JPEG codec, audio rows with the JDK's real WAV codec
-    * (`AudioSystem`); video rows go through the labeled stub.
+    * (`AudioSystem`), video rows by RIFF-AVI demux + per-frame JPEG decode.
     *
     * Field mapping per modality: image/video → (width, height, frames);
     * audio → width = sample rate in Hz, height = channel count,
@@ -249,9 +338,14 @@ object Multimodal {
               DecodedMedia(r.media_ref, r.kind,
                 fmt.getSampleRate.toInt, fmt.getChannels, nSamples,
                 audioFeature(pcm, nSamples, fmt.getSampleRate))
-            case _ =>
-              val (w, h, f) = decodeVideoHeaderStub(r.bytes)
-              DecodedMedia(r.media_ref, r.kind, w, h, f, videoFeatureStub(r.bytes))
+            case _ => // video: real RIFF-AVI demux + real JPEG decode per frame
+              val (w, h, jpegs) = aviDemux(r.bytes)
+              val perFrame = jpegs.map(j =>
+                imageFeature(ImageIO.read(new ByteArrayInputStream(j))))
+              // clip feature = mean of per-frame raster statistics
+              val feat = Array.tabulate(8)(i =>
+                (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat)
+              DecodedMedia(r.media_ref, r.kind, w, h, jpegs.length, feat)
           }
         }
       }

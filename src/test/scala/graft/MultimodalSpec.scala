@@ -16,11 +16,13 @@ class MultimodalSpec extends SparkSuite {
     val media = Multimodal.mediaTable(docs, partitions = 8)
     val rows = media.collect()
     assert(rows.length == 50) // logo + stamp per doc
-    // image payloads are REAL PNGs (magic bytes); video keeps the labeled
-    // fake-container stub (5-byte header + 64-byte body)
+    // image payloads are REAL PNGs, video payloads REAL RIFF-AVI
+    // containers (magic bytes both)
     assert(rows.filter(_.kind == "image").forall(r =>
       (r.bytes(0) & 0xff) == 0x89 && r.bytes(1) == 'P' && r.bytes(2) == 'N' && r.bytes(3) == 'G'))
-    assert(rows.filter(_.kind == "video").forall(_.bytes.length == 69))
+    assert(rows.filter(_.kind == "video").forall(r =>
+      new String(r.bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.bytes.slice(8, 12), "US-ASCII") == "AVI "))
     assert(media.rdd.getNumPartitions == 8)
     assert(rows.map(_.media_ref).distinct.length == 50)
   }
@@ -94,6 +96,37 @@ class MultimodalSpec extends SparkSuite {
     assert(ais.getFormat.getSampleRate == 8000f)
   }
 
+  test("video: real MJPEG-AVI containers round-trip through the RIFF demux and JDK JPEG codec") {
+    val ref = "doc-000014/logo"
+    val bytes = Multimodal.aviBytes(ref)
+    // standard container magic
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val (w, h, jpegs) = Multimodal.aviDemux(bytes)
+    val hh = ref.hashCode
+    assert(w == 64 + math.abs(hh % 192) && h == 64 + math.abs((hh / 7) % 192))
+    assert(jpegs.size >= 2 && jpegs.size <= 7)
+    // every demuxed frame is a REAL JPEG the JDK codec decodes at the
+    // container's declared dimensions
+    jpegs.foreach { j =>
+      assert((j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8, "JPEG SOI marker")
+      val img = ImageIO.read(new ByteArrayInputStream(j))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+    // distributed decode agrees with the direct demux
+    val dec = Multimodal.decodeAndFeaturize(
+      Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF()))
+      .filter(_.kind == "video").collect()
+    assert(dec.nonEmpty, "fixture corpus should carry video rows")
+    dec.foreach { d =>
+      val (dw, dh, fr) = Multimodal.aviDemux(Multimodal.aviBytes(d.media_ref))
+      assert(d.width == dw && d.height == dh && d.n_frames == fr.size)
+      assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
+      assert(math.abs(d.feature.drop(4).map(_.toDouble).sum - 1.0) < 1e-4,
+        "mean per-frame luminance histogram still sums to 1")
+    }
+  }
+
   test("q34 expected-rows fixture is current (driver oracle drift guard)") {
     // the committed parquet at src/test/resources/expected IS the driver's
     // q34 oracle — if the decode path or media-table plumbing changes, this
@@ -122,21 +155,21 @@ class MultimodalSpec extends SparkSuite {
 
   test("frame sampling explodes every Nth frame index") {
     val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
-    val frames = Multimodal.sampleFrames(dec, everyN = 5)
-    // images (1 frame) → 1 row; videos (n frames) → ceil(n/5) rows; audio
+    val frames = Multimodal.sampleFrames(dec, everyN = 2)
+    // images (1 frame) → 1 row; videos (n frames) → ceil(n/2) rows; audio
     // rows are excluded (frame sampling is a visual op)
     val expected = dec.collect().filter(_.kind != "audio")
-      .map(d => (d.n_frames - 1) / 5 + 1).sum
+      .map(d => (d.n_frames - 1) / 2 + 1).sum
     assert(frames.count() == expected)
-    // image rows only ever sample frame 0; videos reach beyond it
+    // image rows only ever sample frame 0; multi-frame videos reach beyond
     val videoRefs = dec.filter(_.kind == "video").collect().map(_.media_ref).toSet
     val imgFrames = frames.where(!$"media_ref".isin(videoRefs.toSeq: _*))
       .select("frame_idx").distinct().as[Int].collect().toSet
     assert(imgFrames == Set(0))
-    if (videoRefs.nonEmpty) {
+    if (dec.collect().exists(d => d.kind == "video" && d.n_frames >= 3)) {
       val vidMax = frames.where($"media_ref".isin(videoRefs.toSeq: _*))
         .agg(max("frame_idx")).as[Int].head()
-      assert(vidMax >= 0)
+      assert(vidMax >= 2, "a >=3-frame AVI samples past frame 0")
     }
   }
 }
