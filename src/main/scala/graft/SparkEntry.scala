@@ -382,6 +382,19 @@ object SparkEntry {
           round(col("quality_score"), 4).as("quality_score"),
           col("needs_contrast"), col("needs_denoise"), col("needs_sharpen"),
           col("conservative"), col("rolled_back"))
+    }),
+    "q46_av_decode" -> ((s, d) => {
+      // the REAL audio (WAV/AudioSystem) and video (MJPEG-AVI demux +
+      // per-frame JPEG) decode paths in the driver gate; output is a pure
+      // function of media_ref → committed fixture oracle (q34/q45's
+      // justification), drift-guarded in MultimodalSpec
+      Multimodal.decodeAndFeaturize(
+          Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF()))
+        .filter(r => r.kind != "image").toDF()
+        .select(col("media_ref"), col("kind"), col("width"), col("height"),
+          col("n_frames"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f_rms_or_r"),
+          round(element_at(col("feature"), 3).cast("double"), 4).as("f_zcr_or_b"))
     })
   )
 
@@ -696,6 +709,9 @@ object SparkEntry {
       """SELECT media_ref, sharpness, contrast, brightness, noise, quality_score,
         | needs_contrast, needs_denoise, needs_sharpen, conservative, rolled_back
         |FROM read_parquet('/root/repo/src/test/resources/expected/q45_image_quality.parquet')""".stripMargin,
+    "q46_av_decode" ->
+      """SELECT media_ref, kind, width, height, n_frames, f_rms_or_r, f_zcr_or_b
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q46_av_decode.parquet')""".stripMargin,
     "q35_fieldtag_expr" ->
       s"SELECT doc_id, $classifySql AS field_type FROM documents",
     "q38_ocr_amount_validation" ->

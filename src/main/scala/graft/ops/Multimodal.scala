@@ -391,6 +391,39 @@ object Multimodal {
   /** Frame sampling plumbing for video payloads: every `everyN`th frame
     * index (decode itself stubbed). Demonstrates the explode shape: one
     * input row → N frame rows, still narrow. */
+  /** Windowed audio analysis — the PCM analog of sampleFrames: decode the
+    * WAV payload (real AudioSystem codec) and emit one row per
+    * `windowSamples`-sample window with sample-exact statistics. Narrow
+    * mapPartitions; window rows carry ids + scalars only. */
+  def audioWindows(media: Dataset[MediaRow], windowSamples: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(r.bytes))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        (0 until n by windowSamples).iterator.map { start =>
+          val end = math.min(start + windowSamples, n)
+          var sumSq = 0.0; var peak = 0; var zc = 0; var prev = 0
+          var i = start
+          while (i < end) {
+            val v = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+            val a = math.abs(v)
+            sumSq += v.toDouble * v
+            if (a > peak) peak = a
+            if (i > start && ((v >= 0) != (prev >= 0))) zc += 1
+            prev = v; i += 1
+          }
+          val len = end - start
+          (r.media_ref, start / windowSamples, len,
+            math.sqrt(sumSq / len) / 32768.0, peak / 32767.0, zc.toDouble / len)
+        }
+      }
+    }.toDF("media_ref", "window_idx", "n_samples", "rms", "peak", "zcr")
+  }
+
   def sampleFrames(decoded: Dataset[DecodedMedia], everyN: Int = 5): DataFrame =
     decoded.toDF()
       // frame sampling is a VISUAL op: audio rows (n_frames = PCM samples,

@@ -107,6 +107,11 @@ object GenFixtures {
     graft.SparkEntry.queries("q45_image_quality")(spark, "/root/testdata/sf0.01")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q45_quality_dir")
 
+    // q46: real audio/video decode outputs (pure fn of media_ref —
+    // WAV/AVI payloads are; same justification as q34/q45)
+    graft.SparkEntry.queries("q46_av_decode")(spark, "/root/testdata/sf0.01")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q46_av_dir")
+
     // q37/q24: the hyperplane LSH is fully DETERMINISTIC (xxhash64-parity
     // planes), so the expected outputs are computable by an independent
     // driver-side scan: buckets via lshBucketsScala (itself parity-locked
@@ -195,7 +200,8 @@ object GenFixtures {
         "q45_quality" -> "q45_image_quality.parquet",
         "q37_pairs" -> "q37_expected_pairs.parquet",
         "q24_topk" -> "q24_expected_topk.parquet",
-        "q43_topk" -> "q43_expected_topk.parquet").foreach { case (dir, name) =>
+        "q43_topk" -> "q43_expected_topk.parquet",
+        "q46_av" -> "q46_av_decode.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

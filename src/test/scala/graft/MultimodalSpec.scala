@@ -137,6 +137,35 @@ class MultimodalSpec extends SparkSuite {
     assert(expected.exceptAll(actual).count() == 0, "fixture rows missing from live output")
   }
 
+  test("q46 expected-rows fixture is current (audio/video decode drift guard)") {
+    val expected = spark.read.parquet("src/test/resources/expected/q46_av_decode.parquet")
+    val actual = SparkEntry.queries("q46_av_decode")(spark, "/root/testdata/sf0.01")
+    assert(actual.exceptAll(expected).count() == 0, "live rows missing from fixture")
+    assert(expected.exceptAll(actual).count() == 0, "fixture rows missing from live output")
+  }
+
+  test("audio windows: per-window PCM stats cover the clip exactly") {
+    val media = Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
+    val dec = Multimodal.decodeAndFeaturize(media).filter(_.kind == "audio").collect()
+    assert(dec.nonEmpty)
+    val win = Multimodal.audioWindows(media, windowSamples = 256)
+    val rows = win.collect()
+    // every audio clip is fully tiled: windows per clip == ceil(samples/256)
+    val perClip = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    dec.foreach { d =>
+      assert(perClip(d.media_ref) == (d.n_frames + 255) / 256, d.media_ref)
+    }
+    // window sample counts per clip sum to the clip's total samples
+    val sums = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getInt(2)).sum).toMap
+    dec.foreach(d => assert(sums(d.media_ref) == d.n_frames))
+    // stats are sane: rms in (0,1), peak >= rms, zcr in [0, 1)
+    rows.foreach { r =>
+      val (rms, peak, zcr) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(rms > 0 && rms < 1 && peak >= rms && zcr >= 0 && zcr < 1, r)
+    }
+  }
+
   test("resize: PIL.thumbnail round_aspect semantics (binding dim takes the box, other rounds to best aspect)") {
     val dims = Seq(
       (2048, 1024), // over on W, aspect 2 → (1024, 512)
