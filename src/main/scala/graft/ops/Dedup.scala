@@ -263,8 +263,6 @@ object Dedup {
     * Integral ids take the typed fast signature path (parity-tested). */
   def simhashNearDup(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
     val idIsIntegral = df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
@@ -279,7 +277,19 @@ object Dedup {
           .toDF("id", "sig")
       } else df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
       .transform(d => graft.Materialize(d)) // config-gated materialization (see minhashNearDup)
-    val chunked = withSig.select(col("id"), col("sig"),
+    hammingPairs(withSig, maxHamming)
+  }
+
+  /** Generic pigeonhole near-dup join over precomputed 64-bit signatures
+    * `(id, sig)`: any pair at hamming ≤ maxHamming agrees EXACTLY on ≥1 of
+    * the maxHamming+1 signature chunks, so candidates come from equi joins
+    * on (chunk, value) — ids+sigs only ride the shuffle — and the bit_count
+    * filter is exact. Shared by simhashNearDup (text) and
+    * Multimodal.perceptualNearDup (dHash over decoded image rasters). */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("sig"), c * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk", "cv")))

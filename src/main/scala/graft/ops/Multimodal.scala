@@ -391,6 +391,65 @@ object Multimodal {
   /** Frame sampling plumbing for video payloads: every `everyN`th frame
     * index (decode itself stubbed). Demonstrates the explode shape: one
     * input row → N frame rows, still narrow. */
+  /** 64-bit dHash perceptual hash of a decoded raster (the public
+    * difference-hash construction): average-pool the luminance onto a 9×8
+    * grid, one bit per horizontally adjacent cell pair (left brighter →
+    * 1). Robust to resolution, uniform noise and brightness shifts —
+    * near-duplicate images land within a few bits; the standard cheap
+    * image-dedup key for training-data curation. */
+  def dhash(img: BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = Array.ofDim[Long](gh, gw)
+    val counts = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val p = rgb(y * w + x)
+        sums(gy)(gx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        counts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L; var i = 0; var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < gw - 1) {
+        if (sums(yy)(xx).toDouble / counts(yy)(xx) >
+            sums(yy)(xx + 1).toDouble / counts(yy)(xx + 1)) bits |= (1L << i)
+        i += 1; xx += 1
+      }
+      yy += 1
+    }
+    bits
+  }
+
+  /** Perceptual image near-dup mining: decode each image payload (real
+    * codec path), dHash it, and find pairs within `maxHamming` bits via
+    * Dedup's pigeonhole chunk join — image dedup composed from the media
+    * plumbing plus the existing hamming machinery; one narrow decode pass,
+    * candidates found by equi joins carrying (ref, sig) only.
+    * NOTE dHash keys on luminance STRUCTURE: corpora of near-identical
+    * layouts (e.g. this fixture's gradient patterns) collapse to few
+    * buckets by design — that is the dedup-aggressive behavior a curation
+    * pipeline wants for boilerplate, and the exact hamming filter is the
+    * knob. */
+  def perceptualNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media.filter(_.kind == "image").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map(r => (r.media_ref,
+        dhash(ImageIO.read(new ByteArrayInputStream(r.bytes)))))
+    }.toDF("id", "sig")
+    Dedup.hammingPairs(graft.Materialize(sigs), maxHamming)
+  }
+
   /** Windowed audio analysis — the PCM analog of sampleFrames: decode the
     * WAV payload (real AudioSystem codec) and emit one row per
     * `windowSamples`-sample window with sample-exact statistics. Narrow

@@ -166,6 +166,47 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("perceptual image dedup: dHash pairs planted near-duplicates, separates distinct noise") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def noiseImage(seed: Int, flipPixels: Int): Array[Byte] = {
+      // block noise (16px cells) so the dHash grid sees STRUCTURE, plus an
+      // optional small per-pixel perturbation for the near-dup copy
+      val rnd = new scala.util.Random(seed)
+      val img = new BufferedImage(128, 128, BufferedImage.TYPE_INT_RGB)
+      val cells = Array.fill(8, 8)(rnd.nextInt(256))
+      for (y <- 0 until 128; x <- 0 until 128) {
+        val v = cells(y / 16)(x / 16)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val flip = new scala.util.Random(seed + 999)
+      (0 until flipPixels).foreach { _ =>
+        val (x, y) = (flip.nextInt(128), flip.nextInt(128))
+        img.setRGB(x, y, 0xffffff)
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a/b: same structure, b has 40 flipped pixels (near-dup); c/d: other noise
+    val media = Seq(
+      Multimodal.MediaRow("img-a", "image", noiseImage(1, 0)),
+      Multimodal.MediaRow("img-b", "image", noiseImage(1, 40)),
+      Multimodal.MediaRow("img-c", "image", noiseImage(2, 0)),
+      Multimodal.MediaRow("img-d", "image", noiseImage(3, 0))).toDS()
+    val pairs = Multimodal.perceptualNearDup(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("img-a", "img-b")), s"near-dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == "img-c" || p._2 == "img-c"), pairs)
+    assert(!pairs.exists(p => p._1 == "img-d" || p._2 == "img-d"), pairs)
+    // the exact filter is trustworthy: recompute hamming on the driver
+    val sigs = media.collect().map(r => r.media_ref ->
+      Multimodal.dhash(javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(r.bytes)))).toMap
+    assert(java.lang.Long.bitCount(sigs("img-a") ^ sigs("img-b")) <= 3)
+    assert(java.lang.Long.bitCount(sigs("img-a") ^ sigs("img-c")) > 3)
+  }
+
   test("resize: PIL.thumbnail round_aspect semantics (binding dim takes the box, other rounds to best aspect)") {
     val dims = Seq(
       (2048, 1024), // over on W, aspect 2 → (1024, 512)
