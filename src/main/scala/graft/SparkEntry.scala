@@ -383,6 +383,18 @@ object SparkEntry {
           col("needs_contrast"), col("needs_denoise"), col("needs_sharpen"),
           col("conservative"), col("rolled_back"))
     }),
+    "q47_dedup_groups" -> ((s, d) => {
+      // pair mining → duplicate GROUPS (transitive closure over q21's
+      // minhash pair graph). Ids are zero-padded so the lexicographic
+      // group labels CC propagates equal numeric minima; the DuckDB oracle
+      // recomputes the components INDEPENDENTLY via a recursive CTE —
+      // a second, SQL-implemented connected-components algorithm.
+      val pairs = Dedup.minhashNearDup(t(s, d, "documents"), k = 5,
+          numHashes = 16, bands = 8, threshold = 0.2)
+        .select(format_string("%06d", col("id_a")).as("id_a"),
+          format_string("%06d", col("id_b")).as("id_b"))
+      Dedup.dupGroups(pairs)
+    }),
     "q46_av_decode" -> ((s, d) => {
       // the REAL audio (WAV/AudioSystem) and video (MJPEG-AVI demux +
       // per-frame JPEG) decode paths in the driver gate; output is a pure
@@ -712,6 +724,34 @@ object SparkEntry {
     "q46_av_decode" ->
       """SELECT media_ref, kind, width, height, n_frames, f_rms_or_r, f_zcr_or_b
         |FROM read_parquet('/root/repo/src/test/resources/expected/q46_av_decode.parquet')""".stripMargin,
+    // q47: a fully INDEPENDENT connected-components oracle — the duplicate
+    // groups are recomputed in DuckDB by a recursive-CTE transitive closure
+    // over the same exact-Jaccard pair set q21's oracle derives, i.e. a
+    // second CC implementation in a different language checks the engine's
+    // large-star/small-star + union-find hybrid end to end.
+    "q47_dedup_groups" ->
+      """WITH RECURSIVE words AS (
+        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT DISTINCT id, shingle FROM (
+        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+        |  WHERE len(w) >= 5)),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |common AS (
+        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id),
+        |pairs AS (
+        | SELECT format('{:06d}', id_a) AS a, format('{:06d}', id_b) AS b
+        | FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        | WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        | SELECT a AS id, b AS r FROM edges
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        |SELECT id, least(id, min(r)) AS group_id FROM reach GROUP BY id""".stripMargin,
     "q35_fieldtag_expr" ->
       s"SELECT doc_id, $classifySql AS field_type FROM documents",
     "q38_ocr_amount_validation" ->

@@ -280,6 +280,20 @@ object Dedup {
     hammingPairs(withSig, maxHamming)
   }
 
+  /** Collapse near-dup PAIRS into duplicate GROUPS — the step that turns
+    * pair mining into an actionable dedup decision: connected components
+    * over the pair graph (transitive closure: A~B ∧ B~C ⇒ one group of
+    * {A,B,C}), each group labeled by its LEXICOGRAPHICALLY smallest member
+    * id ("keep the label row, drop the rest" is then one join). Composes
+    * the existing CC machinery; the input is pair-scale, not corpus-scale.
+    * Numeric ids: zero-pad upstream if numeric-min labels are wanted
+    * (string ids are what CC propagates). */
+  def dupGroups(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    graft.canon.ConnectedComponents.run(
+        pairs.select(col(idA).as("src"), col(idB).as("dst")))
+      .select(col("id"), col("component").as("group_id"))
+
   /** Generic pigeonhole near-dup join over precomputed 64-bit signatures
     * `(id, sig)`: any pair at hamming ≤ maxHamming agrees EXACTLY on ≥1 of
     * the maxHamming+1 signature chunks, so candidates come from equi joins

@@ -110,4 +110,19 @@ class DedupSpec extends SparkSuite {
     assert(fixture.exceptAll(live).count() == 0, "fixture pairs missing from live output")
   }
 
+  test("dupGroups: transitive closure over pair graph, min-id group labels") {
+    // chain a~b, b~c must land in ONE group even though (a,c) was never a
+    // mined pair; disjoint pair (x,y) stays its own group; singletons
+    // (never paired) are absent by contract
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val groups = Dedup.dupGroups(pairs)
+      .as[(String, String)].collect().toMap
+    assert(groups == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // keep-one decision is one anti-join away: drop every row whose id is
+    // not its group label
+    val kept = Dedup.dupGroups(pairs).where($"id" === $"group_id")
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("a", "x"))
+  }
+
 }
