@@ -385,15 +385,13 @@ object SparkEntry {
     }),
     "q47_dedup_groups" -> ((s, d) => {
       // pair mining → duplicate GROUPS (transitive closure over q21's
-      // minhash pair graph). Ids are zero-padded so the lexicographic
-      // group labels CC propagates equal numeric minima; the DuckDB oracle
-      // recomputes the components INDEPENDENTLY via a recursive CTE —
-      // a second, SQL-implemented connected-components algorithm.
-      val pairs = Dedup.minhashNearDup(t(s, d, "documents"), k = 5,
-          numHashes = 16, bands = 8, threshold = 0.2)
-        .select(format_string("%06d", col("id_a")).as("id_a"),
-          format_string("%06d", col("id_b")).as("id_b"))
-      Dedup.dupGroups(pairs)
+      // minhash pair graph). dupGroups handles the integral doc ids
+      // internally (numeric-min group labels, long output — no caller-side
+      // zero-padding shim); the DuckDB oracle recomputes the components
+      // INDEPENDENTLY via a recursive CTE — a second, SQL-implemented
+      // connected-components algorithm.
+      Dedup.dupGroups(Dedup.minhashNearDup(t(s, d, "documents"), k = 5,
+        numHashes = 16, bands = 8, threshold = 0.2))
     }),
     "q46_av_decode" -> ((s, d) => {
       // the REAL audio (WAV/AudioSystem) and video (MJPEG-AVI demux +
@@ -743,7 +741,7 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
         | GROUP BY a.id, b.id),
         |pairs AS (
-        | SELECT format('{:06d}', id_a) AS a, format('{:06d}', id_b) AS b
+        | SELECT id_a AS a, id_b AS b
         | FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         | WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2),
         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),

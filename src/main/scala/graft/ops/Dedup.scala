@@ -283,16 +283,38 @@ object Dedup {
   /** Collapse near-dup PAIRS into duplicate GROUPS — the step that turns
     * pair mining into an actionable dedup decision: connected components
     * over the pair graph (transitive closure: A~B ∧ B~C ⇒ one group of
-    * {A,B,C}), each group labeled by its LEXICOGRAPHICALLY smallest member
-    * id ("keep the label row, drop the rest" is then one join). Composes
-    * the existing CC machinery; the input is pair-scale, not corpus-scale.
-    * Numeric ids: zero-pad upstream if numeric-min labels are wanted
-    * (string ids are what CC propagates). */
+    * {A,B,C}), each group labeled by its smallest member id ("keep the
+    * label row, drop the rest" is then one join). Composes the existing CC
+    * machinery; the input is pair-scale, not corpus-scale.
+    *
+    * CC propagates STRING labels under lexicographic order; integral id
+    * columns are therefore zero-padded internally and cast back, so the
+    * group label is the NUMERIC minimum and the output keeps the ids'
+    * integral type — callers cannot silently mislabel unpadded numeric ids
+    * (r3 verdict #4). Negative ids would invert the padding order, so they
+    * fail loudly instead of mislabeling. */
   def dupGroups(pairs: DataFrame,
-      idA: String = "id_a", idB: String = "id_b"): DataFrame =
-    graft.canon.ConnectedComponents.run(
-        pairs.select(col(idA).as("src"), col(idB).as("dst")))
-      .select(col("id"), col("component").as("group_id"))
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (integral) {
+      val pad = (c: String) =>
+        when(col(c) < 0, raise_error(
+          lit(s"dupGroups: negative integral id in '$c' — numeric-min " +
+            "labeling requires non-negative ids (pad to string upstream)")))
+          .otherwise(format_string("%019d", col(c).cast("long")))
+      graft.canon.ConnectedComponents.run(
+          pairs.select(pad(idA).as("src"), pad(idB).as("dst")))
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("group_id"))
+    } else
+      graft.canon.ConnectedComponents.run(
+          pairs.select(col(idA).as("src"), col(idB).as("dst")))
+        .select(col("id"), col("component").as("group_id"))
+  }
 
   /** Generic pigeonhole near-dup join over precomputed 64-bit signatures
     * `(id, sig)`: any pair at hamming ≤ maxHamming agrees EXACTLY on ≥1 of

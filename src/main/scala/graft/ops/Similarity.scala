@@ -292,15 +292,27 @@ object Similarity {
       maxIter: Int = 10): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pairs = corpus.select(col(idCol).cast("long"), col(vecCol))
+    val pairs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
     val sampled =
       if (fitSampleRows <= 0) pairs
       else {
         val n = pairs.count()
         if (n <= fitSampleRows) pairs
-        else pairs.sample(withReplacement = false,
-          fraction = math.min(1.0, fitSampleRows.toDouble / n * 1.1), seed)
+        else {
+          // Deterministic sample SELECTED BY ID HASH, not DataFrame.sample:
+          // Bernoulli sampling seeds per PARTITION, so a different partition
+          // layout yields a different sample set and different centers,
+          // silently breaking the bit-reproducibility contract at scale
+          // (ADVICE r3). pmod(xxhash64(id, seed)) < threshold keeps each id
+          // with probability ~threshold/den independent of layout.
+          val den = 1L << 20
+          val thr = math.min(den,
+            math.ceil(fitSampleRows.toDouble / n * 1.1 * den).toLong)
+          pairs.toDF("id", "v")
+            .where(pmod(xxhash64(col("id"), lit(seed)), lit(den)) < thr)
+            .as[(Long, Array[Float])]
+        }
       }
     val sample: Array[Array[Double]] =
       sampled.collect().sortBy(_._1).map(_._2.map(_.toDouble))

@@ -95,13 +95,17 @@ object Main {
     if (opts.contains("compact")) {
       val cid = TripleStore.compact(spark, store)
       println(s"[graft] compacted store into snapshot $cid")
-      if (opts.contains("vacuum")) {
-        val removed = TripleStore.vacuum(store)
-        println(s"[graft] vacuum: removed $removed superseded batch partition(s)")
-      }
       val postCompact = Pipeline.readGraph(spark, store).count()
       require(postCompact == nTriples,
         s"compaction changed the graph: $nTriples -> $postCompact")
+    }
+    // --vacuum is independent of --compact (ADVICE r3: it used to be
+    // silently ignored without --compact): any replaces-bearing snapshot —
+    // a compaction OR an --incremental update — leaves superseded batch
+    // partitions on disk that a standalone vacuum may drop.
+    if (opts.contains("vacuum")) {
+      val removed = TripleStore.vacuum(store)
+      println(s"[graft] vacuum: removed $removed superseded batch partition(s)")
     }
 
     if (opts.contains("report")) {

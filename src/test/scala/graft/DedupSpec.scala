@@ -125,4 +125,20 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set("a", "x"))
   }
 
+  test("dupGroups: integral ids get numeric-min labels without caller padding") {
+    // 2 < 10 lexicographically fails ("10" < "2") — the r3 mislabeling
+    // hazard; the operator must pad internally and return LONGS
+    val pairs = Seq((10L, 2L), (2L, 100L), (7L, 30L)).toDF("id_a", "id_b")
+    val out = Dedup.dupGroups(pairs)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("group_id").dataType == org.apache.spark.sql.types.LongType)
+    val groups = out.as[(Long, Long)].collect().toMap
+    assert(groups == Map(2L -> 2L, 10L -> 2L, 100L -> 2L, 7L -> 7L, 30L -> 7L))
+    // negative ids would invert the padding order → loud failure, not a
+    // silent mislabel
+    val neg = Seq((-1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[Exception](Dedup.dupGroups(neg).collect())
+    assert(e.getMessage != null)
+  }
+
 }

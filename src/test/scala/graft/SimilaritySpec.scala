@@ -119,6 +119,13 @@ class SimilaritySpec extends SparkSuite {
       deterministicQuantizer = true)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
+    // SAMPLED-fit path (n > fitSampleRows) must be layout-invariant too:
+    // the r3 hole — DataFrame.sample seeds per partition, so repartitioning
+    // changed the sample set and the centers. The id-hash selection doesn't.
+    val s1 = Similarity.ivfCentroidsDeterministic(corpus, 4, fitSampleRows = 60)
+    val s2 = Similarity.ivfCentroidsDeterministic(corpus.repartition(11), 4,
+      fitSampleRows = 60)
+    assert(s1.length == 4 && s1.zip(s2).forall { case (a, b) => a.sameElements(b) })
   }
 
   test("LshParity: typed fast buckets == Column hyperplane buckets (exact xxhash64 chain)") {
