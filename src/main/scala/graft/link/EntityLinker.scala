@@ -100,8 +100,18 @@ object EntityLinker {
       .select(col("entity_key"), col("surface"), col("tokens"), col("ice"),
         posexplode(array(sigs: _*)).as(Seq("band", "h")))
 
-    // cap pathological buckets
-    val bucketSizes = blocks.groupBy("band", "h").count()
+    // cap pathological buckets — with in-operator accounting (r3 verdict
+    // #3): the (band,h)-scale size table is materialized once (it gates the
+    // join anyway) and the dropped bucket/row counts go to Audit.warn, so
+    // the cap is never silent; blockStats remains the deep-dive audit
+    val bucketSizes = graft.Materialize(blocks.groupBy("band", "h").count())
+    val droppedB = bucketSizes.where(col("count") > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
+    if (droppedB.getLong(0) > 0)
+      graft.Audit.warn(s"EntityLinker: dropping ${droppedB.getLong(0)} " +
+        s"over-cap LSH buckets covering ${droppedB.getLong(1)} entity-band " +
+        s"rows (maxBucket=$maxBucket); capped entities stay recoverable " +
+        "via the ICE identifier key")
     val keptBlocks = blocks
       .join(bucketSizes.where(col("count") <= maxBucket), Seq("band", "h"))
       .drop("count")
@@ -196,6 +206,14 @@ object EntityLinker {
       val u = (sa ++ sb).size
       if (u == 0) 0.0 else (sa & sb).size.toDouble / u
     }
+
+    // same cap accounting as the distributed chain (parity includes the log)
+    val oversized = buckets.valuesIterator.filter(_.size > maxBucket).map(_.size).toSeq
+    if (oversized.nonEmpty)
+      graft.Audit.warn(s"EntityLinker: dropping ${oversized.length} " +
+        s"over-cap LSH buckets covering ${oversized.sum} entity-band rows " +
+        s"(maxBucket=$maxBucket); capped entities stay recoverable via the " +
+        "ICE identifier key")
 
     val out = scala.collection.mutable.TreeSet.empty[(String, String)]
     buckets.valuesIterator.filter(_.size <= maxBucket).foreach { members =>

@@ -199,7 +199,19 @@ object Dedup {
     val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
-    val sizes = banded.groupBy("band", "bh").count()
+    // Bucket sizes are materialized once (they gate BOTH self-join sides)
+    // and the cap's cost is accounted IN-OPERATOR (r3 verdict #3 — "no
+    // silent caps"): dropped bucket/row counts go to Audit.warn from the
+    // same tiny (band,bh)-scale table, so mining never silently loses
+    // recall. Similarity.bucketStats remains the deep-dive audit.
+    val sizes = graft.Materialize(banded.groupBy("band", "bh").count())
+    val dropped = sizes.where(col("count") > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
+    if (dropped.getLong(0) > 0)
+      graft.Audit.warn(s"minhashNearDup: dropping ${dropped.getLong(0)} " +
+        s"over-cap band buckets covering ${dropped.getLong(1)} banded ids " +
+        s"(maxBucket=$maxBucket); pairs found ONLY in dropped buckets are " +
+        "not emitted — raise maxBucket or inspect Similarity.bucketStats")
     val kept = banded.join(sizes.where(col("count") <= maxBucket), Seq("band", "bh"))
     val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))

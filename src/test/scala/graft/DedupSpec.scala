@@ -125,6 +125,25 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set("a", "x"))
   }
 
+  test("minhashNearDup: over-cap bucket drops are WARNED in-operator, silent otherwise") {
+    // 6 identical docs → every band bucket holds 6 ids; maxBucket=2 drops
+    // them all (and the near-dup pairs with them) — that loss must be loud
+    val dups = (0 until 6).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val (res, warned) = Audit.capturing {
+      Dedup.minhashNearDup(dups, k = 5, numHashes = 16, bands = 8,
+        threshold = 0.5, maxBucket = 2).count()
+    }
+    assert(res == 0L)
+    assert(warned.exists(_.contains("over-cap band buckets")), s"got $warned")
+    val (res2, silent) = Audit.capturing {
+      Dedup.minhashNearDup(dups, k = 5, numHashes = 16, bands = 8,
+        threshold = 0.5, maxBucket = 2000).count()
+    }
+    assert(res2 == 15L) // C(6,2) exact duplicates all mined
+    assert(silent.isEmpty, s"unexpected warnings: $silent")
+  }
+
   test("dupGroups: integral ids get numeric-min labels without caller padding") {
     // 2 < 10 lexicographically fails ("10" < "2") — the r3 mislabeling
     // hazard; the operator must pad internally and return LONGS

@@ -42,4 +42,24 @@ class LocalElParitySpec extends SparkSuite {
       assert(local == dist, s"localOnly=${local -- dist} distOnly=${dist -- local}")
     } finally vm.unpersist()
   }
+
+  test("bucket-cap drops are WARNED in-operator on both paths, silent when uncapped") {
+    val vm = FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 150, 7L, 0.9)).toDF().cache()
+    try {
+      val ents = EntityLinker.entities(vm)
+      for (threshold <- Seq(Long.MaxValue, 0L)) { // local, then distributed
+        val (_, warned) = Audit.capturing {
+          EntityLinker.candidateEdgesFromEntities(ents, maxBucket = 3,
+            smallThreshold = threshold).count()
+        }
+        assert(warned.exists(_.contains("over-cap LSH buckets")),
+          s"threshold=$threshold expected a cap warning, got $warned")
+        val (_, silent) = Audit.capturing {
+          EntityLinker.candidateEdgesFromEntities(ents, maxBucket = 100000,
+            smallThreshold = threshold).count()
+        }
+        assert(silent.isEmpty, s"threshold=$threshold unexpected warnings: $silent")
+      }
+    } finally vm.unpersist()
+  }
 }
