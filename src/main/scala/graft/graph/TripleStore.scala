@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -11,16 +11,30 @@ import scala.jdk.CollectionConverters._
   * killed run resumable from the last committed snapshot (north_rule).
   *
   * Layout:
-  *   <root>/data/pred=<p>/batch=<k>/(parquet files)   (partition columns)
+  *   <root>/data/pred=<p>/batch=<k>/...                 (micro-batch appends)
+  *   <root>/cdata/pred=<p>/sbucket=<b>/batch=<k>/...    (compacted, bucketed)
   *   <root>/_snapshots/snap-<k>.json            (manifest: batch id, counters)
   *
-  * Write protocol per batch: (1) write parquet under batch=<k> partitions;
-  * (2) write manifest to a temp file; (3) ATOMIC_MOVE into _snapshots/.
-  * A batch without its manifest is invisible to readers (read path keeps
-  * only committed batches), so a crash between (1) and (3) just leaves
-  * garbage files that the rerun overwrites — exactly the reference's
-  * per-file resume unit generalized to partitions
-  * (ocr/ocr_starter_final.py:416-435 → SURVEY.md §2.9).
+  * Append commits use the cheap (pred, batch) layout; `compact` rewrites the
+  * visible store into the BUCKETED layout — `sbucket = pmod(xxhash64(subj),
+  * filesPerPred)` as a partition directory, subj-sorted within files — which
+  * is what makes single-subject lookups prune (`readForSubjects`): the
+  * SURVEY §4 `bucket(256, subj)` promise, with the bucket count recorded in
+  * the compaction manifest (`files_per_pred`). Exactly Iceberg's split:
+  * appends land unsorted, rewrite-data-files applies the table's sort/bucket
+  * spec.
+  *
+  * Write protocol per batch: (0) scrub partitions left by a CRASHED attempt
+  * at this batch id (a retry may produce a different predicate set than the
+  * crashed write — dynamic partition overwrite alone would leave the
+  * orphaned predicates visible once the manifest lands, ADVICE r3);
+  * (1) write parquet under batch=<k> partitions; (2) write manifest to a
+  * temp file; (3) ATOMIC_MOVE into _snapshots/. A batch without its
+  * manifest is invisible to readers (read path keeps only committed
+  * batches), so a crash between (1) and (3) just leaves garbage files that
+  * the next attempt scrubs — the reference's per-file resume unit
+  * generalized to partitions (ocr/ocr_starter_final.py:416-435 →
+  * SURVEY.md §2.9).
   *
   * Counters per commit (doc count, per-predicate triple counts) are the
   * per-partition lineage + metrics record; they live in the manifest and are
@@ -42,8 +56,7 @@ object TripleStore {
     }
   }
 
-  /** batch id → batches its manifest superseded (compaction snapshots). */
-  private def replacedBy(root: String): Map[Int, Set[Int]] = {
+  private def manifestTexts(root: String): Map[Int, String] = {
     val d = snapsDir(root)
     if (!Files.exists(d)) Map.empty
     else scala.util.Using.resource(Files.list(d)) { stream =>
@@ -51,13 +64,39 @@ object TripleStore {
         .filter(_.getFileName.toString.startsWith("snap-"))
         .flatMap { p =>
           val txt = Files.readString(p)
-          val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-          val repl = "\"replaces\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-            .map(_.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
-          for (b <- batch; r <- repl) yield b -> r
+          "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt)
+            .map(m => m.group(1).toInt -> txt)
         }.toMap
     }
   }
+
+  /** batch id → batches its manifest superseded (compaction snapshots). */
+  private def replacedBy(root: String): Map[Int, Set[Int]] =
+    manifestTexts(root).flatMap { case (b, txt) =>
+      "\"replaces\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(m => b -> m.group(1).split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+    }
+
+  /** batch id → bucket count, for batches written in the BUCKETED layout
+    * (compactions): the `files_per_pred` their manifest recorded. */
+  private def bucketedBatches(root: String): Map[Int, Int] =
+    manifestTexts(root).flatMap { case (b, txt) =>
+      "\"files_per_pred\":\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(m => b -> m.group(1).toInt)
+    }
+
+  /** One lineage counter of one committed snapshot, read driver-side from
+    * the manifest (no Spark job) — e.g. the canonical-map row count
+    * (`canonicalOf`) that Pipeline's batch loop needs per batch. */
+  def counterValue(root: String, batchId: Int, key: String): Option[Long] =
+    manifestTexts(root).get(batchId).flatMap { txt =>
+      ("\"" + java.util.regex.Pattern.quote(key) + "\":\\s*(\\d+)").r
+        .findAllMatchIn(txt)
+        // the counters map is the only place a key repeats the batch field's
+        // shape; keys are written sorted and unique, so first match wins
+        .map(_.group(1).toLong).toSeq.headOption
+    }
 
   /** Batches visible to a reader as of snapshot `asOf` (MaxValue = latest):
     * committed ids ≤ asOf, minus those superseded by a compaction snapshot
@@ -75,6 +114,51 @@ object TripleStore {
   /** Currently visible batch ids (committed minus compacted-away). */
   def visibleBatchIds(root: String): Set[Int] = visibleBatches(root, Int.MaxValue)
 
+  private def deleteRecursive(p: Path): Unit =
+    scala.util.Using.resource(Files.walk(p))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete))
+
+  /** Drop data partitions of a batch id that has NO manifest — garbage from
+    * a crashed attempt. Without this, a retry whose output lacks a
+    * predicate the crashed write produced would leave that predicate's
+    * partition visible once the retry's manifest lands (ADVICE r3). */
+  private def scrubUncommitted(root: String, batchId: Int): Unit = {
+    if (committedBatches(root).contains(batchId)) return
+    Seq("data", "cdata").map(Paths.get(root, _)).filter(Files.exists(_))
+      .foreach { tree =>
+        val stale = scala.util.Using.resource(Files.walk(tree)) { st =>
+          st.iterator().asScala.filter { p =>
+            Files.isDirectory(p) && p.getFileName.toString == s"batch=$batchId"
+          }.toVector
+        }
+        stale.foreach(deleteRecursive)
+      }
+  }
+
+  private def countersOf(df: DataFrame): Map[String, Long] =
+    df.groupBy("pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def commitManifest(root: String, batchId: Int,
+      counters: Map[String, Long], replaces: Set[Int],
+      extraFields: Map[String, Long]): Unit = {
+    val countersJson = counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val replacesJson =
+      if (replaces.isEmpty) ""
+      else s""" "replaces": ${replaces.toSeq.sorted.mkString("[", ", ", "]")},"""
+    val extraJson = extraFields.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""" "$k": $v,""" }.mkString
+    val manifest =
+      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}",$replacesJson$extraJson "counters": $countersJson}"""
+    Files.createDirectories(snapsDir(root))
+    val tmp = snapsDir(root).resolve(s".snap-$batchId.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, snapsDir(root).resolve(s"snap-$batchId.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Append one batch of triples (must carry columns subj, pred, obj) and
     * commit it atomically with its lineage counters. Idempotent: re-running
     * a committed batch overwrites the same files and re-commits.
@@ -84,33 +168,21 @@ object TripleStore {
   def commitBatch(triples: DataFrame, root: String, batchId: Int,
       extraCounters: Map[String, Long] = Map.empty,
       replaces: Set[Int] = Set.empty): Unit = {
+    scrubUncommitted(root, batchId)
     // Counters are computed from the batch DataFrame BEFORE the write (one
     // localCheckpoint pass feeding both): re-reading the store after every
     // commit re-lists all files — O(batches) listing per commit, O(B²)
     // for a run — and the listing, not the pruned read, dominates at scale.
     val df = graft.Materialize(triples.select("subj", "pred", "obj"))
-    val counts = df.groupBy("pred").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // partition by predicate: subject-lookups and per-predicate scans prune
+    val counts = countersOf(df)
+    // partition by predicate: per-predicate scans prune
     df.withColumn("batch", lit(batchId))
       .write
       .mode("overwrite")
       .partitionBy("pred", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$root/data")
-    val all = counts ++ extraCounters
-    val countersJson = all.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    val replacesJson =
-      if (replaces.isEmpty) ""
-      else s""" "replaces": ${replaces.toSeq.sorted.mkString("[", ", ", "]")},"""
-    val manifest =
-      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}",$replacesJson "counters": $countersJson}"""
-    Files.createDirectories(snapsDir(root))
-    val tmp = snapsDir(root).resolve(s".snap-$batchId.json.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, snapsDir(root).resolve(s"snap-$batchId.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(root, batchId, counts ++ extraCounters, replaces, Map.empty)
   }
 
   /** Snapshot time travel: read the store as of a given snapshot id —
@@ -123,45 +195,124 @@ object TripleStore {
   def read(spark: SparkSession, root: String): DataFrame =
     readBatches(spark, root, visibleBatches(root, Int.MaxValue))
 
-  private def readBatches(spark: SparkSession, root: String, committed: Set[Int]): DataFrame = {
-    if (committed.isEmpty) {
-      import spark.implicits._
-      Seq.empty[(String, String, String)].toDF("subj", "pred", "obj")
-    } else {
-      spark.read.parquet(s"$root/data")
-        .where(col("batch").isin(committed.toSeq: _*))
-        .select("subj", "pred", "obj")
-    }
+  private def emptyTriples(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String)].toDF("subj", "pred", "obj")
+  }
+
+  /** Union of the plain (`data`) and bucketed (`cdata`) trees restricted to
+    * `committed`, each side optionally further filtered (subject pruning). */
+  private def readBatches(spark: SparkSession, root: String, committed: Set[Int],
+      extraPlain: Column = lit(true), extraBucketed: Column = lit(true)): DataFrame = {
+    val bucketed = bucketedBatches(root).keySet & committed
+    val plain = committed -- bucketed
+    val parts = Seq(
+      Option.when(plain.nonEmpty)(
+        spark.read.parquet(s"$root/data")
+          .where(col("batch").isin(plain.toSeq: _*) && extraPlain)
+          .select("subj", "pred", "obj")),
+      Option.when(bucketed.nonEmpty)(
+        spark.read.parquet(s"$root/cdata")
+          .where(col("batch").isin(bucketed.toSeq: _*) && extraBucketed)
+          .select("subj", "pred", "obj"))).flatten
+    if (parts.isEmpty) emptyTriples(spark)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Exact same xxhash64 the Column expression `xxhash64(col)` compiles to
+    * (seed 42), evaluated driver-side so subject-bucket predicates are plain
+    * integer literals — partition pruning needs no constant-fold help. */
+  private def subjBucket(subj: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64Function.hash(UTF8String.fromString(subj), StringType, 42L)
+    (((h % buckets) + buckets) % buckets).toInt // pmod
+  }
+
+  /** Subject lookup with PRUNED reads — the first operation every graph
+    * consumer does (SURVEY §4's `bucket(N, subj)` promise). Compacted
+    * batches open only the `sbucket = pmod(xxhash64(subj), filesPerPred)`
+    * partition directories of each predicate (1/filesPerPred of the
+    * compacted files; subj-sorted files let parquet min/max prune further
+    * within a bucket); not-yet-compacted micro-batches are filtered by
+    * subject the ordinary way. Optionally restrict to `preds` for
+    * (pred, subj) point lookups — pred is the outer partition directory,
+    * so that prunes multiplicatively. */
+  def readForSubjects(spark: SparkSession, root: String, subjects: Seq[String],
+      preds: Seq[String] = Nil): DataFrame = {
+    require(subjects.nonEmpty, "readForSubjects: no subjects given")
+    val committed = visibleBatches(root, Int.MaxValue)
+    if (committed.isEmpty) return emptyTriples(spark)
+    val subjPred = col("subj").isin(subjects: _*)
+    val predPred = if (preds.isEmpty) lit(true) else col("pred").isin(preds: _*)
+    // every visible bucketed batch was written with the same filesPerPred
+    // unless compact() was re-parameterized between compactions; the bucket
+    // predicate is computed per distinct bucket count, so mixed layouts
+    // still prune correctly
+    val countsInUse = (bucketedBatches(root).keySet & committed).isEmpty
+    val bucketPred =
+      if (countsInUse) lit(true)
+      else {
+        val byCount = (bucketedBatches(root).filter(kv => committed(kv._1)))
+          .groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
+        byCount.map { case (n, ids) =>
+          col("batch").isin(ids: _*) &&
+            col("sbucket").isin(subjects.map(subjBucket(_, n)).distinct: _*)
+        }.reduce(_ || _)
+      }
+    readBatches(spark, root, committed,
+      extraPlain = subjPred && predPred,
+      extraBucketed = bucketPred && subjPred && predPred)
   }
 
   /** Iceberg-style rewrite-data-files: fold all currently visible batches
-    * into ONE new batch partition and commit a snapshot whose manifest
-    * atomically supersedes them. At 10^12-doc scale a store accumulates
-    * thousands of micro-batch commits — per-predicate reads then union
-    * thousands of `batch=<k>` partitions of small files, and file
-    * listing/open overhead (not bytes) dominates the scan; compaction
-    * restores O(preds) large files. Crash-safe by the same protocol as
-    * commitBatch: data files land first, the manifest ATOMIC_MOVE is the
-    * commit point — a crash mid-compaction leaves the old batches visible
-    * and the half-written compacted files invisible garbage. Readers of
-    * snapshots OLDER than the compaction id still see the original
-    * micro-batches (time travel unaffected) until `vacuum`.
+    * into ONE new batch in the BUCKETED layout and commit a snapshot whose
+    * manifest atomically supersedes them. At 10^12-doc scale a store
+    * accumulates thousands of micro-batch commits — per-predicate reads
+    * then union thousands of `batch=<k>` partitions of small files, and
+    * file listing/open overhead (not bytes) dominates the scan; compaction
+    * restores O(preds × filesPerPred) large files AND makes subject
+    * lookups addressable: rows land under
+    * `pred=<p>/sbucket=pmod(xxhash64(subj), filesPerPred)/` sorted by subj
+    * within each file, so `readForSubjects` opens 1/filesPerPred of the
+    * store and parquet min/max prunes inside what it opens. Crash-safe by
+    * the same protocol as commitBatch (scrub → data files → manifest
+    * ATOMIC_MOVE as the commit point). Readers of snapshots OLDER than the
+    * compaction id still see the original micro-batches (time travel
+    * unaffected) until `vacuum`.
     *
-    * `filesPerPred` bounds output files per predicate partition (at a real
-    * deployment size by target bytes instead — parameterized so callers
-    * derive it from store size / 128 MB).
+    * `filesPerPred` is the subject-bucket count per predicate (at a real
+    * deployment derive it from store size / 128 MB).
     * Returns the new compacted batch id. */
   def compact(spark: SparkSession, root: String, filesPerPred: Int = 1): Int = {
     val visible = visibleBatches(root, Int.MaxValue)
     require(visible.nonEmpty, "compact: nothing committed")
     val newId = committedBatches(root).max + 1
+    // scrub BEFORE reading: a crashed prior attempt at this id left
+    // manifest-less partitions whose half-written files would otherwise be
+    // listed (and possibly schema-sampled) by the store read below
+    scrubUncommitted(root, newId)
     val df = readBatches(spark, root, visible)
-      // spread within each predicate partition, bounded file count
-      .repartition(filesPerPred, col("pred"), pmod(xxhash64(col("subj")), lit(filesPerPred)))
-    // commitBatch materializes before writing, which both severs the
-    // read-from-the-dir-being-written lineage and makes the manifest move
-    // the single commit point
-    commitBatch(df, root, newId, replaces = visible)
+      .withColumn("sbucket", pmod(xxhash64(col("subj")), lit(filesPerPred.toLong)))
+      .withColumn("batch", lit(newId))
+      // one task per (pred, sbucket) → one file per partition directory;
+      // the sort puts rows in partition-column order FIRST (so the dynamic
+      // write inserts no extra sort that could break subj order) and by
+      // subj WITHIN each directory's file (parquet min/max pruning)
+      .repartition(col("pred"), col("sbucket"))
+      .sortWithinPartitions("pred", "sbucket", "batch", "subj")
+    // materialize before writing: severs the read-from-the-directory-being-
+    // written lineage and feeds counters + write in one pass
+    val m = graft.Materialize(df)
+    val counts = countersOf(m)
+    m.write
+      .mode("overwrite")
+      .partitionBy("pred", "sbucket", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$root/cdata")
+    commitManifest(root, newId, counts, replaces = visible,
+      extraFields = Map("files_per_pred" -> filesPerPred.toLong))
     newId
   }
 
@@ -172,45 +323,35 @@ object TripleStore {
     * the compaction point. Latest-snapshot `read` is unaffected. */
   def vacuum(root: String): Int = {
     val replaced = replacedBy(root).values.flatten.toSet
-    val dataDir = Paths.get(root, "data")
-    if (!Files.exists(dataDir) || replaced.isEmpty) return 0
+    if (replaced.isEmpty) return 0
     var removed = 0
-    scala.util.Using.resource(Files.list(dataDir)) { preds =>
-      preds.iterator().asScala.filter(Files.isDirectory(_)).foreach { predDir =>
-        scala.util.Using.resource(Files.list(predDir)) { batches =>
-          batches.iterator().asScala
-            .filter { b =>
-              val n = b.getFileName.toString
-              n.startsWith("batch=") && replaced(n.stripPrefix("batch=").toInt)
-            }
-            .toVector.foreach { b =>
-              scala.util.Using.resource(Files.walk(b))(
-                _.sorted(java.util.Comparator.reverseOrder())
-                  .iterator().asScala.foreach(Files.delete))
-              removed += 1
-            }
+    Seq("data", "cdata").map(Paths.get(root, _)).filter(Files.exists(_))
+      .foreach { tree =>
+        val targets = scala.util.Using.resource(Files.walk(tree)) { st =>
+          st.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isDirectory(p) && n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toIntOption.exists(replaced)
+          }.toVector
         }
+        targets.foreach { b => deleteRecursive(b); removed += 1 }
       }
-    }
     removed
   }
 
   /** Lineage counters of all committed snapshots as a DataFrame. */
   def counters(spark: SparkSession, root: String): DataFrame = {
-    val d = snapsDir(root)
     import spark.implicits._
-    if (!Files.exists(d)) return Seq.empty[(Int, String, Long)].toDF("batch", "key", "value")
-    val rows = scala.util.Using.resource(Files.list(d)) { stream =>
-      stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("snap-"))
-        .flatMap { p =>
-          val txt = Files.readString(p)
-          val batch = "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(-1)
-          "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
-            .filter(_.group(1) != "batch")
-            .map(m => (batch, m.group(1), m.group(2).toLong))
-        }.toSeq
+    val rows = manifestTexts(root).toSeq.flatMap { case (batch, txt) =>
+      val countersPart = txt.indexOf("\"counters\"") match {
+        case -1 => txt
+        case i => txt.substring(i)
+      }
+      "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(countersPart)
+        .filter(_.group(1) != "batch")
+        .map(m => (batch, m.group(1), m.group(2).toLong))
     }
-    rows.toDF("batch", "key", "value")
+    if (rows.isEmpty) Seq.empty[(Int, String, Long)].toDF("batch", "key", "value")
+    else rows.toDF("batch", "key", "value")
   }
 }

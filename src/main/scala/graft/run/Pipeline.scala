@@ -161,11 +161,20 @@ object Pipeline {
     * sort-merge join that shuffles ALL triples twice — broadcast() is the
     * difference between 0 and 2 full-corpus shuffles here. */
   def canonicalize(rawTriples: DataFrame, canonMap: DataFrame,
-      broadcastEntityLimit: Long = 10000000L): DataFrame = {
+      broadcastEntityLimit: Long = 10000000L): DataFrame =
+    canonicalize(rawTriples, canonMap, canonMap.count(), broadcastEntityLimit)
+
+  /** As above with the map's row count supplied by the caller — when the
+    * map comes from a store read, the count is already in the snapshot's
+    * lineage counters (`canonicalOf`), so counting it again per call is an
+    * extra entity-scale job (r3 verdict #6: runResumable paid it once PER
+    * BATCH in its loop). */
+  def canonicalize(rawTriples: DataFrame, canonMap: DataFrame, mapRows: Long,
+      broadcastEntityLimit: Long): DataFrame = {
     val mapped = canonMap.select(
       concat(lit("vendor:"), col("id")).as("surf_node"),
       concat(lit("vendor:"), col("canonical")).as("canon_node"))
-    val m = maybeBroadcast(mapped, canonMap.count(), broadcastEntityLimit)
+    val m = maybeBroadcast(mapped, mapRows, broadcastEntityLimit)
 
     // objects of hasVendor/hasClient and subjects of hasICE are vendor nodes
     val objRewritten = rawTriples
@@ -303,6 +312,12 @@ object Pipeline {
       .select(
         regexp_replace(col("subj"), "^vendor:", "").as("id"),
         regexp_replace(col("obj"), "^vendor:", "").as("canonical"))
+    // map row count from the canon snapshot's lineage counters (driver-side
+    // manifest read) — NOT a per-batch count() job over the store-backed map
+    // (r3 verdict #6); the counter is written by every canon-stage commit,
+    // the count() fallback only covers hand-built stores
+    val canonRows = TripleStore.counterValue(storeRoot, CanonBatch, "canonicalOf")
+      .getOrElse(canonMap.count())
 
     var done = 0
     (0 until nBatches).foreach { b =>
@@ -310,7 +325,7 @@ object Pipeline {
         if (done >= failAfterBatches) throw new RuntimeException(s"injected failure before batch $b")
         val batchDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === b)
         val raw = rawTriples(batchDocs, cfg)
-        val triples = canonicalize(raw, canonMap, cfg.broadcastEntityLimit)
+        val triples = canonicalize(raw, canonMap, canonRows, cfg.broadcastEntityLimit)
           .select("subj", "pred", "obj").distinct()
         val nDocs = batchDocs.count()
         TripleStore.commitBatch(triples, storeRoot, b,

@@ -58,13 +58,17 @@ class TripleStoreSpec extends SparkSuite {
     val after = TripleStore.read(spark, root)
       .as[(String, String, String)].collect().sorted.toSeq
     assert(after == before)
-    // physical check: visible data is the single compacted batch partition,
-    // one file per predicate partition (filesPerPred = 1)
+    // physical check: the compacted batch lives in the BUCKETED tree
+    // (cdata/pred=*/sbucket=*/batch=<cid>), one partition per (pred,
+    // sbucket); filesPerPred = 1 → one bucket per predicate
     import scala.jdk.CollectionConverters._
-    def batchDirs: Seq[String] = scala.util.Using.resource(
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data")))(
-      _.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq)
-    assert(batchDirs.count(_ == s"batch=$cid") == 2) // one per pred partition
+    def batchDirs(tree: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(root, tree)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq)
+    }
+    assert(batchDirs("cdata").count(_ == s"batch=$cid") == 2) // one per (pred, sbucket)
     // time travel BEFORE the compaction id still reads the micro-batches
     assert(TripleStore.readAsOf(spark, root, 2).count() == 9)
     // as-of the compaction id == latest
@@ -73,7 +77,7 @@ class TripleStoreSpec extends SparkSuite {
     // vacuum drops the superseded partitions; latest read unaffected
     val removed = TripleStore.vacuum(root)
     assert(removed == 10) // 5 batches × 2 pred partitions
-    assert(batchDirs.toSet == Set(s"batch=$cid"))
+    assert(batchDirs("data").isEmpty && batchDirs("cdata").toSet == Set(s"batch=$cid"))
     val postVacuum = TripleStore.read(spark, root)
       .as[(String, String, String)].collect().sorted.toSeq
     assert(postVacuum == before)
@@ -136,6 +140,85 @@ class TripleStoreSpec extends SparkSuite {
     checkpoints.distinct.foreach { snap =>
       assert(readSet(Some(snap)) == expectedAt(snap), s"as-of $snap diverged")
     }
+  }
+
+  test("readForSubjects: compacted lookups open 1/filesPerPred of the store (pruned scan)") {
+    val root = tmp()
+    // 4 micro-batches, 2 predicates, 40 distinct subjects
+    (0 until 4).foreach { b =>
+      val df = (0 until 10).map(i => (s"inv:${b * 10 + i}", s"p${i % 2}", s"o$b-$i"))
+        .toDF("subj", "pred", "obj")
+      TripleStore.commitBatch(df, root, b)
+    }
+    // expectations collected BEFORE compact/vacuum (the pre-compaction
+    // file listing is stale afterwards)
+    val expected17 = TripleStore.read(spark, root).where($"subj" === "inv:17")
+      .as[(String, String, String)].collect().toSet
+    val cid = TripleStore.compact(spark, root, filesPerPred = 8)
+    assert(TripleStore.vacuum(root) > 0)
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val totalFiles = filesRead(TripleStore.read(spark, root))
+    // ~2 preds x 8 buckets (a bucket can be hash-empty)
+    assert(totalFiles >= 14 && totalFiles <= 16,
+      s"expected ~2 preds x 8 buckets, got $totalFiles")
+
+    // single-subject lookup: exactly one sbucket dir per predicate opens
+    val one = TripleStore.readForSubjects(spark, root, Seq("inv:17"))
+    assert(filesRead(one) == 2, "single-subject lookup must open 1/filesPerPred of each pred")
+    assert(one.as[(String, String, String)].collect().toSet == expected17)
+    // (pred, subj) point lookup prunes multiplicatively on the pred dir too
+    val point = TripleStore.readForSubjects(spark, root, Seq("inv:17"), preds = Seq("p1"))
+    assert(filesRead(point) == 1)
+    // multi-subject lookup: union of the subjects' buckets, still pruned
+    val two = TripleStore.readForSubjects(spark, root, Seq("inv:3", "inv:29"))
+    assert(filesRead(two) <= 4 && two.count() == 2)
+
+    // MIXED store: a fresh micro-batch after compaction is read the plain
+    // way alongside the pruned bucketed scan
+    TripleStore.commitBatch(
+      Seq(("inv:17", "p0", "late"), ("inv:99", "p1", "x")).toDF("subj", "pred", "obj"),
+      root, cid + 1)
+    val mixed = TripleStore.readForSubjects(spark, root, Seq("inv:17"))
+      .as[(String, String, String)].collect().toSet
+    assert(mixed == expected17 + (("inv:17", "p0", "late")))
+  }
+
+  test("counterValue: driver-side manifest counter lookup, no Spark job") {
+    val root = tmp()
+    TripleStore.commitBatch(
+      Seq(("s1", "canonicalOf", "o1"), ("s2", "canonicalOf", "o2"), ("s3", "p", "o"))
+        .toDF("subj", "pred", "obj"), root, 0, Map("docs" -> 9L))
+    assert(TripleStore.counterValue(root, 0, "canonicalOf").contains(2L))
+    assert(TripleStore.counterValue(root, 0, "docs").contains(9L))
+    assert(TripleStore.counterValue(root, 0, "absent").isEmpty)
+    assert(TripleStore.counterValue(root, 1, "docs").isEmpty)
+  }
+
+  test("crashed replaces-bearing write leaves no orphan predicate after retry (scrub)") {
+    val root = tmp()
+    TripleStore.commitBatch(Seq(("s", "p0", "a")).toDF("subj", "pred", "obj"), root, 0)
+    TripleStore.commitBatch(Seq(("s", "p1", "b")).toDF("subj", "pred", "obj"), root, 1)
+    // simulate a CRASHED compaction/incremental attempt at the next id that
+    // wrote a predicate (pX) the later retry does not produce — data files
+    // land, no manifest
+    Seq(("s", "pX", "garbage"), ("s", "p0", "half")).toDF("subj", "pred", "obj")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(2))
+      .write.partitionBy("pred", "batch").mode("append").parquet(s"$root/data")
+    assert(TripleStore.read(spark, root).count() == 2) // garbage invisible
+    // the retry at the same id produces only p0/p1 and supersedes 0 and 1;
+    // without the pre-write scrub, pX/batch=2 would become visible the
+    // moment this manifest lands (ADVICE r3)
+    TripleStore.commitBatch(
+      Seq(("s", "p0", "a"), ("s", "p1", "b")).toDF("subj", "pred", "obj"),
+      root, 2, replaces = Set(0, 1))
+    val rows = TripleStore.read(spark, root).as[(String, String, String)].collect().toSet
+    assert(rows == Set(("s", "p0", "a"), ("s", "p1", "b")), s"got $rows")
   }
 
   test("kill/resume equivalence: interrupted run + resume == uninterrupted run") {
