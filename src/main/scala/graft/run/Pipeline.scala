@@ -106,7 +106,7 @@ object Pipeline {
     * without re-extracting the corpus. Both results are entity-scale and
     * forced (one job) before the doc-scale mention cache is released. */
   def canonicalEntityMapAndEnts(docs: DataFrame,
-      cfg: Config = Config()): (DataFrame, DataFrame) = {
+      cfg: Config = Config()): (DataFrame, DataFrame, Long) = {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(docs)).toDF()
       else Extract.vendorMentions(docs)).persist()
@@ -121,8 +121,10 @@ object Pipeline {
         .select(col("entity_key").as("id"), col("n"))
       val cm = graft.Materialize(
         ConnectedComponents.canonicalMap(comps, counts), eager = false)
-      cm.count() // materializes cm AND ents' lazy checkpoint in one job
-      (cm, ents)
+      // the count materializes cm AND ents' lazy checkpoint in one job —
+      // and is returned so callers don't re-count the map for the
+      // broadcast decision
+      (cm, ents, cm.count())
     } finally vm.unpersist()
   }
 
@@ -298,7 +300,7 @@ object Pipeline {
     // the registry is what lets runIncremental extend the map later without
     // re-extracting this corpus)
     if (!committed.contains(CanonBatch)) {
-      val (cm, ents) = canonicalEntityMapAndEnts(docs, cfg)
+      val (cm, ents, _) = canonicalEntityMapAndEnts(docs, cfg)
       val canonTriples = cm
         .select(
           concat(lit("vendor:"), col("id")).as("subj"),
@@ -333,6 +335,41 @@ object Pipeline {
         done += 1
       }
     }
+  }
+
+  /** Bootstrap an EMPTY store from one document batch as a SINGLE atomic
+    * snapshot carrying the canonical map, the entity registry AND the
+    * batch's canonical triples (plus caller counters, e.g. the streaming
+    * `stream_batch` marker).
+    *
+    * Why not runResumable(nBatches = 1): its two-snapshot stage structure
+    * (canon snapshot, then data batch) has a crash WINDOW for streaming
+    * replays — canon committed, data batch not → the replay sees a
+    * non-empty store with no stream_batch marker and takes the
+    * runIncremental branch over the SAME docs, merging the bootstrap
+    * registry with a fresh extraction of those docs and double-counting
+    * every entity's n_mentions (which can flip canonical-representative
+    * selection later — ADVICE r3). One snapshot = no window: a crash
+    * before the manifest move leaves the store EMPTY, and the replay
+    * bootstraps cleanly. Returns the snapshot id (0). */
+  def runBootstrap(spark: SparkSession, docs: DataFrame, storeRoot: String,
+      cfg: Config = Config(), extraCounters: Map[String, Long] = Map.empty): Int = {
+    require(TripleStore.committedBatches(storeRoot).isEmpty,
+      "runBootstrap: store already has snapshots — use runIncremental")
+    val (cm, ents, mapRows) = canonicalEntityMapAndEnts(docs, cfg)
+    val canonTriples = cm
+      .select(
+        concat(lit("vendor:"), col("id")).as("subj"),
+        lit("canonicalOf").as("pred"),
+        concat(lit("vendor:"), col("canonical")).as("obj"))
+      .unionByName(registryTriples(ents))
+    val raw = rawTriples(docs, cfg)
+    val triples = canonicalize(raw, cm, mapRows, cfg.broadcastEntityLimit)
+      .select("subj", "pred", "obj").distinct()
+    val nDocs = docs.count()
+    TripleStore.commitBatch(triples.unionByName(canonTriples), storeRoot, 0,
+      Map("docs" -> nDocs) ++ extraCounters)
+    0
   }
 
   /** Read back the materialized graph (sameAs rows appear once per batch →

@@ -116,8 +116,13 @@ object Streams {
             .limit(1).count() > 0
           if (!alreadyApplied) {
             val marker = Map("stream_batch" -> batchId)
+            // bootstrap = ONE atomic snapshot (canon map + registry + doc
+            // triples + marker): a crash anywhere before its manifest move
+            // leaves the store EMPTY, so the foreachBatch replay re-enters
+            // this branch instead of runIncremental-ing over the same docs
+            // (the r3 double-count crash window, ADVICE #1)
             if (TripleStore.committedBatches(storeRoot).isEmpty)
-              Pipeline.runResumable(spark, docs, storeRoot, nBatches = 1,
+              Pipeline.runBootstrap(spark, docs, storeRoot,
                 extraCounters = marker)
             else
               Pipeline.runIncremental(spark, docs, storeRoot,
@@ -200,35 +205,113 @@ object Streams {
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
-  /** Streaming NEAR-dedup: suppress documents whose simhash is within
-    * `maxHamming` bits of an earlier in-watermark arrival. Same pigeonhole
-    * construction as the batch `Dedup.simhashNearDup`: the 64-bit signature
-    * splits into (maxHamming+1) chunks and any hamming≤k pair agrees on ≥1
-    * chunk — expressed in streaming as a CHAIN of per-chunk
-    * `dropDuplicatesWithinWatermark` stages (multiple stateful operators,
-    * append mode): a doc survives only if EVERY chunk is first-seen, i.e.
-    * it is suppressed when ANY chunk matches an earlier doc — exactly the
-    * pigeonhole OR. Each stage's state is bounded by the lateness window.
+  /** Per-(chunk-value) LSH bucket state for neardupStream: the simhash
+    * signatures of in-watermark arrivals that landed in this bucket, with
+    * their event times (for watermark-based pruning). Top-level so Spark
+    * derives its Encoder. */
+  final case class HammingBucketState(reps: List[(Long, Long)])
+
+  /** Streaming NEAR-dedup with EXACT verification: suppress documents whose
+    * simhash is within `maxHamming` bits of an earlier in-watermark
+    * arrival. Same pigeonhole construction as the batch
+    * `Dedup.simhashNearDup`: the 64-bit signature splits into
+    * (maxHamming+1) chunks and any hamming≤k pair agrees EXACTLY on ≥1
+    * chunk — expressed as a chain of per-chunk `flatMapGroupsWithState`
+    * stages (all append mode), each keyed on that chunk's value and holding
+    * the bucket's representative SIGNATURES in state: a chunk match alone
+    * suppresses nothing — only an exact `bitCount(xor) ≤ maxHamming`
+    * against a stored representative does. This closes the r3 divergence
+    * where far-apart docs colliding on one 16-bit chunk were falsely
+    * suppressed (the dropDuplicatesWithinWatermark chain could not
+    * re-compare against the representative it had dropped).
     *
-    * Divergence from the batch op, documented: the batch op verifies
-    * candidates with exact hamming; a one-pass stream cannot re-compare
-    * against the suppressed representative, so chunk collisions of
-    * far-apart docs (standard LSH collateral, ~2^-16/chunk for random
-    * text) are suppressed too. Use the batch op for exact semantics;
-    * this is the bounded-state crawl-refetch guard. */
+    * Every arrival registers in ALL its chunk buckets (rows flow through
+    * every stage carrying a `__hit` flag; the filter happens once at the
+    * end), so the pigeonhole cover is complete and the semantics are
+    * simple: a doc is suppressed iff it is within `maxHamming` bits of ANY
+    * earlier arrival still inside the lateness window — suppressed or not.
+    * State per bucket is pruned to the watermark and the whole bucket
+    * times out (EventTimeTimeout) once the watermark passes its newest
+    * representative + lateness, so state stays bounded by the window, not
+    * the corpus — what makes this viable at 10^12 docs. */
   def neardupStream(docs: DataFrame, tsCol: String = "ts", maxHamming: Int = 3,
       lateness: String = "10 minutes", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val banded = docs
+    val latenessMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+      require(iv.months == 0, s"neardupStream: month-based lateness unsupported: $lateness")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    // Spark's global-watermark correctness check hard-blocks ANY stateful
+    // operator downstream of flatMapGroupsWithState, because an arbitrary
+    // user function COULD emit rows older than the watermark. This one
+    // provably cannot: each stage emits exactly the current micro-batch's
+    // rows with their original event times (state only changes the __hit
+    // flag). The check is read at query START from the session conf, so it
+    // must be off for the chained stages to analyze — done here, loudly,
+    // not silently (Spark's own documented escape hatch for this pattern).
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val session = docs.sparkSession
+    if (session.conf.get(checkKey, "true") == "true") {
+      session.conf.set(checkKey, "false")
+      graft.Audit.warn(s"neardupStream: disabling $checkKey for this session — " +
+        "the chained per-chunk flatMapGroupsWithState stages emit only " +
+        "current-batch rows at their original event times (never late), " +
+        "which the static check cannot prove")
+    }
+    val withSig = docs
       .withColumn("__sig", graft.ops.Dedup.simhash(col(textCol)))
+      .withColumn("__hit", lit(false))
       .withWatermark(tsCol, lateness)
-      .select(col("*") +: (0 until nChunks).map(c =>
-        shiftrightunsigned(col("__sig"), c * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1).as(s"__b$c")): _*)
-    (0 until nChunks)
-      .foldLeft(banded)((d, c) => d.dropDuplicatesWithinWatermark(s"__b$c"))
-      .drop("__sig" +: (0 until nChunks).map(c => s"__b$c"): _*)
+    val schema = withSig.schema
+    val sigIdx = schema.fieldIndex("__sig")
+    val hitIdx = schema.fieldIndex("__hit")
+    val tsIdx = schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(schema)
+    val keyEnc = Encoders.scalaLong
+    val stateEnc = Encoders.product[HammingBucketState]
+
+    val staged = (0 until nChunks).foldLeft(withSig) { (d, c) =>
+      d.groupByKey(r =>
+          (r.getLong(sigIdx) >>> (c * chunkBits)) & ((1L << chunkBits) - 1))(keyEnc)
+        .flatMapGroupsWithState[HammingBucketState, Row](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (_: Long, rows: Iterator[Row], state: GroupState[HammingBucketState]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val wm = state.getCurrentWatermarkMs()
+              var reps = state.getOption.map(_.reps).getOrElse(Nil)
+                .filter(_._2 >= wm)
+              // deterministic earlier/later order within the micro-batch
+              val sorted = rows.toVector.sortBy(r => r.getTimestamp(tsIdx).getTime)
+              val out = sorted.map { r =>
+                val sig = r.getLong(sigIdx)
+                val ts = r.getTimestamp(tsIdx).getTime
+                val hit = r.getBoolean(hitIdx) || reps.exists { case (s, _) =>
+                  java.lang.Long.bitCount(s ^ sig) <= maxHamming } // EXACT verify
+                reps = (sig, ts) :: reps
+                val vals = r.toSeq.toArray
+                vals(hitIdx) = hit
+                new GenericRowWithSchema(vals, schema): Row
+              }
+              state.update(HammingBucketState(reps))
+              state.setTimeoutTimestamp(
+                math.max(reps.iterator.map(_._2).max + latenessMs, wm + 1))
+              out.iterator
+            }
+        }(stateEnc, rowEnc)
+        // the stateful operator's output attributes lose the event-time
+        // watermark metadata — re-mark the ts column so the NEXT stage's
+        // EventTimeTimeout passes analysis (same events, same delay → the
+        // multi-watermark min policy keeps one consistent query watermark)
+        .withWatermark(tsCol, lateness)
+    }
+    staged.where(!col("__hit")).drop("__sig", "__hit")
   }
 
   /** Watermarked tumbling-window aggregation over an event stream

@@ -158,6 +158,75 @@ class StreamsSpec extends SparkSuite {
     assert(ids == Set(1L, 3L), ids)
   }
 
+  test("streaming near-dedup: chunk-colliding FAR docs BOTH survive (exact verify)") {
+    // find two texts whose simhashes agree on >= 1 pigeonhole chunk but are
+    // > maxHamming apart — the false-suppression case of the r3
+    // dropDuplicatesWithinWatermark chain; the exact-verify stage must keep
+    // both. Search a deterministic pool for the collision (16-bit chunks →
+    // ~2^-16 per pair per chunk; the pool has ~125k pairs).
+    val words = Seq("invoice", "total", "amount", "vendor", "payment", "terms",
+      "delivery", "reference", "number", "atlas", "casablanca", "services",
+      "consulting", "solutions", "maroc", "facture", "montant", "livraison")
+    val rnd = new scala.util.Random(13)
+    val pool = (0 until 500).map { i =>
+      (0 until 12).map(_ => words(rnd.nextInt(words.length))).mkString(" ") + s" uid$i"
+    }
+    val sigs = pool.map(t => t -> graft.ops.Dedup.simhashScala(t))
+    def chunks(h: Long): Seq[Long] = (0 until 4).map(c => (h >>> (c * 16)) & 0xffffL)
+    val collision = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1 until sigs.length).iterator
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) > 3
+      if chunks(sigs(i)._2).zip(chunks(sigs(j)._2)).exists { case (a, b) => a == b }
+    } yield (sigs(i)._1, sigs(j)._1)).buffered.headOption
+    assert(collision.nonEmpty, "fixture problem: no chunk collision in the pool")
+    val (docA, docB) = collision.get
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.neardupStream(docs)
+    val query = out.writeStream.format("memory").queryName("neardup_far_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), 1L, docA))
+    query.processAllAvailable()
+    mem.addData((t("2024-01-01 10:01:00"), 2L, docB)) // collides on a chunk, far in hamming
+    query.processAllAvailable()
+    val ids = spark.table("neardup_far_test").select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(ids == Set(1L, 2L), s"far doc falsely suppressed: $ids")
+  }
+
+  test("canonical bootstrap is ONE atomic snapshot; increments stack to the rebuild graph") {
+    import graft.run.Pipeline
+    val store = Files.createTempDirectory("graft_bstore_").toString
+    val docs = InvoiceCorpus.docs(spark, 30).toDF()
+    val id = Pipeline.runBootstrap(spark, docs, store,
+      extraCounters = Map("stream_batch" -> 0L))
+    // exactly one snapshot: no canon-committed/data-missing crash window
+    // for the streaming replay to mistake for an incremental-ready store
+    assert(id == 0 && TripleStore.committedBatches(store) == Set(0))
+    assert(TripleStore.counterValue(store, 0, "stream_batch").contains(0L))
+    val preds = TripleStore.read(spark, store)
+      .select("pred").distinct().as[String].collect().toSet
+    assert(preds("canonicalOf") && preds("_reg_n") && preds("hasVendor"),
+      s"single snapshot must carry map+registry+doc triples, got $preds")
+    // graph == the two-snapshot runResumable bootstrap over the same docs
+    val rootB = Files.createTempDirectory("graft_bfull_").toString
+    Pipeline.runResumable(spark, docs, rootB, nBatches = 2)
+    val a = Pipeline.readGraph(spark, store).as[(String, String, String)].collect().toSet
+    val b = Pipeline.readGraph(spark, rootB).as[(String, String, String)].collect().toSet
+    assert(a == b, s"aOnly=${(a diff b).take(3)} bOnly=${(b diff a).take(3)}")
+    // an increment on the bootstrap store reaches the full-rebuild graph
+    Pipeline.runIncremental(spark, InvoiceCorpus.docsRange(spark, 30, 50).toDF(), store)
+    val inc = Pipeline.readGraph(spark, store).as[(String, String, String)].collect().toSet
+    val rootC = Files.createTempDirectory("graft_bfull50_").toString
+    Pipeline.runResumable(spark, InvoiceCorpus.docs(spark, 50).toDF(), rootC, nBatches = 1)
+    val full = Pipeline.readGraph(spark, rootC).as[(String, String, String)].collect().toSet
+    assert(inc == full)
+  }
+
   test("watermarked tumbling-window aggregation over a memory stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
