@@ -243,7 +243,7 @@ object SparkEntry {
         .where(col("pred") === "sameAs")),
     "q34_media_decode" -> ((s, d) =>
       Multimodal.decodeAndFeaturize(
-        Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
+        graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
         .select("media_ref", "kind", "width", "height", "n_frames")),
     "q35_fieldtag_expr" -> ((s, d) =>
       // the fused custom Catalyst expression (doGenCode path) — same oracle
@@ -373,7 +373,7 @@ object SparkEntry {
       // function of media_ref (its PNG payload is) → committed fixture
       // oracle, drift-guarded in ImageQualitySpec
       graft.ops.ImageQuality.enhance(
-          Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
+          graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
         .select(col("media_ref"),
           round(col("sharpness"), 4).as("sharpness"),
           round(col("contrast"), 4).as("contrast"),
@@ -399,7 +399,7 @@ object SparkEntry {
       // function of media_ref → committed fixture oracle (q34/q45's
       // justification), drift-guarded in MultimodalSpec
       Multimodal.decodeAndFeaturize(
-          Multimodal.mediaTable(InvoiceCorpus.docs(s, 200).toDF()))
+          graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF()))
         .filter(r => r.kind != "image").toDF()
         .select(col("media_ref"), col("kind"), col("width"), col("height"),
           col("n_frames"),

@@ -44,7 +44,7 @@ object PdfIngest {
     val h = math.round(PageHPts * scale).toInt
     val seed = java.util.Arrays.hashCode(bytes)
     val nPages = 1 + math.abs(seed % 4)
-    (0 until nPages).map(p => (w, h, graft.ops.Multimodal.encodePng(w, h, seed * 31 + p)))
+    (0 until nPages).map(p => (w, h, graft.fixtures.MediaFixtures.encodePng(w, h, seed * 31 + p)))
   }
 
   /** The ingest job: scan `*.pdf` under `path`, render every page, emit the

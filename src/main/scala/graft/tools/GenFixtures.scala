@@ -72,7 +72,7 @@ object GenFixtures {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q32_raw_dir")
 
     graft.ops.Multimodal.decodeAndFeaturize(
-        graft.ops.Multimodal.mediaTable(InvoiceCorpus.docs(spark, 200).toDF())).toDF()
+        graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(spark, 200).toDF())).toDF()
       .select("media_ref", "kind", "width", "height", "n_frames")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q34_media_dir")
 

@@ -65,7 +65,7 @@ class ImageQualitySpec extends SparkSuite {
   }
 
   test("rollback invariant: kept enhancements never lose more than 5 points") {
-    val media = Multimodal.mediaTable(InvoiceCorpus.docs(spark, 25).toDF())
+    val media = graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(spark, 25).toDF())
     val rows = ImageQuality.enhance(media).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSuite {
   private lazy val docs = InvoiceCorpus.docs(spark, 25).toDF().cache()
 
   test("media table: one row per media span, payload attached, partitioned") {
-    val media = Multimodal.mediaTable(docs, partitions = 8)
+    val media = graft.fixtures.MediaFixtures.mediaTable(docs, partitions = 8)
     val rows = media.collect()
     assert(rows.length == 50) // logo + stamp per doc
     // image payloads are REAL PNGs, video payloads REAL RIFF-AVI
@@ -28,13 +28,13 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("media table derives partition width from the cluster when unset") {
-    val media = Multimodal.mediaTable(docs)
+    val media = graft.fixtures.MediaFixtures.mediaTable(docs)
     assert(media.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 
   test("image decode is real: ImageIO reads back the encoded dimensions and pixels") {
     val ref = "doc-000007/logo"
-    val bytes = Multimodal.pngBytes(ref)
+    val bytes = graft.fixtures.MediaFixtures.pngBytes(ref)
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val h = ref.hashCode
     assert(img.getWidth == 64 + math.abs(h % 192))
@@ -46,7 +46,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("decode: schema, deterministic dims, real pixel-stat features for images") {
-    val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs), batchSize = 16)
+    val dec = Multimodal.decodeAndFeaturize(graft.fixtures.MediaFixtures.mediaTable(docs), batchSize = 16)
     val rows = dec.collect()
     // visual rows carry pixel dims; audio rows carry (sampleRate, channels)
     assert(rows.filter(_.kind != "audio").forall(r =>
@@ -59,14 +59,14 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(r.feature.drop(4).map(_.toDouble).sum - 1.0) < 1e-5)
     }
     // determinism: same ref → same decode
-    val twice = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).collect()
+    val twice = Multimodal.decodeAndFeaturize(graft.fixtures.MediaFixtures.mediaTable(docs)).collect()
     assert(rows.sortBy(_.media_ref).zip(twice.sortBy(_.media_ref))
       .forall { case (a, b) => a.width == b.width && a.feature.sameElements(b.feature) })
   }
 
   test("audio: real WAV payloads decode through AudioSystem with sample-exact features") {
     // force the audio route on a larger corpus (every 5th stamp slot)
-    val media = Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
+    val media = graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
     val audio = media.filter(_.kind == "audio").collect()
     assert(audio.nonEmpty, "fixture corpus should carry audio rows")
     // payload IS a RIFF/WAVE file (magic bytes), not a stub
@@ -96,9 +96,54 @@ class MultimodalSpec extends SparkSuite {
     assert(ais.getFormat.getSampleRate == 8000f)
   }
 
+  test("audio: stereo and 8-bit WAVs are normalized, not garbage (r3 ADVICE)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(fmt: AudioFormat, frames: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+      val bytesPerFrame = fmt.getSampleSizeInBits / 8 * fmt.getChannels
+      val data = new Array[Byte](frames * bytesPerFrame)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < fmt.getChannels) {
+          val v = sample(f, c)
+          if (fmt.getSampleSizeInBits == 16) {
+            val o = (f * fmt.getChannels + c) * 2
+            data(o) = (v & 0xff).toByte; data(o + 1) = ((v >> 8) & 0xff).toByte
+          } else data(f * fmt.getChannels + c) = (v & 0xff).toByte // 8-bit unsigned
+          c += 1
+        }
+        f += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, frames.toLong), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // stereo 16-bit: L = 12000·sin, R = 0 → downmix averages to 6000·sin
+    val stereo = wav(new AudioFormat(8000f, 16, 2, true, false), 800)((f, c) =>
+      if (c == 0) (math.sin(2 * math.Pi * 440 * f / 8000.0) * 12000).toInt else 0)
+    // 8-bit unsigned mono flat silence at the midpoint (128 → 0 signed)
+    val eightBit = wav(new AudioFormat(8000f, 8, 1, false, false), 500)((_, _) => 128)
+    val media = Seq(
+      Multimodal.MediaRow("x/stereo", "audio", stereo),
+      Multimodal.MediaRow("x/8bit", "audio", eightBit)).toDS()
+    val dec = Multimodal.decodeAndFeaturize(media).collect().map(d => d.media_ref -> d).toMap
+    val st = dec("x/stereo")
+    assert(st.height == 2 && st.n_frames == 800, "original channel count + frame count")
+    val expRms = 6000.0 / math.sqrt(2) / 32768.0 // downmixed sine RMS
+    assert(math.abs(st.feature(0) - expRms) < 0.01, s"stereo downmix RMS: ${st.feature(0)}")
+    val eb = dec("x/8bit")
+    assert(eb.height == 1 && eb.n_frames == 500)
+    assert(eb.feature(0) < 0.01 && eb.feature(1) < 0.01, "8-bit midpoint silence → ~0 signal")
+    // audioWindows on the same payloads: windows cover the mono frames
+    val win = Multimodal.audioWindows(media, windowSamples = 256).collect()
+    assert(win.filter(_.getString(0) == "x/stereo").map(_.getInt(2)).sum == 800)
+    assert(win.filter(_.getString(0) == "x/8bit").map(_.getInt(2)).sum == 500)
+  }
+
   test("video: real MJPEG-AVI containers round-trip through the RIFF demux and JDK JPEG codec") {
     val ref = "doc-000014/logo"
-    val bytes = Multimodal.aviBytes(ref)
+    val bytes = graft.fixtures.MediaFixtures.aviBytes(ref)
     // standard container magic
     assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
     assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
@@ -115,11 +160,11 @@ class MultimodalSpec extends SparkSuite {
     }
     // distributed decode agrees with the direct demux
     val dec = Multimodal.decodeAndFeaturize(
-      Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF()))
+      graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(spark, 60).toDF()))
       .filter(_.kind == "video").collect()
     assert(dec.nonEmpty, "fixture corpus should carry video rows")
     dec.foreach { d =>
-      val (dw, dh, fr) = Multimodal.aviDemux(Multimodal.aviBytes(d.media_ref))
+      val (dw, dh, fr) = Multimodal.aviDemux(graft.fixtures.MediaFixtures.aviBytes(d.media_ref))
       assert(d.width == dw && d.height == dh && d.n_frames == fr.size)
       assert(d.feature.length == 8 && d.feature.forall(f => f >= 0f && f <= 1f))
       assert(math.abs(d.feature.drop(4).map(_.toDouble).sum - 1.0) < 1e-4,
@@ -145,7 +190,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("audio windows: per-window PCM stats cover the clip exactly") {
-    val media = Multimodal.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
+    val media = graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(spark, 60).toDF())
     val dec = Multimodal.decodeAndFeaturize(media).filter(_.kind == "audio").collect()
     assert(dec.nonEmpty)
     val win = Multimodal.audioWindows(media, windowSamples = 256)
@@ -224,7 +269,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("frame sampling explodes every Nth frame index") {
-    val dec = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(docs)).cache()
+    val dec = Multimodal.decodeAndFeaturize(graft.fixtures.MediaFixtures.mediaTable(docs)).cache()
     val frames = Multimodal.sampleFrames(dec, everyN = 2)
     // images (1 frame) → 1 row; videos (n frames) → ceil(n/2) rows; audio
     // rows are excluded (frame sampling is a visual op)
