@@ -201,6 +201,11 @@ object SparkEntry {
         TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
     "q28_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "q48_bpe_tokens" -> ((s, d) =>
+      // REAL vocab-driven BPE counts from the committed merge table
+      // (ops.Bpe, iterative lowest-rank merging); the oracle fixture is the
+      // independent sequential-replay implementation in tools.GenFixtures
+      graft.ops.Bpe.tokenCounts(t(s, d, "documents"))),
     "q29_salted_agg" -> ((s, d) => {
       // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
       // (key, salt), final agg on key — result identical to plain GROUP BY
@@ -642,6 +647,9 @@ object SparkEntry {
         |   [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
         |  (h, c) -> (h * 31 + c) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "q48_bpe_tokens" ->
+      """SELECT doc_id, n_tokens_bpe
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q48_expected_bpe.parquet')""".stripMargin,
     "q29_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -59,6 +59,34 @@ object GenFixtures {
     out.toMap
   }
 
+  /** Sequential-replay BPE count — the INDEPENDENT twin of
+    * `ops.Bpe.Tokenizer` (which merges the lowest-rank pair present,
+    * iteratively): this one replays the merge list in training order, one
+    * full left-to-right pass per merge. The two strategies are provably
+    * equivalent (a merge's output symbol only appears in later-ranked
+    * pairs), so the committed q48 fixture computed here checks the
+    * engine's encoder end to end (and BpeSpec cross-checks both on
+    * adversarial strings). */
+  def bpeCountSequential(text: String, merges: Seq[(String, String)]): Int = {
+    var n = 0
+    graft.ops.Bpe.PreTokenRegex.findAllIn(text).foreach { t =>
+      if (t.length > 1 || Character.isLetter(t.charAt(0))) {
+        var syms: List[String] = t.map(_.toString).toList
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case x :: y :: tl if x == a && y == b => out += a + b; rest = tl
+            case x :: tl => out += x; rest = tl
+          }
+          syms = out.toList
+        }
+        n += syms.length
+      } else n += 1
+    }
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.run.Sessions.local(4, 8, "gen-fixtures")
     import spark.implicits._
@@ -101,6 +129,13 @@ object GenFixtures {
     } yield (sigs(a)._1, sigs(b)._1, h)
     spark.createDataset(pairs.toVector).toDF("id_a", "id_b", "hamming")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q22_pairs_dir")
+
+    // q48: independent sequential-replay BPE counts over the sf0.01
+    // documents with the committed merge table (see bpeCountSequential)
+    spark.createDataset(docs.map { case (id, t) =>
+        (id, bpeCountSequential(t, graft.ops.Bpe.defaultMerges)) }.toVector)
+      .toDF("doc_id", "n_tokens_bpe")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q48_bpe_dir")
 
     // q45: live output of the P8 quality pipeline (pure fn of media_ref;
     // drift-guarded by ImageQualitySpec — q34's justification)
@@ -201,7 +236,8 @@ object GenFixtures {
         "q37_pairs" -> "q37_expected_pairs.parquet",
         "q24_topk" -> "q24_expected_topk.parquet",
         "q43_topk" -> "q43_expected_topk.parquet",
-        "q46_av" -> "q46_av_decode.parquet").foreach { case (dir, name) =>
+        "q46_av" -> "q46_av_decode.parquet",
+        "q48_bpe" -> "q48_expected_bpe.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
