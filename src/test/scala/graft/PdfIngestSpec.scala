@@ -50,6 +50,28 @@ class PdfIngestSpec extends SparkSuite {
     assert(decoded.forall(_.feature.length == 8))
   }
 
+  test("rasterizer seam: dispatches to PDFBox when present, stub otherwise (self-upgrading)") {
+    // this sandbox ships no pdfbox jar (offline build) — the seam must
+    // report that honestly and fall back to the stub; with a jar on the
+    // classpath the same call renders real pages, no code change
+    if (PdfIngest.pdfboxAvailable) {
+      // environment HAS pdfbox: the real path must produce decodable PNGs
+      val minimalPdf = ("%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n" +
+        "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n" +
+        "3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>endobj\n" +
+        "trailer<</Root 1 0 R>>").getBytes("US-ASCII")
+      val pages = PdfIngest.renderPdf(minimalPdf, 36)
+      assert(pages.nonEmpty)
+      assert(ImageIO.read(new ByteArrayInputStream(pages.head._3)) != null)
+    } else {
+      val bytes = "fake-pdf-payload".getBytes("US-ASCII")
+      val viaSeam = PdfIngest.renderPdf(bytes, 36)
+      val viaStub = PdfIngest.renderPdfStub(bytes, 36)
+      assert(viaSeam.map(p => (p._1, p._2)) == viaStub.map(p => (p._1, p._2)))
+      assert(viaSeam.zip(viaStub).forall { case (a, b) => a._3.sameElements(b._3) })
+    }
+  }
+
   test("page sink round-trips partitioned by doc_id") {
     val out = Files.createTempDirectory("graft_pages_").toString + "/pages"
     val pages = PdfIngest.pageImageTable(spark, dir.toString, dpi = 18)
