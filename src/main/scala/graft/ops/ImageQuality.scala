@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   *    points below the original, discard the enhancement and keep a minimal
   *    pass instead.
   *
-  * Documented divergence: the reference's enhancement KERNELS are OpenCV's
-  * (CLAHE, fastNlMeansDenoising, filter2D sharpen); this engine implements
-  * the standard simple forms — linear histogram stretch, 3×3 box denoise,
-  * unsharp mask — because the semantics under test are the gates and the
-  * rollback, not OpenCV's exact pixels. Gray conversion uses the integer
-  * BT.601 weights OpenCV uses ((R·4899 + G·9617 + B·1868 + 8192) >> 14).
+  * Enhancement KERNELS (r4): faithful transcriptions of the operators the
+  * reference actually calls — PIL ImageEnhance.Contrast with the adaptive
+  * factor table, cv2.bilateralFilter(5,30,30) + addWeighted(0.7,0.3),
+  * cv2.filter2D soft-sharpen + addWeighted(0.7,0.3), PIL
+  * Contrast(1.03)+Sharpness(1.05) as the minimal/rollback pass (see the
+  * kernel section below for sources and the honest exactness caveat).
+  * Still out (documented): auto-rotate and size/color normalization —
+  * geometry-changing steps that would invalidate span-bbox contracts.
+  * Gray conversion for METRICS uses the integer BT.601 weights OpenCV
+  * uses ((R·4899 + G·9617 + B·1868 + 8192) >> 14).
   *
   * Spark shape: decode + metrics + conditional enhancement run in ONE
   * narrow `mapPartitions` pass per media row (per-partition init, batch
@@ -127,81 +131,244 @@ object ImageQuality {
     Metrics(sharpness, contrast, mean, noise, math.sqrt(hVar / 256.0))
   }
 
-  // ---- enhancement kernels (simple standard forms; divergence documented
-  // in the object scaladoc) ----------------------------------------------
+  // ---- enhancement kernels: faithful transcriptions of the reference's
+  // ACTUAL operators (r3 "missing #3": the simple stand-in forms — linear
+  // stretch / box denoise / unsharp mask — are replaced by the published
+  // algorithms the reference calls):
+  //  - contrast (:193-215): PIL ImageEnhance.Contrast with the ADAPTIVE
+  //    factor (1.15 below 20, 1.08 below 35, 1.03 otherwise) — Pillow's
+  //    mean-gray blend, incl. its L-conversion fixed-point weights, the
+  //    int(mean+0.5) degenerate level, and Blend.c's truncating
+  //    extrapolation cast;
+  //  - noise (:217-231): cv2.bilateralFilter(d=5, σcolor=30, σspace=30)
+  //    — OpenCV's circular-window (r ≤ radius) Gaussian space weights,
+  //    L1 3-channel color distance, REFLECT_101 borders, rint rounding —
+  //    then cv2.addWeighted(orig 0.7, denoised 0.3);
+  //  - sharpness (:233-250): cv2.filter2D with the reference's
+  //    [[-0.1…],[−0.1, 1.8, −0.1],[…]] kernel (REFLECT_101, saturating
+  //    rint) then addWeighted(orig 0.7, sharpened 0.3);
+  //  - minimal (:130-146): PIL Contrast(1.03) then Sharpness(1.05)
+  //    (SMOOTH-kernel degenerate, border rows/cols passed through,
+  //    extrapolating blend) — the real rollback target.
+  // Exactness caveat (honest): PIL/OpenCV are absent from this offline
+  // sandbox, so these are transcriptions of the published sources
+  // (Pillow Blend.c/Filter.c/ImageEnhance.py, OpenCV bilateralFilter/
+  // filter2D docs+source), locked by hand-computed cases in
+  // ImageQualitySpec rather than by a library diff. Still OUT of the
+  // pipeline (documented): _gentle_auto_rotate (Canny+Hough) and
+  // _normalize_image_size / CLAHE color normalization — geometry-changing
+  // steps that would invalidate the engine's span-bbox contracts.
+  // ----------------------------------------------------------------------
 
-  private def clampByte(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+  /** Pillow convert("L") fixed-point luma: (R·19595 + G·38470 + B·7471 +
+    * 0x8000) >> 16. (Distinct from OpenCV's grayOf above — each library's
+    * own constants are used where that library is being transcribed.) */
+  @inline private def pilL(p: Int): Int = {
+    val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+    (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+  }
 
-  /** Linear histogram stretch of each channel to [0,255]. */
-  def stretchContrast(img: BufferedImage): BufferedImage = {
-    val w = img.getWidth; val h = img.getHeight
-    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-    var lo = 255; var hi = 0
-    rgb.foreach { p => val g = grayOf(p); if (g < lo) lo = g; if (g > hi) hi = g }
-    val span = math.max(1, hi - lo)
-    val out = rgb.map { p =>
-      def s(c: Int) = clampByte((c - lo) * 255.0 / span)
-      (s((p >> 16) & 0xff) << 16) | (s((p >> 8) & 0xff) << 8) | s(p & 0xff)
+  /** Pillow Blend.c on packed RGB: out = in1 + α·(in2 − in1) per channel.
+    * Interpolation (0 ≤ α ≤ 1) is a plain truncating cast; extrapolation
+    * (α > 1 — every factor the reference uses) clips to [0,255] then
+    * truncates. */
+  private def pilBlend(im1: Array[Int], im2: Array[Int], alpha: Double): Array[Int] = {
+    val out = new Array[Int](im1.length)
+    var i = 0
+    while (i < im1.length) {
+      @inline def ch(shift: Int): Int = {
+        val a = (im1(i) >> shift) & 0xff
+        val b = (im2(i) >> shift) & 0xff
+        val t = a + alpha * (b - a)
+        if (t <= 0.0) 0 else if (t >= 255.0) 255 else t.toInt
+      }
+      out(i) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      i += 1
     }
+    out
+  }
+
+  private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
     val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    o.setRGB(0, 0, w, h, out, 0, w)
+    o.setRGB(0, 0, w, h, px, 0, w)
     o
   }
 
-  /** 3×3 box blur (border pixels kept). */
-  def boxDenoise(img: BufferedImage): BufferedImage = {
+  /** PIL ImageEnhance.Contrast(factor): degenerate = solid gray at
+    * int(mean(L) + 0.5), blended with the image at `factor`. */
+  def pilContrast(img: BufferedImage, factor: Double): BufferedImage = {
     val w = img.getWidth; val h = img.getHeight
     val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0L
+    var i = 0
+    while (i < rgb.length) { sum += pilL(rgb(i)); i += 1 }
+    val mean = (sum.toDouble / rgb.length + 0.5).toInt
+    val gray = (mean << 16) | (mean << 8) | mean
+    val degenerate = Array.fill(rgb.length)(gray)
+    toImage(pilBlend(degenerate, rgb, factor), w, h)
+  }
+
+  /** PIL ImageFilter.SMOOTH: 3×3 kernel (1,1,1,1,5,1,1,1,1)/13, border
+    * rows/columns copied through unchanged (Pillow filters only the
+    * interior), float accumulate with round-half-up like Filter.c. */
+  private def pilSmooth(rgb: Array[Int], w: Int, h: Int): Array[Int] = {
     val out = rgb.clone()
+    val k = Array(1.0, 1.0, 1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0).map(_ / 13.0)
     var y = 1
     while (y < h - 1) {
       var x = 1
       while (x < w - 1) {
-        var r = 0; var g = 0; var b = 0
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var t = 0
         var dy = -1
         while (dy <= 1) {
           var dx = -1
           while (dx <= 1) {
             val p = rgb((y + dy) * w + (x + dx))
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            dx += 1
+            r += k(t) * ((p >> 16) & 0xff); g += k(t) * ((p >> 8) & 0xff)
+            b += k(t) * (p & 0xff)
+            t += 1; dx += 1
           }
           dy += 1
         }
-        out(y * w + x) = ((r / 9) << 16) | ((g / 9) << 8) | (b / 9)
+        @inline def clip(v: Double): Int =
+          if (v <= 0.0) 0 else if (v >= 255.0) 255 else (v + 0.5).toInt
+        out(y * w + x) = (clip(r) << 16) | (clip(g) << 8) | clip(b)
         x += 1
       }
       y += 1
     }
-    val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    o.setRGB(0, 0, w, h, out, 0, w)
-    o
+    out
   }
 
-  /** Unsharp mask: img + amount·(img − blur(img)). */
-  def unsharpMask(img: BufferedImage, amount: Double = 0.5): BufferedImage = {
-    val blur = boxDenoise(img)
+  /** PIL ImageEnhance.Sharpness(factor): degenerate = SMOOTH-filtered
+    * image, blended at `factor` (extrapolating for factor > 1). */
+  def pilSharpness(img: BufferedImage, factor: Double): BufferedImage = {
     val w = img.getWidth; val h = img.getHeight
-    val a = img.getRGB(0, 0, w, h, null, 0, w)
-    val b = blur.getRGB(0, 0, w, h, null, 0, w)
-    val out = new Array[Int](w * h)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    toImage(pilBlend(pilSmooth(rgb, w, h), rgb, factor), w, h)
+  }
+
+  /** Adaptive contrast enhancement (:193-215): factor from the measured
+    * contrast level, applied as PIL Contrast. */
+  def adaptiveContrast(img: BufferedImage, contrastLevel: Double): BufferedImage = {
+    val factor =
+      if (contrastLevel < 20) 1.15
+      else if (contrastLevel < 35) 1.08
+      else 1.03
+    pilContrast(img, factor)
+  }
+
+  /** OpenCV rint rounding (cvRound: round half to even). */
+  @inline private def cvRound(v: Double): Int = math.rint(v).toInt
+
+  /** cv2.addWeighted(a, wa, b, wb, 0) on packed RGB (saturating rint). */
+  private def addWeighted(a: Array[Int], wa: Double, b: Array[Int], wb: Double): Array[Int] = {
+    val out = new Array[Int](a.length)
     var i = 0
-    while (i < out.length) {
-      def ch(shift: Int) = {
-        val x = (a(i) >> shift) & 0xff; val y = (b(i) >> shift) & 0xff
-        clampByte(x + amount * (x - y))
+    while (i < a.length) {
+      @inline def ch(shift: Int): Int = {
+        val v = cvRound(((a(i) >> shift) & 0xff) * wa + ((b(i) >> shift) & 0xff) * wb)
+        if (v < 0) 0 else if (v > 255) 255 else v
       }
       out(i) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
       i += 1
     }
-    val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    o.setRGB(0, 0, w, h, out, 0, w)
-    o
+    out
   }
 
-  /** Minimal enhancement (:130-146) — the rollback target: a very light
-    * unsharp pass standing in for the reference's 1.03/1.05 PIL enhancers. */
-  def minimalEnhancement(img: BufferedImage): BufferedImage = unsharpMask(img, 0.05)
+  /** cv2.bilateralFilter(d=5, sigmaColor=30, sigmaSpace=30): radius =
+    * d/2 = 2; taps restricted to the CIRCULAR window √(dx²+dy²) ≤ radius
+    * (OpenCV skips the 5×5 corners); space weight exp(−r²/2σs²); color
+    * weight exp(−Δ²/2σc²) with Δ = |ΔR|+|ΔG|+|ΔB| (the L1 3-channel
+    * distance OpenCV tables); REFLECT_101 borders; per-channel
+    * weighted mean rounded with rint. */
+  def bilateral5(img: BufferedImage, sigmaColor: Double = 30.0,
+      sigmaSpace: Double = 30.0): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val radius = 2
+    val colorCoeff = -0.5 / (sigmaColor * sigmaColor)
+    val spaceCoeff = -0.5 / (sigmaSpace * sigmaSpace)
+    val colorW = Array.tabulate(256 * 3)(d => math.exp(d.toDouble * d * colorCoeff))
+    val offs = for {
+      dy <- -radius to radius; dx <- -radius to radius
+      if math.sqrt(dx * dx + dy * dy) <= radius
+    } yield (dx, dy, math.exp((dx * dx + dy * dy) * spaceCoeff))
+    @inline def rx(x: Int) = if (x < 0) -x else if (x >= w) 2 * w - x - 2 else x
+    @inline def ry(y: Int) = if (y < 0) -y else if (y >= h) 2 * h - y - 2 else y
+    val out = new Array[Int](rgb.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = rgb(y * w + x)
+        val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+        var sw = 0.0; var sr = 0.0; var sg = 0.0; var sb = 0.0
+        offs.foreach { case (dx, dy, spaceW) =>
+          val q = rgb(ry(y + dy) * w + rx(x + dx))
+          val qr = (q >> 16) & 0xff; val qg = (q >> 8) & 0xff; val qb = q & 0xff
+          val wgt = spaceW * colorW(math.abs(qr - pr) + math.abs(qg - pg) + math.abs(qb - pb))
+          sw += wgt; sr += wgt * qr; sg += wgt * qg; sb += wgt * qb
+        }
+        out(y * w + x) = (cvRound(sr / sw) << 16) | (cvRound(sg / sw) << 8) | cvRound(sb / sw)
+        x += 1
+      }
+      y += 1
+    }
+    toImage(out, w, h)
+  }
+
+  /** Gentle noise reduction (:217-231): bilateral(5, 30, 30) blended
+    * addWeighted(orig 0.7, denoised 0.3). */
+  def gentleNoiseReduction(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val orig = img.getRGB(0, 0, w, h, null, 0, w)
+    val den = bilateral5(img).getRGB(0, 0, w, h, null, 0, w)
+    toImage(addWeighted(orig, 0.7, den, 0.3), w, h)
+  }
+
+  /** Gentle sharpening (:233-250): cv2.filter2D with the reference's soft
+    * kernel (−0.1 ring, 1.8 center; sums to 1.0), REFLECT_101 borders,
+    * saturating rint — blended addWeighted(orig 0.7, sharpened 0.3). */
+  def gentleSharpening(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    @inline def rx(x: Int) = if (x < 0) -x else if (x >= w) 2 * w - x - 2 else x
+    @inline def ry(y: Int) = if (y < 0) -y else if (y >= h) 2 * h - y - 2 else y
+    val sharp = new Array[Int](rgb.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val kv = if (dx == 0 && dy == 0) 1.8 else -0.1
+            val q = rgb(ry(y + dy) * w + rx(x + dx))
+            r += kv * ((q >> 16) & 0xff); g += kv * ((q >> 8) & 0xff)
+            b += kv * (q & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        @inline def sat(v: Double): Int = {
+          val i = cvRound(v); if (i < 0) 0 else if (i > 255) 255 else i
+        }
+        sharp(y * w + x) = (sat(r) << 16) | (sat(g) << 8) | sat(b)
+        x += 1
+      }
+      y += 1
+    }
+    toImage(addWeighted(rgb, 0.7, sharp, 0.3), w, h)
+  }
+
+  /** Minimal enhancement (:130-146) — the rollback target: PIL
+    * Contrast(1.03) then Sharpness(1.05), exactly the reference's pair. */
+  def minimalEnhancement(img: BufferedImage): BufferedImage =
+    pilSharpness(pilContrast(img, 1.03), 1.05)
 
   /** The quality-gated pipeline for ONE image (:99-128 semantics):
     * conservative skip at score > 70, the three metric gates, then the
@@ -216,9 +383,9 @@ object ImageQuality {
     val needsSharpen = m.sharpness < 800.0
     var work = img
     if (!conservative) {
-      if (needsContrast) work = stretchContrast(work)
-      if (needsDenoise) work = boxDenoise(work)
-      if (needsSharpen) work = unsharpMask(work)
+      if (needsContrast) work = adaptiveContrast(work, m.contrast)
+      if (needsDenoise) work = gentleNoiseReduction(work)
+      if (needsSharpen) work = gentleSharpening(work)
     }
     val q1 = metricsOf(work).qualityScore
     val rolledBack = q1 < q0 - 5.0

@@ -54,14 +54,63 @@ class ImageQualitySpec extends SparkSuite {
       .getRGB(3, 4))
   }
 
-  test("contrast stretch maps the gray span to [0,255]") {
+  test("PIL contrast: mean-gray extrapolating blend, hand-computed pixels") {
+    // Pillow L of a pure gray is the gray value (19595+38470+7471 = 65536);
+    // half 100 / half 200 → mean L = 150 → degenerate level int(150.5)=150.
+    // factor 1.08 extrapolation: 150 + 1.08·(100−150) = 96.0 → 96;
+    // 150 + 1.08·(200−150) = 204.0 → 204 (Blend.c truncating cast)
     val img = ImageIO.read(new ByteArrayInputStream(
-      png(32, 32)((x, _) => if (x < 16) gray(100) else gray(150))))
-    val m0 = ImageQuality.metricsOf(img)
-    val stretched = ImageQuality.stretchContrast(img)
-    val m1 = ImageQuality.metricsOf(stretched)
-    assert(m1.contrast > m0.contrast * 3)
-    assert((stretched.getRGB(0, 0) & 0xff) == 0 && (stretched.getRGB(31, 0) & 0xff) == 255)
+      png(32, 32)((x, _) => if (x < 16) gray(100) else gray(200))))
+    val out = ImageQuality.pilContrast(img, 1.08)
+    assert((out.getRGB(0, 0) & 0xff) == 96 && (out.getRGB(31, 0) & 0xff) == 204)
+    // uniform image: degenerate == image → contrast enhance is a no-op
+    val flat = ImageIO.read(new ByteArrayInputStream(png(8, 8)((_, _) => gray(77))))
+    assert(ImageQuality.pilContrast(flat, 1.15).getRGB(3, 3) == flat.getRGB(3, 3))
+    // adaptive factor table: below 20 the pull is 1.15 (150+1.15·50 = 207.5 → 207)
+    val strong = ImageQuality.adaptiveContrast(img, contrastLevel = 10.0)
+    assert((strong.getRGB(31, 0) & 0xff) == 207)
+  }
+
+  test("bilateral(5,30,30): uniform fixed point; hand-computed impulse center; circular window") {
+    // uniform image is a fixed point (weighted mean of equal values)
+    val flat = ImageIO.read(new ByteArrayInputStream(png(16, 16)((_, _) => gray(100))))
+    assert(ImageQuality.bilateral5(flat).getRGB(7, 7) == flat.getRGB(7, 7))
+    // single impulse at (8,8): center output from the exact 13-tap formula
+    val imp = ImageIO.read(new ByteArrayInputStream(
+      png(17, 17)((x, y) => if (x == 8 && y == 8) gray(130) else gray(100))))
+    val out = ImageQuality.bilateral5(imp)
+    val cw = (d: Int) => math.exp(-d.toDouble * d / (2 * 30.0 * 30.0))
+    val sw = (d2: Int) => math.exp(-d2.toDouble / (2 * 30.0 * 30.0))
+    // neighbors: 4 at d²=1, 4 at d²=2, 4 at d²=4 (corners d²=8 and d²=5 are
+    // OUTSIDE the circular radius-2 window); all differ by |Δ|=3·30=90
+    val nw = (4 * sw(1) + 4 * sw(2) + 4 * sw(4)) * cw(90)
+    val expectedCenter = math.rint((130.0 * 1.0 + 100.0 * nw) / (1.0 + nw)).toInt
+    assert((out.getRGB(8, 8) & 0xff) == expectedCenter, (out.getRGB(8, 8) & 0xff))
+    // circular-window proof: a pixel at offset (2,1) from the impulse
+    // (√5 > 2) does not see it — stays exactly 100
+    assert((out.getRGB(10, 9) & 0xff) == 100)
+  }
+
+  test("gentle sharpening: unit-sum kernel fixes uniforms; hand-computed edge pixel") {
+    val flat = ImageIO.read(new ByteArrayInputStream(png(16, 16)((_, _) => gray(90))))
+    assert(ImageQuality.gentleSharpening(flat).getRGB(5, 5) == flat.getRGB(5, 5))
+    // vertical step 100|200: at the last 100-column (x=7), filter2D sees
+    // three 200s in its right column: 1.8·100 − 0.1·(5·100 + 3·200) =
+    // 180 − 110 = 70; blend 0.7·100 + 0.3·70 = 91
+    val step = ImageIO.read(new ByteArrayInputStream(
+      png(16, 16)((x, _) => if (x < 8) gray(100) else gray(200))))
+    val out = ImageQuality.gentleSharpening(step)
+    assert((out.getRGB(7, 7) & 0xff) == 91, (out.getRGB(7, 7) & 0xff))
+    // and the first 200-column mirrors: 1.8·200 − 0.1·(5·200 + 3·100) =
+    // 360 − 130 = 230; 0.7·200 + 0.3·230 = 209
+    assert((out.getRGB(8, 7) & 0xff) == 209, (out.getRGB(8, 7) & 0xff))
+  }
+
+  test("minimal enhancement (PIL Contrast 1.03 + Sharpness 1.05) is identity on uniforms") {
+    val flat = ImageIO.read(new ByteArrayInputStream(png(12, 12)((_, _) => gray(140))))
+    val out = ImageQuality.minimalEnhancement(flat)
+    for (x <- 0 until 12; y <- 0 until 12)
+      assert(out.getRGB(x, y) == flat.getRGB(x, y))
   }
 
   test("rollback invariant: kept enhancements never lose more than 5 points") {
