@@ -379,6 +379,20 @@ object Pipeline {
       .where(!col("pred").isin(InternalPreds: _*))
       .distinct()
 
+  /** Point lookup in a materialized graph — the first operation every graph
+    * consumer does: all visible triples of the given subjects (optionally
+    * restricted to `preds`), via the store's PRUNED read path
+    * (`TripleStore.readForSubjects`: compacted batches open only the
+    * matching subject-bucket partitions), minus internal bookkeeping
+    * predicates. On a compacted store this touches 1/filesPerPred of the
+    * files instead of scanning the graph. */
+  def lookupSubjects(spark: SparkSession, storeRoot: String,
+      subjects: Seq[String], preds: Seq[String] = Nil): DataFrame =
+    TripleStore.readForSubjects(spark, storeRoot, subjects,
+        preds.filterNot(InternalPreds.contains))
+      .where(!col("pred").isin(InternalPreds: _*))
+      .distinct()
+
   /** The graph as of a snapshot id — e.g. the state before an incremental
     * update (whose snapshot `replaces` earlier batches only for readers at
     * or past it). Pre-compaction history needs the superseded partitions

@@ -239,5 +239,22 @@ class TripleStoreSpec extends SparkSuite {
     // per-partition lineage counters present for every data batch
     val counters = TripleStore.counters(spark, rootA)
     assert(counters.where($"key" === "docs").count() == 3)
+
+    // graph point lookup == filtered full read (and never leaks internal
+    // predicates), on the raw store AND after compact+vacuum (pruned path)
+    val subj = Pipeline.readGraph(spark, rootA)
+      .where($"pred" === "hasVendor").select("subj").as[String].head()
+    def lookup() = Pipeline.lookupSubjects(spark, rootA, Seq(subj))
+      .as[(String, String, String)].collect().toSet
+    val expected = Pipeline.readGraph(spark, rootA).where($"subj" === subj)
+      .as[(String, String, String)].collect().toSet
+    assert(lookup() == expected && expected.nonEmpty)
+    assert(lookup().forall(t => !t._2.startsWith("_reg") && t._2 != "canonicalOf"))
+    TripleStore.compact(spark, rootA, filesPerPred = 4)
+    TripleStore.vacuum(rootA)
+    assert(lookup() == expected, "pruned lookup diverged after compaction")
+    val one = Pipeline.lookupSubjects(spark, rootA, Seq(subj), preds = Seq("hasVendor"))
+      .as[(String, String, String)].collect().toSet
+    assert(one == expected.filter(_._2 == "hasVendor"))
   }
 }
