@@ -103,8 +103,11 @@ object EntityLinker {
     // cap pathological buckets — with in-operator accounting (r3 verdict
     // #3): the (band,h)-scale size table is materialized once (it gates the
     // join anyway) and the dropped bucket/row counts go to Audit.warn, so
-    // the cap is never silent; blockStats remains the deep-dive audit
-    val bucketSizes = graft.Materialize(blocks.groupBy("band", "h").count())
+    // the cap is never silent; blockStats remains the deep-dive audit.
+    // Lazy checkpoint: the accounting agg below is the materializing
+    // action, so sizing + accounting cost ONE serial job, not two
+    val bucketSizes = graft.Materialize(
+      blocks.groupBy("band", "h").count(), eager = false)
     val droppedB = bucketSizes.where(col("count") > maxBucket)
       .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
     if (droppedB.getLong(0) > 0)

@@ -204,7 +204,9 @@ object Dedup {
     // silent caps"): dropped bucket/row counts go to Audit.warn from the
     // same tiny (band,bh)-scale table, so mining never silently loses
     // recall. Similarity.bucketStats remains the deep-dive audit.
-    val sizes = graft.Materialize(banded.groupBy("band", "bh").count())
+    // lazy checkpoint: the accounting agg below is the materializing action,
+    // so sizing + accounting cost ONE serial job, not two
+    val sizes = graft.Materialize(banded.groupBy("band", "bh").count(), eager = false)
     val dropped = sizes.where(col("count") > maxBucket)
       .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
     if (dropped.getLong(0) > 0)
