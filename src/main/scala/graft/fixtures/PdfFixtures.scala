@@ -1,0 +1,228 @@
+package graft.fixtures
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import scala.collection.mutable
+
+/** Deterministic minimal-PDF writer for the S2 ingest fixtures — the PDF
+  * twin of `MediaFixtures` (which synthesizes PNG/WAV/AVI payloads). Emits
+  * spec-valid PDF 1.4 with classic cross-reference tables, exercising
+  * exactly the subset `sources/PdfRaster` documents: Flate or raw content
+  * streams, path + text operators, image XObjects (raw RGB and DCTDecode
+  * JPEG), form XObjects, clipping, /Rotate. Used by PdfRasterSpec /
+  * PdfIngestSpec; a real deployment ingests externally produced PDFs.
+  */
+object PdfFixtures {
+
+  /** Classic-xref PDF assembler: add (or reserve-then-set) objects, then
+    * `build(root)`. `reserve` exists so forward references (a page's
+    * /Parent) can name their object number before the body is written. */
+  final class Builder {
+    private val objs = mutable.ArrayBuffer[Array[Byte]]()
+
+    /** Adds object body (the bytes between `N 0 obj` and `endobj`);
+      * returns the 1-based object number. */
+    def add(body: String): Int = { objs += body.getBytes(ISO_8859_1); objs.length }
+
+    /** Reserves an object number to be filled by `set` later. */
+    def reserve(): Int = { objs += Array.emptyByteArray; objs.length }
+    def set(num: Int, body: String): Unit = objs(num - 1) = body.getBytes(ISO_8859_1)
+
+    def addStream(dictEntries: String, data: Array[Byte]): Int = {
+      val head = s"<< $dictEntries /Length ${data.length} >>\nstream\n".getBytes(ISO_8859_1)
+      val tail = "\nendstream".getBytes(ISO_8859_1)
+      val body = new Array[Byte](head.length + data.length + tail.length)
+      System.arraycopy(head, 0, body, 0, head.length)
+      System.arraycopy(data, 0, body, head.length, data.length)
+      System.arraycopy(tail, 0, body, head.length + data.length, tail.length)
+      objs += body
+      objs.length
+    }
+
+    def build(rootObj: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      w("%PDF-1.4\n%âãÏÓ\n")
+      val offsets = objs.zipWithIndex.map { case (body, i) =>
+        val off = out.size()
+        w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
+        off
+      }
+      val xrefOff = out.size()
+      w(s"xref\n0 ${objs.length + 1}\n")
+      w("0000000000 65535 f \n")
+      offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${objs.length + 1} /Root $rootObj 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+      out.toByteArray
+    }
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def contentStream(b: Builder, content: String, compress: Boolean): Int =
+    if (compress) b.addStream("/Filter /FlateDecode", deflate(content.getBytes(ISO_8859_1)))
+    else b.addStream("", content.getBytes(ISO_8859_1))
+
+  /** Multi-page A4 invoice-shaped PDF: gray header bar, bold title, blue
+    * rule, item lines, total block, and a shared form-XObject "logo".
+    * `compress=true` Flate-encodes every content stream — the rendered
+    * pixels must be IDENTICAL either way (PdfRasterSpec pins that). */
+  def invoicePdf(seed: Int, nPages: Int = 2, compress: Boolean = true): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val fontRegular = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val fontBold = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    // "logo": 40×40 form — orange square + dark diagonal
+    val logo = b.addStream("/Type /XObject /Subtype /Form /BBox [0 0 40 40]",
+      ("1 0.6 0.1 rg 2 2 36 36 re f " +
+       "0.2 0.2 0.2 RG 3 w 4 4 m 36 36 l S").getBytes(ISO_8859_1))
+    val resources = b.add(
+      s"<< /Font << /F1 $fontRegular 0 R /F2 $fontBold 0 R >> /XObject << /Logo $logo 0 R >> >>")
+    val pageObjs = (1 to nPages).map { p =>
+      val rnd = new scala.util.Random(seed * 1000 + p)
+      val items = (1 to 3).map { i =>
+        val qty = 1 + rnd.nextInt(9)
+        val unit = 50 + rnd.nextInt(900)
+        f"BT /F1 10 Tf 50 ${620 - i * 18} Td (Prestation $i%d - ref SRV-$seed%04d$i%d) Tj ET " +
+          f"BT /F1 10 Tf 420 ${620 - i * 18} Td ($qty%d x $unit%d,00 DH) Tj ET "
+      }.mkString
+      val content =
+        // header band + title (reading-order top zone)
+        "q 0.92 0.92 0.95 rg 36 724 540 40 re f Q " +
+        s"BT /F2 20 Tf 50 736 Td (FACTURE N FACT-2024-${1000 + seed}) Tj ET " +
+        "0.2 0.2 0.6 RG 2 w 36 716 m 576 716 l S " +
+        // parties
+        "BT /F1 11 Tf 50 690 Td (Emetteur: TechnoSoft Solutions SARL) Tj " +
+        "0 -14 Td (ICE: 001234567000089) Tj ET " +
+        s"BT /F1 11 Tf 320 690 Td (Client: Atlas Distribution SA - page $p) Tj ET " +
+        // items + total
+        items +
+        s"q 1 0 0 1 400 80 cm BT /F2 12 Tf 0 0 Td (Total TTC: ${200 + seed},40 DH) Tj ET Q " +
+        // logo via form XObject, translated+scaled by cm
+        "q 0.75 0 0 0.75 40 44 cm /Logo Do Q"
+      val cs = contentStream(b, content, compress)
+      b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    }
+    finish(b, pagesObj, pageObjs)
+  }
+
+  /** 200×100pt page with two image XObjects: an 8×4 raw DeviceRGB
+    * FlateDecode bitmap (solid `rawRgb`) at rect (40,20)+(120×60), and a
+    * solid `jpegRgb` DCTDecode JPEG at rect (10,10)+(20×20). */
+  def imagePdf(rawRgb: Int, jpegRgb: Int): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val (rw, rh) = (8, 4)
+    val raw = new Array[Byte](rw * rh * 3)
+    (0 until rw * rh).foreach { i =>
+      raw(i * 3) = ((rawRgb >> 16) & 0xff).toByte
+      raw(i * 3 + 1) = ((rawRgb >> 8) & 0xff).toByte
+      raw(i * 3 + 2) = (rawRgb & 0xff).toByte
+    }
+    val rawImg = b.addStream(
+      s"/Type /XObject /Subtype /Image /Width $rw /Height $rh " +
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+      deflate(raw))
+    val jimg = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x => jimg.setRGB(x, y, jpegRgb)))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jpegObj = b.addStream(
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+      jbos.toByteArray)
+    val resources = b.add(s"<< /XObject << /Im0 $rawImg 0 R /Im1 $jpegObj 0 R >> >>")
+    val content = "q 120 0 0 60 40 20 cm /Im0 Do Q q 20 0 0 20 10 10 cm /Im1 Do Q"
+    val cs = contentStream(b, content, compress = true)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 200 100] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** Single page whose text uses an explicit /Widths array (1000/1000ths =
+    * one em per glyph) — layout must follow the PDF metrics, not the JVM
+    * font's. `withWidths=false` emits the same page without /Widths. */
+  def widthsPdf(withWidths: Boolean): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val widths = if (withWidths)
+      s" /FirstChar 32 /LastChar 126 /Widths [${Seq.fill(95)("1000").mkString(" ")}]"
+    else ""
+    val font = b.add(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$widths >>")
+    val resources = b.add(s"<< /Font << /F1 $font 0 R >> >>")
+    val content = "BT /F1 20 Tf 20 50 Td (IIIII) Tj ET"
+    val cs = contentStream(b, content, compress = false)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 300 100] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** TJ kerning page: `adj` is the TJ displacement element between two
+    * glyph runs (negative moves the second run RIGHT by |adj|/1000·fs). */
+  def kerningPdf(adj: Int): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val font = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val resources = b.add(s"<< /Font << /F1 $font 0 R >> >>")
+    val content = s"BT /F1 20 Tf 20 50 Td [(AB) $adj (CD)] TJ ET"
+    val cs = contentStream(b, content, compress = false)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 400 100] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** Full-page red fill clipped to the bottom-left 50×50pt square. */
+  def clipPdf(): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val resources = b.add("<< >>")
+    val content = "q 0 0 50 50 re W n 1 0 0 rg 0 0 612 792 re f Q"
+    val cs = contentStream(b, content, compress = false)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** A4 page with /Rotate 90 and a dark band along the page's left edge. */
+  def rotatedPdf(): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val resources = b.add("<< >>")
+    val content = "0.1 0.1 0.1 rg 0 0 60 792 re f"
+    val cs = contentStream(b, content, compress = false)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
+      s"/Rotate 90 /Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** Outside the supported subset: content stream behind /ASCIIHexDecode —
+    * `PdfRaster` must throw `Unsupported` (and `PdfIngest.renderPdf` must
+    * fall back to the stub with a warning). */
+  def unsupportedPdf(): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val resources = b.add("<< >>")
+    val hex = "BT ET".getBytes(ISO_8859_1).map(c => f"$c%02x").mkString + ">"
+    val cs = b.addStream("/Filter /ASCIIHexDecode", hex.getBytes(ISO_8859_1))
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** Fill the reserved /Pages object, add the catalog, assemble. */
+  private def finish(b: Builder, pagesObj: Int, pageObjs: Seq[Int]): Array[Byte] = {
+    b.set(pagesObj, s"<< /Type /Pages /Kids [${pageObjs.map(p => s"$p 0 R").mkString(" ")}] " +
+      s"/Count ${pageObjs.length} >>")
+    val catalog = b.add(s"<< /Type /Catalog /Pages $pagesObj 0 R >>")
+    b.build(catalog)
+  }
+}

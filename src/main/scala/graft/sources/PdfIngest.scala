@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   * is governed by `spark.sql.files.maxPartitionBytes` (binary files never
   * split mid-file, so a partition is a bag of whole PDFs).
   *
-  * The RENDERER itself is the stub boundary (no PDF rasterizer ships in a
-  * stock JVM — PyMuPDF's `get_pixmap` in the reference): `renderPdfStub`
-  * fakes the page count and geometry deterministically from the payload,
-  * but everything around it is real — the emitted page images are ACTUAL
-  * PNGs (javax.imageio), page naming follows the reference
+  * The RENDERER boundary dispatches three ways (same output shape, no
+  * plan change): (1) PDFBox via reflection when a jar is on the classpath
+  * (full-format coverage — the PyMuPDF `get_pixmap` equivalent); (2) the
+  * built-in pure-JVM `PdfRaster` for its documented subset (classic xref,
+  * Flate/DCT filters, path/text/image/form content — what invoice tooling
+  * emits); (3) the deterministic stub, ONLY as the honest fallback when a
+  * document falls outside the subset (with an `Audit.warn` naming the
+  * unsupported construct). Page naming follows the reference
   * (`page_%03d.png`, 1-based, under `<stem>_images/`), and the DPI scaling
-  * math is PyMuPDF's (`Matrix(dpi/72, dpi/72)` on 72-dpi page points).
-  * Swapping the stub for PDFBox's `PDFRenderer` changes one function body
-  * and no plan shape.
+  * math is PyMuPDF's (`Matrix(dpi/72, dpi/72)` on 72-dpi page points) on
+  * every path.
   */
 object PdfIngest {
 
@@ -43,11 +45,21 @@ object PdfIngest {
     try { Class.forName("org.apache.pdfbox.rendering.PDFRenderer"); true }
     catch { case _: Throwable => false }
 
-  /** The rasterizer boundary: real PDFBox rendering when available
-    * (reflection-gated), the deterministic stub otherwise. Same output
-    * shape either way — the plan around it never changes. */
+  /** The rasterizer boundary: PDFBox when available (reflection-gated,
+    * full format) → built-in `PdfRaster` (real rendering for its
+    * documented subset) → deterministic stub (honest fallback, warned).
+    * Same output shape on every path — the plan around it never changes. */
   def renderPdf(bytes: Array[Byte], dpi: Int): Seq[(Int, Int, Array[Byte])] =
-    if (pdfboxAvailable) renderPdfBox(bytes, dpi) else renderPdfStub(bytes, dpi)
+    if (pdfboxAvailable) renderPdfBox(bytes, dpi)
+    else
+      try PdfRaster.render(bytes, dpi)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          graft.Audit.warn(s"PdfIngest: built-in rasterizer cannot handle " +
+            s"this document (${e.getMessage}); falling back to the " +
+            "deterministic stub page model")
+          renderPdfStub(bytes, dpi)
+      }
 
   /** Reflective PDFBox path — supports pdfbox 3 (`Loader.loadPDF`) and
     * pdfbox 2 (`PDDocument.load`); renders each page at `dpi`

@@ -72,6 +72,26 @@ class PdfIngestSpec extends SparkSuite {
     }
   }
 
+  test("REAL PDFs through the scan: built-in rasterizer drives page count and content") {
+    val d = Files.createTempDirectory("graft_realpdfs_")
+    Files.write(d.resolve("facture_x.pdf"), graft.fixtures.PdfFixtures.invoicePdf(seed = 5, nPages = 3))
+    Files.write(d.resolve("facture_y.pdf"), graft.fixtures.PdfFixtures.invoicePdf(seed = 9, nPages = 1))
+    val (pages, warned) = Audit.capturing(
+      PdfIngest.pageImageTable(spark, d.toString, dpi = 18).collect())
+    assert(warned.isEmpty, s"in-subset PDFs must not fall back: $warned")
+    val byDoc = pages.groupBy(_.doc_id)
+    // page counts come from the DOCUMENTS (stub would derive 1–4 from a
+    // payload hash; these are exact)
+    assert(byDoc("facture_x").map(_.page).sorted.toSeq == Seq(1, 2, 3))
+    assert(byDoc("facture_y").map(_.page).toSeq == Seq(1))
+    assert(pages.forall(p => p.width == 153 && p.height == 198)) // A4 at dpi 18
+    // rendered content is the invoice, not a synthetic pattern: the header
+    // band pixel at pdf(560,744) → device (140,12) at scale 0.25
+    val img = ImageIO.read(new ByteArrayInputStream(byDoc("facture_x").head.png))
+    val band = new java.awt.Color(img.getRGB(140, 12))
+    assert(band.getRed == 235 && band.getGreen == 235 && band.getBlue == 242, s"got $band")
+  }
+
   test("page sink round-trips partitioned by doc_id") {
     val out = Files.createTempDirectory("graft_pages_").toString + "/pages"
     val pages = PdfIngest.pageImageTable(spark, dir.toString, dpi = 18)

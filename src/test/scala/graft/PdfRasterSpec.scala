@@ -1,0 +1,144 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.fixtures.PdfFixtures
+import graft.sources.{PdfIngest, PdfRaster}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S2 — the built-in pure-JVM PDF rasterizer against self-contained
+  * fixture documents from `PdfFixtures` (classic xref, Flate/raw streams,
+  * path + text + image + form + clip + rotate content). Pixel probes pin
+  * geometry and color exactly where rendering is exact (fills, images,
+  * y-flip, dpi math) and structurally where the JVM font substitutes for
+  * the PDF font program (ink presence / layout widths). */
+class PdfRasterSpec extends AnyFunSuite {
+
+  private def decode(p: (Int, Int, Array[Byte])) =
+    ImageIO.read(new ByteArrayInputStream(p._3))
+
+  private def inkBounds(img: java.awt.image.BufferedImage,
+      x0: Int, y0: Int, x1: Int, y1: Int): Option[(Int, Int, Int, Int)] = {
+    var minX = Int.MaxValue; var minY = Int.MaxValue; var maxX = -1; var maxY = -1
+    (y0 until y1).foreach { y =>
+      (x0 until x1).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        if ((rgb & 0xffffff) != 0xffffff) {
+          minX = math.min(minX, x); maxX = math.max(maxX, x)
+          minY = math.min(minY, y); maxY = math.max(maxY, y)
+        }
+      }
+    }
+    if (maxX < 0) None else Some((minX, minY, maxX, maxY))
+  }
+
+  test("page geometry is PyMuPDF's dpi math; page count comes from the document") {
+    val pdf = PdfFixtures.invoicePdf(seed = 7, nPages = 3)
+    val at72 = PdfRaster.render(pdf, dpi = 72)
+    assert(at72.length == 3)
+    assert(at72.forall(p => p._1 == 612 && p._2 == 792))
+    val at18 = PdfRaster.render(pdf, dpi = 18)
+    assert(at18.forall(p => p._1 == 153 && p._2 == 198)) // round(612*0.25) × round(792*0.25)
+  }
+
+  test("fills, strokes, and the y-flip land on exact device pixels") {
+    val img = decode(PdfRaster.render(PdfFixtures.invoicePdf(seed = 1, nPages = 1), 72).head)
+    // header band: 36 724 540 40 re f with rgb(0.92,0.92,0.95)
+    // → device x 36..576, y 792-764=28 .. 792-724=68; interior probe
+    val band = new java.awt.Color(img.getRGB(560, 40)) // inside the band, right of the title run
+    assert(band.getRed == 235 && band.getGreen == 235 && band.getBlue == 242,
+      s"header band pixel was $band")
+    // outside the band: white background
+    assert((img.getRGB(5, 5) & 0xffffff) == 0xffffff)
+    assert((img.getRGB(300, 10) & 0xffffff) == 0xffffff)
+    // the blue rule: 2pt line at y_pdf 716 → device y ≈ 76
+    val rule = new java.awt.Color(img.getRGB(300, 76))
+    assert(rule.getBlue > 100 && rule.getBlue > rule.getRed + 50,
+      s"rule pixel was $rule")
+    // title ink inside the band region (glyph shapes are JVM-rendered —
+    // probe presence, not shape): text at Td 50 736, fs 20 → device
+    // baseline y ≈ 56, ascent above
+    assert(inkBounds(img, 50, 30, 400, 60).exists { case (x0, _, x1, _) => x1 - x0 > 80 },
+      "expected title ink across the header band")
+  }
+
+  test("FlateDecode: compressed and uncompressed documents render identical pixels") {
+    val a = PdfRaster.render(PdfFixtures.invoicePdf(3, 2, compress = true), 36)
+    val b = PdfRaster.render(PdfFixtures.invoicePdf(3, 2, compress = false), 36)
+    assert(a.map(_._3.toSeq) == b.map(_._3.toSeq))
+  }
+
+  test("image XObjects: raw DeviceRGB Flate bitmap and DCTDecode JPEG at exact rects") {
+    val img = decode(PdfRaster.render(PdfFixtures.imagePdf(0xff0000, 0x0080ff), 72).head)
+    assert(img.getWidth == 200 && img.getHeight == 100)
+    // raw red image at cm [120 0 0 60 40 20] → device x 40..160, y 20..80
+    val raw = new java.awt.Color(img.getRGB(100, 50))
+    assert(raw.getRed == 255 && raw.getGreen == 0 && raw.getBlue == 0, s"raw image pixel $raw")
+    // jpeg at (10,10)+(20×20) → device y 100-30=70..90; JPEG is lossy → near match
+    val j = new java.awt.Color(img.getRGB(20, 80))
+    assert(math.abs(j.getRed - 0) < 12 && math.abs(j.getGreen - 128) < 12 &&
+      math.abs(j.getBlue - 255) < 12, s"jpeg pixel $j")
+    // outside both rects: white
+    assert((img.getRGB(195, 5) & 0xffffff) == 0xffffff)
+  }
+
+  test("/Widths array drives show-string advances (spec metrics beat JVM metrics)") {
+    val withW = decode(PdfRaster.render(PdfFixtures.widthsPdf(withWidths = true), 72).head)
+    val without = decode(PdfRaster.render(PdfFixtures.widthsPdf(withWidths = false), 72).head)
+    val w1 = inkBounds(withW, 0, 0, 300, 100).map { case (x0, _, x1, _) => x1 - x0 }.get
+    val w2 = inkBounds(without, 0, 0, 300, 100).map { case (x0, _, x1, _) => x1 - x0 }.get
+    // five 'I' glyphs at 1000/1000 em, fs 20 → advances span 4*20=80pt +
+    // final glyph; Helvetica 'I' is ~5.6pt at fs 20 → JVM layout is narrow
+    assert(w1 > 80, s"widths-driven span was $w1")
+    assert(w2 < 40, s"JVM-metrics span was $w2")
+  }
+
+  test("TJ displacement moves the following run by -adj/1000*fs") {
+    val shifted = decode(PdfRaster.render(PdfFixtures.kerningPdf(adj = -2000), 72).head)
+    val plain = decode(PdfRaster.render(PdfFixtures.kerningPdf(adj = 0), 72).head)
+    val ws = inkBounds(shifted, 0, 0, 400, 100).map { case (x0, _, x1, _) => x1 - x0 }.get
+    val wp = inkBounds(plain, 0, 0, 400, 100).map { case (x0, _, x1, _) => x1 - x0 }.get
+    // -2000/1000 * fs(20) = +40pt extra gap
+    assert(ws - wp > 30 && ws - wp < 50, s"shifted=$ws plain=$wp")
+  }
+
+  test("W clip restricts painting to the intersected region") {
+    val img = decode(PdfRaster.render(PdfFixtures.clipPdf(), 72).head)
+    // full-page red fill clipped to bottom-left 50×50pt → device y 742..792
+    val in = new java.awt.Color(img.getRGB(25, 767))
+    assert(in.getRed == 255 && in.getGreen == 0, s"clipped-in pixel $in")
+    assert((img.getRGB(25, 700) & 0xffffff) == 0xffffff) // above the clip
+    assert((img.getRGB(100, 767) & 0xffffff) == 0xffffff) // right of the clip
+  }
+
+  test("/Rotate 90 swaps the raster dimensions and rotates content") {
+    val (w, h, png) = PdfRaster.render(PdfFixtures.rotatedPdf(), 72).head
+    assert(w == 792 && h == 612)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    // the band along the page's left edge (x_pdf 0..60, full height) maps
+    // under rotate-90 to the TOP edge of the device raster
+    val top = new java.awt.Color(img.getRGB(400, 20))
+    assert(top.getRed < 40 && top.getGreen < 40, s"rotated band pixel $top")
+    assert((img.getRGB(400, 500) & 0xffffff) == 0xffffff)
+  }
+
+  test("outside the subset → Unsupported; renderPdf falls back to the stub with a warning") {
+    val pdf = PdfFixtures.unsupportedPdf()
+    val e = intercept[PdfRaster.Unsupported](PdfRaster.render(pdf, 72))
+    assert(e.getMessage.contains("ASCIIHexDecode"))
+    val (pages, warned) = Audit.capturing(PdfIngest.renderPdf(pdf, 18))
+    assert(pages.nonEmpty && pages.forall(p => p._1 == 153 && p._2 == 198)) // stub geometry
+    assert(warned.exists(_.contains("falling back")), s"got $warned")
+    // in-subset documents produce NO fallback warning
+    val (real, silent) = Audit.capturing(PdfIngest.renderPdf(PdfFixtures.invoicePdf(2, 2), 18))
+    assert(real.length == 2 && silent.isEmpty)
+  }
+
+  test("determinism: same document renders bit-identical PNGs") {
+    val pdf = PdfFixtures.invoicePdf(seed = 11, nPages = 2)
+    val a = PdfRaster.render(pdf, 36).map(_._3.toSeq)
+    val b = PdfRaster.render(pdf, 36).map(_._3.toSeq)
+    assert(a == b)
+  }
+}
