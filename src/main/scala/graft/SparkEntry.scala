@@ -206,6 +206,14 @@ object SparkEntry {
       // (ops.Bpe, iterative lowest-rank merging); the oracle fixture is the
       // independent sequential-replay implementation in tools.GenFixtures
       graft.ops.Bpe.tokenCounts(t(s, d, "documents"))),
+    "q49_decontamination" -> ((s, d) => {
+      // training-data decontamination: verbatim word-8-gram overlap vs an
+      // "eval set" (every 20th document) — broadcast eval grams, narrow
+      // corpus explode; oracle is the independent DuckDB list-slice SQL
+      val docs = t(s, d, "documents")
+      Dedup.contamination(docs, docs.where(col("doc_id") % 20 === 0), k = 8)
+        .select(col("doc_id"), col("hits"), col("contaminated").cast("int").as("contaminated"))
+    }),
     "q29_salted_agg" -> ((s, d) => {
       // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
       // (key, salt), final agg on key — result identical to plain GROUP BY
@@ -650,6 +658,18 @@ object SparkEntry {
     "q48_bpe_tokens" ->
       """SELECT doc_id, n_tokens_bpe
         |FROM read_parquet('/root/repo/src/test/resources/expected/q48_expected_bpe.parquet')""".stripMargin,
+    "q49_decontamination" ->
+      """WITH words AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        | FROM words, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+        | WHERE len(w) >= 8),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |h AS (SELECT g.doc_id, COUNT(*) AS hits FROM g JOIN e USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.hits, 0) AS hits,
+        |       CAST(COALESCE(h.hits, 0) >= 1 AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     "q29_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

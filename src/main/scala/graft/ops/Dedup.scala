@@ -330,6 +330,42 @@ object Dedup {
         .select(col("id"), col("component").as("group_id"))
   }
 
+  /** Training-data DECONTAMINATION: flag corpus documents that share at
+    * least `minHits` verbatim word k-grams with an evaluation/benchmark
+    * corpus — the GPT-3 appendix-C / Pile protocol shape (13-gram overlap
+    * against test sets), the step a training pipeline runs after dedup so
+    * benchmark answers don't leak into the training set.
+    *
+    * Scale shape: the EVAL side is bounded (benchmark suites are ~10⁵–10⁷
+    * n-grams, independent of corpus size) → distinct-hashed once and
+    * `broadcast()` (set `broadcastEval=false` on an unusually large eval
+    * corpus to let it shuffle). The CORPUS side is a narrow shingle
+    * explode + hash — text never rides a shuffle, only (id, gram-hash) —
+    * and the hit count partial-aggregates on the doc id. Gram identity is
+    * xxhash64 (collision odds are ~n²·2⁻⁶⁴, deterministic); `minHits > 1`
+    * implements the common "ignore incidental single-gram overlap" knob.
+    *
+    * Returns one row PER CORPUS DOC: (idCol, hits, contaminated). */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, k: Int = 13,
+      minHits: Long = 1L, idCol: String = "doc_id", textCol: String = "text",
+      evalTextCol: String = "text", broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams0 = evalDocs
+      .select(explode(wordShingles(col(evalTextCol), k)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    val hits = docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .join(evalGrams, "gh")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** Generic pigeonhole near-dup join over precomputed 64-bit signatures
     * `(id, sig)`: any pair at hamming ≤ maxHamming agrees EXACTLY on ≥1 of
     * the maxHamming+1 signature chunks, so candidates come from equi joins

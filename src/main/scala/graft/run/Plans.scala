@@ -12,7 +12,8 @@ object Plans {
     val names = Seq("q01_pricing_summary", "q02_join_revenue", "q04_filter_pushdown",
       "q08_sessionize", "q11_decimal_key_join", "q13_classify_text",
       "q20_ngram_jaccard_neardup", "q23_cosine_topk", "q29_salted_agg",
-      "q37_embedding_neardup_lsh", "q38_ocr_amount_validation", "q41_layout_sections")
+      "q37_embedding_neardup_lsh", "q38_ocr_amount_validation", "q41_layout_sections",
+      "q49_decontamination")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

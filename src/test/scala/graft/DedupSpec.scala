@@ -160,4 +160,27 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("decontamination: verbatim k-gram overlap vs an eval set, minHits knob") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the eval 4-gram twice-shifted
+      (2L, "zzz alpha beta gamma delta yyy"),      // one shared 4-gram (alpha..delta)
+      (3L, "alpha beta gamma xxx delta epsilon"),  // max 3-word verbatim run → clean at k=4
+      (4L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, eval, k = 4)
+      .as[(Long, Long, Boolean)].collect().toMap2
+    // doc1 shares "alpha beta gamma delta" AND "beta gamma delta epsilon"
+    assert(out(1L) == (2L, true))
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (0L, false)) // k-1 overlap is not contamination
+    assert(out(4L) == (0L, false))
+    // minHits=2: incidental single-gram overlap tolerated
+    val strict = Dedup.contamination(corpus, eval, k = 4, minHits = 2L)
+      .as[(Long, Long, Boolean)].collect().toMap2
+    assert(strict(1L)._2 && !strict(2L)._2)
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
