@@ -41,4 +41,14 @@ object Materialize {
       case "none"     => ds
       case _          => ds.localCheckpoint(eager)
     }
+
+  /** Whether in-operator cap ACCOUNTING should run: the accounting
+    * aggregate doubles as the materializing action of a lazily-checkpointed
+    * gate table, so under `local`/`reliable` it costs nothing extra — but
+    * under `none` the gate table is pure lineage and the accounting action
+    * would recompute the upstream aggregate a second time for the
+    * operator's own join. Operators skip it there (with a warn pointing at
+    * the deep-dive audit functions). */
+  def accountingEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(ModeKey, "local") != "none"
 }

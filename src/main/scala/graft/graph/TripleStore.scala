@@ -71,45 +71,55 @@ object TripleStore {
   }
 
   /** batch id → batches its manifest superseded (compaction snapshots). */
-  private def replacedBy(root: String): Map[Int, Set[Int]] =
-    manifestTexts(root).flatMap { case (b, txt) =>
+  private def replacedByOf(texts: Map[Int, String]): Map[Int, Set[Int]] =
+    texts.flatMap { case (b, txt) =>
       "\"replaces\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
         .map(m => b -> m.group(1).split(",").iterator
           .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
     }
 
+  private def replacedBy(root: String): Map[Int, Set[Int]] =
+    replacedByOf(manifestTexts(root))
+
   /** batch id → bucket count, for batches written in the BUCKETED layout
     * (compactions): the `files_per_pred` their manifest recorded. */
-  private def bucketedBatches(root: String): Map[Int, Int] =
-    manifestTexts(root).flatMap { case (b, txt) =>
+  private def bucketedBatchesOf(texts: Map[Int, String]): Map[Int, Int] =
+    texts.flatMap { case (b, txt) =>
       "\"files_per_pred\":\\s*(\\d+)".r.findFirstMatchIn(txt)
         .map(m => b -> m.group(1).toInt)
     }
 
   /** One lineage counter of one committed snapshot, read driver-side from
-    * the manifest (no Spark job) — e.g. the canonical-map row count
-    * (`canonicalOf`) that Pipeline's batch loop needs per batch. */
-  def counterValue(root: String, batchId: Int, key: String): Option[Long] =
-    manifestTexts(root).get(batchId).flatMap { txt =>
+    * its OWN manifest file (one read, not a directory scan — Pipeline's
+    * batch loop calls this per batch). */
+  def counterValue(root: String, batchId: Int, key: String): Option[Long] = {
+    val p = snapsDir(root).resolve(s"snap-$batchId.json")
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
       ("\"" + java.util.regex.Pattern.quote(key) + "\":\\s*(\\d+)").r
         .findAllMatchIn(txt)
         // the counters map is the only place a key repeats the batch field's
         // shape; keys are written sorted and unique, so first match wins
         .map(_.group(1).toLong).toSeq.headOption
     }
+  }
 
   /** Batches visible to a reader as of snapshot `asOf` (MaxValue = latest):
     * committed ids ≤ asOf, minus those superseded by a compaction snapshot
     * that is itself ≤ asOf — so time travel BEFORE a compaction point still
     * sees the original micro-batches (until `vacuum` physically drops them,
     * the Iceberg expire-snapshots trade-off). */
-  private def visibleBatches(root: String, asOf: Int): Set[Int] = {
-    val committed = committedBatches(root).filter(_ <= asOf)
-    val replaced = replacedBy(root)
+  private def visibleBatchesOf(texts: Map[Int, String], asOf: Int): Set[Int] = {
+    val committed = texts.keySet.filter(_ <= asOf)
+    val replaced = replacedByOf(texts)
       .collect { case (b, r) if b <= asOf && committed(b) => r }
       .flatten.toSet
     committed -- replaced
   }
+
+  private def visibleBatches(root: String, asOf: Int): Set[Int] =
+    visibleBatchesOf(manifestTexts(root), asOf)
 
   /** Currently visible batch ids (committed minus compacted-away). */
   def visibleBatchIds(root: String): Set[Int] = visibleBatches(root, Int.MaxValue)
@@ -125,15 +135,20 @@ object TripleStore {
     * partition visible once the retry's manifest lands (ADVICE r3). */
   private def scrubUncommitted(root: String, batchId: Int): Unit = {
     if (committedBatches(root).contains(batchId)) return
-    Seq("data", "cdata").map(Paths.get(root, _)).filter(Files.exists(_))
-      .foreach { tree =>
-        val stale = scala.util.Using.resource(Files.walk(tree)) { st =>
-          st.iterator().asScala.filter { p =>
-            Files.isDirectory(p) && p.getFileName.toString == s"batch=$batchId"
-          }.toVector
-        }
-        stale.foreach(deleteRecursive)
-      }
+    // list directory LEVELS of the two known layouts (data/pred=*/batch=<id>
+    // and cdata/pred=*/sbucket=*/batch=<id>) instead of walking every file
+    // of every batch — a per-commit full-tree walk would be O(total files)
+    // and make a B-commit run O(B²), the pathology the manifest protocol
+    // exists to avoid
+    def subdirs(p: Path): Vector[Path] =
+      if (!Files.isDirectory(p)) Vector.empty
+      else scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala.filter(Files.isDirectory(_)).toVector)
+    val target = s"batch=$batchId"
+    val stale =
+      subdirs(Paths.get(root, "data")).flatMap(subdirs) ++
+        subdirs(Paths.get(root, "cdata")).flatMap(pred => subdirs(pred).flatMap(subdirs))
+    stale.filter(_.getFileName.toString == target).foreach(deleteRecursive)
   }
 
   private def countersOf(df: DataFrame): Map[String, Long] =
@@ -188,12 +203,18 @@ object TripleStore {
   /** Snapshot time travel: read the store as of a given snapshot id —
     * only batches committed with id ≤ asOfBatch are visible (the
     * Iceberg-snapshot read semantics on the manifest log). */
-  def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame =
-    readBatches(spark, root, visibleBatches(root, asOfBatch))
+  def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame = {
+    val texts = manifestTexts(root)
+    readBatches(spark, root, visibleBatchesOf(texts, asOfBatch),
+      bucketedBatchesOf(texts).keySet)
+  }
 
   /** Read only committed (and not compacted-away) batches. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readBatches(spark, root, visibleBatches(root, Int.MaxValue))
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val texts = manifestTexts(root)
+    readBatches(spark, root, visibleBatchesOf(texts, Int.MaxValue),
+      bucketedBatchesOf(texts).keySet)
+  }
 
   private def emptyTriples(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -203,8 +224,9 @@ object TripleStore {
   /** Union of the plain (`data`) and bucketed (`cdata`) trees restricted to
     * `committed`, each side optionally further filtered (subject pruning). */
   private def readBatches(spark: SparkSession, root: String, committed: Set[Int],
+      bucketedIds: Set[Int],
       extraPlain: Column = lit(true), extraBucketed: Column = lit(true)): DataFrame = {
-    val bucketed = bucketedBatches(root).keySet & committed
+    val bucketed = bucketedIds & committed
     val plain = committed -- bucketed
     val parts = Seq(
       Option.when(plain.nonEmpty)(
@@ -242,26 +264,30 @@ object TripleStore {
   def readForSubjects(spark: SparkSession, root: String, subjects: Seq[String],
       preds: Seq[String] = Nil): DataFrame = {
     require(subjects.nonEmpty, "readForSubjects: no subjects given")
-    val committed = visibleBatches(root, Int.MaxValue)
+    // ONE manifest-directory read serves the whole lookup (visibility,
+    // bucket layout, bucket counts) — a point-lookup API must not scan
+    // _snapshots/ three times on a store with thousands of commits
+    val texts = manifestTexts(root)
+    val committed = visibleBatchesOf(texts, Int.MaxValue)
     if (committed.isEmpty) return emptyTriples(spark)
+    val bucketedAll = bucketedBatchesOf(texts)
     val subjPred = col("subj").isin(subjects: _*)
     val predPred = if (preds.isEmpty) lit(true) else col("pred").isin(preds: _*)
     // every visible bucketed batch was written with the same filesPerPred
     // unless compact() was re-parameterized between compactions; the bucket
     // predicate is computed per distinct bucket count, so mixed layouts
     // still prune correctly
-    val countsInUse = (bucketedBatches(root).keySet & committed).isEmpty
+    val bucketedVisible = bucketedAll.filter(kv => committed(kv._1))
     val bucketPred =
-      if (countsInUse) lit(true)
+      if (bucketedVisible.isEmpty) lit(true)
       else {
-        val byCount = (bucketedBatches(root).filter(kv => committed(kv._1)))
-          .groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
+        val byCount = bucketedVisible.groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
         byCount.map { case (n, ids) =>
           col("batch").isin(ids: _*) &&
             col("sbucket").isin(subjects.map(subjBucket(_, n)).distinct: _*)
         }.reduce(_ || _)
       }
-    readBatches(spark, root, committed,
+    readBatches(spark, root, committed, bucketedAll.keySet,
       extraPlain = subjPred && predPred,
       extraBucketed = bucketPred && subjPred && predPred)
   }
@@ -286,14 +312,15 @@ object TripleStore {
     * deployment derive it from store size / 128 MB).
     * Returns the new compacted batch id. */
   def compact(spark: SparkSession, root: String, filesPerPred: Int = 1): Int = {
-    val visible = visibleBatches(root, Int.MaxValue)
+    val texts = manifestTexts(root)
+    val visible = visibleBatchesOf(texts, Int.MaxValue)
     require(visible.nonEmpty, "compact: nothing committed")
     val newId = committedBatches(root).max + 1
     // scrub BEFORE reading: a crashed prior attempt at this id left
     // manifest-less partitions whose half-written files would otherwise be
     // listed (and possibly schema-sampled) by the store read below
     scrubUncommitted(root, newId)
-    val df = readBatches(spark, root, visible)
+    val df = readBatches(spark, root, visible, bucketedBatchesOf(texts).keySet)
       .withColumn("sbucket", pmod(xxhash64(col("subj")), lit(filesPerPred.toLong)))
       .withColumn("batch", lit(newId))
       // one task per (pred, sbucket) → one file per partition directory;

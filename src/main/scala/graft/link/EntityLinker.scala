@@ -105,16 +105,22 @@ object EntityLinker {
     // join anyway) and the dropped bucket/row counts go to Audit.warn, so
     // the cap is never silent; blockStats remains the deep-dive audit.
     // Lazy checkpoint: the accounting agg below is the materializing
-    // action, so sizing + accounting cost ONE serial job, not two
+    // action, so sizing + accounting cost ONE serial job, deliberately run
+    // when the operator is built. Skipped (warned) under materialize=none,
+    // where it would double-compute the bucket aggregate.
     val bucketSizes = graft.Materialize(
       blocks.groupBy("band", "h").count(), eager = false)
-    val droppedB = bucketSizes.where(col("count") > maxBucket)
-      .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
-    if (droppedB.getLong(0) > 0)
-      graft.Audit.warn(s"EntityLinker: dropping ${droppedB.getLong(0)} " +
-        s"over-cap LSH buckets covering ${droppedB.getLong(1)} entity-band " +
-        s"rows (maxBucket=$maxBucket); capped entities stay recoverable " +
-        "via the ICE identifier key")
+    if (graft.Materialize.accountingEnabled(ents.sparkSession)) {
+      val droppedB = bucketSizes.where(col("count") > maxBucket)
+        .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
+      if (droppedB.getLong(0) > 0)
+        graft.Audit.warn(s"EntityLinker: dropping ${droppedB.getLong(0)} " +
+          s"over-cap LSH buckets covering ${droppedB.getLong(1)} entity-band " +
+          s"rows (maxBucket=$maxBucket); capped entities stay recoverable " +
+          "via the ICE identifier key")
+    } else graft.Audit.warn("EntityLinker: materialize=none — in-operator " +
+      "cap accounting skipped (it would double-compute the bucket " +
+      "aggregate); audit caps via blockStats")
     val keptBlocks = blocks
       .join(bucketSizes.where(col("count") <= maxBucket), Seq("band", "h"))
       .drop("count")

@@ -92,18 +92,24 @@ object Bpe {
     }
   }
 
-  /** (id, n_tokens_bpe) over a corpus — typed mapPartitions pass (the
-    * merge loop is a JIT hot path; one Tokenizer per task closure), narrow
-    * and shuffle-free like the rest of TextOps. */
+  /** (id, n_tokens_bpe) over a corpus — a mapPartitions pass (the merge
+    * loop is a JIT hot path; one Tokenizer per task closure), narrow and
+    * shuffle-free like the rest of TextOps. The id column passes through
+    * with its ORIGINAL type (string ids like "inv-000042" included — a
+    * long cast would silently null them). */
   def tokenCounts(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       merges: Seq[(String, String)] = defaultMerges): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val tok = new Tokenizer(merges)
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, tok.countTokens(t)) })
-      .toDF(idCol, "n_tokens_bpe")
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("n_tokens_bpe", IntegerType, nullable = false)))
+    in.mapPartitions(_.map { r =>
+      val t = if (r.isNullAt(1)) "" else r.getString(1)
+      Row(r.get(0), tok.countTokens(t))
+    })(Encoders.row(outSchema))
   }
 }

@@ -204,16 +204,24 @@ object Dedup {
     // silent caps"): dropped bucket/row counts go to Audit.warn from the
     // same tiny (band,bh)-scale table, so mining never silently loses
     // recall. Similarity.bucketStats remains the deep-dive audit.
-    // lazy checkpoint: the accounting agg below is the materializing action,
-    // so sizing + accounting cost ONE serial job, not two
+    // Lazy checkpoint: the accounting agg below is the materializing action,
+    // so sizing + accounting cost ONE serial job — deliberately run when the
+    // operator is BUILT (the join needs the stored table anyway). Under
+    // materialize=none the table is pure lineage and the accounting would
+    // recompute the banding aggregate a second time, so it is skipped there
+    // (warned, never silent).
     val sizes = graft.Materialize(banded.groupBy("band", "bh").count(), eager = false)
-    val dropped = sizes.where(col("count") > maxBucket)
-      .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
-    if (dropped.getLong(0) > 0)
-      graft.Audit.warn(s"minhashNearDup: dropping ${dropped.getLong(0)} " +
-        s"over-cap band buckets covering ${dropped.getLong(1)} banded ids " +
-        s"(maxBucket=$maxBucket); pairs found ONLY in dropped buckets are " +
-        "not emitted — raise maxBucket or inspect Similarity.bucketStats")
+    if (graft.Materialize.accountingEnabled(df.sparkSession)) {
+      val dropped = sizes.where(col("count") > maxBucket)
+        .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
+      if (dropped.getLong(0) > 0)
+        graft.Audit.warn(s"minhashNearDup: dropping ${dropped.getLong(0)} " +
+          s"over-cap band buckets covering ${dropped.getLong(1)} banded ids " +
+          s"(maxBucket=$maxBucket); pairs found ONLY in dropped buckets are " +
+          "not emitted — raise maxBucket or inspect Similarity.bucketStats")
+    } else graft.Audit.warn("minhashNearDup: materialize=none — in-operator " +
+      "cap accounting skipped (it would double-compute the banding " +
+      "aggregate); audit caps via Similarity.bucketStats")
     val kept = banded.join(sizes.where(col("count") <= maxBucket), Seq("band", "bh"))
     val cand = kept.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(kept.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))

@@ -81,12 +81,21 @@ object ImageQuality {
     (g, w, h)
   }
 
+  /** OpenCV borderInterpolate(BORDER_REFLECT_101): -1 → 1, n → n-2,
+    * RE-REFLECTING until in range (a 1–2 px dimension would otherwise
+    * yield a negative index — cv2 loops; len 1 maps everything to 0). */
+  @inline private def reflect101(p0: Int, len: Int): Int = {
+    if (len == 1) return 0
+    var p = p0
+    while (p < 0 || p >= len) { p = if (p < 0) -p else 2 * len - p - 2 }
+    p
+  }
+
   /** Laplacian with OpenCV's ksize=1 kernel and REFLECT_101 borders. */
   private def laplacian(g: Array[Int], w: Int, h: Int): Array[Double] = {
     val out = new Array[Double](w * h)
-    // REFLECT_101: index -1 → 1, index n → n-2
-    @inline def rx(x: Int) = if (x < 0) -x else if (x >= w) 2 * w - x - 2 else x
-    @inline def ry(y: Int) = if (y < 0) -y else if (y >= h) 2 * h - y - 2 else y
+    @inline def rx(x: Int) = reflect101(x, w)
+    @inline def ry(y: Int) = reflect101(y, h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -295,8 +304,8 @@ object ImageQuality {
       dy <- -radius to radius; dx <- -radius to radius
       if math.sqrt(dx * dx + dy * dy) <= radius
     } yield (dx, dy, math.exp((dx * dx + dy * dy) * spaceCoeff))
-    @inline def rx(x: Int) = if (x < 0) -x else if (x >= w) 2 * w - x - 2 else x
-    @inline def ry(y: Int) = if (y < 0) -y else if (y >= h) 2 * h - y - 2 else y
+    @inline def rx(x: Int) = reflect101(x, w)
+    @inline def ry(y: Int) = reflect101(y, h)
     val out = new Array[Int](rgb.length)
     var y = 0
     while (y < h) {
@@ -334,8 +343,8 @@ object ImageQuality {
   def gentleSharpening(img: BufferedImage): BufferedImage = {
     val w = img.getWidth; val h = img.getHeight
     val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-    @inline def rx(x: Int) = if (x < 0) -x else if (x >= w) 2 * w - x - 2 else x
-    @inline def ry(y: Int) = if (y < 0) -y else if (y >= h) 2 * h - y - 2 else y
+    @inline def rx(x: Int) = reflect101(x, w)
+    @inline def ry(y: Int) = reflect101(y, h)
     val sharp = new Array[Int](rgb.length)
     var y = 0
     while (y < h) {

@@ -388,8 +388,11 @@ object Pipeline {
     * files instead of scanning the graph. */
   def lookupSubjects(spark: SparkSession, storeRoot: String,
       subjects: Seq[String], preds: Seq[String] = Nil): DataFrame =
-    TripleStore.readForSubjects(spark, storeRoot, subjects,
-        preds.filterNot(InternalPreds.contains))
+    // the caller's preds restriction passes through UNFILTERED: a request
+    // for an internal bookkeeping predicate must return the empty set (the
+    // where below), not fall back to "no restriction" (Nil) and leak every
+    // public triple of the subject
+    TripleStore.readForSubjects(spark, storeRoot, subjects, preds)
       .where(!col("pred").isin(InternalPreds: _*))
       .distinct()
 

@@ -50,7 +50,21 @@ object PdfIngest {
     * documented subset) → deterministic stub (honest fallback, warned).
     * Same output shape on every path — the plan around it never changes. */
   def renderPdf(bytes: Array[Byte], dpi: Int): Seq[(Int, Int, Array[Byte])] =
-    if (pdfboxAvailable) renderPdfBox(bytes, dpi)
+    if (pdfboxAvailable)
+      // same degradation contract as the built-in path: ONE corrupt or
+      // encrypted document must not fail a whole ingest job (reflection
+      // surfaces failures as InvocationTargetException, hence Throwable-
+      // with-NonFatal-cause handling, not just NonFatal)
+      try renderPdfBox(bytes, dpi)
+      catch {
+        case e: Throwable if scala.util.control.NonFatal(e) ||
+            (e.getCause != null && scala.util.control.NonFatal(e.getCause)) =>
+          val cause = Option(e.getCause).getOrElse(e)
+          graft.Audit.warn(s"PdfIngest: PDFBox cannot decode this document " +
+            s"(${cause.getMessage}); falling back to the deterministic " +
+            "stub page model")
+          renderPdfStub(bytes, dpi)
+      }
     else
       try PdfRaster.render(bytes, dpi)
       catch {

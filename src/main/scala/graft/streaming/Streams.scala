@@ -233,7 +233,13 @@ object Streams {
     * State per bucket is pruned to the watermark and the whole bucket
     * times out (EventTimeTimeout) once the watermark passes its newest
     * representative + lateness, so state stays bounded by the window, not
-    * the corpus — what makes this viable at 10^12 docs. */
+    * the corpus — what makes this viable at 10^12 docs.
+    *
+    * The returned stream is bound to an isolated CLONE of the input's
+    * session (`result.sparkSession`) where the stateful-operator static
+    * correctness check is disabled — see the comment below; the caller's
+    * session is never mutated. Memory-sink views and the `streams`
+    * registry for queries started on the result live on that clone. */
   def neardupStream(docs: DataFrame, tsCol: String = "ts", maxHamming: Int = 3,
       lateness: String = "10 minutes", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -252,19 +258,16 @@ object Streams {
     // user function COULD emit rows older than the watermark. This one
     // provably cannot: each stage emits exactly the current micro-batch's
     // rows with their original event times (state only changes the __hit
-    // flag). The check is read at query START from the session conf, so it
-    // must be off for the chained stages to analyze — done here, loudly,
-    // not silently (Spark's own documented escape hatch for this pattern).
+    // flag). The check is read at query START from the session conf — so
+    // the whole chain is built on an isolated CLONE of the caller's
+    // session (full conf copy) with the check off THERE, never on the
+    // caller's session: unrelated streaming queries started afterwards
+    // keep Spark's guard (Spark's own documented escape hatch, scoped).
     val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val session = docs.sparkSession
-    if (session.conf.get(checkKey, "true") == "true") {
-      session.conf.set(checkKey, "false")
-      graft.Audit.warn(s"neardupStream: disabling $checkKey for this session — " +
-        "the chained per-chunk flatMapGroupsWithState stages emit only " +
-        "current-batch rows at their original event times (never late), " +
-        "which the static check cannot prove")
-    }
-    val withSig = docs
+    val (scoped, docsScoped) =
+      org.apache.spark.sql.graft.SessionBridge.onClonedSession(docs)
+    scoped.conf.set(checkKey, "false")
+    val withSig = docsScoped
       .withColumn("__sig", graft.ops.Dedup.simhash(col(textCol)))
       .withColumn("__hit", lit(false))
       .withWatermark(tsCol, lateness)
@@ -285,23 +288,32 @@ object Streams {
             if (state.hasTimedOut) { state.remove(); Iterator.empty }
             else {
               val wm = state.getCurrentWatermarkMs()
-              var reps = state.getOption.map(_.reps).getOrElse(Nil)
-                .filter(_._2 >= wm)
+              // distinct signatures with their NEWEST event time: a flood of
+              // identical docs (boilerplate crawls) keeps ONE entry instead
+              // of one per arrival, so state is bounded by distinct sigs in
+              // the window and the exact-verify scan stays O(distinct), not
+              // O(arrivals). Semantics unchanged: "within maxHamming of ANY
+              // earlier in-window arrival" — the newest occurrence of a sig
+              // is itself such an arrival for every later row.
+              val reps = scala.collection.mutable.LongMap.empty[Long]
+              state.getOption.map(_.reps).getOrElse(Nil).foreach { case (s, t) =>
+                if (t >= wm && t > reps.getOrElse(s, Long.MinValue)) reps(s) = t
+              }
               // deterministic earlier/later order within the micro-batch
               val sorted = rows.toVector.sortBy(r => r.getTimestamp(tsIdx).getTime)
               val out = sorted.map { r =>
                 val sig = r.getLong(sigIdx)
                 val ts = r.getTimestamp(tsIdx).getTime
-                val hit = r.getBoolean(hitIdx) || reps.exists { case (s, _) =>
-                  java.lang.Long.bitCount(s ^ sig) <= maxHamming } // EXACT verify
-                reps = (sig, ts) :: reps
+                val hit = r.getBoolean(hitIdx) || reps.keysIterator.exists(s =>
+                  java.lang.Long.bitCount(s ^ sig) <= maxHamming) // EXACT verify
+                if (ts > reps.getOrElse(sig, Long.MinValue)) reps(sig) = ts
                 val vals = r.toSeq.toArray
                 vals(hitIdx) = hit
                 new GenericRowWithSchema(vals, schema): Row
               }
-              state.update(HammingBucketState(reps))
+              state.update(HammingBucketState(reps.toList))
               state.setTimeoutTimestamp(
-                math.max(reps.iterator.map(_._2).max + latenessMs, wm + 1))
+                math.max(reps.valuesIterator.max + latenessMs, wm + 1))
               out.iterator
             }
         }(stateEnc, rowEnc)

@@ -7,7 +7,9 @@ package graft.tools
   * symbol pairs (frequency-weighted) and merge the most frequent, ties
   * broken by lexicographic pair order for full determinism.
   *
-  * Run: sbt "runMain graft.tools.TrainBpe [nMerges]"   (default 300)
+  * Run: sbt "runMain graft.tools.TrainBpe [nMerges]"   (default 160 — the
+  * size of the COMMITTED table; regenerating with a different count would
+  * invalidate the committed q48 oracle fixture)
   */
 object TrainBpe {
 

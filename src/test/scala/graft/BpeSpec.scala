@@ -68,4 +68,18 @@ class BpeSpec extends SparkSuite {
       .as[(Long, Int)].collect().toMap
     assert(live == fixture, "committed q48 fixture drifted — rerun tools.GenFixtures")
   }
+
+  test("tokenCounts preserves the id column's type (string ids pass through)") {
+    val df = Seq(("inv-000042", "facture totale"), ("inv-000043", "montant du"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Bpe.tokenCounts(df)
+    assert(out.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+    val m = out.as[(String, Int)].collect().toMap
+    assert(m.keySet == Set("inv-000042", "inv-000043"))
+    assert(m("inv-000042") == tok.countTokens("facture totale"))
+    // null text counts as empty, not an NPE
+    val withNull = Seq(("a", "x"), ("b", null)).toDF("doc_id", "text")
+    assert(graft.ops.Bpe.tokenCounts(withNull).as[(String, Int)]
+      .collect().toMap.apply("b") == 0)
+  }
 }

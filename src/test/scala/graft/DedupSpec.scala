@@ -142,6 +142,19 @@ class DedupSpec extends SparkSuite {
     }
     assert(res2 == 15L) // C(6,2) exact duplicates all mined
     assert(silent.isEmpty, s"unexpected warnings: $silent")
+    // materialize=none: accounting would double-compute the banding
+    // aggregate, so it is SKIPPED — but loudly, and the mined pairs are
+    // unchanged (the cap still applies through the lazy size-gate join)
+    spark.conf.set(graft.Materialize.ModeKey, "none")
+    try {
+      val (res3, noneWarn) = Audit.capturing {
+        Dedup.minhashNearDup(dups, k = 5, numHashes = 16, bands = 8,
+          threshold = 0.5, maxBucket = 2).count()
+      }
+      assert(res3 == 0L)
+      assert(noneWarn.exists(_.contains("accounting skipped")), s"got $noneWarn")
+      assert(!noneWarn.exists(_.contains("over-cap band buckets")))
+    } finally spark.conf.unset(graft.Materialize.ModeKey)
   }
 
   test("dupGroups: integral ids get numeric-min labels without caller padding") {

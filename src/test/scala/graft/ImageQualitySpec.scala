@@ -91,6 +91,23 @@ class ImageQualitySpec extends SparkSuite {
     assert((out.getRGB(10, 9) & 0xff) == 100)
   }
 
+  test("REFLECT_101 borders survive 1-2 px images (cv2 re-reflects; no negative index)") {
+    // a 2-px-wide image puts radius-2 taps two reflections out: one-shot
+    // reflection computed rx(3) = -1 and crashed — cv2's borderInterpolate
+    // loops, and a 1-px dimension maps every index to 0
+    for ((w, h) <- Seq((2, 9), (9, 2), (1, 5), (5, 1), (1, 1), (2, 2))) {
+      val img = ImageIO.read(new ByteArrayInputStream(
+        png(w, h)((x, y) => gray(60 + 20 * ((x + y) % 3)))))
+      ImageQuality.bilateral5(img)     // must not throw
+      ImageQuality.gentleSharpening(img)
+      ImageQuality.metricsOf(img)
+      // uniform fixed points still hold at tiny sizes
+      val flat = ImageIO.read(new ByteArrayInputStream(png(w, h)((_, _) => gray(100))))
+      assert(ImageQuality.bilateral5(flat).getRGB(0, 0) == flat.getRGB(0, 0))
+      assert(ImageQuality.gentleSharpening(flat).getRGB(0, 0) == flat.getRGB(0, 0))
+    }
+  }
+
   test("gentle sharpening: unit-sum kernel fixes uniforms; hand-computed edge pixel") {
     val flat = ImageIO.read(new ByteArrayInputStream(png(16, 16)((_, _) => gray(90))))
     assert(ImageQuality.gentleSharpening(flat).getRGB(5, 5) == flat.getRGB(5, 5))

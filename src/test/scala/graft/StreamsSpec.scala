@@ -153,9 +153,17 @@ class StreamsSpec extends SparkSuite {
       (t("2024-01-01 10:01:00"), 2L, mutated.get), // near-dup → suppressed
       (t("2024-01-01 10:02:00"), 3L, far))         // distinct → kept
     query.processAllAvailable()
-    val ids = spark.table("neardup_test").select("doc_id").as[Long].collect().toSet
+    // the operator runs on an isolated session CLONE (where it disables the
+    // stateful-operator correctness check its chained stages can't satisfy
+    // statically) — the memory-sink view lives there, and the CALLER's
+    // session keeps Spark's guard untouched
+    val ids = out.sparkSession.table("neardup_test")
+      .select("doc_id").as[Long].collect().toSet
     query.stop()
     assert(ids == Set(1L, 3L), ids)
+    assert(spark.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "true") == "true", "neardupStream leaked its conf flip to the caller's session")
   }
 
   test("streaming near-dedup: chunk-colliding FAR docs BOTH survive (exact verify)") {
@@ -193,7 +201,8 @@ class StreamsSpec extends SparkSuite {
     query.processAllAvailable()
     mem.addData((t("2024-01-01 10:01:00"), 2L, docB)) // collides on a chunk, far in hamming
     query.processAllAvailable()
-    val ids = spark.table("neardup_far_test").select("doc_id").as[Long].collect().toSet
+    val ids = out.sparkSession.table("neardup_far_test")
+      .select("doc_id").as[Long].collect().toSet
     query.stop()
     assert(ids == Set(1L, 2L), s"far doc falsely suppressed: $ids")
   }

@@ -256,5 +256,12 @@ class TripleStoreSpec extends SparkSuite {
     val one = Pipeline.lookupSubjects(spark, rootA, Seq(subj), preds = Seq("hasVendor"))
       .as[(String, String, String)].collect().toSet
     assert(one == expected.filter(_._2 == "hasVendor"))
+    // a preds restriction naming ONLY an internal bookkeeping predicate
+    // must return the EMPTY set — not fall back to "no restriction" and
+    // leak every public triple of the subject
+    val canonSubj = TripleStore.read(spark, rootA)
+      .where($"pred" === "canonicalOf").select("subj").as[String].head()
+    assert(Pipeline.lookupSubjects(spark, rootA, Seq(canonSubj),
+      preds = Seq("canonicalOf")).isEmpty)
   }
 }
