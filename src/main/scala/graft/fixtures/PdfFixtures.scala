@@ -19,6 +19,7 @@ object PdfFixtures {
     * /Parent) can name their object number before the body is written. */
   final class Builder {
     private val objs = mutable.ArrayBuffer[Array[Byte]]()
+    private val streamObjs = mutable.HashSet[Int]() // stream objects by number
 
     /** Adds object body (the bytes between `N 0 obj` and `endobj`);
       * returns the 1-based object number. */
@@ -36,6 +37,7 @@ object PdfFixtures {
       System.arraycopy(data, 0, body, head.length, data.length)
       System.arraycopy(tail, 0, body, head.length + data.length, tail.length)
       objs += body
+      streamObjs += objs.length
       objs.length
     }
 
@@ -55,6 +57,90 @@ object PdfFixtures {
       w(s"trailer\n<< /Size ${objs.length + 1} /Root $rootObj 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
       out.toByteArray
     }
+
+    /** PDF 1.5 layout twin of `build`: the SAME objects, but every
+      * non-stream object packed into ONE object stream (/Type /ObjStm)
+      * referenced by type-2 entries, and the cross-reference emitted as an
+      * xref STREAM (/Type /XRef, /W [1 4 2], FlateDecode + PNG Up
+      * predictor /Columns 7) — the layout modern writers emit. Rendered
+      * pixels must be identical to the classic build (PdfRasterSpec pins
+      * that). */
+    def buildXrefStream(rootObj: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      w("%PDF-1.5\n%âãÏÓ\n")
+      val nObjs = objs.length
+      val objStmNum = nObjs + 1
+      val xrefNum = nObjs + 2
+      val inStm = (1 to nObjs).filterNot(streamObjs.contains)
+      val stmIdx = inStm.zipWithIndex.toMap
+      val offsets = mutable.HashMap[Int, Long]()
+      // 1) stream objects stay top-level (a stream can't live in an ObjStm)
+      objs.zipWithIndex.foreach { case (body, i) =>
+        if (streamObjs.contains(i + 1)) {
+          offsets(i + 1) = out.size().toLong
+          w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
+        }
+      }
+      // 2) the object stream: header of (num, offset) pairs, then bodies
+      val bodyBuf = new java.io.ByteArrayOutputStream()
+      val pairs = inStm.map { n =>
+        val off = bodyBuf.size()
+        bodyBuf.write(objs(n - 1)); bodyBuf.write('\n')
+        (n, off)
+      }
+      val header = pairs.map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+      val first = header.getBytes(ISO_8859_1).length
+      val stmData = deflate(header.getBytes(ISO_8859_1) ++ bodyBuf.toByteArray)
+      offsets(objStmNum) = out.size().toLong
+      w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First $first " +
+        s"/Filter /FlateDecode /Length ${stmData.length} >>\nstream\n")
+      out.write(stmData); w("\nendstream\nendobj\n")
+      // 3) the cross-reference stream, its own entry included
+      val xrefOff = out.size().toLong
+      val size = nObjs + 3 // obj 0 + bodies + ObjStm + the XRef stream itself
+      val rows = new java.io.ByteArrayOutputStream()
+      def row(t: Int, f2: Long, f3: Int): Unit = {
+        rows.write(t)
+        rows.write(((f2 >> 24) & 0xff).toInt); rows.write(((f2 >> 16) & 0xff).toInt)
+        rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+        rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+      }
+      row(0, 0, 0xffff) // object 0: head of the free list
+      (1 to nObjs).foreach { n =>
+        if (streamObjs.contains(n)) row(1, offsets(n), 0)
+        else row(2, objStmNum.toLong, stmIdx(n))
+      }
+      row(1, offsets(objStmNum), 0)
+      row(1, xrefOff, 0)
+      val xdata = deflate(pngUpPredict(rows.toByteArray, cols = 7))
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root $rootObj 0 R " +
+        s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> " +
+        s"/Length ${xdata.length} >>\nstream\n")
+      out.write(xdata); w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+      out.toByteArray
+    }
+  }
+
+  /** PNG Up (tag 2) predictor over `cols`-byte rows — what real writers
+    * apply to xref-stream payloads before Flate. */
+  private def pngUpPredict(data: Array[Byte], cols: Int): Array[Byte] = {
+    require(data.length % cols == 0, s"pngUpPredict: ${data.length} % $cols != 0")
+    val nRows = data.length / cols
+    val out = new Array[Byte]((cols + 1) * nRows)
+    var r = 0
+    while (r < nRows) {
+      out(r * (cols + 1)) = 2
+      var c = 0
+      while (c < cols) {
+        val prev = if (r == 0) 0 else data((r - 1) * cols + c)
+        out(r * (cols + 1) + 1 + c) = (data(r * cols + c) - prev).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   def deflate(data: Array[Byte]): Array[Byte] = {
@@ -75,7 +161,8 @@ object PdfFixtures {
     * rule, item lines, total block, and a shared form-XObject "logo".
     * `compress=true` Flate-encodes every content stream — the rendered
     * pixels must be IDENTICAL either way (PdfRasterSpec pins that). */
-  def invoicePdf(seed: Int, nPages: Int = 2, compress: Boolean = true): Array[Byte] = {
+  def invoicePdf(seed: Int, nPages: Int = 2, compress: Boolean = true,
+      xrefStream: Boolean = false): Array[Byte] = {
     val b = new Builder
     val pagesObj = b.reserve()
     val fontRegular = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
@@ -112,7 +199,7 @@ object PdfFixtures {
       b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
         s"/Resources $resources 0 R /Contents $cs 0 R >>")
     }
-    finish(b, pagesObj, pageObjs)
+    finish(b, pagesObj, pageObjs, xrefStream)
   }
 
   /** 200×100pt page with two image XObjects: an 8×4 raw DeviceRGB
@@ -218,11 +305,14 @@ object PdfFixtures {
     finish(b, pagesObj, Seq(page))
   }
 
-  /** Fill the reserved /Pages object, add the catalog, assemble. */
-  private def finish(b: Builder, pagesObj: Int, pageObjs: Seq[Int]): Array[Byte] = {
+  /** Fill the reserved /Pages object, add the catalog, assemble — in the
+    * classic-xref layout or (xrefStream=true) the PDF 1.5 xref-stream +
+    * object-stream layout. */
+  private def finish(b: Builder, pagesObj: Int, pageObjs: Seq[Int],
+      xrefStream: Boolean = false): Array[Byte] = {
     b.set(pagesObj, s"<< /Type /Pages /Kids [${pageObjs.map(p => s"$p 0 R").mkString(" ")}] " +
       s"/Count ${pageObjs.length} >>")
     val catalog = b.add(s"<< /Type /Catalog /Pages $pagesObj 0 R >>")
-    b.build(catalog)
+    if (xrefStream) b.buildXrefStream(catalog) else b.build(catalog)
   }
 }

@@ -19,8 +19,12 @@ import scala.collection.mutable
   *
   * Supported subset — chosen to cover what invoice-generation tooling
   * actually emits (vector text + rules + logos):
-  *  - classic cross-reference tables (with /Prev chains); xref STREAMS and
-  *    object streams are NOT supported (→ `Unsupported`)
+  *  - classic cross-reference tables (with /Prev chains), PDF 1.5+
+  *    cross-reference STREAMS (/Type /XRef, /W-packed binary entries,
+  *    /Index subsections, any supported /Filter+predictor) and object
+  *    streams (/Type /ObjStm type-2 entries — the layout every modern
+  *    writer emits), including hybrid-reference files (/XRefStm processed
+  *    before /Prev); /Extends chains → `Unsupported`
   *  - filters: none, /FlateDecode (with PNG predictors 10–15), /DCTDecode
   *    for image XObjects; everything else → `Unsupported`
   *  - content: path construction (m l c v y h re), painting (S s f F f* B
@@ -268,53 +272,138 @@ object PdfRaster {
   private final case class Page(mediaBox: Array[Double], rotate: Int,
       resources: PDict, contents: Array[Byte])
 
+  /** Where an object lives: at a byte offset (classic / xref-stream type-1
+    * entries) or inside an object stream (type-2 entries, PDF 1.5+). */
+  private sealed trait XEntry
+  private final case class XOffset(off: Long) extends XEntry
+  private final case class XInStream(streamNum: Int, idx: Int) extends XEntry
+
   private final class Doc(bytes: Array[Byte]) {
-    private val xref = mutable.HashMap[Int, Long]()
+    private val xref = mutable.HashMap[Int, XEntry]()
     private var trailer: PDict = PDict(Map.empty)
     loadXref()
 
+    /** Follows the startxref chain. Each section is either a classic
+      * `xref` table + `trailer` dict, or (PDF 1.5+) a cross-reference
+      * STREAM whose dict doubles as the trailer. Sections are processed
+      * newest-first with first-wins entry merging (an updated object's
+      * newest location shadows older ones); a hybrid-reference file's
+      * /XRefStm is processed before its /Prev, the spec's precedence. */
     private def loadXref(): Unit = {
       val tail = new String(bytes, math.max(0, bytes.length - 2048),
         math.min(2048, bytes.length), ISO_8859_1)
       val i = tail.lastIndexOf("startxref")
       if (i < 0) throw new Unsupported("no startxref")
-      var off = """\d+""".r.findFirstIn(tail.substring(i + 9)).getOrElse(
+      val off0 = """\d+""".r.findFirstIn(tail.substring(i + 9)).getOrElse(
         throw new Unsupported("bad startxref")).toLong
       var first = true
       val seen = mutable.HashSet[Long]()
-      while (off >= 0 && seen.add(off)) {
-        val lx = new Lexer(bytes, off.toInt)
-        lx.next() match {
-          case TKw("xref") => ()
-          case TNum(_) => throw new Unsupported("cross-reference streams")
-          case other   => throw new Unsupported(s"bad xref at $off: $other")
-        }
-        // subsections until 'trailer'
-        var t = lx.next()
-        while (t != TKw("trailer")) {
-          val start = t match { case TNum(n) => n.toInt; case o => throw new Unsupported(s"xref subsection: $o") }
-          val count = lx.next() match { case TNum(n) => n.toInt; case o => throw new Unsupported(s"xref count: $o") }
-          var k = 0
-          while (k < count) {
-            val o = lx.next() match { case TNum(n) => n.toLong; case x => throw new Unsupported(s"xref entry: $x") }
-            lx.next() // gen
-            lx.next() match {
-              case TKw("n") => if (!xref.contains(start + k)) xref(start + k) = o
-              case TKw("f") => ()
-              case x        => throw new Unsupported(s"xref flag: $x")
-            }
-            k += 1
+      val pending = mutable.Queue[Long](off0)
+      while (pending.nonEmpty) {
+        val off = pending.dequeue()
+        if (off >= 0 && seen.add(off)) {
+          val lx = new Lexer(bytes, off.toInt)
+          val tr = lx.next() match {
+            case TKw("xref") =>
+              // classic table: subsections until 'trailer'
+              var t = lx.next()
+              while (t != TKw("trailer")) {
+                val start = t match { case TNum(n) => n.toInt; case o => throw new Unsupported(s"xref subsection: $o") }
+                val count = lx.next() match { case TNum(n) => n.toInt; case o => throw new Unsupported(s"xref count: $o") }
+                var k = 0
+                while (k < count) {
+                  val o = lx.next() match { case TNum(n) => n.toLong; case x => throw new Unsupported(s"xref entry: $x") }
+                  lx.next() // gen
+                  lx.next() match {
+                    case TKw("n") => if (!xref.contains(start + k)) xref(start + k) = XOffset(o)
+                    case TKw("f") => ()
+                    case x        => throw new Unsupported(s"xref flag: $x")
+                  }
+                  k += 1
+                }
+                t = lx.next()
+              }
+              lx.parseObject() match {
+                case d: PDict => d
+                case o        => throw new Unsupported(s"trailer: $o")
+              }
+            case TNum(_) => parseXrefStreamAt(off)
+            case other   => throw new Unsupported(s"bad xref at $off: $other")
           }
-          t = lx.next()
+          if (first) { trailer = tr; first = false }
+          if (tr.v.contains("Encrypt")) throw new Unsupported("encrypted PDF")
+          tr.v.get("XRefStm").foreach { case PNum(p) => pending.enqueue(p.toLong); case _ => () }
+          tr.v.get("Prev").foreach { case PNum(p) => pending.enqueue(p.toLong); case _ => () }
         }
-        val tr = lx.parseObject() match {
-          case d: PDict => d
-          case o        => throw new Unsupported(s"trailer: $o")
-        }
-        if (first) { trailer = tr; first = false }
-        if (tr.v.contains("Encrypt")) throw new Unsupported("encrypted PDF")
-        off = tr.v.get("Prev") match { case Some(PNum(p)) => p.toLong; case _ => -1L }
       }
+    }
+
+    /** PDF 1.5+ cross-reference stream at `off` (`N G obj << /Type /XRef
+      * /W [w1 w2 w3] ... >> stream`): binary rows of /W-sized big-endian
+      * fields over the /Index subsections (default [0 /Size]); type 1 =
+      * offset, type 2 = (object stream, index), others free/ignored. The
+      * stream's own /Length and /Filter must be direct (they are by
+      * construction — the xref isn't loaded yet). Returns the dict, which
+      * is also the section's trailer. */
+    private def parseXrefStreamAt(off: Long): PDict = {
+      val lx = new Lexer(bytes, off.toInt)
+      (lx.next(), lx.next(), lx.next()) match {
+        case (TNum(_), TNum(_), TKw("obj")) => ()
+        case other => throw new Unsupported(s"bad xref stream header at $off: $other")
+      }
+      val d = lx.parseObject() match {
+        case d: PDict => d
+        case o        => throw new Unsupported(s"xref stream dict: $o")
+      }
+      lx.next() match {
+        case TKw("stream") => ()
+        case o             => throw new Unsupported(s"xref stream body: $o")
+      }
+      var p = lx.pos
+      if (p < bytes.length && bytes(p) == '\r') p += 1
+      if (p < bytes.length && bytes(p) == '\n') p += 1
+      val len = d.v.get("Length") match {
+        case Some(PNum(n)) => n.toInt
+        case _ => throw new Unsupported("xref stream: /Length must be direct")
+      }
+      val data = decoded(PStream(d, java.util.Arrays.copyOfRange(bytes, p, p + len)))
+      val ws = d.v.get("W") match {
+        case Some(PArr(a)) if a.length >= 3 =>
+          a.take(3).map { case PNum(n) => n.toInt; case o => throw new Unsupported(s"/W: $o") }
+        case o => throw new Unsupported(s"xref stream /W: $o")
+      }
+      val size = d.v.get("Size") match {
+        case Some(PNum(n)) => n.toInt
+        case o             => throw new Unsupported(s"xref stream /Size: $o")
+      }
+      val index: Vector[(Int, Int)] = d.v.get("Index") match {
+        case Some(PArr(a)) =>
+          a.map { case PNum(n) => n.toInt; case o => throw new Unsupported(s"/Index: $o") }
+            .grouped(2).collect { case Vector(s, c) => (s, c) }.toVector
+        case None => Vector((0, size))
+        case o    => throw new Unsupported(s"xref stream /Index: $o")
+      }
+      var pos = 0
+      def field(w: Int): Long = {
+        var v = 0L; var j = 0
+        while (j < w) { v = (v << 8) | (data(pos) & 0xff); pos += 1; j += 1 }
+        v
+      }
+      val rowBytes = ws.sum
+      for ((start, count) <- index; k <- 0 until count) {
+        if (pos + rowBytes > data.length)
+          throw new Unsupported("xref stream: truncated entry data")
+        val typ = if (ws(0) == 0) 1L else field(ws(0)) // default type 1 per spec
+        val f2 = field(ws(1))
+        val f3 = field(ws(2))
+        val num = start + k
+        typ match {
+          case 1 => if (!xref.contains(num)) xref(num) = XOffset(f2)
+          case 2 => if (!xref.contains(num)) xref(num) = XInStream(f2.toInt, f3.toInt)
+          case _ => () // 0 = free; unknown types are to be ignored (spec 7.5.8.3)
+        }
+      }
+      d
     }
 
     def resolve(o: Obj): Obj = o match {
@@ -322,9 +411,25 @@ object PdfRaster {
       case other      => other
     }
 
+    // compute-then-put (NOT getOrElseUpdate): loading an object can recurse
+    // into objectAt (indirect /Length, the object stream a type-2 entry
+    // names), and nested modification inside getOrElseUpdate's callback is
+    // undefined for mutable.HashMap
     private val cache = mutable.HashMap[Int, Obj]()
-    private def objectAt(num: Int): Obj = cache.getOrElseUpdate(num, {
-      val off = xref.getOrElse(num, throw new Unsupported(s"unresolved object $num"))
+    private def objectAt(num: Int): Obj = cache.get(num) match {
+      case Some(o) => o
+      case None =>
+        val v = xref.getOrElse(num, throw new Unsupported(s"unresolved object $num")) match {
+          case XOffset(off)             => objectAtOffset(off)
+          case XInStream(streamNum, _)  =>
+            objStmMembers(streamNum).getOrElse(num,
+              throw new Unsupported(s"object $num not found in ObjStm $streamNum"))
+        }
+        cache(num) = v
+        v
+    }
+
+    private def objectAtOffset(off: Long): Obj = {
       val lx = new Lexer(bytes, off.toInt)
       (lx.next(), lx.next(), lx.next()) match {
         case (TNum(_), TNum(_), TKw("obj")) => ()
@@ -345,7 +450,44 @@ object PdfRaster {
           PStream(d, java.util.Arrays.copyOfRange(bytes, p, p + len))
         case other => lx.push(other); obj
       }
-    })
+    }
+
+    /** Parsed members of one object stream (/Type /ObjStm, PDF 1.5+):
+      * the first /First bytes of the decoded payload are /N (objNum,
+      * byte-offset) integer pairs; each member object is parsed at
+      * /First + offset. Members are plain objects (a stream can never
+      * live inside an ObjStm — its xref entry must be type 1), and the
+      * whole stream is decoded once and memoized. /Extends chains are out
+      * of subset (→ Unsupported via the member-lookup miss). */
+    private val objStmCache = mutable.HashMap[Int, Map[Int, Obj]]()
+    private def objStmMembers(streamNum: Int): Map[Int, Obj] =
+      objStmCache.get(streamNum) match {
+        case Some(m) => m
+        case None =>
+          val s = objectAt(streamNum) match {
+            case s: PStream => s
+            case o => throw new Unsupported(s"ObjStm $streamNum is not a stream: $o")
+          }
+          val data = decoded(s)
+          def intEntry(key: String): Int =
+            resolve(s.dict.v.getOrElse(key, throw new Unsupported(s"ObjStm missing /$key"))) match {
+              case PNum(n) => n.toInt
+              case o       => throw new Unsupported(s"ObjStm /$key: $o")
+            }
+          val n = intEntry("N")
+          val first = intEntry("First")
+          val hdr = new Lexer(data, 0)
+          val pairs = (0 until n).map { _ =>
+            val num = hdr.next() match { case TNum(v) => v.toInt; case o => throw new Unsupported(s"ObjStm header: $o") }
+            val off = hdr.next() match { case TNum(v) => v.toInt; case o => throw new Unsupported(s"ObjStm header: $o") }
+            (num, off)
+          }
+          val m = pairs.map { case (num, off) =>
+            num -> new Lexer(data, first + off).parseObject()
+          }.toMap
+          objStmCache(streamNum) = m
+          m
+      }
 
     /** Fully decoded stream payload (filters applied). */
     def decoded(s: PStream): Array[Byte] = {

@@ -69,6 +69,23 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(a.map(_._3.toSeq) == b.map(_._3.toSeq))
   }
 
+  test("PDF 1.5 xref stream + object stream: same objects, identical pixels") {
+    // the modern-writer layout: every non-stream object lives in ONE
+    // /Type /ObjStm addressed by type-2 entries of a /Type /XRef stream
+    // (W [1 4 2], Flate + PNG Up predictor); rendering must be bit-equal
+    // to the classic-xref twin of the same document
+    val classic = PdfRaster.render(PdfFixtures.invoicePdf(11, 2), 36)
+    val modern = PdfRaster.render(
+      PdfFixtures.invoicePdf(11, 2, xrefStream = true), 36)
+    assert(modern.length == 2)
+    assert(modern.map(_._3.toSeq) == classic.map(_._3.toSeq))
+    // the 1.5 layout also flows through the dispatch boundary un-warned
+    val (pages, warned) = graft.Audit.capturing {
+      PdfIngest.renderPdf(PdfFixtures.invoicePdf(11, 2, xrefStream = true), 36)
+    }
+    assert(pages.length == 2 && warned.isEmpty, s"warned: $warned")
+  }
+
   test("image XObjects: raw DeviceRGB Flate bitmap and DCTDecode JPEG at exact rects") {
     val img = decode(PdfRaster.render(PdfFixtures.imagePdf(0xff0000, 0x0080ff), 72).head)
     assert(img.getWidth == 200 && img.getHeight == 100)
