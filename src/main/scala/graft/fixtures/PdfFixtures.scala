@@ -69,20 +69,57 @@ object PdfFixtures {
       val out = new java.io.ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
       w("%PDF-1.5\n%âãÏÓ\n")
-      val nObjs = objs.length
-      val objStmNum = nObjs + 1
-      val xrefNum = nObjs + 2
-      val inStm = (1 to nObjs).filterNot(streamObjs.contains)
+      val (offsets, objStmNum, inStm, stmIdx) = emitModernBody(out)
+      val xrefOff = emitXrefStreamObj(out, rootObj, offsets, objStmNum, inStm, stmIdx)
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+      out.toByteArray
+    }
+
+    /** Hybrid-reference layout (PDF 1.5 §7.5.8.4): a CLASSIC table +
+      * trailer whose /XRefStm names a cross-reference stream. The classic
+      * table lists only the top-level stream objects and marks compressed
+      * objects FREE (a classic-only reader would fail to resolve them), so
+      * rendering this file at all proves the /XRefStm side was read — and
+      * read BEFORE /Prev per the spec's precedence. */
+    def buildHybrid(rootObj: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      w("%PDF-1.5\n%âãÏÓ\n")
+      val (offsets, objStmNum, inStm, stmIdx) = emitModernBody(out)
+      val xrefStmOff = emitXrefStreamObj(out, rootObj, offsets, objStmNum, inStm, stmIdx)
+      val size = objs.length + 3
+      val tableOff = out.size().toLong
+      w(s"xref\n0 $size\n")
+      w("0000000000 65535 f \n")
+      (1 to objs.length).foreach { n =>
+        if (streamObjs.contains(n)) w(f"${offsets(n)}%010d 00000 n \n")
+        else w("0000000000 00000 f \n") // only resolvable via /XRefStm
+      }
+      w(f"${offsets(objStmNum)}%010d 00000 n \n")
+      w(f"$xrefStmOff%010d 00000 n \n")
+      w(s"trailer\n<< /Size $size /Root $rootObj 0 R /XRefStm $xrefStmOff >>\n")
+      w(s"startxref\n$tableOff\n%%EOF\n")
+      out.toByteArray
+    }
+
+    /** Top-level stream objects + the single /Type /ObjStm holding every
+      * non-stream object. Returns (object offsets incl. the ObjStm's,
+      * ObjStm number, in-stream object numbers, their ObjStm indexes). */
+    private def emitModernBody(out: java.io.ByteArrayOutputStream)
+        : (mutable.HashMap[Int, Long], Int, Seq[Int], Map[Int, Int]) = {
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      val objStmNum = objs.length + 1
+      val inStm = (1 to objs.length).filterNot(streamObjs.contains)
       val stmIdx = inStm.zipWithIndex.toMap
       val offsets = mutable.HashMap[Int, Long]()
-      // 1) stream objects stay top-level (a stream can't live in an ObjStm)
+      // stream objects stay top-level (a stream can't live in an ObjStm)
       objs.zipWithIndex.foreach { case (body, i) =>
         if (streamObjs.contains(i + 1)) {
           offsets(i + 1) = out.size().toLong
           w(s"${i + 1} 0 obj\n"); out.write(body); w("\nendobj\n")
         }
       }
-      // 2) the object stream: header of (num, offset) pairs, then bodies
+      // the object stream: header of (num, offset) pairs, then bodies
       val bodyBuf = new java.io.ByteArrayOutputStream()
       val pairs = inStm.map { n =>
         val off = bodyBuf.size()
@@ -96,9 +133,18 @@ object PdfFixtures {
       w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First $first " +
         s"/Filter /FlateDecode /Length ${stmData.length} >>\nstream\n")
       out.write(stmData); w("\nendstream\nendobj\n")
-      // 3) the cross-reference stream, its own entry included
+      (offsets, objStmNum, inStm, stmIdx)
+    }
+
+    /** The /Type /XRef stream object (its own entry included); returns its
+      * byte offset. */
+    private def emitXrefStreamObj(out: java.io.ByteArrayOutputStream, rootObj: Int,
+        offsets: mutable.HashMap[Int, Long], objStmNum: Int,
+        inStm: Seq[Int], stmIdx: Map[Int, Int]): Long = {
+      def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      val xrefNum = objs.length + 2
       val xrefOff = out.size().toLong
-      val size = nObjs + 3 // obj 0 + bodies + ObjStm + the XRef stream itself
+      val size = objs.length + 3 // obj 0 + bodies + ObjStm + the XRef stream itself
       val rows = new java.io.ByteArrayOutputStream()
       def row(t: Int, f2: Long, f3: Int): Unit = {
         rows.write(t)
@@ -107,7 +153,7 @@ object PdfFixtures {
         rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
       }
       row(0, 0, 0xffff) // object 0: head of the free list
-      (1 to nObjs).foreach { n =>
+      (1 to objs.length).foreach { n =>
         if (streamObjs.contains(n)) row(1, offsets(n), 0)
         else row(2, objStmNum.toLong, stmIdx(n))
       }
@@ -118,8 +164,7 @@ object PdfFixtures {
         s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> " +
         s"/Length ${xdata.length} >>\nstream\n")
       out.write(xdata); w("\nendstream\nendobj\n")
-      w(s"startxref\n$xrefOff\n%%EOF\n")
-      out.toByteArray
+      xrefOff
     }
   }
 
@@ -162,7 +207,7 @@ object PdfFixtures {
     * `compress=true` Flate-encodes every content stream — the rendered
     * pixels must be IDENTICAL either way (PdfRasterSpec pins that). */
   def invoicePdf(seed: Int, nPages: Int = 2, compress: Boolean = true,
-      xrefStream: Boolean = false): Array[Byte] = {
+      layout: String = "classic"): Array[Byte] = {
     val b = new Builder
     val pagesObj = b.reserve()
     val fontRegular = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
@@ -199,7 +244,7 @@ object PdfFixtures {
       b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
         s"/Resources $resources 0 R /Contents $cs 0 R >>")
     }
-    finish(b, pagesObj, pageObjs, xrefStream)
+    finish(b, pagesObj, pageObjs, layout)
   }
 
   /** 200×100pt page with two image XObjects: an 8×4 raw DeviceRGB
@@ -306,13 +351,18 @@ object PdfFixtures {
   }
 
   /** Fill the reserved /Pages object, add the catalog, assemble — in the
-    * classic-xref layout or (xrefStream=true) the PDF 1.5 xref-stream +
-    * object-stream layout. */
+    * classic-xref layout, the PDF 1.5 xref-stream + object-stream layout,
+    * or the hybrid-reference layout. */
   private def finish(b: Builder, pagesObj: Int, pageObjs: Seq[Int],
-      xrefStream: Boolean = false): Array[Byte] = {
+      layout: String = "classic"): Array[Byte] = {
     b.set(pagesObj, s"<< /Type /Pages /Kids [${pageObjs.map(p => s"$p 0 R").mkString(" ")}] " +
       s"/Count ${pageObjs.length} >>")
     val catalog = b.add(s"<< /Type /Catalog /Pages $pagesObj 0 R >>")
-    if (xrefStream) b.buildXrefStream(catalog) else b.build(catalog)
+    layout match {
+      case "classic"     => b.build(catalog)
+      case "xref-stream" => b.buildXrefStream(catalog)
+      case "hybrid"      => b.buildHybrid(catalog)
+      case other         => throw new IllegalArgumentException(s"layout: $other")
+    }
   }
 }

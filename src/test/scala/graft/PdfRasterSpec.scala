@@ -76,14 +76,24 @@ class PdfRasterSpec extends AnyFunSuite {
     // to the classic-xref twin of the same document
     val classic = PdfRaster.render(PdfFixtures.invoicePdf(11, 2), 36)
     val modern = PdfRaster.render(
-      PdfFixtures.invoicePdf(11, 2, xrefStream = true), 36)
+      PdfFixtures.invoicePdf(11, 2, layout = "xref-stream"), 36)
     assert(modern.length == 2)
     assert(modern.map(_._3.toSeq) == classic.map(_._3.toSeq))
     // the 1.5 layout also flows through the dispatch boundary un-warned
     val (pages, warned) = graft.Audit.capturing {
-      PdfIngest.renderPdf(PdfFixtures.invoicePdf(11, 2, xrefStream = true), 36)
+      PdfIngest.renderPdf(PdfFixtures.invoicePdf(11, 2, layout = "xref-stream"), 36)
     }
     assert(pages.length == 2 && warned.isEmpty, s"warned: $warned")
+  }
+
+  test("hybrid-reference file: /XRefStm is honored (classic table marks compressed objects free)") {
+    // the hybrid fixture's classic table can NOT resolve any dict object
+    // (all marked free) — rendering at all proves the trailer's /XRefStm
+    // cross-reference stream was read, per the spec's precedence
+    val classic = PdfRaster.render(PdfFixtures.invoicePdf(11, 2), 36)
+    val hybrid = PdfRaster.render(
+      PdfFixtures.invoicePdf(11, 2, layout = "hybrid"), 36)
+    assert(hybrid.map(_._3.toSeq) == classic.map(_._3.toSeq))
   }
 
   test("image XObjects: raw DeviceRGB Flate bitmap and DCTDecode JPEG at exact rects") {
