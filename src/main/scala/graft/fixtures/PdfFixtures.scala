@@ -336,18 +336,137 @@ object PdfFixtures {
     finish(b, pagesObj, Seq(page))
   }
 
-  /** Outside the supported subset: content stream behind /ASCIIHexDecode —
+  /** Outside the supported subset: content stream behind /JBIG2Decode —
     * `PdfRaster` must throw `Unsupported` (and `PdfIngest.renderPdf` must
     * fall back to the stub with a warning). */
   def unsupportedPdf(): Array[Byte] = {
     val b = new Builder
     val pagesObj = b.reserve()
     val resources = b.add("<< >>")
-    val hex = "BT ET".getBytes(ISO_8859_1).map(c => f"$c%02x").mkString + ">"
-    val cs = b.addStream("/Filter /ASCIIHexDecode", hex.getBytes(ISO_8859_1))
+    val cs = b.addStream("/Filter /JBIG2Decode", Array[Byte](0, 1, 2, 3))
     val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 612 792] " +
       s"/Resources $resources 0 R /Contents $cs 0 R >>")
     finish(b, pagesObj, Seq(page))
+  }
+
+  /** Single 300×200 page — a fill, a stroke, a glyph run, and a long
+    * repeated-rect tail (so RunLength/LZW actually compress) — with the
+    * content stream encoded by `filter` (none | ASCIIHexDecode |
+    * ASCII85Decode | RunLengthDecode | LZWDecode): rendering must equal
+    * the unfiltered twin. */
+  def filteredPdf(filter: String): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    val font = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val resources = b.add(s"<< /Font << /F1 $font 0 R >> >>")
+    val content = ("0.9 0.3 0.1 rg 30 30 140 80 re f " +
+      "0 0 0.8 RG 4 w 20 20 m 280 180 l S " +
+      "BT /F1 18 Tf 40 150 Td (Filtre PDF) Tj ET " +
+      (0 until 12).map(i => s"0.2 0.7 0.3 rg ${200 + i} 40 2 30 re f").mkString(" "))
+      .getBytes(ISO_8859_1)
+    val cs = filter match {
+      case "none" => b.addStream("", content)
+      case "ASCIIHexDecode" => b.addStream("/Filter /ASCIIHexDecode",
+        (content.map(c => f"$c%02x").mkString + ">").getBytes(ISO_8859_1))
+      case "ASCII85Decode"   => b.addStream("/Filter /ASCII85Decode", a85Encode(content))
+      case "RunLengthDecode" => b.addStream("/Filter /RunLengthDecode", runLengthEncode(content))
+      case "LZWDecode"       => b.addStream("/Filter /LZWDecode", lzwEncode(content))
+      case other             => throw new IllegalArgumentException(s"filter: $other")
+    }
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 300 200] " +
+      s"/Resources $resources 0 R /Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
+  /** ASCII85 encoder (with the 'z' zero-group shorthand and `~>` EOD). */
+  def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    def group(t0: Long, keep: Int): Unit = {
+      var t = t0
+      val cs = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { cs(k) = ('!' + (t % 85).toInt).toChar; t /= 85; k -= 1 }
+      sb.appendAll(cs, 0, keep)
+    }
+    var i = 0
+    while (i + 4 <= data.length) {
+      val t = ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+      if (t == 0) sb.append('z') else group(t, 5)
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var t = 0L
+      var k = 0
+      while (k < 4) { t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xffL else 0L); k += 1 }
+      group(t, rem + 1)
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** RunLengthDecode encoder: runs of ≥3 as (257−n, byte), literals
+    * otherwise, 128 EOD. */
+  def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var j = i
+      while (j < data.length && data(j) == data(i) && j - i < 128) j += 1
+      if (j - i >= 3) { out.write(257 - (j - i)); out.write(data(i)); i = j }
+      else {
+        var k = i
+        while (k < data.length && k - i < 128 &&
+          !(k + 2 < data.length && data(k) == data(k + 1) && data(k) == data(k + 2))) k += 1
+        out.write(k - i - 1); out.write(data, i, k - i); i = k
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** PDF LZW encoder (TIFF variant, /EarlyChange 1): 9→12-bit big-endian
+    * codes, leading 256 clear, trailing 257 EOD; emits a clear + reset if
+    * the table approaches the 12-bit cap. Width timing mirrors the
+    * decoder: the reader constructs the encoder's entry one code later, so
+    * the encoder grows when nextCode + early − 2 reaches 2^width. */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = mutable.HashMap[String, Int]()
+    var nextCode = 258
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict(i.toChar.toString) = i; i += 1 }
+      nextCode = 258
+    }
+    put(256); reset()
+    var w = ""
+    data.foreach { b =>
+      val c = (b & 0xff).toChar
+      val wc = w + c
+      if (dict.contains(wc)) w = wc
+      else {
+        put(dict(w))
+        if (nextCode >= 4093) { put(256); reset(); width = 9 }
+        else {
+          dict(wc) = nextCode; nextCode += 1
+          if (nextCode - 1 >= (1 << width) && width < 12) width += 1
+        }
+        w = c.toString
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** Fill the reserved /Pages object, add the catalog, assemble — in the

@@ -25,8 +25,10 @@ import scala.collection.mutable
   *    streams (/Type /ObjStm type-2 entries — the layout every modern
   *    writer emits), including hybrid-reference files (/XRefStm processed
   *    before /Prev); /Extends chains → `Unsupported`
-  *  - filters: none, /FlateDecode (with PNG predictors 10–15), /DCTDecode
-  *    for image XObjects; everything else → `Unsupported`
+  *  - filters: none, /FlateDecode, /LZWDecode (both with PNG predictors
+  *    10–15 and TIFF predictor 2 at 8 bpc), /ASCIIHexDecode,
+  *    /ASCII85Decode, /RunLengthDecode, /DCTDecode for image XObjects;
+  *    everything else (JBIG2/JPX/CCITT/Crypt) → `Unsupported`
   *  - content: path construction (m l c v y h re), painting (S s f F f* B
   *    B* b b* n), clipping (W W*), graphics state (q Q cm w), device color
   *    spaces (g G rg RG k K, cs/CS + sc/scn/SC/SCN on /DeviceGray, RGB,
@@ -504,24 +506,161 @@ object PdfRaster {
         case o         => throw new Unsupported(s"/DecodeParms: $o")
       }
       filters.zipWithIndex.foldLeft(s.raw) { case (data, (f, i)) =>
-        f match {
-          case "FlateDecode" =>
-            val inflated = inflate(data)
-            resolve(parms.applyOrElse(i, (_: Int) => PNull)) match {
-              case PDict(pm) =>
-                val pred = pm.get("Predictor").map { case PNum(n) => n.toInt; case _ => 1 }.getOrElse(1)
-                if (pred <= 1) inflated
-                else if (pred >= 10) {
-                  val cols = pm.get("Columns").map { case PNum(n) => n.toInt; case _ => 1 }.getOrElse(1)
-                  val colors = pm.get("Colors").map { case PNum(n) => n.toInt; case _ => 1 }.getOrElse(1)
-                  val bpc = pm.get("BitsPerComponent").map { case PNum(n) => n.toInt; case _ => 8 }.getOrElse(8)
-                  pngUnpredict(inflated, cols, colors, bpc)
-                } else throw new Unsupported(s"predictor $pred")
-              case _ => inflated
-            }
-          case other => throw new Unsupported(s"filter /$other")
+        val parm = resolve(parms.applyOrElse(i, (_: Int) => PNull))
+        def parmInt(key: String, dflt: Int): Int = parm match {
+          case PDict(pm) => pm.get(key).map { case PNum(n) => n.toInt; case _ => dflt }.getOrElse(dflt)
+          case _         => dflt
+        }
+        val decodedData = f match {
+          case "FlateDecode"     => inflate(data)
+          case "LZWDecode"       => lzwDecode(data, parmInt("EarlyChange", 1))
+          case "ASCIIHexDecode"  => asciiHexDecode(data)
+          case "ASCII85Decode"   => ascii85Decode(data)
+          case "RunLengthDecode" => runLengthDecode(data)
+          case other             => throw new Unsupported(s"filter /$other")
+        }
+        // predictors apply to FlateDecode AND LZWDecode payloads
+        val pred = parmInt("Predictor", 1)
+        if (pred <= 1) decodedData
+        else {
+          val cols = parmInt("Columns", 1)
+          val colors = parmInt("Colors", 1)
+          val bpc = parmInt("BitsPerComponent", 8)
+          if (pred >= 10) pngUnpredict(decodedData, cols, colors, bpc)
+          else if (pred == 2 && bpc == 8) tiffUnpredict(decodedData, cols, colors)
+          else throw new Unsupported(s"predictor $pred (bpc $bpc)")
         }
       }
+    }
+
+    /** PDF LZW (TIFF variant): 9→12-bit big-endian codes, 256 = clear
+      * table, 257 = EOD; with /EarlyChange 1 (the default) the code width
+      * grows one code early. */
+    private def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 3)
+      val dict = mutable.ArrayBuffer[Array[Byte]]()
+      def resetDict(): Unit = {
+        dict.clear()
+        var i = 0
+        while (i < 256) { dict += Array(i.toByte); i += 1 }
+        dict += Array.emptyByteArray // 256 (clear) placeholder
+        dict += Array.emptyByteArray // 257 (EOD) placeholder
+      }
+      resetDict()
+      var bitPos = 0
+      def nextCode(width: Int): Int =
+        if (bitPos + width > data.length * 8) 257 // treat truncation as EOD
+        else {
+          var v = 0; var k = 0
+          while (k < width) {
+            val bi = bitPos + k
+            v = (v << 1) | ((data(bi >> 3) >> (7 - (bi & 7))) & 1)
+            k += 1
+          }
+          bitPos += width
+          v
+        }
+      var width = 9
+      var prev: Array[Byte] = null
+      var done = false
+      while (!done) {
+        val code = nextCode(width)
+        if (code == 257) done = true
+        else if (code == 256) { resetDict(); width = 9; prev = null }
+        else {
+          val entry =
+            if (code < dict.length) dict(code)
+            else if (code == dict.length && prev != null) prev :+ prev(0)
+            else throw new Unsupported(s"LZW: code $code beyond table ${dict.length}")
+          out.write(entry)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          if (dict.length + earlyChange - 1 >= (1 << width) && width < 12) width += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val c = data(i) & 0xff
+        if (c == '>') done = true
+        else {
+          val d = Character.digit(c, 16)
+          if (d >= 0) { if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 } }
+          else if (!(c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32))
+            throw new Unsupported(s"ASCIIHexDecode: 0x${c.toHexString}")
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi * 16) // odd final digit: low nibble = 0
+      out.toByteArray
+    }
+
+    private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var tuple = 0L; var count = 0
+      var i = 0
+      var done = false
+      def emit(n: Int): Unit = {
+        val b = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+          ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+        out.write(b, 0, n)
+        tuple = 0; count = 0
+      }
+      while (i < data.length && !done) {
+        val c = data(i) & 0xff
+        if (c == '~') done = true // '~>' EOD
+        else if (c == 'z' && count == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          tuple = tuple * 85 + (c - '!'); count += 1
+          if (count == 5) emit(4)
+        } else if (!(c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32))
+          throw new Unsupported(s"ASCII85Decode: 0x${c.toHexString}")
+        i += 1
+      }
+      if (count > 0) { // partial group: pad with 'u' (84), keep count-1 bytes
+        val have = count
+        while (count < 5) { tuple = tuple * 85 + 84; count += 1 }
+        emit(have - 1)
+      }
+      out.toByteArray
+    }
+
+    private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 2)
+      var i = 0
+      while (i < data.length) {
+        val l = data(i) & 0xff; i += 1
+        if (l == 128) i = data.length // EOD
+        else if (l < 128) { out.write(data, i, math.min(l + 1, data.length - i)); i += l + 1 }
+        else if (i < data.length) {
+          val b = data(i) & 0xff; i += 1
+          var k = 0
+          while (k < 257 - l) { out.write(b); k += 1 }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** TIFF predictor 2 at 8 bits/component: horizontal differencing per
+      * `cols`-pixel row, component-wise. */
+    private def tiffUnpredict(data: Array[Byte], cols: Int, colors: Int): Array[Byte] = {
+      val rowBytes = cols * colors
+      var r = 0
+      while ((r + 1) * rowBytes <= data.length) {
+        var i = r * rowBytes + colors
+        while (i < (r + 1) * rowBytes) {
+          data(i) = (data(i) + data(i - colors)).toByte
+          i += 1
+        }
+        r += 1
+      }
+      data
     }
 
     private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -86,6 +86,14 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(pages.length == 2 && warned.isEmpty, s"warned: $warned")
   }
 
+  test("legacy stream filters (ASCIIHex/ASCII85/RunLength/LZW) render identical pixels") {
+    val plain = PdfRaster.render(PdfFixtures.filteredPdf("none"), 72)
+    for (f <- Seq("ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode", "LZWDecode")) {
+      val filtered = PdfRaster.render(PdfFixtures.filteredPdf(f), 72)
+      assert(filtered.map(_._3.toSeq) == plain.map(_._3.toSeq), s"filter $f diverged")
+    }
+  }
+
   test("hybrid-reference file: /XRefStm is honored (classic table marks compressed objects free)") {
     // the hybrid fixture's classic table can NOT resolve any dict object
     // (all marked free) — rendering at all proves the trailer's /XRefStm
@@ -153,7 +161,7 @@ class PdfRasterSpec extends AnyFunSuite {
   test("outside the subset → Unsupported; renderPdf falls back to the stub with a warning") {
     val pdf = PdfFixtures.unsupportedPdf()
     val e = intercept[PdfRaster.Unsupported](PdfRaster.render(pdf, 72))
-    assert(e.getMessage.contains("ASCIIHexDecode"))
+    assert(e.getMessage.contains("JBIG2Decode"))
     val (pages, warned) = Audit.capturing(PdfIngest.renderPdf(pdf, 18))
     assert(pages.nonEmpty && pages.forall(p => p._1 == 153 && p._2 == 198)) // stub geometry
     assert(warned.exists(_.contains("falling back")), s"got $warned")
