@@ -152,10 +152,16 @@ object EntityLinker {
 
     if (!useIce) lshEdges
     else {
+      // STAR topology per identifier group (hub = min entity_key): these
+      // edges only ever feed connected components, where a star yields the
+      // exact same components as all-pairs — but a degenerate shared ICE
+      // (OCR noise, placeholder '000000000' on 10^5 entities) costs
+      // group-size rows instead of a quadratic self-join bucket
       val withIce = ents.where(col("ice").isNotNull)
-      val iceEdges = withIce.select(col("ice"), col("entity_key").as("src"))
-        .join(withIce.select(col("ice"), col("entity_key").as("dst")), "ice")
-        .where(col("src") < col("dst"))
+      val iceMin = withIce.groupBy("ice").agg(min(col("entity_key")).as("src"))
+      val iceEdges = withIce.select(col("ice"), col("entity_key").as("dst"))
+        .join(iceMin, "ice")
+        .where(col("src") < col("dst")) // src IS the group min; drops self
         .select("src", "dst")
       lshEdges.union(iceEdges).distinct()
     }
@@ -205,10 +211,15 @@ object EntityLinker {
     }
 
     def editSim(a: String, b: String): Double = {
-      val ml = math.max(a.length, b.length)
+      // mirror Taggers.editSimilarity exactly: length() = codepoint count,
+      // lower() = UTF8String.toLowerCase — NOT java.lang.String.toLowerCase,
+      // whose default-locale mapping diverges (e.g. tr dotless ı) and would
+      // break driver/distributed edge parity
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val ml = math.max(ua.numChars(), ub.numChars())
       if (ml == 0) 1.0
-      else 1.0 - UTF8String.fromString(a.toLowerCase)
-        .levenshteinDistance(UTF8String.fromString(b.toLowerCase)).toDouble / ml
+      else 1.0 - ua.toLowerCase.levenshteinDistance(ub.toLowerCase).toDouble / ml
     }
     def jaccard(a: Seq[String], b: Seq[String]): Double = {
       val (sa, sb) = (a.toSet, b.toSet)
@@ -246,18 +257,13 @@ object EntityLinker {
       }
     }
     if (useIce) {
+      // star per ICE group — must mirror the distributed iceEdges exactly
+      // (LocalElParitySpec pins the edge sets equal)
       val byIce = ents.filter(_.ice != null).groupBy(_.ice)
       byIce.valuesIterator.foreach { es =>
-        val keys = es.map(_.key).sorted
-        var i = 0
-        while (i < keys.length) {
-          var j = i + 1
-          while (j < keys.length) {
-            if (keys(i) != keys(j)) out += ((keys(i), keys(j)))
-            j += 1
-          }
-          i += 1
-        }
+        val keys = es.map(_.key).distinct.sorted
+        val hub = keys.head
+        keys.iterator.drop(1).foreach(k => out += ((hub, k)))
       }
     }
     out.toSeq

@@ -19,19 +19,25 @@ object Gazetteer {
 
   /** Compiled-alternation membership: true iff any keyword occurs in the
     * text (case-insensitive substring semantics, like Python `kw in text`). */
-  def containsAnyKeyword(text: Column, keywords: Seq[String]): Column = {
-    val pattern = "(?i)" + keywords.map(java.util.regex.Pattern.quote).mkString("|")
-    text.rlike(pattern)
-  }
+  def containsAnyKeyword(text: Column, keywords: Seq[String]): Column =
+    // Python `any([])` is False — an empty keyword list matches NOTHING
+    // (the naive "(?i)" pattern would match everything); empty-string
+    // keywords are dropped for the same reason
+    keywords.filter(_.nonEmpty) match {
+      case Nil => lit(false)
+      case ks  => text.rlike("(?i)" + ks.map(java.util.regex.Pattern.quote).mkString("|"))
+    }
 
   /** Keyword hit ratio vs a confidence threshold — the reference's zone
     * scoring shape (zone_detector.py:89-125, threshold 0.3). */
-  def keywordScore(text: Column, keywords: Seq[String]): Column = {
-    val tl = lower(text)
-    val hits = keywords.map(k => when(tl.contains(k.toLowerCase), 1).otherwise(0))
-      .reduce(_ + _)
-    hits.cast("double") / keywords.size
-  }
+  def keywordScore(text: Column, keywords: Seq[String]): Column =
+    if (keywords.isEmpty) lit(0.0) // Python sum([])/max(len,1) shape: no keywords → 0
+    else {
+      val tl = lower(text)
+      val hits = keywords.map(k => when(tl.contains(k.toLowerCase(java.util.Locale.ROOT)), 1)
+        .otherwise(0)).reduce(_ + _)
+      hits.cast("double") / keywords.size
+    }
 
   /** Broadcast-gazetteer match: annotate `df` rows with the canonical
     * gazetteer entry whose normalized key equals the normalized value of

@@ -161,12 +161,13 @@ object Extract {
           when(l.getField("xc") < r.getField("xc"), -1)
             .when(l.getField("xc") > r.getField("xc"), 1)
             .otherwise(0).cast("int"))
+      // only the fields itemTriples reads — an extra normalizeAmount here
+      // (two regexp_replaces + decimal cast per line item) would be dead
+      // compute on this file's documented per-doc bottleneck
       struct(
         idx.as("n"),
         get(cells, lit(0)).getField("text").as("description"),
         get(cells, lit(1)).getField("text").cast("int").as("quantity"),
-        get(cells, lit(2)).getField("text").as("unit"),
-        Taggers.normalizeAmount(get(cells, lit(3)).getField("text")).as("unit_price"),
         Taggers.normalizeAmount(get(cells, lit(4)).getField("text")).as("total"))
     })
 

@@ -126,7 +126,11 @@ object FastExtract {
   /** Per-document extraction — the exact mirror of Extract.triples +
     * Extract.vendorMentions in one pass. */
   def extractDoc(doc: OcrDoc): DocResult = {
-    val spans = doc.spans
+    // null text (legal in the interleaved schema — media spans often carry
+    // text=null) normalizes to "" so every predicate below behaves exactly
+    // like the declarative path's null-propagation (null length/endsWith/
+    // regex all filter the span there; "" does the same here)
+    val spans = doc.spans.map(s => if (s.text == null) s.copy(text = "") else s)
     // empty doc still yields its rdf:type triple (mirror of Extract, where
     // the literal-obj triple survives the null filter)
     if (spans.isEmpty)
@@ -215,7 +219,7 @@ object FastExtract {
     * semantics are shared with extractDoc via the same helpers; parity with
     * the full path is asserted in ExtractParitySpec. */
   def mentionsOnly(doc: OcrDoc): Seq[VendorMention] = {
-    val spans = doc.spans
+    val spans = doc.spans.map(s => if (s.text == null) s.copy(text = "") else s)
     if (spans.isEmpty) return Nil
     val totalH = spans.map(s => s.bbox.y + s.bbox.h).max.toDouble
     var vendorSurface: String = null

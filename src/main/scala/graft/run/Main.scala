@@ -24,11 +24,17 @@ object Main {
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) throw new IllegalArgumentException(
+        s"$flag requires a value — expected --docs <path|synthetic:N> --store <dir> " +
+          "[--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--docs" => m("docs") = args(i + 1); i += 2
-        case "--store" => m("store") = args(i + 1); i += 2
-        case "--batches" => m("batches") = args(i + 1); i += 2
+        case "--docs" => m("docs") = value("--docs"); i += 2
+        case "--store" => m("store") = value("--store"); i += 2
+        case "--batches" => m("batches") = value("--batches"); i += 2
         case "--no-ice" => m("noIce") = "true"; i += 1
         case "--report" => m("report") = "true"; i += 1
         case "--compact" => m("compact") = "true"; i += 1

@@ -307,7 +307,11 @@ object Pipeline {
           lit("canonicalOf").as("pred"),
           concat(lit("vendor:"), col("canonical")).as("obj"))
         .unionByName(registryTriples(ents))
-      TripleStore.commitBatch(canonTriples, storeRoot, CanonBatch)
+      // n_batches is part of the store's addressing scheme (batch b covers
+      // pmod(xxhash64(doc_id), nBatches) == b), so it is recorded with the
+      // canon snapshot and WINS on resume — see effBatches below
+      TripleStore.commitBatch(canonTriples, storeRoot, CanonBatch,
+        Map("n_batches" -> nBatches.toLong))
     }
     val canonMap = TripleStore.read(spark, storeRoot)
       .where(col("pred") === "canonicalOf")
@@ -321,11 +325,23 @@ object Pipeline {
     val canonRows = TripleStore.counterValue(storeRoot, CanonBatch, "canonicalOf")
       .getOrElse(canonMap.count())
 
+    // resume safety: committed batch ids address pmod(hash, nBatches)
+    // partitions, so resuming with a DIFFERENT nBatches would silently skip
+    // every document whose old partition isn't re-covered — the stored
+    // value wins, loudly (absent only on stores predating the counter)
+    val effBatches = TripleStore.counterValue(storeRoot, CanonBatch, "n_batches")
+      .map(_.toInt).getOrElse(nBatches)
+    if (effBatches != nBatches)
+      graft.Audit.warn(s"runResumable: store was built with nBatches=$effBatches, " +
+        s"caller asked $nBatches — resuming with the STORED value (batch ids " +
+        "address pmod(hash, nBatches) document partitions; changing it " +
+        "mid-store would drop documents)")
+
     var done = 0
-    (0 until nBatches).foreach { b =>
+    (0 until effBatches).foreach { b =>
       if (!TripleStore.committedBatches(storeRoot).contains(b)) {
         if (done >= failAfterBatches) throw new RuntimeException(s"injected failure before batch $b")
-        val batchDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === b)
+        val batchDocs = docs.where(pmod(xxhash64(col("doc_id")), lit(effBatches)) === b)
         val raw = rawTriples(batchDocs, cfg)
         val triples = canonicalize(raw, canonMap, canonRows, cfg.broadcastEntityLimit)
           .select("subj", "pred", "obj").distinct()
@@ -460,7 +476,15 @@ object Pipeline {
     val priorMap = store.where(col("pred") === "canonicalOf").select(
       regexp_replace(col("subj"), "^vendor:", "").as("id"),
       regexp_replace(col("obj"), "^vendor:", "").as("canonical"))
-    require(priorMap.isEmpty || priorEnts.take(1).nonEmpty,
+    val hasMap = priorMap.take(1).nonEmpty
+    require(hasMap ||
+      store.where(!col("pred").isin(InternalPreds: _*)).take(1).isEmpty,
+      "runIncremental: store holds triples but NO canonical map (raw " +
+        "ingest-style commits) — extending it incrementally would merge a " +
+        "canonical increment into a never-canonicalized graph and drop the " +
+        "old vendors' identifier data; rebuild via runResumable/runBootstrap " +
+        "first")
+    require(!hasMap || priorEnts.take(1).nonEmpty,
       "runIncremental: store has a canonical map but no entity registry " +
         "(pre-registry format) — rebuild the canon snapshot with the " +
         "current runResumable first")
@@ -497,9 +521,13 @@ object Pipeline {
         col("old_c") === col("id"), "left")
       .select(col("old_c"), coalesce(col("new_c"), col("old_c")).as("new_c"))
       .where(col("old_c") =!= col("new_c"))
-    val d = broadcast(delta.select(
+    // delta rows ≤ distinct old canonicals ≤ merged-map rows, so the
+    // already-known mapRows bounds it — same broadcast gate as the new map
+    // below (an unconditional broadcast would OOM at 10^8-entity stores)
+    val d = maybeBroadcast(delta.select(
       concat(lit("vendor:"), col("old_c")).as("surf_node"),
-      concat(lit("vendor:"), col("new_c")).as("canon_node")))
+      concat(lit("vendor:"), col("new_c")).as("canon_node")),
+      mapRows, cfg.broadcastEntityLimit)
 
     // old doc-scoped triples re-pointed through the delta (sameAs/hasICE
     // are regenerated from the merged table below — cheaper than rewriting)

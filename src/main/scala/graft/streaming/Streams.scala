@@ -171,7 +171,13 @@ object Streams {
             sorted.foreach { case (_, ts, v) =>
               cur match {
                 case Some(s) if ts - s.lastTs <= gapSeconds =>
-                  cur = Some(s.copy(lastTs = ts, n = s.n + 1, total = s.total + v))
+                  // a LATE in-gap event (ts < lastTs, delivered inside the
+                  // watermark) must extend the session's bounds, never
+                  // rewind them — min/max, not assignment (a rewound lastTs
+                  // both mis-splits later events and can push the timeout
+                  // at or below the watermark, which Spark rejects)
+                  cur = Some(s.copy(start = math.min(s.start, ts),
+                    lastTs = math.max(s.lastTs, ts), n = s.n + 1, total = s.total + v))
                 case Some(s) =>
                   closed ::= ((userId, new java.sql.Timestamp(s.start * 1000), s.n, s.total))
                   cur = Some(SessionState(ts, ts, 1, v))
@@ -181,7 +187,8 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastTs + gapSeconds) * 1000)
+              state.setTimeoutTimestamp(math.max((s.lastTs + gapSeconds) * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -81,6 +81,33 @@ class ExtractParitySpec extends SparkSuite {
       .as[String].collect().toSet
     assert(dates.isEmpty, s"fabricated dates: $dates")
   }
+
+  test("parity on NULL span text (legal interleaved input: media spans carry text=null)") {
+    import graft.model._
+    def sp(text: String, offset: Int, y: Int, x: Int = 10, kind: String = "text") =
+      OcrSpan(kind, text, if (kind == "media") s"blob://$offset" else null,
+        offset, 0.9, BBox(x, y, 60, 10))
+    val docs = Seq(
+      OcrDoc("nul1", 800, 1000, Seq(
+        sp(null, 0, 10, kind = "media"), // media span, null text
+        sp("FACT-77-123", 1, 30),
+        sp("Vendor Co", 2, 250),
+        sp(null, 3, 700), // null-text TEXT span in the items zone
+        sp("Widget", 4, 720, x = 10),
+        sp("2", 5, 720, x = 100))),
+      OcrDoc("nul2", 800, 1000, Seq(sp(null, 0, 10)))) // only a null span
+    val df = spark.createDataset(docs).toDF()
+    // the declarative path null-propagates; the typed fast path must not
+    // NPE and must emit the identical triple set
+    val slow = Extract.triples(df).select("subj", "pred", "obj")
+    val fast = FastExtract.triples(df.as[OcrDoc]).toDF()
+    assert(slow.exceptAll(fast).count() == 0 && fast.exceptAll(slow).count() == 0,
+      s"null-text divergence: slow-only ${slow.exceptAll(fast).collect().mkString(";")} " +
+        s"fast-only ${fast.exceptAll(slow).collect().mkString(";")}")
+    // mentionsOnly must not NPE either
+    assert(FastExtract.mentionsOnly(docs.head).nonEmpty)
+    assert(FastExtract.mentionsOnly(docs(1)).isEmpty)
+  }
   test("q32 oracle contract: live raw extraction == generator-side ground truth (fixture current)") {
     // expectedRawTriples is derived from the records alone (surface keys,
     // no dedup) — independent of the extractor; the committed parquet at

@@ -85,4 +85,39 @@ class IncrementalSpec extends SparkSuite {
     val b = Pipeline.readGraph(spark, fullRoot).as[(String, String, String)].collect().toSet
     assert(a == b, s"after two increments: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
   }
+
+  test("incremental REJECTS a store whose triples were never canonicalized") {
+    // raw ingest-style commits (no canon snapshot): extending such a store
+    // incrementally would silently merge a canonical increment into a
+    // non-canonical graph and drop old vendors' identifier data
+    val root = tmp()
+    val raw = Seq(("invoice:x", "hasVendor", "vendor:acme_sarl"))
+      .toDF("subj", "pred", "obj")
+    TripleStore.commitBatch(raw, root, 0)
+    val inc = InvoiceCorpus.docs(spark, 10).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, inc, root)
+    }
+    assert(e.getMessage.contains("NO canonical map"), e.getMessage)
+  }
+
+  test("resume with a different nBatches uses the STORED value (no silent doc loss)") {
+    val docs = InvoiceCorpus.docs(spark, 60).toDF().cache()
+    val root = tmp()
+    intercept[RuntimeException] { // kill after 1 of 4 batches
+      Pipeline.runResumable(spark, docs, root, nBatches = 4, failAfterBatches = 1)
+    }
+    // resume asking for 2 batches: ids 2-3 would never run under the
+    // caller's value and docs with pmod(hash,4) ∈ {2,3} would vanish; the
+    // stored n_batches=4 must win (warned)
+    val (_, warned) = Audit.capturing {
+      Pipeline.runResumable(spark, docs, root, nBatches = 2)
+    }
+    assert(warned.exists(_.contains("nBatches=4")), s"got $warned")
+    val rebuilt = tmp()
+    Pipeline.runResumable(spark, docs, rebuilt, nBatches = 4)
+    val a = Pipeline.readGraph(spark, root).as[(String, String, String)].collect().toSet
+    val b = Pipeline.readGraph(spark, rebuilt).as[(String, String, String)].collect().toSet
+    assert(a == b, s"resume dropped documents: missing ${(b diff a).take(3)}")
+  }
 }

@@ -98,6 +98,35 @@ class StreamsSpec extends SparkSuite {
     assert(rows.contains((1L, "2024-01-01 12:30:00", 1L, 5.0)), rows)
   }
 
+  test("sessionization: a LATE in-gap event extends the session, never rewinds it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "30 minutes") // late arrivals inside 30 min are legal
+    val out = Streams.sessionizeStream(events, gapSeconds = 1800)
+    val query = out.writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 10:00:00"), 1.0), (1L, t("2024-01-01 10:20:00"), 2.0))
+    query.processAllAvailable()
+    // LATE but in-watermark, in-gap: 10:05 arrives after 10:20 was processed.
+    // A rewound lastTs (10:05) would make the next event at 10:45 (40 min
+    // after the rewound end, 25 min after the true end) start a NEW session.
+    mem.addData((1L, t("2024-01-01 10:05:00"), 4.0))
+    query.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 10:45:00"), 8.0))
+    query.processAllAvailable()
+    // close it: push the watermark far past the gap
+    mem.addData((2L, t("2024-01-02 09:00:00"), 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("sess_late_test")
+      .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    query.stop()
+    assert(rows.contains((1L, "2024-01-01 10:00:00", 4L, 15.0)),
+      s"late event split or rewound the session: $rows")
+  }
+
   test("streaming dedup keeps the first arrival per text, drops in-watermark duplicates") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
