@@ -575,6 +575,8 @@ object SparkEntry {
     "q19_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
     "q20_ngram_jaccard_neardup" ->
+      // df-capped shingles BLOCK (candidate pairs share ≥1 kept shingle);
+      // the SCORE is exact Jaccard over the FULL shingle sets
       """WITH words AS (
         | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (
@@ -585,14 +587,19 @@ object SparkEntry {
         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
         |kept AS (SELECT id, shingle FROM sh
         |         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50)),
-        |common AS (
-        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
-        | GROUP BY a.id, b.id)
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id),
+        |inter AS (
+        | SELECT c.id_a, c.id_b, COUNT(*) AS i
+        | FROM cand c
+        | JOIN sh a ON a.id = c.id_a
+        | JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        | GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b,
-        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
-        |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2""".stripMargin,
+        | round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2""".stripMargin,
     // exact n-gram Jaccard pairs WITHOUT the df cap: equals the minhash-LSH
     // output because every candidate is verified by exact Jaccard and LSH
     // recall on the planted duplicates (all at j ≥ 0.875) is deterministic

@@ -354,18 +354,24 @@ object PdfFixtures {
     * content stream encoded by `filter` (none | ASCIIHexDecode |
     * ASCII85Decode | RunLengthDecode | LZWDecode): rendering must equal
     * the unfiltered twin. */
-  def filteredPdf(filter: String): Array[Byte] = {
+  def filteredPdf(filter: String, nExtra: Int = 12): Array[Byte] = {
     val b = new Builder
     val pagesObj = b.reserve()
     val font = b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val resources = b.add(s"<< /Font << /F1 $font 0 R >> >>")
+    // nExtra scales the varied-op tail: large values push an LZW encoder's
+    // table across the 511/1023 width boundaries (the interop-critical
+    // EarlyChange timing is only exercised by multi-KB streams)
     val content = ("0.9 0.3 0.1 rg 30 30 140 80 re f " +
       "0 0 0.8 RG 4 w 20 20 m 280 180 l S " +
       "BT /F1 18 Tf 40 150 Td (Filtre PDF) Tj ET " +
-      (0 until 12).map(i => s"0.2 0.7 0.3 rg ${200 + i} 40 2 30 re f").mkString(" "))
+      (0 until nExtra).map(i =>
+        s"0.2 0.7 0.3 rg ${(i * 7) % 270 + 10} ${(i * 13) % 150 + 20} 2 3 re f")
+        .mkString(" "))
       .getBytes(ISO_8859_1)
     val cs = filter match {
       case "none" => b.addStream("", content)
+      case "FlateDecode" => b.addStream("/Filter /FlateDecode", deflate(content))
       case "ASCIIHexDecode" => b.addStream("/Filter /ASCIIHexDecode",
         (content.map(c => f"$c%02x").mkString + ">").getBytes(ISO_8859_1))
       case "ASCII85Decode"   => b.addStream("/Filter /ASCII85Decode", a85Encode(content))
@@ -458,7 +464,11 @@ object PdfFixtures {
         if (nextCode >= 4093) { put(256); reset(); width = 9 }
         else {
           dict(wc) = nextCode; nextCode += 1
-          if (nextCode - 1 >= (1 << width) && width < 12) width += 1
+          // the decoder's table lags the encoder's by one (it constructs
+          // this entry one code later): decoder grows at table size
+          // 2^width − EarlyChange (511), encoder at nextCode − 1 == 511,
+          // i.e. nextCode == 2^width
+          if (nextCode >= (1 << width) && width < 12) width += 1
         }
         w = c.toString
       }

@@ -45,9 +45,12 @@ object Dedup {
 
   /** Near-dup pairs by exact n-gram Jaccard with shingle-join blocking.
     *
-    * pairs sharing ≥1 shingle → common-count via groupBy → Jaccard =
-    * common / (|A| + |B| − common) ≥ threshold. Shingles with document
-    * frequency > maxDf are dropped (boilerplate guard + quadratic bound).
+    * BLOCKING: candidate pairs share ≥1 shingle whose document frequency is
+    * ≤ maxDf (boilerplate guard + quadratic bound — two docs overlapping
+    * ONLY on boilerplate never become a candidate). SCORE: exact Jaccard
+    * over the FULL shingle sets (candidate-bounded intersection join) —
+    * the cap shapes candidate generation, never the score, so the output
+    * agrees with minhashNearDup's exact-verify stage on shared pairs.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
     */
   def ngramJaccardPairs(df: DataFrame, k: Int = 5, threshold: Double = 0.5,
@@ -67,7 +70,11 @@ object Dedup {
       if (idIsIntegral) {
         val spark = df.sparkSession
         import spark.implicits._
+        // null text drops BEFORE the typed map — the Column twin's null
+        // shingle array explodes to zero rows, so this is exact parity
+        // (and the tuple encoder would otherwise NPE)
         df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .where(col("text").isNotNull)
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             wordShinglesScala(text, k).map(s => (id, s)) })
@@ -80,11 +87,20 @@ object Dedup {
     val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val kept = sh.join(dfCap, "shingle").select("id", "shingle")
-    val common = kept.as("a").join(kept.as("b"),
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact FULL-set intersection, candidate-bounded: expand each rare
+    // candidate pair by id_a's shingles, keep the ones id_b also has —
+    // never a corpus² join, and the score is true Jaccard (a numerator
+    // restricted to capped shingles over a full-set denominator would
+    // deflate scores and miss true near-dups on boilerplate-heavy pairs)
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       // threshold on the UNROUNDED ratio (= what the DuckDB oracle filters
@@ -119,8 +135,11 @@ object Dedup {
     org.apache.spark.unsafe.types.UTF8String.fromString(s).trim().toString
 
   /** Scala twin of wordShingles — MUST stay semantically identical
-    * (MinhashParity test, incl. tab/newline-padded adversarial cases). */
+    * (MinhashParity test, incl. tab/newline-padded adversarial cases).
+    * null → no shingles (the Column twin's null array explodes to zero
+    * rows). */
   def wordShinglesScala(text: String, k: Int): Seq[String] = {
+    if (text == null) return Seq.empty
     val words = sparkTrim(text).split("\\s+")
     if (words.length < k) Seq.empty
     else words.sliding(k).map(_.mkString(" ")).toVector.distinct
@@ -154,6 +173,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .where(col("text").isNotNull) // parity: null shingles explode to zero rows
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val sh = wordShinglesScala(text, k)
@@ -293,7 +313,10 @@ object Dedup {
       if (idIsIntegral) {
         val spark = df.sparkSession
         import spark.implicits._
+        // null text drops here — the Column twin yields a null sig whose
+        // (chunk, value) keys never equi-join, so the row can never pair
         df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .where(col("text").isNotNull)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) => (id, simhashScala(t)) })
           .toDF("id", "sig")

@@ -384,6 +384,7 @@ object ImageQuality {
     * worse-result rollback at −5 points. Returns the full audit row. */
   def enhanceOne(mediaRef: String, png: Array[Byte]): QualityRow = {
     val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, s"enhanceOne: undecodable image payload ($mediaRef)")
     val m = metricsOf(img)
     val q0 = m.qualityScore
     val conservative = q0 > 70.0
@@ -396,7 +397,9 @@ object ImageQuality {
       if (needsDenoise) work = gentleNoiseReduction(work)
       if (needsSharpen) work = gentleSharpening(work)
     }
-    val q1 = metricsOf(work).qualityScore
+    // unchanged image (conservative mode or no gate fired) → q1 == q0 by
+    // definition; skip the second full metrics pass on the common path
+    val q1 = if (work eq img) q0 else metricsOf(work).qualityScore
     val rolledBack = q1 < q0 - 5.0
     val finalImg = if (rolledBack) minimalEnhancement(img) else work
     val finalScore = if (rolledBack) metricsOf(finalImg).qualityScore else q1
@@ -414,7 +417,14 @@ object ImageQuality {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       ImageIO.setUseCache(false) // per-partition init
-      rows.grouped(batchSize).flatMap(_.map(r => enhanceOne(r.media_ref, r.bytes)))
+      rows.grouped(batchSize).flatMap(_.flatMap { r =>
+        try Some(enhanceOne(r.media_ref, r.bytes))
+        catch {
+          case scala.util.control.NonFatal(e) => // one corrupt payload ≠ a dead job
+            graft.Audit.warn(s"enhance: image ${r.media_ref} skipped (${e.getMessage})")
+            None
+        }
+      })
     }
   }
 

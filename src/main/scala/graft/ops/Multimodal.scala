@@ -289,26 +289,42 @@ object Multimodal {
       // per image): keep ImageIO off its disk scratch cache
       ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          r.kind match {
+        // ONE corrupt payload must not fail a corpus-scale job: undecodable
+        // rows are skipped with a warn (the "degrades honestly, never
+        // silently" contract), never an NPE / codec exception up the stack
+        batch.flatMap { r =>
+          try r.kind match {
             case "image" =>
               val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
-              DecodedMedia(r.media_ref, r.kind, img.getWidth, img.getHeight, 1,
-                imageFeature(img))
+              if (img == null) {
+                graft.Audit.warn(s"decodeAndFeaturize: undecodable image ${r.media_ref} skipped")
+                None
+              } else Some(DecodedMedia(r.media_ref, r.kind, img.getWidth, img.getHeight, 1,
+                imageFeature(img)))
             case "audio" =>
               val (pcm, rate, channels) = pcm16MonoLE(r.bytes)
               val nSamples = pcm.length / 2 // mono sample frames
-              DecodedMedia(r.media_ref, r.kind,
+              Some(DecodedMedia(r.media_ref, r.kind,
                 rate.toInt, channels, nSamples,
-                audioFeature(pcm, nSamples, rate))
+                audioFeature(pcm, nSamples, rate)))
             case _ => // video: real RIFF-AVI demux + real JPEG decode per frame
               val (w, h, jpegs) = aviDemux(r.bytes)
               val perFrame = jpegs.map(j =>
                 imageFeature(ImageIO.read(new ByteArrayInputStream(j))))
-              // clip feature = mean of per-frame raster statistics
-              val feat = Array.tabulate(8)(i =>
-                (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat)
-              DecodedMedia(r.media_ref, r.kind, w, h, jpegs.length, feat)
+              if (perFrame.isEmpty) { // zero-frame clip: mean would be 0/0 = NaN
+                graft.Audit.warn(s"decodeAndFeaturize: zero-frame video ${r.media_ref} skipped")
+                None
+              } else {
+                // clip feature = mean of per-frame raster statistics
+                val feat = Array.tabulate(8)(i =>
+                  (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat)
+                Some(DecodedMedia(r.media_ref, r.kind, w, h, jpegs.length, feat))
+              }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.Audit.warn(s"decodeAndFeaturize: ${r.kind} ${r.media_ref} " +
+                s"undecodable (${e.getMessage}) — skipped")
+              None
           }
         }
       }
@@ -407,8 +423,13 @@ object Multimodal {
     import spark.implicits._
     val sigs = media.filter(_.kind == "image").mapPartitions { rows =>
       ImageIO.setUseCache(false)
-      rows.map(r => (r.media_ref,
-        dhash(ImageIO.read(new ByteArrayInputStream(r.bytes)))))
+      rows.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
+        if (img == null) { // undecodable payload: skip loudly, never NPE
+          graft.Audit.warn(s"perceptualNearDup: undecodable image ${r.media_ref} skipped")
+          None
+        } else Some((r.media_ref, dhash(img)))
+      }
     }.toDF("id", "sig")
     Dedup.hammingPairs(graft.Materialize(sigs), maxHamming)
   }
@@ -449,8 +470,10 @@ object Multimodal {
       // frame sampling is a VISUAL op: audio rows (n_frames = PCM samples,
       // thousands per clip) are excluded — windowed audio analysis is a
       // different operator, not a frame grid
-      .where(col("kind") =!= "audio")
+      // zero-frame rows emit NOTHING — sequence(0, greatest(-1, 0)) would
+      // otherwise fabricate a phantom frame_idx 0 for a frameless clip
+      .where(col("kind") =!= "audio" && col("n_frames") > 0)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
       .select("media_ref", "frame_idx", "width", "height")
 }

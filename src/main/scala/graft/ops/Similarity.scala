@@ -153,7 +153,10 @@ object Similarity {
     if (idIsIntegral) {
       val spark = corpus.sparkSession
       import spark.implicits._
+      // null embeddings drop BEFORE the typed map (the Column path's null
+      // vector null-propagates out of every join) — parity, not an NPE
       corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .where(col("v").isNotNull)
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           var signs: Array[Array[Double]] = null
@@ -293,6 +296,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val pairs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
       .as[(Long, Array[Float])]
     val sampled =
       if (fitSampleRows <= 0) pairs
@@ -393,6 +397,7 @@ object Similarity {
       else ivfCentroids(corpus, nCentroids, vecCol, fitSampleRows = fitSampleRows)
 
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
         var sq = 0.0; var i = 0
@@ -401,6 +406,7 @@ object Similarity {
       }).toDF("neighbor_id", "cv", "cn", "cid")
 
     val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
         var sq = 0.0; var i = 0

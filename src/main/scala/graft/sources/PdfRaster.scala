@@ -575,7 +575,11 @@ object PdfRaster {
           out.write(entry)
           if (prev != null) dict += (prev :+ entry(0))
           prev = entry
-          if (dict.length + earlyChange - 1 >= (1 << width) && width < 12) width += 1
+          // spec/pdf.js/PDFBox timing: the width grows when the table size
+          // reaches 2^width − EarlyChange (511 for 9→10 bits at the default
+          // EarlyChange 1) — one code EARLIER than the naive 512 boundary;
+          // a one-late decoder desyncs against every real encoder's stream
+          if (dict.length + earlyChange >= (1 << width) && width < 12) width += 1
         }
       }
       out.toByteArray
@@ -668,10 +672,16 @@ object PdfRaster {
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      // loop on finished() ONLY: zlib can hold pending output after all
+      // input bytes are absorbed into its bit buffer (needsInput() true),
+      // so exiting on needsInput() would silently truncate payloads whose
+      // final bytes land mid back-reference; n == 0 with needsInput is the
+      // genuine truncation signal
+      while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && !inf.finished()) throw new Unsupported("flate: truncated")
-        out.write(buf, 0, n)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary())
+          throw new Unsupported("flate: truncated")
       }
       inf.end()
       out.toByteArray

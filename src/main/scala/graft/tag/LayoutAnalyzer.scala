@@ -41,7 +41,14 @@ object LayoutAnalyzer {
     * text is synthesized from the doc's own spans — the structure (which
     * questions carry amounts / table / header info) mirrors what the
     * reference's VLM returns for an invoice. */
-  def vlmAnalysisOf(taggedDocs: DataFrame): DataFrame = {
+  def vlmAnalysisOf(taggedDocs: DataFrame): DataFrame =
+    vlmAnalysisWith(taggedDocs)
+      .select("doc_id", "basic_description", "detailed_analysis")
+
+  /** vlmAnalysisOf with the zone-report STRUCT columns kept in the output,
+    * so analyzeLayout's section expressions read them directly — computing
+    * the zone report once per call instead of once per consumer branch. */
+  private def vlmAnalysisWith(taggedDocs: DataFrame): DataFrame = {
     val zones = ZoneDetector.detectZones(taggedDocs)
     val text = Taggers.fullText(col("tagged"))
     val withDesc = taggedDocs.select(col("doc_id"), text.as("basic_description"),
@@ -65,14 +72,13 @@ object LayoutAnalyzer {
         .otherwise(lit("")),
       lit("Pied de page: "), firstZoneText("footer"))
 
-    joined.select(
-      col("doc_id"),
-      col("basic_description"),
-      map(
+    joined
+      .withColumn("detailed_analysis", map(
         lit(invoiceQuestions(0)), concat(lit("Informations principales: "), firstZoneText("header")),
         lit(invoiceQuestions(1)), amountsAnswer,
         lit(invoiceQuestions(2)), tableAnswer,
-        lit(invoiceQuestions(3)), headerAnswer).as("detailed_analysis"))
+        lit(invoiceQuestions(3)), headerAnswer))
+      .drop("tagged")
   }
 
   /** F18 — map iteration as a relational view: one row per (question,
@@ -265,9 +271,11 @@ object LayoutAnalyzer {
     * output: zone report ⋈ VLM-analysis stub → one struct column per
     * section. Narrow end to end. */
   def analyzeLayout(taggedDocs: DataFrame): DataFrame = {
-    val vlm = vlmAnalysisOf(taggedDocs)
-    val zones = ZoneDetector.detectZones(taggedDocs)
-    vlm.join(zones, "doc_id").select(
+    // ONE zone report: vlmAnalysisWith keeps the zone struct columns in
+    // its output, so no second detectZones evaluation and no re-join
+    // (which doubled the narrow stage's per-doc cost)
+    val vlm = vlmAnalysisWith(taggedDocs)
+    vlm.select(
       col("doc_id"),
       documentStructure(col("basic_description"), col("detailed_analysis"))
         .as("document_structure"),

@@ -94,6 +94,18 @@ class PdfRasterSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW width boundaries (511/1023/2047 + table reset) and >8KB Flate output decode exactly") {
+    // ~130KB of varied content pushes the LZW table across every width
+    // boundary and through a clear/reset — the interop-critical
+    // EarlyChange timing a small stream never exercises — and gives the
+    // Flate path a payload far beyond one 8KB inflate buffer
+    val plain = PdfRaster.render(PdfFixtures.filteredPdf("none", nExtra = 4000), 36)
+    for (f <- Seq("LZWDecode", "FlateDecode")) {
+      val out = PdfRaster.render(PdfFixtures.filteredPdf(f, nExtra = 4000), 36)
+      assert(out.map(_._3.toSeq) == plain.map(_._3.toSeq), s"$f diverged at scale")
+    }
+  }
+
   test("hybrid-reference file: /XRefStm is honored (classic table marks compressed objects free)") {
     // the hybrid fixture's classic table can NOT resolve any dict object
     // (all marked free) — rendering at all proves the trailer's /XRefStm
