@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   *    BOTH paths — r1 ran it last, after 37 queries had accumulated leaked
   *    cache blocks (since fixed at the source: operators localCheckpoint
   *    instead of persist) and heap pressure;
-  *  - extract and pipeline are each measured twice, min taken (machine
+  *  - extract and pipeline are each measured SPARK_GRAFT_BENCH_ITERS
+  *    times (default 3), min taken (machine
   *    load from the driver harness decays slowly; min-of-k is the
   *    steady-state estimator BASELINE.md uses);
   *  - the cache is cleared and a GC is requested between sections so no
@@ -92,13 +93,19 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
+      var ok = true
+      val t = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
+          ok = false
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
+      // a failed query's time-to-failure is meaningless — recording it
+      // would silently shift the headline total whenever the failure set
+      // changes; the `failed` list is the signal
+      if (ok) results(name) = t
       cleanup()
     }
     results("kg_extract") = tExtract

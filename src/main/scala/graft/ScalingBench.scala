@@ -108,6 +108,14 @@ object ScalingBench {
         FastExtract.triples(
           InvoiceCorpus.docs(spark, warmDocs).toDF()
             .selectExpr("doc_id", "page_w", "page_h", "spans").as[graft.model.OcrDoc]).count()
+        // warm the FULL pipeline too (EL/CC/salted-agg JIT + codegen):
+        // with SPARK_GRAFT_SCALE_ITERS=1 an unwarmed chain would charge
+        // one-time compilation to the measurement — and UNEQUALLY, since
+        // the 4N level has 4× the fresh executor JVMs
+        Pipeline.run(InvoiceCorpus.docs(spark, warmDocs).toDF(),
+          Pipeline.Config(elSmallThreshold = 0L)).count()
+        spark.sharedState.cacheManager.clearCache()
+        System.gc() // drop warmup localCheckpoint blocks before measuring
 
         var nT = 0L; var nG = 0L
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
@@ -117,10 +125,11 @@ object ScalingBench {
         // CPU — so each iteration also records the guest steal-time delta
         // from /proc/stat: an iteration with material steal is labeled
         // contaminated evidence, and min-of-k is the steady-state estimator.
-        def stealTicks(): Long = {
-          val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim
-          val f = l.split("\\s+"); if (f.length > 8) f(8).toLong else 0L
-        }
+        def stealTicks(): Long =
+          scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+            val f = src.getLines().next().trim.split("\\s+")
+            if (f.length > 8) f(8).toLong else 0L
+          } // close the fd — 3 calls/iteration leak across a long sweep otherwise
         val meas = (1 to iters).map { it =>
           val c = calibSec(execs * coresPerExec)
           val s0 = stealTicks()
@@ -140,6 +149,11 @@ object ScalingBench {
           }
           val s2 = stealTicks()
           spark.sharedState.cacheManager.clearCache()
+          // localCheckpoint blocks live OUTSIDE the CacheManager and are
+          // freed by ContextCleaner only after driver GC — without this,
+          // iteration N's blocks inflate iteration N+1's GC/spill pressure
+          // (the r1 leaked-blocks pathology Bench.cleanup guards against)
+          System.gc()
           System.err.println(f"[scaling] iter $it extract=$te%.2f (steal ${s1 - s0} ticks) " +
             f"pipeline=$tp%.2f (steal ${s2 - s1} ticks) calib=$c%.2f s")
           (te, tp, c)

@@ -429,7 +429,11 @@ object SparkEntry {
   private def likeAny(expr: String, words: Seq[String]): String =
     words.map(w => s"contains($expr, '$w')").mkString("(", " OR ", ")")
 
-  /** F5 classifier as a DuckDB CASE chain (mirrors Taggers.classifyTextType). */
+  /** F5 classifier as a DuckDB CASE chain (mirrors Taggers.classifyTextType).
+    * The digits rule carries an explicit `\n?` before `$`: Java regex (and
+    * the Python reference) let `$` match before a final newline, RE2
+    * (DuckDB) matches end-of-text only — without it a digit-only text with
+    * a trailing \n classifies 'number' in Spark but 'text' in the oracle. */
   private val classifySql: String = {
     val tl = "lower(trim(text))"
     s"""CASE
@@ -439,7 +443,7 @@ object SparkEntry {
        | WHEN contains($tl,'@') OR contains($tl,'email') THEN 'email'
        | WHEN ${likeAny(tl, Seq("tel", "phone", "+33", "01", "02", "03", "04", "05", "06", "07", "+212"))} THEN 'phone'
        | WHEN ${likeAny(tl, Seq("rue", "avenue", "place", "boulevard"))} THEN 'address'
-       | WHEN regexp_matches(replace(replace(text,'.',''),'-',''), '^[0-9]+$$') THEN 'number'
+       | WHEN regexp_matches(replace(replace(text,'.',''),'-',''), '^[0-9]+\n?$$') THEN 'number'
        | ELSE 'text' END""".stripMargin
   }
 
@@ -622,17 +626,21 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2""".stripMargin,
     "q23_cosine_topk" ->
-      """WITH scored AS (
+      // zero-norm guard mirrors the Spark side's when(qn*cn === 0, 0.0)
+      // (q36's oracle has the same guard; an unguarded x/0.0 would error
+      // or produce inf on an all-zero embedding row)
+      """WITH norms AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a,b) -> a+b)) AS nm
+        | FROM embeddings),
+        |scored AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  round(
+        |  round(CASE WHEN q.nm * c.nm = 0 THEN 0.0 ELSE
         |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |     [CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) FOR p IN list_zip(q.embedding, c.embedding)]),
-        |    (a, b) -> a + b)
-        |   / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.embedding]), (a,b) -> a+b))
-        |    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c.embedding]), (a,b) -> a+b))), 4) AS sim
-        | FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings c
+        |    (a, b) -> a + b) / (q.nm * c.nm) END, 4) AS sim
+        | FROM (SELECT * FROM norms WHERE vec_id < 8) q, norms c
         | WHERE q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, rank, sim FROM (
         | SELECT query_id, neighbor_id, sim,
@@ -825,8 +833,7 @@ object SparkEntry {
          |UNION ALL SELECT doc_id, 2, 'tokens?', CAST(($tokens) AS VARCHAR) FROM documents""".stripMargin
     },
     "q41_layout_sections" -> {
-      def anyOf(expr: String, words: Seq[String]): String =
-        words.map(w => s"contains($expr, '$w')").mkString("(", " OR ", ")")
+      def anyOf(expr: String, words: Seq[String]): String = likeAny(expr, words)
       val bd = "lower(text)"
       val answer = "'tableau avec ' || CAST(doc_id % 12 AS VARCHAR) || ' colonnes'"
       val at = s"lower(text || ' ' || $answer)"

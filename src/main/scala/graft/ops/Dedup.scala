@@ -135,12 +135,16 @@ object Dedup {
     org.apache.spark.unsafe.types.UTF8String.fromString(s).trim().toString
 
   /** Scala twin of wordShingles — MUST stay semantically identical
-    * (MinhashParity test, incl. tab/newline-padded adversarial cases).
-    * null → no shingles (the Column twin's null array explodes to zero
-    * rows). */
+    * (DedupSpec's whitespace-parity test covers trailing \t/\n/\r).
+    * split limit −1 mirrors Spark's `split(str, regex)` (which KEEPS a
+    * trailing empty token after a terminal \n that the space-only trim
+    * left in place — Java's default limit 0 drops it, silently changing
+    * shingle-set sizes and Jaccard denominators vs the Column path and the
+    * DuckDB oracle). null → no shingles (the Column twin's null array
+    * explodes to zero rows). */
   def wordShinglesScala(text: String, k: Int): Seq[String] = {
     if (text == null) return Seq.empty
-    val words = sparkTrim(text).split("\\s+")
+    val words = sparkTrim(text).split("\\s+", -1)
     if (words.length < k) Seq.empty
     else words.sliding(k).map(_.mkString(" ")).toVector.distinct
   }
@@ -286,7 +290,12 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
-    val tokens = sparkTrim(text.toLowerCase(java.util.Locale.ROOT)).split("\\s+")
+    // lower via UTF8String (what the Column `lower` compiles to) and split
+    // limit −1 (Spark keeps a trailing empty token; Java's default drops
+    // it, flipping the count*2 >= n majority at the margin)
+    val tokens = sparkTrim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text).toLowerCase.toString)
+      .split("\\s+", -1)
     val counts = new Array[Int](64)
     tokens.foreach { t =>
       val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)

@@ -54,10 +54,18 @@ object IncrementalBench {
     val fullRoot = Files.createTempDirectory("graft_ib_full_").toString
     val nB = math.max(4, cores / 2)
 
+    // drop the predecessor section's localCheckpoint blocks + heap before
+    // each timed section — measurement-order contamination otherwise
+    // biases speedup_vs_rebuild at the 1M-doc default
+    def scrub(): Unit = { spark.sharedState.cacheManager.clearCache(); System.gc() }
+
+    scrub()
     val tBase = time(Pipeline.runResumable(spark,
       InvoiceCorpus.docsRange(spark, 0, nDocs).toDF(), baseRoot, nB))
+    scrub()
     val tIncr = time(Pipeline.runIncremental(spark,
       InvoiceCorpus.docsRange(spark, nDocs, nDocs + nIncr).toDF(), baseRoot))
+    scrub()
     val tFull = time(Pipeline.runResumable(spark,
       InvoiceCorpus.docsRange(spark, 0, nDocs + nIncr).toDF(), fullRoot, nB))
 

@@ -82,6 +82,32 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("typed twins == Column twins on trailing \\t/\\n/\\r text (split limit -1 semantics)") {
+    // Spark's split(str, regex) keeps a trailing empty token after a
+    // terminal line break the space-only trim leaves in place; Java's
+    // default-limit split drops it — the typed twins must mirror Spark
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon\n"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "un deux trois quatre cinq six\t"),
+      (4L, "\tun deux trois quatre cinq six"),
+      (5L, "ligne un\r\nligne deux trois quatre"))
+    val df = texts.toDF("doc_id", "text")
+    // shingles: fast Scala twin vs Column expression
+    df.as[(Long, String)].collect().foreach { case (id, t) =>
+      val fast = Dedup.wordShinglesScala(t, 3).toSet
+      val col3 = df.where($"doc_id" === id)
+        .select(Dedup.wordShingles($"text", 3)).as[Seq[String]].head().toSet
+      assert(fast == col3, s"doc $id shingle divergence: ${fast diff col3} / ${col3 diff fast}")
+    }
+    // simhash: fast Scala twin vs Column expression
+    val colSig = df.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(Dedup.simhashScala(t) == colSig(id), s"doc $id simhash divergence")
+    }
+  }
+
   test("tiny docs (< k words) are never false-positive duplicates") {
     val tiny = Seq((1L, "a b"), (2L, "x y"), (3L, "p q r s")).toDF("doc_id", "text")
     assert(Dedup.minhashNearDup(tiny, k = 5, threshold = 0.1).count() == 0)
