@@ -191,6 +191,14 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, planes = 4)
     }),
+    "q53_pq_ann" -> ((s, d) => {
+      // product-quantization ANN: deterministic per-subspace codebooks,
+      // 8-byte codes + stored exact norms on the scan side, per-query ADC
+      // lookup tables, top-15 shortlist, exact-cosine rerank to top-5
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+        m = 8, codebookSize = 16, rerankFactor = 3)
+    }),
     "q25_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
     "q26_quality_score" -> ((s, d) =>
@@ -214,6 +222,37 @@ object SparkEntry {
       Dedup.contamination(docs, docs.where(col("doc_id") % 20 === 0), k = 8)
         .select(col("doc_id"), col("hits"), col("contaminated").cast("int").as("contaminated"))
     }),
+    "q50_pii_redact" -> ((s, d) => {
+      // PII detect/redact over a deterministic contact blob synthesized from
+      // the customer table (both engines build the SAME text; the regex
+      // detection + Luhn card validation + redaction are what's under test)
+      import graft.ops.Curation
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        lit(10L) + col("c_custkey") % 90, (col("c_custkey") * 7) % 1000,
+        (col("c_custkey") * 13) % 1000, (col("c_custkey") * 37) % 10000)
+      val handle = regexp_replace(lower(col("c_name")), "[^a-z0-9]", "")
+      val card = lpad(
+        ((col("c_custkey") * 1234567890123L + 4532015112830366L) % 10000000000000000L)
+          .cast("string"), 16, "0")
+      val text = concat_ws(" ", col("c_name"), lit("contact"), phone, lit("mail"),
+        concat(handle, lit("@corp.example.com")), lit("ref"), card)
+      Curation.piiScan(
+        t(s, d, "customer").select(col("c_custkey"), text.as("pii_text")),
+        col("pii_text"), col("c_custkey"))
+    }),
+    "q51_repetition" -> ((s, d) =>
+      // Gopher-style repetition metrics: a single narrow projection (the
+      // top-bigram count is a sorted-run fold per row, NOT an explode +
+      // corpus-wide groupBy); the oracle is an independent unnest+GROUP BY
+      graft.ops.Curation.repetitionMetrics(t(s, d, "documents"), col("text"), col("doc_id"))),
+    "q52_stratified_sample" -> ((s, d) =>
+      // deterministic per-language hash sampling: keep iff the q28-proven
+      // rolling fingerprint of ('s:' || doc_id) mod 100 < the stratum rate —
+      // seed-free, partition-layout-independent, idempotent across reruns
+      graft.ops.Curation.stratifiedSample(
+        t(s, d, "documents").select("doc_id", "lang"), col("doc_id"), col("lang"),
+        Map("en" -> 30, "fr" -> 60, "de" -> 80, "es" -> 45, "zh" -> 15), defaultRate = 5)
+        .select("doc_id", "lang", "bucket")),
     "q29_salted_agg" -> ((s, d) => {
       // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
       // (key, salt), final agg on key — result identical to plain GROUP BY
@@ -486,6 +525,12 @@ object SparkEntry {
     s"CASE $chain WHEN zh > 0 THEN 'zh' ELSE 'und' END"
   }
 
+  /** PII regexes, shared verbatim with the engine (RE2 ∩ java.regex subset;
+    * no single quotes, so safe to splice into SQL literals). */
+  private val emailReSql: String = graft.ops.Curation.emailRe
+  private val phoneReSql: String = graft.ops.Curation.phoneRe
+  private val digitRunReSql: String = graft.ops.Curation.digitRunRe
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -747,6 +792,13 @@ object SparkEntry {
     "q43_ivf_ann" ->
       """SELECT query_id, neighbor_id, rank, sim
         |FROM read_parquet('/root/repo/src/test/resources/expected/q43_expected_topk.parquet')""".stripMargin,
+    // q53: deterministic PQ (driver-Lloyd's codebooks per subspace), so the
+    // expected top-k comes from an independent naive driver transcription
+    // of PQ search in GenFixtures (loop encode + ADC + shortlist + exact
+    // rerank); drift-guarded in SimilaritySpec.
+    "q53_pq_ann" ->
+      """SELECT query_id, neighbor_id, rank, sim
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q53_expected_topk.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing
@@ -899,6 +951,80 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE CASE WHEN a.nm * b.nm = 0 THEN 0.0
          |  ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nm * b.nm) END >= 0.2""".stripMargin
-    }
+    },
+    "q50_pii_redact" -> {
+      // Luhn fold replayed in DuckDB list comprehension (right-to-left
+      // digit walk, double-every-second, subtract 9 over 9, mod 10)
+      val luhn = (x: String) =>
+        s"""list_sum([CASE WHEN i % 2 = 0
+           |  THEN (CASE WHEN 2*(ascii(reverse($x)[i])-48) > 9
+           |        THEN 2*(ascii(reverse($x)[i])-48) - 9
+           |        ELSE 2*(ascii(reverse($x)[i])-48) END)
+           |  ELSE ascii(reverse($x)[i])-48 END
+           | FOR i IN range(1, length($x)+1)]) % 10 = 0""".stripMargin
+      s"""WITH base AS (
+         | SELECT c_custkey AS id,
+         |  c_name || ' contact ' ||
+         |  printf('%02d-%03d-%03d-%04d', 10 + c_custkey % 90, (c_custkey*7) % 1000,
+         |         (c_custkey*13) % 1000, (c_custkey*37) % 10000) ||
+         |  ' mail ' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') ||
+         |  '@corp.example.com ref ' ||
+         |  lpad(CAST((c_custkey*1234567890123 + 4532015112830366) % 10000000000000000
+         |       AS VARCHAR), 16, '0') AS t
+         | FROM customer)
+         |SELECT id,
+         | len(regexp_extract_all(t, '$emailReSql')) AS n_emails,
+         | len(regexp_extract_all(t, '$phoneReSql')) AS n_phones,
+         | len(regexp_extract_all(t, '$digitRunReSql')) AS n_digit_runs,
+         | len(list_filter(regexp_extract_all(t, '$digitRunReSql'),
+         |     x -> ${luhn("x")})) AS n_cards,
+         | regexp_replace(regexp_replace(regexp_replace(t,
+         |   '$emailReSql', '[EMAIL]', 'g'),
+         |   '$phoneReSql', '[PHONE]', 'g'),
+         |   '$digitRunReSql', '[NUM]', 'g') AS redacted
+         |FROM base""".stripMargin
+    },
+    // q51's oracle is an INDEPENDENT implementation: unnest + GROUP BY for
+    // the top-bigram count and list_distinct for the dup fractions, vs the
+    // engine's per-row sorted-run fold — two algorithms, one contract.
+    "q51_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id AS id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        | FROM documents),
+        |bg AS (
+        | SELECT id, array_to_string(w[i:i+1], ' ') AS g
+        | FROM base, unnest(range(1, len(w))) AS t(i)
+        | WHERE len(w) >= 2),
+        |top AS (
+        | SELECT id, max(c) AS mc, sum(c) AS tot FROM (
+        |  SELECT id, g, COUNT(*) AS c FROM bg GROUP BY id, g) GROUP BY id),
+        |tg AS (
+        | SELECT id, list(array_to_string(w[i:i+2], ' ')) AS l
+        | FROM base, unnest(range(1, len(w) - 1)) AS t(i)
+        | WHERE len(w) >= 3 GROUP BY id)
+        |SELECT id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+        | CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 AS INT) AS repetitive
+        |FROM (
+        | SELECT b.id, len(b.w) AS n_words,
+        |  CASE WHEN len(b.w) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(b.w)) AS DOUBLE)/len(b.w), 4)
+        |  END AS dup_word_frac,
+        |  COALESCE(round(CAST(top.mc AS DOUBLE)/top.tot, 4), 0.0) AS top_bigram_frac,
+        |  COALESCE(round(1.0 - CAST(len(list_distinct(tg.l)) AS DOUBLE)/len(tg.l), 4), 0.0)
+        |   AS dup_trigram_frac
+        | FROM base b LEFT JOIN top ON top.id = b.id LEFT JOIN tg ON tg.id = b.id)""".stripMargin,
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(c) AS BIGINT)
+        |     FOR c IN string_split('s:' || CAST(doc_id AS VARCHAR), '')]),
+        |   (h, c) -> (h * 31 + c) % 2147483647) % 100 AS bucket,
+        |  CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 60 WHEN 'de' THEN 80
+        |            WHEN 'es' THEN 45 WHEN 'zh' THEN 15 ELSE 5 END AS r
+        | FROM documents)
+        |WHERE bucket < r""".stripMargin
   )
 }

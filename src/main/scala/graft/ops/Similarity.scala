@@ -293,6 +293,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, fitSampleRows: Int = 100000,
       maxIter: Int = 10): Array[Array[Double]] = {
+    val sample = deterministicFitSample(corpus, idCol, vecCol, seed, fitSampleRows)
+    require(sample.nonEmpty, "ivfCentroidsDeterministic: empty corpus")
+    lloydsDeterministic(sample, nCentroids, seed, maxIter)
+  }
+
+  /** Id-hash-selected, id-sorted fit sample (the bounded, layout-independent
+    * training set every driver-side quantizer fit uses — see the
+    * bit-reproducibility note on ivfCentroidsDeterministic). */
+  private def deterministicFitSample(corpus: DataFrame, idCol: String,
+      vecCol: String, seed: Long, fitSampleRows: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val pairs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -318,9 +328,16 @@ object Similarity {
             .as[(Long, Array[Float])]
         }
       }
-    val sample: Array[Array[Double]] =
-      sampled.collect().sortBy(_._1).map(_._2.map(_.toDouble))
-    require(sample.nonEmpty, "ivfCentroidsDeterministic: empty corpus")
+    sampled.collect().sortBy(_._1).map(_._2.map(_.toDouble))
+  }
+
+  /** Sequential seeded Lloyd's over an in-memory sample (bit-reproducible:
+    * k-means++ init with a seeded RNG, ties to the lowest centroid index,
+    * means fold in sample order, empty clusters keep their center). The
+    * exact operation order of the pre-refactor ivfCentroidsDeterministic
+    * body — the q43 fixture depends on it. */
+  private def lloydsDeterministic(sample: Array[Array[Double]], nCentroids: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
     val k = math.min(nCentroids, sample.length)
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
@@ -424,5 +441,159 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  // ---- product quantization (PQ) ----------------------------------------
+  // The faiss-style memory-compression path for embedding search at scale:
+  // a 64-dim float corpus is 256 B/row; its PQ codes (m=8, 16 codes) are
+  // 8 B/row + one shared 8 KB codebook — a 32× smaller table to scan, which
+  // is what makes a 10^12-row ANN sweep I/O-feasible. Search = ADC
+  // (asymmetric distance computation): per query, precompute the m×|book|
+  // table of sub-dot-products once, score each code row with m lookups,
+  // shortlist, then exact-rerank the shortlist against the original vectors.
+
+  /** Per-subspace PQ codebooks trained with the SAME deterministic
+    * driver-Lloyd's as ivfCentroidsDeterministic (bit-reproducible across
+    * runs, layouts and cluster sizes; subspace j uses seed+j so books are
+    * independent). Returns books(subspace)(code)(subdim); requires the
+    * vector dim to be divisible by `m`. */
+  def pqCodebooks(corpus: DataFrame, m: Int, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, fitSampleRows: Int = 100000,
+      maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = deterministicFitSample(corpus, idCol, vecCol, seed, fitSampleRows)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloydsDeterministic(slice, codebookSize, seed + j, maxIter)
+    }
+  }
+
+  /** Nearest-code index per subspace (ties to the lowest code — the same
+    * determinism rule as the IVF assignment). */
+  def pqEncodeScala(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < book.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val x = v(j * sub + i) - book(c)(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      codes(j) = (best & 0xFF).toByte
+      j += 1
+    }
+    codes
+  }
+
+  /** Encode the corpus: (id, codes BINARY of m bytes, exact norm). One
+    * narrow typed pass — the books ride to executors in the closure (m ×
+    * |book| × subdim doubles, a few KB). The exact norm is stored at encode
+    * time (the one moment the full vector is in hand) so cosine needs no
+    * reconstruction-norm approximation at query time. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, pqEncodeScala(v, books), math.sqrt(sq))
+      }).toDF("id", "codes", "nm")
+  }
+
+  /** PQ ANN top-k with ADC scoring and exact rerank. The corpus side that
+    * reaches the scoring join carries ONLY (id, m-byte codes, norm) — at
+    * scale this is the point: the code table is ~32× smaller than the
+    * vectors, scans from parquet at that fraction of the I/O, and the
+    * original vectors are touched again only for the |queries|·k·rerank
+    * shortlist rows (one broadcast semi-join back onto the corpus).
+    * `rerankFactor` ≤ 0 skips the rerank and returns ADC-approximate sims
+    * (rounded 4dp) directly. Deterministic end to end: deterministic books,
+    * lowest-code ties, (score desc, id asc) orderings. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 16, rerankFactor: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSampleRows: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, m, codebookSize, idCol, vecCol,
+      fitSampleRows = fitSampleRows)
+    val cbLen = books(0).length
+    val sub = books(0)(0).length
+    val enc = pqEncode(corpus, books, idCol, vecCol)
+
+    // per-query ADC lookup table: lut(j*cbLen + c) = dot(q_sub_j, book_j_c)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .where(col("qv").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        val lut = new Array[Double](m * cbLen)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < cbLen) {
+            var d = 0.0; var x = 0
+            while (x < sub) { d += v(j * sub + x).toDouble * books(j)(c)(x); x += 1 }
+            lut(j * cbLen + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        (id, lut, math.sqrt(sq))
+      }).toDF("query_id", "lut", "qn")
+
+    val adc = enc.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"), col("codes"), col("nm"), col("lut"), col("qn"))
+      .as[(Long, Long, Array[Byte], Double, Array[Double], Double)]
+      .mapPartitions(_.map { case (qid, id, codes, nm, lut, qn) =>
+        var s = 0.0; var j = 0
+        while (j < m) { s += lut(j * cbLen + (codes(j) & 0xFF)); j += 1 }
+        (qid, id, if (qn * nm == 0) 0.0 else s / (qn * nm))
+      }).toDF("query_id", "neighbor_id", "adc")
+
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    if (rerankFactor <= 0) {
+      adc.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc"), 4).as("sim"))
+    } else {
+      val shortlist = adc.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k * rerankFactor)
+        .select("query_id", "neighbor_id")
+      // exact rerank: shortlist ids pull their ORIGINAL vectors back in —
+      // a broadcast join onto the corpus scan (shortlist is queries·k·f
+      // rows), then the left-fold vec_dot for fixture-exact cosine. Norms
+      // are computed AFTER the join, so only shortlist survivors pay them.
+      val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv"))
+      val qv = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qv2"), norm(col(vecCol)).as("qn2")))
+      val exact = cv.join(broadcast(shortlist), Seq("neighbor_id"))
+        .withColumn("cn", norm(col("cv")))
+        .join(qv, Seq("query_id"))
+        .withColumn("sim", round(
+          when(col("qn2") * col("cn") === 0, 0.0)
+            .otherwise(dot(col("qv2"), col("cv")) / (col("qn2") * col("cn"))), 4))
+      val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    }
   }
 }

@@ -13,7 +13,8 @@ object Plans {
       "q08_sessionize", "q11_decimal_key_join", "q13_classify_text",
       "q20_ngram_jaccard_neardup", "q23_cosine_topk", "q29_salted_agg",
       "q37_embedding_neardup_lsh", "q38_ocr_amount_validation", "q41_layout_sections",
-      "q49_decontamination")
+      "q49_decontamination", "q50_pii_redact", "q51_repetition", "q52_stratified_sample",
+      "q53_pq_ann")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -222,6 +222,53 @@ object GenFixtures {
       }
       spark.createDataset(top43).toDF("query_id", "neighbor_id", "rank", "sim")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q43_topk_dir")
+
+      // q53: pqTopK(k=5, m=8, codebookSize=16, rerankFactor=3). The
+      // codebooks (pqCodebooks — deterministic driver Lloyd's per subspace)
+      // are the shared SPEC; the encode, ADC tables, shortlist selection
+      // and exact rerank below are an independent naive transcription of
+      // PQ search (plain loops over all rows, no DataFrames).
+      val books53 = Similarity.pqCodebooks(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), 8, 16)
+      val m53 = books53.length
+      val sub53 = books53(0)(0).length
+      def dsub(v: Array[Float], j: Int, c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < sub53) { val x = v(j * sub53 + i) - c(i); s += x * x; i += 1 }
+        s
+      }
+      val codes53 = emb.map { case (_, v) =>
+        Array.tabulate(m53)(j => books53(j).indices.minBy(c => (dsub(v, j, books53(j)(c)), c)))
+      }
+      def adcDot(q: Array[Float], ci: Int): Double = {
+        // per-subspace subtotal THEN the outer sum — the same fp grouping
+        // as the engine's lut(j) construction + Σ_j lut lookup, so boundary
+        // candidates cannot flip on a 1-ulp summation-order difference
+        var s = 0.0; var j = 0
+        while (j < m53) {
+          val cw = books53(j)(codes53(ci)(j))
+          var d = 0.0; var x = 0
+          while (x < sub53) { d += q(j * sub53 + x).toDouble * cw(x); x += 1 }
+          s += d
+          j += 1
+        }
+        s
+      }
+      val top53 = emb.indices.filter(emb(_)._1 < 8).flatMap { qi =>
+        val qv = emb(qi)._2
+        val adc = emb.indices.filter(_ != qi).map { ci =>
+          val s = if (norms(qi) * norms(ci) == 0) 0.0
+                  else adcDot(qv, ci) / (norms(qi) * norms(ci))
+          (emb(ci)._1, ci, s)
+        }
+        adc.sortBy { case (id, _, s) => (-s, id) }.take(5 * 3)
+          .map { case (id, ci, _) => (id, r4(cos(qv, norms(qi), emb(ci)._2, norms(ci)))) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, s), rk) => (emb(qi)._1, id, rk + 1, s) }
+      }
+      spark.createDataset(top53).toDF("query_id", "neighbor_id", "rank", "sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q53_topk_dir")
     }
 
     // flatten the single part files to stable names
@@ -236,6 +283,7 @@ object GenFixtures {
         "q37_pairs" -> "q37_expected_pairs.parquet",
         "q24_topk" -> "q24_expected_topk.parquet",
         "q43_topk" -> "q43_expected_topk.parquet",
+        "q53_topk" -> "q53_expected_topk.parquet",
         "q46_av" -> "q46_av_decode.parquet",
         "q48_bpe" -> "q48_expected_bpe.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
@@ -246,7 +294,7 @@ object GenFixtures {
       scala.util.Using.resource(Files.walk(d))(
         _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.foreach(Files.delete))
     }
-    println(s"[gen-fixtures] wrote q33/q32/q34/q42/q22/q45/q37/q24/q43 fixtures under $out")
+    println(s"[gen-fixtures] wrote q33/q32/q34/q42/q22/q45/q37/q24/q43/q53 fixtures under $out")
     spark.stop()
   }
 }

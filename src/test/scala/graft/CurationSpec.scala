@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- PII ------
+
+  private def luhnOf(s: String): Boolean = {
+    // independent driver-side Luhn (textbook right-to-left loop)
+    val digits = s.reverse.map(_ - '0')
+    val total = digits.zipWithIndex.map { case (d, i) =>
+      if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+    }.sum
+    s.nonEmpty && total % 10 == 0
+  }
+
+  test("luhnValid matches the textbook check on known vectors") {
+    val cases = Seq(
+      "4532015112830366" -> true, // classic valid Visa test number
+      "4532015112830367" -> false, // last digit bumped
+      "79927398713" -> true, // the worked example from the public spec
+      "79927398710" -> false,
+      "0000000000000000" -> true)
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), Curation.luhnValid(col("s")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (s, expect) =>
+      assert(got(s) == expect, s"luhn($s)")
+      assert(luhnOf(s) == expect, s"driver luhn($s) sanity")
+    }
+  }
+
+  test("piiScan counts and redacts emails, phones and card-length digit runs") {
+    val text = "Ann Lee contact 25-989-741-2988 mail ann.lee+x@corp.example.com " +
+      "ref 4532015112830366 and bogus 1234567890123456 tail"
+    val row = Curation.piiScan(Seq((1L, text)).toDF("id", "t"), col("t"), col("id"))
+      .as[(Long, Int, Int, Int, Int, String)].collect().head
+    assert(row._2 == 1, "n_emails")
+    assert(row._3 == 1, "n_phones")
+    assert(row._4 == 2, "n_digit_runs")
+    assert(row._5 == 1, "n_cards (only the Luhn-valid run)")
+    assert(row._6 ==
+      "Ann Lee contact [PHONE] mail [EMAIL] ref [NUM] and bogus [NUM] tail")
+  }
+
+  test("piiScan on clean text is all-zero and identity") {
+    val row = Curation.piiScan(
+      Seq((1L, "no pii here just words 12 34")).toDF("id", "t"), col("t"), col("id"))
+      .as[(Long, Int, Int, Int, Int, String)].collect().head
+    assert((row._2, row._3, row._4, row._5) == ((0, 0, 0, 0)))
+    assert(row._6 == "no pii here just words 12 34")
+  }
+
+  test("a 20-digit run yields one 19-digit match plus remainder in both count and redaction") {
+    // documents the leftmost-greedy cross-engine semantics the scan relies on
+    val row = Curation.piiScan(
+      Seq((1L, "x 12345678901234567890 y")).toDF("id", "t"), col("t"), col("id"))
+      .as[(Long, Int, Int, Int, Int, String)].collect().head
+    assert(row._4 == 1, "only the 19-digit prefix is a candidate; the lone trailing digit is not")
+    assert(row._6 == "x [NUM]0 y")
+  }
+
+  // ------------------------------------------------------ repetition ------
+
+  private def rep(texts: (Long, String)*) =
+    Curation.repetitionMetrics(texts.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .as[(Long, Int, Double, Double, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("repetition metrics on crafted documents") {
+    val m = rep(
+      1L -> "a a a a", // bigrams "a a"×3 → top 1.0; trigrams "a a a"×2 → dup 1/2
+      2L -> "w x y z", // all distinct → top bigram 1/3 (tiny-doc gate artifact)
+      3L -> "", // empty
+      4L -> "p q p q p q") // bigrams pq,qp,pq,qp,pq → top 3/5; trigrams dup 1/2
+    assert(m(1L) == ((4, 0.75, 1.0, 0.5, 1)))
+    assert(m(2L) == ((4, 0.0, 0.3333, 0.0, 1)))
+    assert(m(3L) == ((0, 0.0, 0.0, 0.0, 0)))
+    assert(m(4L) == ((6, round4(1.0 - 2.0 / 6), 0.6, 0.5, 1)))
+  }
+
+  test("all-distinct text is not repetitive under the gate") {
+    // 8 distinct words → top bigram 1/7 ≈ 0.1429 ≤ 0.18, dup trigrams 0
+    val m = rep(1L -> "q w e r t y u i")
+    assert(m(1L)._2 == 0.0)
+    assert(m(1L)._5 == 0)
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("topCount equals the max group count computed independently") {
+    val arrs = Seq(
+      Seq("b", "a", "b", "c", "b", "a"),
+      Seq("x"),
+      Seq.empty[String])
+    val got = arrs.toDF("arr").select(Curation.topCount(col("arr")))
+      .as[Long].collect().toSeq
+    val want = arrs.map(a => if (a.isEmpty) 0L else a.groupBy(identity).values.map(_.size).max.toLong)
+    assert(got == want)
+  }
+
+  // -------------------------------------------------------- sampling ------
+
+  test("stratified sample is deterministic, rate-bounded, and layout-independent") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    val rates = Map("en" -> 10, "fr" -> 50)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(df, col("doc_id"), col("lang"), rates, defaultRate = 5)
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = run(docs)
+    val s2 = run(docs.repartition(13)) // partition layout must not matter
+    assert(s1 == s2)
+    // every kept row's bucket respects its stratum rate
+    val kept = Curation.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 5)
+      .select("lang", "bucket").as[(String, Long)].collect()
+    assert(kept.forall { case (l, b) => b < rates(l) })
+    // observed rates within a loose tolerance of the targets (hash uniformity)
+    val en = kept.count(_._1 == "en").toDouble / (2000 / 3 + 1)
+    val fr = kept.count(_._1 == "fr").toDouble / (2000 - (2000 / 3 + 1))
+    assert(math.abs(en - 0.10) < 0.05, s"en rate $en")
+    assert(math.abs(fr - 0.50) < 0.07, s"fr rate $fr")
+  }
+
+  test("unknown stratum falls back to the default rate") {
+    val docs = (0L until 500L).map(i => (i, "xx")).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 90), defaultRate = 7)
+      .select("bucket").as[Long].collect()
+    assert(kept.forall(_ < 7))
+    assert(kept.nonEmpty)
+  }
+}
