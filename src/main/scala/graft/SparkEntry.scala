@@ -253,6 +253,15 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "lang"), col("doc_id"), col("lang"),
         Map("en" -> 30, "fr" -> 60, "de" -> 80, "es" -> 45, "zh" -> 15), defaultRate = 5)
         .select("doc_id", "lang", "bucket")),
+    "q54_seq_packing" -> ((s, d) =>
+      // concat-and-chunk sequence packing (GPT-style training layout): a
+      // distributed prefix sum over id order — range exchange + within-
+      // bucket window + bucket-count-bounded offset window; the oracle is
+      // DuckDB's global window (the sequential definition)
+      graft.ops.Curation.packSequences(
+        t(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n")),
+        col("doc_id"), col("n"), budget = 512L)),
     "q29_salted_agg" -> ((s, d) => {
       // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
       // (key, salt), final agg on key — result identical to plain GROUP BY
@@ -1025,6 +1034,23 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 60 WHEN 'de' THEN 80
         |            WHEN 'es' THEN 45 WHEN 'zh' THEN 15 ELSE 5 END AS r
         | FROM documents)
-        |WHERE bucket < r""".stripMargin
+        |WHERE bucket < r""".stripMargin,
+    // q54: the sequential definition — one global window over id order
+    // (fine in DuckDB at sf0.01; the Spark side distributes the same scan)
+    "q54_seq_packing" ->
+      """SELECT doc_id AS id, n AS n_tokens, start_off,
+        | CAST(start_off // 512 AS BIGINT) AS seq_id,
+        | CAST(start_off % 512 AS BIGINT) AS seq_off,
+        | CAST(CASE WHEN n = 0 THEN 0
+        |      ELSE (start_off + n - 1) // 512 - start_off // 512 + 1 END AS BIGINT) AS n_seqs
+        |FROM (
+        | SELECT doc_id, n,
+        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents))""".stripMargin
   )
 }

@@ -146,4 +146,77 @@ object Curation {
     df.withColumn("bucket", bucket)
       .where(col("bucket") < rate)
   }
+
+  // ------------------------------------------------------------ packing ----
+
+  /** Concat-and-chunk sequence packing — the GPT-style training-data layout:
+    * documents are concatenated in id order and split at `budget`-token
+    * boundaries, so a document may straddle a boundary (it is assigned to
+    * the sequence where it STARTS). Emits per document:
+    * `start_off` (global token offset of the doc's first token),
+    * `seq_id` (training sequence the doc starts in), `seq_off` (offset
+    * within that sequence) and `n_seqs` (sequences the doc spans; 0 for an
+    * empty doc). The output is a pure function of the (id → tokens) mapping
+    * and the budget — independent of partition layout, bucket count and
+    * cluster size — which is what makes re-sharding a checkpointed packing
+    * run reproducible.
+    *
+    * The global prefix sum is the textbook distributed scan, kept inside
+    * ONE declarative query so both passes share the same range exchange:
+    * (1) range-partition the slim (id, tokens) projection on id with an
+    * EXPLICIT bucket count (explicit numPartitions ⇒ AQE never re-coalesces
+    * it, so `spark_partition_id()` is consistent across the plan's two
+    * consumers of the exchange); (2) within-bucket running sum via a
+    * window; (3) per-bucket totals — one row per bucket — cumulated by a
+    * single-partition window over only `numBuckets` rows (bounded by the
+    * bucket count, NOT the corpus; the one deliberate serial step every
+    * scan algorithm has) and broadcast-joined back. Never a corpus-scale
+    * single-partition window, never a driver collect. */
+  def packSequences(df: DataFrame, id: Column, tokens: Column, budget: Long,
+      numBuckets: Int = 0): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val nb = if (numBuckets > 0) numBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = df.select(id.as("id"), tokens.cast("long").as("n_tokens"))
+    val parts = base.repartitionByRange(nb, col("id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = parts.withColumn("run_end", sum("n_tokens").over(wIn))
+    // one row per range bucket; the unpartitioned window below runs on
+    // `nb` rows total — bounded serial work, same class as a driver fold
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+      .withColumn("poff", coalesce(sum("ptotal").over(wOff), lit(0L)))
+      .select("pid", "poff")
+    // floor(long / long) routes through double: exact while offsets stay
+    // below 2^53 tokens (~9 petatokens — ×300 headroom over a 100 TB corpus)
+    val b = lit(budget)
+    within.join(broadcast(offsets), "pid")
+      .withColumn("start_off", col("poff") + col("run_end") - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_off") / b))
+      .withColumn("seq_off", col("start_off") % b)
+      .withColumn("n_seqs",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor((col("start_off") + col("n_tokens") - 1) / b) - col("seq_id") + 1))
+      .select("id", "n_tokens", "start_off", "seq_id", "seq_off", "n_seqs")
+  }
+
+  /** Corpus-level packing scorecard from `packSequences` output: sequence
+    * count, fill ratio (tokens ÷ capacity of the sequences used) and how
+    * many documents straddle a boundary. One narrow aggregate. */
+  def packingStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(sum(when(col("n_seqs") > 1, 1L).otherwise(0L)), lit(0L)).as("n_straddling"))
+      .withColumn("n_sequences",
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise(floor((col("total_tokens") - 1) / budget) + 1))
+      .withColumn("fill_ratio",
+        when(col("n_sequences") === 0, lit(0.0))
+          .otherwise(round(col("total_tokens") / (col("n_sequences") * budget.toDouble), 4)))
+      .select("n_docs", "total_tokens", "n_sequences", "fill_ratio", "n_straddling")
 }

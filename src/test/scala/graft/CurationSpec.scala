@@ -133,4 +133,66 @@ class CurationSpec extends SparkSuite {
     assert(kept.forall(_ < 7))
     assert(kept.nonEmpty)
   }
+
+  // --------------------------------------------------------- packing ------
+
+  /** Independent driver-side concat-and-chunk fold (sequential running sum
+    * over id order) — the definition packSequences must distribute. */
+  private def packFold(docs: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    var off = 0L
+    docs.sortBy(_._1).map { case (id, n) =>
+      val start = off
+      off += n
+      val seqId = start / budget
+      val nSeqs = if (n == 0) 0L else (start + n - 1) / budget - seqId + 1
+      (id, n, start, seqId, start % budget, nSeqs)
+    }
+  }
+
+  test("packSequences matches the sequential concat-and-chunk fold") {
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 400L).map(i => (i, rng.nextInt(300).toLong))
+    val got = Curation.packSequences(
+        docs.toDF("doc_id", "n"), col("doc_id"), col("n"), budget = 512L, numBuckets = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == packFold(docs, 512L))
+  }
+
+  test("packSequences is independent of input layout and bucket count") {
+    val docs = (0L until 300L).map(i => (i, (i * 37 % 200) + 1)).toDF("doc_id", "n")
+    def run(df: org.apache.spark.sql.DataFrame, nb: Int) =
+      Curation.packSequences(df, col("doc_id"), col("n"), budget = 256L, numBuckets = nb)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs, 1)
+    assert(run(docs.repartition(17), 9) == a)
+    assert(run(docs.orderBy(col("doc_id").desc), 4) == a)
+  }
+
+  test("packSequences edges: oversized docs span, empty docs span zero") {
+    // budget 100: doc 0 fills [0,250) spanning 3 seqs; doc 1 is empty at
+    // offset 250; doc 2 starts mid-seq-2 and crosses into seq 3
+    val docs = Seq((0L, 250L), (1L, 0L), (2L, 80L))
+    val got = Curation.packSequences(
+        docs.toDF("doc_id", "n"), col("doc_id"), col("n"), budget = 100L, numBuckets = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 250L, 0L, 0L, 0L, 3L),
+      (1L, 0L, 250L, 2L, 50L, 0L),
+      (2L, 80L, 250L, 2L, 50L, 2L)))
+    assert(got == packFold(docs, 100L))
+  }
+
+  test("packingStats: sequence count, fill ratio, straddle count") {
+    val docs = Seq((0L, 250L), (1L, 0L), (2L, 80L)).toDF("doc_id", "n")
+    val packed = Curation.packSequences(docs, col("doc_id"), col("n"), 100L, numBuckets = 2)
+    val row = Curation.packingStats(packed, 100L)
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    // 330 tokens → 4 sequences of 100 → fill 0.825; docs 0 and 2 straddle
+    assert(row == ((3L, 330L, 4L, 0.825, 2L)))
+    val empty = Curation.packingStats(
+      Curation.packSequences(Seq.empty[(Long, Long)].toDF("doc_id", "n"),
+        col("doc_id"), col("n"), 100L, numBuckets = 2), 100L)
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    assert(empty == ((0L, 0L, 0L, 0.0, 0L)))
+  }
 }
