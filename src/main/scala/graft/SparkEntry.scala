@@ -199,6 +199,14 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
         m = 8, codebookSize = 16, rerankFactor = 3)
     }),
+    "q55_semdedup" -> ((s, d) =>
+      // SemDeDup semantic dedup: deterministic-quantizer clustering →
+      // within-cluster cosine pairs → CC groups → keep the member LEAST
+      // similar to its centroid; the oracle fixture is an independent
+      // naive transcription (all-pairs + union-find) in tools.GenFixtures
+      Similarity.semdedup(t(s, d, "embeddings"), threshold = 0.2, nCentroids = 8)
+        .select(col("vec_id"), col("cluster_id"), col("centroid_sim"),
+          col("group_id"), col("keep").cast("int").as("keep"))),
     "q25_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
     "q26_quality_score" -> ((s, d) =>
@@ -808,6 +816,15 @@ object SparkEntry {
     "q53_pq_ann" ->
       """SELECT query_id, neighbor_id, rank, sim
         |FROM read_parquet('/root/repo/src/test/resources/expected/q53_expected_topk.parquet')""".stripMargin,
+    // q55: deterministic quantizer → bit-stable clusters, so the expected
+    // SemDeDup output comes from an independent naive transcription in
+    // GenFixtures (assignment loop + within-cluster all-pairs cosine +
+    // union-find closure + lowest-centroid-cosine keep rule);
+    // drift-guarded in SimilaritySpec (planted duplicates, layout
+    // invariance, cap accounting).
+    "q55_semdedup" ->
+      """SELECT vec_id, cluster_id, centroid_sim, group_id, CAST(keep AS INT) AS keep
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q55_expected_semdedup.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

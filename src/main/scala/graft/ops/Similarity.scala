@@ -596,4 +596,105 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "sim")
     }
   }
+
+  // ---- SemDeDup — semantic deduplication over embeddings ----------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove SEMANTIC
+    * duplicates — documents whose embeddings nearly coincide even when the
+    * text does not (translations, templated rewrites, boilerplate
+    * variants) — the curation pass a modern training-data pipeline runs
+    * AFTER exact/minhash dedup, where string-level methods are blind.
+    *
+    * The paper's shape, re-expressed Spark-first:
+    *   1) coarse-cluster the embeddings (deterministic driver-Lloyd's
+    *      quantizer — bit-stable centers across runs/layouts/cluster
+    *      sizes, see ivfCentroidsDeterministic);
+    *   2) WITHIN each cluster only, mark pairs at cosine ≥ `threshold`
+    *      (the paper uses ~0.95+ on web data);
+    *   3) close the pairs transitively (Dedup.dupGroups — CC over the
+    *      PAIR graph, pair-scale input, never corpus-scale);
+    *   4) per duplicate group KEEP exactly one row — the paper keeps the
+    *      example with the LOWEST cosine to its cluster centroid (the
+    *      diversity-preserving representative); ties break to lowest id.
+    *
+    * Scale shape: never all-pairs. The quadratic is per-cluster — with
+    * k ≈ √n clusters (the paper's regime) expected cluster size is √n and
+    * pair work is Σ size² ≈ n. Assignment + norm + centroid-cosine is ONE
+    * narrow typed pass (centers ride in the closure); pairing is ONE equi
+    * self-join on cluster id (vectors ride the shuffle once per side);
+    * the keep rule is a window over group id. Clusters over `maxCluster`
+    * are EXEMPTED from pairing (their rows are all kept) and counted to
+    * Audit.warn — the no-silent-caps rule; at 10^12 rows raise
+    * `nCentroids` rather than the cap.
+    *
+    * Returns one row per input row:
+    * (idCol, cluster_id, centroid_sim r4, group_id, keep). Rows with no
+    * in-threshold partner keep group_id = own id and keep = true. */
+  def semdedup(corpus: DataFrame, threshold: Double = 0.95,
+      nCentroids: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", fitSampleRows: Int = 100000,
+      maxCluster: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = ivfCentroidsDeterministic(corpus, nCentroids, idCol, vecCol,
+      fitSampleRows = fitSampleRows)
+
+    // (id, v, norm, cluster, cosine-to-centroid) in one narrow pass;
+    // materialized (config-gated) — reused by the size audit, both pair
+    // sides, and the final join-back.
+    val assigned = graft.Materialize(corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        val nm = math.sqrt(sq)
+        val cid = nearestCentroids(v, centers, 1)(0)
+        val ctr = centers(cid)
+        var d = 0.0; var cq = 0.0; i = 0
+        while (i < v.length) { d += v(i).toDouble * ctr(i); cq += ctr(i) * ctr(i); i += 1 }
+        val cn = math.sqrt(cq)
+        (id, v, nm, cid, if (nm * cn == 0) 0.0 else d / (nm * cn))
+      }).toDF("id", "v", "nm", "cid", "centroid_sim"))
+
+    // No-silent-caps accounting: at most nCentroids rows, driver-bounded.
+    val overCap = assigned.groupBy("cid").count()
+      .where(col("count") > maxCluster)
+      .select(col("cid"), col("count")).collect()
+    if (overCap.nonEmpty)
+      graft.Audit.warn(s"semdedup: ${overCap.length} cluster(s) over " +
+        s"maxCluster=$maxCluster covering ${overCap.map(_.getLong(1)).sum} " +
+        "rows are exempt from pairing (all their rows kept); raise " +
+        "nCentroids to shrink clusters")
+    val inPlay =
+      if (overCap.isEmpty) assigned
+      else assigned.where(!col("cid").isInCollection(overCap.map(_.getInt(0)).toSeq))
+
+    val pairs = inPlay
+      .select(col("cid"), col("id").as("id_a"), col("v").as("v_a"), col("nm").as("n_a"))
+      .join(inPlay.select(col("cid"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nm").as("n_b")), Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim_raw",
+        when(col("n_a") * col("n_b") === 0, 0.0)
+          .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      .where(col("sim_raw") >= threshold)
+      .select("id_a", "id_b")
+
+    val groups = graft.ops.Dedup.dupGroups(pairs)
+
+    // Keep rule on the RAW centroid cosine (rounding is display-only);
+    // singletons coalesce to their own id and trivially win their window.
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("centroid_sim").asc, col("id").asc)
+    assigned.select("id", "cid", "centroid_sim")
+      .join(groups, Seq("id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cid").as("cluster_id"),
+        round(col("centroid_sim"), 4).as("centroid_sim"),
+        col("group_id"), col("keep"))
+  }
 }

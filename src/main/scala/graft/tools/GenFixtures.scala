@@ -269,6 +269,53 @@ object GenFixtures {
       }
       spark.createDataset(top53).toDF("query_id", "neighbor_id", "rank", "sim")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q53_topk_dir")
+
+      // q55: semdedup(threshold=0.2, nCentroids=8). The quantizer
+      // (deterministic driver Lloyd's) is the shared SPEC of the
+      // clustering; the assignment, within-cluster all-pairs cosine,
+      // transitive closure (plain union-find) and lowest-centroid-cosine
+      // keep rule below are an independent naive transcription of the
+      // SemDeDup algorithm — no DataFrames, no shared engine plumbing.
+      val centers55 = Similarity.ivfCentroidsDeterministic(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), 8)
+      val assign55 = emb.map { case (_, v) =>
+        centers55.indices.minBy(c => (d2(v, centers55(c)), c))
+      }
+      val csim55 = emb.indices.map { i =>
+        val v = emb(i)._2; val ctr = centers55(assign55(i))
+        var d = 0.0; var cq = 0.0; var x = 0
+        while (x < v.length) { d += v(x).toDouble * ctr(x); cq += ctr(x) * ctr(x); x += 1 }
+        val cn = math.sqrt(cq)
+        if (norms(i) * cn == 0) 0.0 else d / (norms(i) * cn)
+      }
+      val parent55 = Array.tabulate(emb.length)(identity)
+      def find55(x: Int): Int = {
+        var r = x; while (parent55(r) != r) r = parent55(r)
+        var c = x
+        while (parent55(c) != r) { val n = parent55(c); parent55(c) = r; c = n }
+        r
+      }
+      for {
+        i <- emb.indices
+        j <- (i + 1) until emb.length
+        if assign55(i) == assign55(j) &&
+          cos(emb(i)._2, norms(i), emb(j)._2, norms(j)) >= 0.2
+      } {
+        val (ri, rj) = (find55(i), find55(j))
+        if (ri != rj) parent55(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val byGroup55 = emb.indices.groupBy(find55)
+      val rows55 = emb.indices.map { i =>
+        val members = byGroup55(find55(i))
+        // group label = lowest member id; keeper = lowest (raw centroid
+        // cosine, id) — the paper's diversity-preserving representative
+        val gid = members.map(emb(_)._1).min
+        val keeper = members.minBy(m => (csim55(m), emb(m)._1))
+        (emb(i)._1, assign55(i), r4(csim55(i)), gid, i == keeper)
+      }
+      spark.createDataset(rows55)
+        .toDF("vec_id", "cluster_id", "centroid_sim", "group_id", "keep")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q55_semdedup_dir")
     }
 
     // flatten the single part files to stable names
@@ -284,6 +331,7 @@ object GenFixtures {
         "q24_topk" -> "q24_expected_topk.parquet",
         "q43_topk" -> "q43_expected_topk.parquet",
         "q53_topk" -> "q53_expected_topk.parquet",
+        "q55_semdedup" -> "q55_expected_semdedup.parquet",
         "q46_av" -> "q46_av_decode.parquet",
         "q48_bpe" -> "q48_expected_bpe.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")

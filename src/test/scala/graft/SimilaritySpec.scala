@@ -198,6 +198,77 @@ class SimilaritySpec extends SparkSuite {
     val fix53 = spark.read.parquet("src/test/resources/expected/q53_expected_topk.parquet")
     assert(live53.exceptAll(fix53).count() == 0, "live q53 rows missing from fixture")
     assert(fix53.exceptAll(live53).count() == 0, "fixture q53 rows missing from live output")
+    // q55: distributed SemDeDup (cluster → within-cluster pairs → CC →
+    // keep rule) vs the independent naive transcription (all-pairs +
+    // union-find) in GenFixtures
+    val live55 = Similarity.semdedup(emb, threshold = 0.2, nCentroids = 8)
+    val fix55 = spark.read.parquet("src/test/resources/expected/q55_expected_semdedup.parquet")
+    assert(live55.exceptAll(fix55).count() == 0, "live q55 rows missing from fixture")
+    assert(fix55.exceptAll(live55).count() == 0, "fixture q55 rows missing from live output")
+  }
+
+  test("semdedup: planted semantic duplicates group transitively; keeper is the least-centroid-similar member") {
+    // cluster 1: three same-direction-ish vectors — a~b cosine 1 (scaled
+    // copy), a~c and b~c cosine 0.9 — all pairs >= 0.85 so CC makes ONE
+    // group; c points measurably away from the cluster centroid, so the
+    // paper's keep rule (lowest centroid cosine) must pick c, with a wide
+    // margin (~0.03) over the r4 rounding grain. cluster 2: two vectors at
+    // cosine 0.7 < threshold — both singletons, both kept.
+    def v(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); xs.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    val corpus = vecs(
+      (0L, v(0 -> 1f)),
+      (1L, v(0 -> 1.1f)),
+      (2L, v(0 -> 0.9f, 1 -> 0.436f)),
+      (3L, v(2 -> 1f)),
+      (4L, v(2 -> 0.7f, 3 -> 0.714f)))
+    val out = Similarity.semdedup(corpus, threshold = 0.85, nCentroids = 2)
+      .as[(Long, Int, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // one transitive group {0,1,2} labeled by its min id
+    assert(out.take(3).forall(_._4 == 0L), s"group ids: ${out.toSeq}")
+    // singletons keep their own id as group and survive
+    assert(out(3)._4 == 3L && out(3)._5)
+    assert(out(4)._4 == 4L && out(4)._5)
+    // exactly one survivor in the dup group: the least-centroid-similar (c)
+    assert(out.take(3).count(_._5) == 1)
+    assert(out(2)._5, s"keeper must be vec 2 (lowest centroid cosine): ${out.toSeq}")
+    assert(out(2)._3 < out(0)._3 - 0.01, "margin sanity: c is clearly farther from the centroid")
+    // the dup group lives inside ONE cluster (the within-cluster contract)
+    assert(out.take(3).map(_._2).distinct.length == 1)
+  }
+
+  test("semdedup: partition-layout invariance and over-cap cluster exemption with in-line accounting") {
+    def v(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); xs.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    val corpus = vecs(
+      (0L, v(0 -> 1f)),
+      (1L, v(0 -> 1.1f)),
+      (2L, v(0 -> 0.9f, 1 -> 0.436f)),
+      (3L, v(2 -> 1f)),
+      (4L, v(2 -> 0.7f, 3 -> 0.714f)))
+    val base = Similarity.semdedup(corpus, threshold = 0.85, nCentroids = 2)
+      .as[(Long, Int, Double, Long, Boolean)].collect().toSet
+    val relaid = Similarity.semdedup(corpus.repartition(7), threshold = 0.85, nCentroids = 2)
+      .as[(Long, Int, Double, Long, Boolean)].collect().toSet
+    assert(base == relaid, "semdedup must be a pure function of the row set, not the layout")
+    // cap: maxCluster=2 exempts the 3-row cluster from pairing (its rows
+    // are ALL kept, each its own group) and says so in-line; the 2-row
+    // cluster still dedups normally (here: no in-threshold pair)
+    val (capped, warned) = Audit.capturing {
+      Similarity.semdedup(corpus, threshold = 0.85, nCentroids = 2, maxCluster = 2L)
+        .as[(Long, Int, Double, Long, Boolean)].collect().sortBy(_._1)
+    }
+    assert(warned.exists(w => w.contains("semdedup") && w.contains("1 cluster(s)") &&
+      w.contains("3 rows")), s"warnings: $warned")
+    assert(capped.forall(_._5), "over-cap exemption keeps every row")
+    assert(capped.forall(r => r._4 == r._1), "exempt rows fall back to singleton groups")
+    val (_, silent) = Audit.capturing {
+      Similarity.semdedup(corpus, threshold = 0.85, nCentroids = 2).collect()
+    }
+    assert(!silent.exists(_.contains("semdedup")), "no warning when no cluster is over cap")
   }
 
   test("PQ: codes are m bytes, encode is layout-invariant, rerank recall >= 0.9, ADC-only cluster-correct") {
