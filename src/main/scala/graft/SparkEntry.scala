@@ -199,6 +199,20 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
         m = 8, codebookSize = 16, rerankFactor = 3)
     }),
+    "q56_pagerank" -> ((s, d) => {
+      // fixed-point PageRank over the part co-order graph (parts sharing a
+      // lineitem order; per-order quadratic is bounded by order size).
+      // Long arithmetic end to end → bit-stable across layouts, which is
+      // what makes a hash oracle possible; the oracle fixture is an
+      // independent sequential adjacency-loop replay in tools.GenFixtures
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.PageRank.run(edges, iters = 5)
+        .select(col("id").as("part_id"), col("rank_fp"))
+    }),
     "q55_semdedup" -> ((s, d) =>
       // SemDeDup semantic dedup: deterministic-quantizer clustering →
       // within-cluster cosine pairs → CC groups → keep the member LEAST
@@ -825,6 +839,15 @@ object SparkEntry {
     "q55_semdedup" ->
       """SELECT vec_id, cluster_id, centroid_sim, group_id, CAST(keep AS INT) AS keep
         |FROM read_parquet('/root/repo/src/test/resources/expected/q55_expected_semdedup.parquet')""".stripMargin,
+    // q56: fixed-point (integer) PageRank is bit-deterministic by
+    // construction — exact long sums are layout-independent — so the
+    // expected ranks come from an independent sequential adjacency-loop
+    // replay in GenFixtures; drift-guarded in PageRankSpec (hand-computed
+    // cycle fixpoint, structural star asserts, mass conservation, layout
+    // invariance).
+    "q56_pagerank" ->
+      """SELECT part_id, rank_fp
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q56_expected_pagerank.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

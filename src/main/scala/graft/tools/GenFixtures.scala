@@ -318,6 +318,45 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q55_semdedup_dir")
     }
 
+    // q56: fixed-point PageRank over the part co-order graph. The engine's
+    // arithmetic spec (PageRank scaladoc: truncating `div`, exact long
+    // sums, in-plan dangling redistribution) is replayed here as plain
+    // sequential loops over driver adjacency maps — an independent
+    // implementation sharing no engine plumbing. Bit-equality is the
+    // point: integer PageRank has exactly one correct answer.
+    {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val edges = li.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val parts = grp.map(_._2).toVector
+        for (a <- parts; b <- parts; if a != b) yield (a, b)
+      }.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toVector.sorted
+      val n = nodes.length.toLong
+      val idx = nodes.zipWithIndex.toMap
+      val outDeg = new Array[Long](nodes.length)
+      edges.foreach { case (s56, _) => outDeg(idx(s56)) += 1L }
+      val scale = 1000000000000L
+      val init = scale / n
+      val base = (15L * init) / 100L
+      var rank = Array.fill(nodes.length)(init)
+      for (_ <- 0 until 5) {
+        val inSum = new Array[Long](nodes.length)
+        edges.foreach { case (s56, d56) =>
+          inSum(idx(d56)) += rank(idx(s56)) / outDeg(idx(s56))
+        }
+        var dangling = 0L
+        nodes.indices.foreach(i => if (outDeg(i) == 0L) dangling += rank(i))
+        val dShare = dangling / n
+        rank = Array.tabulate(nodes.length)(i =>
+          base + (85L * (inSum(i) + dShare)) / 100L)
+      }
+      spark.createDataset(nodes.indices.map(i => (nodes(i), rank(i))))
+        .toDF("part_id", "rank_fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q56_pagerank_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -332,6 +371,7 @@ object GenFixtures {
         "q43_topk" -> "q43_expected_topk.parquet",
         "q53_topk" -> "q53_expected_topk.parquet",
         "q55_semdedup" -> "q55_expected_semdedup.parquet",
+        "q56_pagerank" -> "q56_expected_pagerank.parquet",
         "q46_av" -> "q46_av_decode.parquet",
         "q48_bpe" -> "q48_expected_bpe.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
