@@ -199,6 +199,31 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
         m = 8, codebookSize = 16, rerankFactor = 3)
     }),
+    "q57_graph_bgp" -> ((s, d) => {
+      // SPARQL-style basic graph pattern over a triple-ized TPC-H star:
+      // bindings for { ?c in_nation ?n . ?s supplies_nation ?n .
+      // ?n in_region r0 } — each pattern is a filtered scan (constant
+      // pred/obj push down; over the pred-partitioned store the pred
+      // constant prunes whole directories), the conjunction folds into
+      // equi joins on the shared variables. Oracle = the equivalent
+      // relational join in DuckDB.
+      val cust = t(s, d, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("in_nation").as("pred"),
+        concat(lit("n"), col("c_nationkey")).as("obj"))
+      val supp = t(s, d, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("subj"),
+        lit("supplies_nation").as("pred"),
+        concat(lit("n"), col("s_nationkey")).as("obj"))
+      val nat = t(s, d, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("subj"),
+        lit("in_region").as("pred"),
+        concat(lit("r"), col("n_regionkey")).as("obj"))
+      graft.graph.GraphQuery.bgp(cust.union(supp).union(nat), Seq(
+        ("?c", "in_nation", "?n"),
+        ("?s", "supplies_nation", "?n"),
+        ("?n", "in_region", "r0")))
+    }),
     "q56_pagerank" -> ((s, d) => {
       // fixed-point PageRank over the part co-order graph (parts sharing a
       // lineitem order; per-order quadratic is bounded by order size).
@@ -848,6 +873,15 @@ object SparkEntry {
     "q56_pagerank" ->
       """SELECT part_id, rank_fp
         |FROM read_parquet('/root/repo/src/test/resources/expected/q56_expected_pagerank.parquet')""".stripMargin,
+    // q57: a BGP is relational algebra — the oracle is DuckDB running the
+    // equivalent star join directly on the base tables (fully independent
+    // of the triple-ization and the bgp compiler).
+    "q57_graph_bgp" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || c_nationkey AS n, 's' || s_suppkey AS s
+        |FROM customer
+        |JOIN supplier ON s_nationkey = c_nationkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE n_regionkey = 0""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

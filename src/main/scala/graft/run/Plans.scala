@@ -14,7 +14,7 @@ object Plans {
       "q20_ngram_jaccard_neardup", "q23_cosine_topk", "q29_salted_agg",
       "q37_embedding_neardup_lsh", "q38_ocr_amount_validation", "q41_layout_sections",
       "q49_decontamination", "q50_pii_redact", "q51_repetition", "q52_stratified_sample",
-      "q53_pq_ann", "q55_semdedup", "q56_pagerank")
+      "q53_pq_ann", "q55_semdedup", "q56_pagerank", "q57_graph_bgp")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

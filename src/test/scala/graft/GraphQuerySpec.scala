@@ -1,0 +1,70 @@
+package graft
+
+import graft.graph.GraphQuery
+import org.apache.spark.sql.functions._
+
+class GraphQuerySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def triples(rows: (String, String, String)*) =
+    rows.toDF("subj", "pred", "obj")
+
+  private val g = triples(
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("alice", "likes", "alice"),
+    ("bob", "likes", "carol"),
+    ("alice", "in", "paris"),
+    ("bob", "in", "paris"),
+    ("carol", "in", "lyon"))
+
+  test("single pattern: constants filter, variables project, column order follows first appearance") {
+    val out = GraphQuery.bgp(g, Seq(("?who", "in", "paris")))
+    assert(out.columns.toSeq == Seq("who"))
+    assert(out.as[String].collect().toSet == Set("alice", "bob"))
+    val all = GraphQuery.bgp(g, Seq(("?s", "?p", "?o")))
+    assert(all.columns.toSeq == Seq("s", "p", "o"))
+    assert(all.count() == 7)
+  }
+
+  test("conjunction joins on shared variables (the SPARQL core)") {
+    // { ?a knows ?b . ?a in ?city . ?b in ?city } — who knows someone in
+    // their own city?
+    val out = GraphQuery.bgp(g, Seq(
+      ("?a", "knows", "?b"), ("?a", "in", "?city"), ("?b", "in", "?city")))
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("alice", "bob", "paris")))
+  }
+
+  test("repeated variable within one pattern forces positional equality") {
+    val out = GraphQuery.bgp(g, Seq(("?x", "likes", "?x")))
+    assert(out.columns.toSeq == Seq("x"))
+    assert(out.as[String].collect().toSeq == Seq("alice"))
+  }
+
+  test("disconnected patterns cross-join; bag semantics preserves duplicate bindings") {
+    val out = GraphQuery.bgp(g, Seq(("?a", "knows", "?b"), ("?c", "in", "lyon")))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.count() == 2) // 2 knows-pairs x 1 lyon resident
+    // bag semantics: a duplicated triple yields a duplicated binding
+    val dup = GraphQuery.bgp(g.union(triples(("alice", "in", "paris"))),
+      Seq(("?who", "in", "paris")))
+    assert(dup.as[String].collect().sorted.toSeq == Seq("alice", "alice", "bob"))
+  }
+
+  test("constant predicate prunes partitions on a pred-partitioned store layout") {
+    val dir = java.nio.file.Files.createTempDirectory("bgp_prune").toString
+    g.write.partitionBy("pred").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = GraphQuery.bgp(stored, Seq(("?who", "in", "?where")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pred"),
+      s"expected a pushed partition filter on pred, got:\n$plan")
+    assert(plan.contains("(pred") && plan.contains("= in)"),
+      s"expected pred = in in the partition filters, got:\n$plan")
+    // and the result equals the unpartitioned evaluation
+    val fromStore = GraphQuery.bgp(stored, Seq(("?who", "in", "paris")))
+      .as[String].collect().toSet
+    assert(fromStore == Set("alice", "bob"))
+  }
+}
