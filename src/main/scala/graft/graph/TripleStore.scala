@@ -56,52 +56,58 @@ object TripleStore {
     }
   }
 
-  private def manifestTexts(root: String): Map[Int, String] = {
+  // Manifests are written AND read through Jackson (already on Spark's
+  // classpath): counter keys are raw predicate strings from the data, so
+  // string-built JSON would corrupt the manifest on a pred containing a
+  // quote/backslash/newline, and regex reads could be spoofed by a pred
+  // named like a structural field ("batch", "files_per_pred").
+  private val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def manifestNodes(root: String): Map[Int, com.fasterxml.jackson.databind.JsonNode] = {
     val d = snapsDir(root)
     if (!Files.exists(d)) Map.empty
     else scala.util.Using.resource(Files.list(d)) { stream =>
       stream.iterator().asScala
         .filter(_.getFileName.toString.startsWith("snap-"))
         .flatMap { p =>
-          val txt = Files.readString(p)
-          "\"batch\":\\s*(\\d+)".r.findFirstMatchIn(txt)
-            .map(m => m.group(1).toInt -> txt)
+          val node = json.readTree(Files.readString(p))
+          val b = node.path("batch")
+          if (b.canConvertToInt) Some(b.asInt() -> node) else None
         }.toMap
     }
   }
 
   /** batch id → batches its manifest superseded (compaction snapshots). */
-  private def replacedByOf(texts: Map[Int, String]): Map[Int, Set[Int]] =
-    texts.flatMap { case (b, txt) =>
-      "\"replaces\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-        .map(m => b -> m.group(1).split(",").iterator
-          .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+  private def replacedByOf(
+      snaps: Map[Int, com.fasterxml.jackson.databind.JsonNode]): Map[Int, Set[Int]] =
+    snaps.flatMap { case (b, node) =>
+      val r = node.path("replaces")
+      if (r.isArray) Some(b -> r.elements().asScala.map(_.asInt()).toSet) else None
     }
 
   private def replacedBy(root: String): Map[Int, Set[Int]] =
-    replacedByOf(manifestTexts(root))
+    replacedByOf(manifestNodes(root))
 
   /** batch id → bucket count, for batches written in the BUCKETED layout
     * (compactions): the `files_per_pred` their manifest recorded. */
-  private def bucketedBatchesOf(texts: Map[Int, String]): Map[Int, Int] =
-    texts.flatMap { case (b, txt) =>
-      "\"files_per_pred\":\\s*(\\d+)".r.findFirstMatchIn(txt)
-        .map(m => b -> m.group(1).toInt)
+  private def bucketedBatchesOf(
+      snaps: Map[Int, com.fasterxml.jackson.databind.JsonNode]): Map[Int, Int] =
+    snaps.flatMap { case (b, node) =>
+      val f = node.path("files_per_pred")
+      if (f.canConvertToInt) Some(b -> f.asInt()) else None
     }
 
   /** One lineage counter of one committed snapshot, read driver-side from
     * its OWN manifest file (one read, not a directory scan — Pipeline's
-    * batch loop calls this per batch). */
+    * batch loop calls this per batch). Looks ONLY inside the "counters"
+    * object — a counter key equal to a structural field name cannot
+    * shadow or be shadowed. */
   def counterValue(root: String, batchId: Int, key: String): Option[Long] = {
     val p = snapsDir(root).resolve(s"snap-$batchId.json")
     if (!Files.exists(p)) None
     else {
-      val txt = Files.readString(p)
-      ("\"" + java.util.regex.Pattern.quote(key) + "\":\\s*(\\d+)").r
-        .findAllMatchIn(txt)
-        // the counters map is the only place a key repeats the batch field's
-        // shape; keys are written sorted and unique, so first match wins
-        .map(_.group(1).toLong).toSeq.headOption
+      val v = json.readTree(Files.readString(p)).path("counters").path(key)
+      if (v.canConvertToLong) Some(v.asLong()) else None
     }
   }
 
@@ -110,16 +116,17 @@ object TripleStore {
     * that is itself ≤ asOf — so time travel BEFORE a compaction point still
     * sees the original micro-batches (until `vacuum` physically drops them,
     * the Iceberg expire-snapshots trade-off). */
-  private def visibleBatchesOf(texts: Map[Int, String], asOf: Int): Set[Int] = {
-    val committed = texts.keySet.filter(_ <= asOf)
-    val replaced = replacedByOf(texts)
+  private def visibleBatchesOf(
+      snaps: Map[Int, com.fasterxml.jackson.databind.JsonNode], asOf: Int): Set[Int] = {
+    val committed = snaps.keySet.filter(_ <= asOf)
+    val replaced = replacedByOf(snaps)
       .collect { case (b, r) if b <= asOf && committed(b) => r }
       .flatten.toSet
     committed -- replaced
   }
 
   private def visibleBatches(root: String, asOf: Int): Set[Int] =
-    visibleBatchesOf(manifestTexts(root), asOf)
+    visibleBatchesOf(manifestNodes(root), asOf)
 
   /** Currently visible batch ids (committed minus compacted-away). */
   def visibleBatchIds(root: String): Set[Int] = visibleBatches(root, Int.MaxValue)
@@ -158,18 +165,19 @@ object TripleStore {
   private def commitManifest(root: String, batchId: Int,
       counters: Map[String, Long], replaces: Set[Int],
       extraFields: Map[String, Long]): Unit = {
-    val countersJson = counters.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    val replacesJson =
-      if (replaces.isEmpty) ""
-      else s""" "replaces": ${replaces.toSeq.sorted.mkString("[", ", ", "]")},"""
-    val extraJson = extraFields.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""" "$k": $v,""" }.mkString
-    val manifest =
-      s"""{"batch": $batchId, "committed_at": "${java.time.Instant.now()}",$replacesJson$extraJson "counters": $countersJson}"""
+    val node = json.createObjectNode()
+    node.put("batch", batchId)
+    node.put("committed_at", java.time.Instant.now().toString)
+    if (replaces.nonEmpty) {
+      val arr = node.putArray("replaces")
+      replaces.toSeq.sorted.foreach(arr.add)
+    }
+    extraFields.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val cn = node.putObject("counters")
+    counters.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
     Files.createDirectories(snapsDir(root))
     val tmp = snapsDir(root).resolve(s".snap-$batchId.json.tmp")
-    Files.writeString(tmp, manifest)
+    Files.writeString(tmp, json.writeValueAsString(node))
     Files.move(tmp, snapsDir(root).resolve(s"snap-$batchId.json"),
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -204,14 +212,14 @@ object TripleStore {
     * only batches committed with id ≤ asOfBatch are visible (the
     * Iceberg-snapshot read semantics on the manifest log). */
   def readAsOf(spark: SparkSession, root: String, asOfBatch: Int): DataFrame = {
-    val texts = manifestTexts(root)
+    val texts = manifestNodes(root)
     readBatches(spark, root, visibleBatchesOf(texts, asOfBatch),
       bucketedBatchesOf(texts).keySet)
   }
 
   /** Read only committed (and not compacted-away) batches. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val texts = manifestTexts(root)
+    val texts = manifestNodes(root)
     readBatches(spark, root, visibleBatchesOf(texts, Int.MaxValue),
       bucketedBatchesOf(texts).keySet)
   }
@@ -267,7 +275,7 @@ object TripleStore {
     // ONE manifest-directory read serves the whole lookup (visibility,
     // bucket layout, bucket counts) — a point-lookup API must not scan
     // _snapshots/ three times on a store with thousands of commits
-    val texts = manifestTexts(root)
+    val texts = manifestNodes(root)
     val committed = visibleBatchesOf(texts, Int.MaxValue)
     if (committed.isEmpty) return emptyTriples(spark)
     val bucketedAll = bucketedBatchesOf(texts)
@@ -312,7 +320,7 @@ object TripleStore {
     * deployment derive it from store size / 128 MB).
     * Returns the new compacted batch id. */
   def compact(spark: SparkSession, root: String, filesPerPred: Int = 1): Int = {
-    val texts = manifestTexts(root)
+    val texts = manifestNodes(root)
     val visible = visibleBatchesOf(texts, Int.MaxValue)
     require(visible.nonEmpty, "compact: nothing committed")
     val newId = committedBatches(root).max + 1
@@ -369,14 +377,10 @@ object TripleStore {
   /** Lineage counters of all committed snapshots as a DataFrame. */
   def counters(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val rows = manifestTexts(root).toSeq.flatMap { case (batch, txt) =>
-      val countersPart = txt.indexOf("\"counters\"") match {
-        case -1 => txt
-        case i => txt.substring(i)
-      }
-      "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(countersPart)
-        .filter(_.group(1) != "batch")
-        .map(m => (batch, m.group(1), m.group(2).toLong))
+    val rows = manifestNodes(root).toSeq.flatMap { case (batch, node) =>
+      node.path("counters").properties().asScala.toSeq
+        .filter(_.getValue.canConvertToLong)
+        .map(e => (batch, e.getKey, e.getValue.asLong()))
     }
     if (rows.isEmpty) Seq.empty[(Int, String, Long)].toDF("batch", "key", "value")
     else rows.toDF("batch", "key", "value")

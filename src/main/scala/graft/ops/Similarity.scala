@@ -461,6 +461,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, fitSampleRows: Int = 100000,
       maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    require(codebookSize <= 256,
+      s"pqCodebooks: codebookSize=$codebookSize exceeds the byte code range " +
+        "(codes are 1 byte per subspace; indices above 255 would alias)")
     val sample = deterministicFitSample(corpus, idCol, vecCol, seed, fitSampleRows)
     require(sample.nonEmpty, "pqCodebooks: empty corpus")
     val dim = sample.head.length
@@ -501,6 +504,8 @@ object Similarity {
     * reconstruction-norm approximation at query time. */
   def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(books.forall(_.length <= 256),
+      "pqEncode: codebooks over 256 codes would alias in the byte codes")
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

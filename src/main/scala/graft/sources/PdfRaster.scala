@@ -279,6 +279,7 @@ object PdfRaster {
   private sealed trait XEntry
   private final case class XOffset(off: Long) extends XEntry
   private final case class XInStream(streamNum: Int, idx: Int) extends XEntry
+  private case object XFree extends XEntry // deleted in a NEWER section: must shadow older in-use entries
 
   private final class Doc(bytes: Array[Byte]) {
     private val xref = mutable.HashMap[Int, XEntry]()
@@ -307,7 +308,14 @@ object PdfRaster {
           val lx = new Lexer(bytes, off.toInt)
           val tr = lx.next() match {
             case TKw("xref") =>
-              // classic table: subsections until 'trailer'
+              // classic table: buffer the subsections, then record them
+              // AFTER this section's own /XRefStm (if any) — in a hybrid
+              // file the stream's entries take precedence over the classic
+              // section that points at it (spec 7.5.8.4), and free entries
+              // are tombstones under first-wins merging: an object deleted
+              // by an incremental update must not be resurrected from an
+              // older section's in-use entry
+              val local = mutable.ArrayBuffer.empty[(Int, XEntry)]
               var t = lx.next()
               while (t != TKw("trailer")) {
                 val start = t match { case TNum(n) => n.toInt; case o => throw new Unsupported(s"xref subsection: $o") }
@@ -317,24 +325,32 @@ object PdfRaster {
                   val o = lx.next() match { case TNum(n) => n.toLong; case x => throw new Unsupported(s"xref entry: $x") }
                   lx.next() // gen
                   lx.next() match {
-                    case TKw("n") => if (!xref.contains(start + k)) xref(start + k) = XOffset(o)
-                    case TKw("f") => ()
+                    case TKw("n") => local += ((start + k, XOffset(o)))
+                    case TKw("f") => local += ((start + k, XFree))
                     case x        => throw new Unsupported(s"xref flag: $x")
                   }
                   k += 1
                 }
                 t = lx.next()
               }
-              lx.parseObject() match {
+              val d = lx.parseObject() match {
                 case d: PDict => d
                 case o        => throw new Unsupported(s"trailer: $o")
               }
+              d.v.get("XRefStm").foreach {
+                case PNum(p) if p.toLong >= 0 && seen.add(p.toLong) =>
+                  val xtr = parseXrefStreamAt(p.toLong)
+                  if (xtr.v.contains("Encrypt")) throw new Unsupported("encrypted PDF")
+                  xtr.v.get("Prev").foreach { case PNum(q) => pending.enqueue(q.toLong); case _ => () }
+                case _ => ()
+              }
+              local.foreach { case (n, e) => if (!xref.contains(n)) xref(n) = e }
+              d
             case TNum(_) => parseXrefStreamAt(off)
             case other   => throw new Unsupported(s"bad xref at $off: $other")
           }
           if (first) { trailer = tr; first = false }
           if (tr.v.contains("Encrypt")) throw new Unsupported("encrypted PDF")
-          tr.v.get("XRefStm").foreach { case PNum(p) => pending.enqueue(p.toLong); case _ => () }
           tr.v.get("Prev").foreach { case PNum(p) => pending.enqueue(p.toLong); case _ => () }
         }
       }
@@ -400,35 +416,54 @@ object PdfRaster {
         val f3 = field(ws(2))
         val num = start + k
         typ match {
+          case 0 => if (!xref.contains(num)) xref(num) = XFree // free claims the slot (first-wins)
           case 1 => if (!xref.contains(num)) xref(num) = XOffset(f2)
           case 2 => if (!xref.contains(num)) xref(num) = XInStream(f2.toInt, f3.toInt)
-          case _ => () // 0 = free; unknown types are to be ignored (spec 7.5.8.3)
+          case _ => () // unknown types are to be ignored (spec 7.5.8.3)
         }
       }
       d
     }
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(n, _) => resolve(objectAt(n))
-      case other      => other
+    def resolve(o: Obj): Obj = {
+      // iterative with a depth cap: `1 0 obj 2 0 R endobj` chains (or
+      // cycles) in a corrupt/hostile file must surface as Unsupported —
+      // which renderPdf catches and degrades to the warned stub — not as
+      // a fatal StackOverflowError that kills the whole ingest job
+      var cur = o
+      var depth = 0
+      while (cur.isInstanceOf[PRef]) {
+        if (depth >= 64) throw new Unsupported("indirect reference chain too deep (cycle?)")
+        cur = objectAt(cur.asInstanceOf[PRef].num)
+        depth += 1
+      }
+      cur
     }
 
     // compute-then-put (NOT getOrElseUpdate): loading an object can recurse
     // into objectAt (indirect /Length, the object stream a type-2 entry
     // names), and nested modification inside getOrElseUpdate's callback is
-    // undefined for mutable.HashMap
+    // undefined for mutable.HashMap. `loading` detects re-entrant loads of
+    // an object whose OWN definition (indirect /Length, ObjStm chain)
+    // cycles back to itself — Unsupported, not unbounded recursion.
     private val cache = mutable.HashMap[Int, Obj]()
+    private val loading = mutable.HashSet[Int]()
     private def objectAt(num: Int): Obj = cache.get(num) match {
       case Some(o) => o
       case None =>
-        val v = xref.getOrElse(num, throw new Unsupported(s"unresolved object $num")) match {
-          case XOffset(off)             => objectAtOffset(off)
-          case XInStream(streamNum, _)  =>
-            objStmMembers(streamNum).getOrElse(num,
-              throw new Unsupported(s"object $num not found in ObjStm $streamNum"))
-        }
-        cache(num) = v
-        v
+        if (!loading.add(num))
+          throw new Unsupported(s"cyclic load of object $num")
+        try {
+          val v = xref.getOrElse(num, throw new Unsupported(s"unresolved object $num")) match {
+            case XFree                    => PNull // deleted: references resolve to null (spec 7.3.10)
+            case XOffset(off)             => objectAtOffset(off)
+            case XInStream(streamNum, _)  =>
+              objStmMembers(streamNum).getOrElse(num,
+                throw new Unsupported(s"object $num not found in ObjStm $streamNum"))
+          }
+          cache(num) = v
+          v
+        } finally loading.remove(num)
     }
 
     private def objectAtOffset(off: Long): Obj = {

@@ -306,8 +306,12 @@ object Streams {
               state.getOption.map(_.reps).getOrElse(Nil).foreach { case (s, t) =>
                 if (t >= wm && t > reps.getOrElse(s, Long.MinValue)) reps(s) = t
               }
-              // deterministic earlier/later order within the micro-batch
-              val sorted = rows.toVector.sortBy(r => r.getTimestamp(tsIdx).getTime)
+              // deterministic earlier/later order within the micro-batch:
+              // equal event times tie-break on signature then full row
+              // content, so which of two same-instant near-dups survives
+              // does not depend on shuffle arrival order (replay-stable)
+              val sorted = rows.toVector.sortBy(r =>
+                (r.getTimestamp(tsIdx).getTime, r.getLong(sigIdx), r.mkString(" ")))
               val out = sorted.map { r =>
                 val sig = r.getLong(sigIdx)
                 val ts = r.getTimestamp(tsIdx).getTime

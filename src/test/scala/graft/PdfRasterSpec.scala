@@ -188,4 +188,47 @@ class PdfRasterSpec extends AnyFunSuite {
     val b = PdfRaster.render(pdf, 36).map(_._3.toSeq)
     assert(a == b)
   }
+
+  test("cyclic indirect references surface as Unsupported, not a fatal stack overflow") {
+    // 1 0 obj -> 2 0 R, 2 0 obj -> 1 0 R, catalog's /Pages enters the cycle.
+    // Unsupported is catchable (renderPdf degrades to the warned stub); a
+    // StackOverflowError is not NonFatal and would kill the ingest job.
+    val b = new PdfFixtures.Builder
+    val o1 = b.reserve(); val o2 = b.reserve()
+    b.set(o1, s"$o2 0 R"); b.set(o2, s"$o1 0 R")
+    val root = b.add(s"<< /Type /Catalog /Pages $o1 0 R >>")
+    val ex = intercept[PdfRaster.Unsupported](PdfRaster.render(b.build(root), 72))
+    assert(ex.getMessage.contains("chain too deep") || ex.getMessage.contains("cyclic"))
+    // and the ingest seam degrades honestly: stub fallback + warning
+    val (pages, warned) = Audit.capturing(PdfIngest.renderPdf(b.build(root), 72))
+    assert(pages.nonEmpty && warned.exists(_.contains("falling back")))
+  }
+
+  test("incremental update freeing an object is honored — stale content is not resurrected") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val b = new PdfFixtures.Builder
+    val content = b.addStream("", "0 0 0 rg 0 0 100 100 re f".getBytes(ISO_8859_1))
+    val pagesN = b.reserve()
+    val page = b.add(s"<< /Type /Page /Parent $pagesN 0 R /MediaBox [0 0 100 100] /Contents $content 0 R >>")
+    b.set(pagesN, s"<< /Type /Pages /Kids [$page 0 R] /Count 1 >>")
+    val root = b.add(s"<< /Type /Catalog /Pages $pagesN 0 R >>")
+    val base = b.build(root)
+    // base renders the full-page black rect
+    val before = decode(PdfRaster.render(base, 72).head)
+    assert((before.getRGB(50, 50) & 0xffffff) == 0x000000)
+    // incremental update: newest xref section marks the content object FREE
+    val origXref = """startxref\s+(\d+)""".r.findFirstMatchIn(
+      new String(base, ISO_8859_1)).get.group(1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val newXref = out.size()
+    out.write((s"xref\n$content 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size ${root + 1} /Root $root 0 R /Prev $origXref >>\n" +
+      s"startxref\n$newXref\n%%EOF\n").getBytes(ISO_8859_1))
+    // a reference to a freed object resolves to null (spec 7.3.10): the
+    // page renders EMPTY — drawing the deleted rect from the older
+    // section's in-use entry would be silent resurrection
+    val after = decode(PdfRaster.render(out.toByteArray, 72).head)
+    assert((after.getRGB(50, 50) & 0xffffff) == 0xffffff)
+  }
 }

@@ -207,6 +207,16 @@ class SimilaritySpec extends SparkSuite {
     assert(fix55.exceptAll(live55).count() == 0, "fixture q55 rows missing from live output")
   }
 
+  test("PQ rejects codebooks beyond the byte code range instead of silently aliasing") {
+    val corpus = (0 until 20).map(i => (i.toLong, Seq.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.pqCodebooks(corpus, m = 2, codebookSize = 300))
+    assert(ex.getMessage.contains("byte code range"))
+    val ex2 = intercept[IllegalArgumentException](
+      Similarity.pqEncode(corpus, Array(Array.fill(300)(Array(0.0, 0.0)))))
+    assert(ex2.getMessage.contains("alias"))
+  }
+
   test("semdedup: planted semantic duplicates group transitively; keeper is the least-centroid-similar member") {
     // cluster 1: three same-direction-ish vectors — a~b cosine 1 (scaled
     // copy), a~c and b~c cosine 0.9 — all pairs >= 0.85 so CC makes ONE

@@ -26,6 +26,36 @@ class TripleStoreSpec extends SparkSuite {
     assert(counters.contains((0, "p1", 1L)))
   }
 
+  test("manifest survives hostile predicate names (JSON-escaped counters, structural-field collisions)") {
+    val root = tmp()
+    // preds containing JSON metacharacters and one named like a structural
+    // manifest field — commitBatch is a public API over arbitrary strings,
+    // so the manifest must neither corrupt nor let a counter key shadow
+    // (or be shadowed by) a top-level field
+    val hostile = Seq(
+      ("s1", "said \"hi\"", "o1"),
+      ("s2", "back\\slash\nnewline", "o2"),
+      ("s3", "batch", "o3"),
+      ("s4", "files_per_pred", "o4"))
+    TripleStore.commitBatch(hostile.toDF("subj", "pred", "obj"), root, 0)
+    // the manifest parses; visibility and read-back are intact
+    assert(TripleStore.visibleBatchIds(root) == Set(0))
+    assert(TripleStore.read(spark, root).count() == 4)
+    val counters = TripleStore.counters(spark, root)
+      .as[(Int, String, Long)].collect().toSet
+    assert(counters.contains((0, "said \"hi\"", 1L)))
+    assert(counters.contains((0, "back\\slash\nnewline", 1L)))
+    // counterValue reads ONLY the counters object: the pred named "batch"
+    // returns its own count, not the structural batch id field
+    assert(TripleStore.counterValue(root, 0, "batch").contains(1L))
+    // a counter named files_per_pred must NOT make the batch look bucketed:
+    // a second batch + compact still works and the store reads consistently
+    TripleStore.commitBatch(Seq(("s9", "p9", "o9")).toDF("subj", "pred", "obj"), root, 1)
+    assert(TripleStore.read(spark, root).count() == 5)
+    TripleStore.compact(spark, root)
+    assert(TripleStore.read(spark, root).count() == 5)
+  }
+
   test("uncommitted batch is invisible; recommit is idempotent") {
     val root = tmp()
     val df = Seq(("s", "p", "o")).toDF("subj", "pred", "obj")
