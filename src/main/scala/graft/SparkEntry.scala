@@ -238,6 +238,116 @@ object SparkEntry {
       graft.graph.PageRank.run(edges, iters = 5)
         .select(col("id").as("part_id"), col("rank_fp"))
     }),
+    "q58_path_reachable" -> ((s, d) => {
+      // SPARQL property path `reports_to+`: transitive closure over the
+      // customer parent tree (c_custkey → c_custkey div 2 — depth ~log₂ n,
+      // so the semi-naive loop runs a realistic number of rounds). Oracle
+      // = DuckDB's recursive CTE, the sequential definition.
+      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      graft.graph.GraphQuery.reachable(e)
+    }),
+    "q59_triangles" -> ((s, d) => {
+      // per-node triangle counts over the part co-order graph via
+      // degree-ordered orientation (compact-forward); the oracle is
+      // DuckDB's id-ordered 3-way join — a genuinely different
+      // orientation scheme that must find the same triangles
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.Triangles.perNode(e)
+        .select(col("id").cast("long").as("part_id"), col("n_tri"))
+    }),
+    "q60_shape_validation" -> ((s, d) => {
+      // SHACL-style shape validation over an order-triple graph with
+      // violations PLANTED deterministically (missing placed_by at
+      // key%97=0, a second status at %89=0, a malformed ref at %83=0, a
+      // dangling vendor at %101=0); both engines build the same triples,
+      // the oracle re-implements the checks as GROUP BY/HAVING + regex +
+      // NOT IN in DuckDB
+      import graft.graph.Validate, graft.graph.Validate.Shape
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val placedBy = ord.where(col("o_orderkey") % 97 =!= 0).select(
+        subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"),
+          when(col("o_orderkey") % 101 === 0, lit(0)).otherwise(col("o_custkey"))).as("obj"))
+      val status = ord.select(subj.as("subj"), lit("status").as("pred"),
+        col("o_orderstatus").as("obj"))
+      val statusDup = ord.where(col("o_orderkey") % 89 === 0).select(
+        subj.as("subj"), lit("status").as("pred"),
+        concat(col("o_orderstatus"), lit("?")).as("obj"))
+      val ref = ord.select(subj.as("subj"), lit("ref").as("pred"),
+        when(col("o_orderkey") % 83 === 0, col("o_orderkey").cast("string"))
+          .otherwise(concat(lit("R"), col("o_orderkey"))).as("obj"))
+      val triples = placedBy.union(status).union(statusDup).union(ref)
+      val customers = t(s, d, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("member"))
+      Validate.validate(
+        ord.select(subj.as("subj")), triples,
+        Seq(
+          Shape("placed_by", minCount = 1, maxCount = 1, objIn = Some(customers)),
+          Shape("status", minCount = 1, maxCount = 1),
+          Shape("ref", minCount = 1, maxCount = 1,
+            objPattern = Some("^R[0-9]+$"))))
+    }),
+    "q61_random_walks" -> ((s, d) => {
+      // deterministic DeepWalk walks over the (undirected) part co-order
+      // graph: neighbor arrays sorted, step choice =
+      // xxhash64(seed, walk_id, step) mod degree — bit-stable across
+      // layouts, which is what makes a hash oracle possible; the fixture
+      // is an independent sequential replay in tools.GenFixtures
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
+        .select(col("p_partkey").as("id"))
+      graft.graph.RandomWalks.walkSteps(e, startsDf, length = 8, seed = 7L)
+    }),
+    "q62_skipgram" -> ((s, d) => {
+      // skip-gram (center, context) training pairs from the q61 walks —
+      // engine expands the window per row with array HOFs (no self-join);
+      // the oracle expands it RELATIONALLY in DuckDB (walk-id self-join
+      // over the independently-replayed committed walk fixture)
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
+        .select(col("p_partkey").as("id"))
+      val w = graft.graph.RandomWalks.walks(e, startsDf, length = 8, seed = 7L)
+      graft.graph.RandomWalks.skipGramPairs(w, window = 2)
+    }),
+    "q63_bfs_distances" -> ((s, d) => {
+      // multi-source BFS over the customer parent tree, edges parent→child
+      // so the roots fan out; landmark set {c1 (root), c5 (a subtree)} —
+      // one BFS advances both. Oracle = DuckDB's recursive CTE with
+      // min(dist), the sequential definition, independent of the engine's
+      // first-seen semi-naive frontier.
+      import s.implicits._
+      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
+        concat(lit("c"), expr("c_custkey div 2")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"))
+      graft.graph.Distances.fromLandmarks(e, Seq("c1", "c5").toDF("id"))
+    }),
+    "q64_communities" -> ((s, d) => {
+      // deterministic synchronous label propagation over the part co-order
+      // graph; the oracle fixture is an independent sequential replay
+      // (driver adjacency maps, 4 rounds) in tools.GenFixtures
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.Communities.labelPropagation(e, iters = 4)
+        .select(col("id").as("part_id"), col("community"))
+    }),
     "q55_semdedup" -> ((s, d) =>
       // SemDeDup semantic dedup: deterministic-quantizer clustering →
       // within-cluster cosine pairs → CC groups → keep the member LEAST
@@ -882,6 +992,117 @@ object SparkEntry {
         |JOIN supplier ON s_nationkey = c_nationkey
         |JOIN nation ON n_nationkey = c_nationkey
         |WHERE n_regionkey = 0""".stripMargin,
+    // q58: the oracle is DuckDB's recursive CTE — the sequential
+    // definition of the transitive closure, independent of the engine's
+    // semi-naive delta loop.
+    "q58_path_reachable" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS s, c_custkey // 2 AS d FROM customer WHERE c_custkey > 1
+        |), r AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+        |)
+        |SELECT 'c' || s AS src, 'c' || d AS dst FROM r""".stripMargin,
+    // q59: the oracle counts triangles by ID ordering (u < v < w, 3-way
+    // join) — a different orientation scheme than the engine's
+    // degree-ordered compact-forward; both must find the same triangles.
+    "q59_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT part_id, count(*) AS n_tri
+        |FROM (SELECT x AS part_id FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY part_id""".stripMargin,
+    // q60: the oracle re-implements the shape checks relationally
+    // (GROUP BY + HAVING-style predicates, anchored regex, NOT IN) over
+    // the same deterministically-planted triple construction.
+    "q60_shape_validation" ->
+      """WITH trip AS (
+        |  SELECT 'o' || o_orderkey AS subj, 'placed_by' AS pred,
+        |         'c' || (CASE WHEN o_orderkey % 101 = 0 THEN 0 ELSE o_custkey END) AS obj
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'status', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'status', o_orderstatus || '?'
+        |  FROM orders WHERE o_orderkey % 89 = 0
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'ref',
+        |         CASE WHEN o_orderkey % 83 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |              ELSE 'R' || o_orderkey END
+        |  FROM orders
+        |), shapes(pred, min_c, max_c) AS (
+        |  SELECT * FROM (VALUES ('placed_by', 1, 1), ('status', 1, 1), ('ref', 1, 1))
+        |), counts AS (
+        |  SELECT subj, pred, count(*) AS n FROM trip GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT 'o' || o_orderkey AS subj, s.pred, s.min_c, s.max_c
+        |  FROM orders CROSS JOIN shapes s
+        |)
+        |SELECT g.subj, g.pred,
+        |       CASE WHEN coalesce(c.n, 0) < g.min_c THEN 'min_count'
+        |            ELSE 'max_count' END AS code,
+        |       CAST(coalesce(c.n, 0) AS VARCHAR) AS detail
+        |FROM grid g LEFT JOIN counts c ON g.subj = c.subj AND g.pred = c.pred
+        |WHERE coalesce(c.n, 0) < g.min_c OR coalesce(c.n, 0) > g.max_c
+        |UNION ALL
+        |SELECT subj, pred, 'pattern', obj FROM trip
+        |WHERE pred = 'ref' AND NOT regexp_matches(obj, '^R[0-9]+$')
+        |UNION ALL
+        |SELECT subj, pred, 'dangling_object', obj FROM trip
+        |WHERE pred = 'placed_by'
+        |  AND obj NOT IN (SELECT 'c' || c_custkey FROM customer)""".stripMargin,
+    // q61: deterministic walks are a pure function of (graph, seed) —
+    // xxhash64 is the engine-wide keyed PRNG primitive (same standing as
+    // q52's fingerprint) — so the expected steps come from an independent
+    // sequential replay in GenFixtures (driver adjacency maps + a plain
+    // while loop); drift-guarded in RandomWalksSpec (in-spec replay,
+    // edge-validity, halting, layout invariance).
+    "q61_random_walks" ->
+      """SELECT walk_id, step, node
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q61_expected_walks.parquet')""".stripMargin,
+    // q62: the oracle expands the skip-gram window RELATIONALLY — a
+    // walk-id self-join over the independently-replayed q61 walk fixture —
+    // vs the engine's per-row array-HOF expansion (no join at all).
+    "q62_skipgram" ->
+      """WITH w AS (
+        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/expected/q61_expected_walks.parquet')
+        |)
+        |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+        |FROM w a JOIN w b
+        |  ON a.walk_id = b.walk_id AND a.step <> b.step
+        |  AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2""".stripMargin,
+    // q63: the oracle is the sequential definition — a recursive CTE
+    // carrying (node, landmark, dist) with min(dist) at the end — fully
+    // independent of the engine's first-seen semi-naive frontier loop.
+    "q63_bfs_distances" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || (c_custkey // 2) AS s, 'c' || c_custkey AS d
+        |  FROM customer WHERE c_custkey > 1
+        |), lm(l) AS (SELECT * FROM (VALUES ('c1'), ('c5'))),
+        |r AS (
+        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
+        |  UNION
+        |  SELECT e.d, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.s
+        |)
+        |SELECT id, landmark, CAST(min(dist) AS INT) AS dist
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // q64: deterministic synchronous LPA is a pure function of the graph;
+    // the committed fixture comes from an independent sequential replay
+    // (driver adjacency maps + per-round vote counting) in GenFixtures.
+    "q64_communities" ->
+      """SELECT part_id, community
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q64_expected_communities.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

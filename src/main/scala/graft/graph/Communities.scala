@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (LPA) — the
+  * modularity-structure pass of the post-construction analytics family
+  * (PageRank = importance, Triangles = local density, LPA = mesoscale
+  * grouping: vendor ecosystems, topic clusters, mirror farms in the
+  * doc–entity graph).
+  *
+  * Classic LPA is nondeterministic twice over (random visit order, random
+  * tie-breaks) — useless under this engine's bit-stability contract. This
+  * is the DETERMINISTIC synchronous variant:
+  *   label⁰(v)   = v's own id
+  *   labelᵗ⁺¹(v) = the label that appears most often among v's neighbors'
+  *                 round-t labels, ties broken by SMALLEST label
+  * for a fixed number of rounds. Every step is a pure function of the
+  * graph, so the output is identical across runs, partition layouts and
+  * cluster sizes (asserted in CommunitiesSpec). Synchronous updates can
+  * two-cycle on bipartite-ish structures — the standard price of the
+  * deterministic variant — which bounded rounds absorb: communities are a
+  * heuristic grouping, and `iters` caps work like PageRank's.
+  *
+  * Scale shape, per round: ONE edge-scale equi join (labels onto edge
+  * sources), one (node, label)-keyed count, one node-keyed max_by — all
+  * shuffle on node id so AQE reuses the exchange layout round to round;
+  * the round result is materialized to cut lineage (the CC/PageRank
+  * discipline). A mega-hub node costs its degree in count rows, never a
+  * driver loop; no collect anywhere.
+  */
+object Communities {
+
+  /** edges: undirected edge list (either or both directions per edge;
+    * duplicates and self-loops dropped), ids castable to long. Returns
+    * (id: long, community: long) for every node incident to an edge;
+    * `community` is the converged (or round-`iters`) label — a node id,
+    * NOT guaranteed to be a member's minimum like CC labels. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, "labelPropagation: iters must be >= 0")
+    val a = col(srcCol).cast("long")
+    val b = col(dstCol).cast("long")
+    val und = edges
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    // both directions: each undirected edge feeds both endpoints' votes
+    val e = graft.Materialize(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = graft.Materialize(
+      e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("community")))
+    for (_ <- 0 until iters) {
+      val votes = labels
+        .join(e, labels("id") === e("src"))
+        .groupBy(col("dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("n"))
+      labels = graft.Materialize(votes
+        .groupBy("id")
+        .agg(max_by(col("community"),
+          struct(col("n"), negate(col("community")))).as("community")))
+    }
+    labels
+  }
+}

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS shortest-path distances — the "how far is every
+  * entity from each landmark" pass a KG consumer runs for neighborhood
+  * scoping (k-hop subgraph extraction), landmark-based distance sketches,
+  * and taxonomy-depth features. Unweighted directed edges; distance = hop
+  * count of the shortest path.
+  *
+  * Evaluation is level-synchronous BFS in SEMI-NAIVE form, the same
+  * discipline as `GraphQuery.reachable`: the round-d frontier is the set
+  * of (node, landmark) pairs first reached at distance d; each round joins
+  * ONLY the frontier against the edge table and anti-joins everything
+  * already settled, so per-round work is |frontier ⋈ E| and rounds = the
+  * graph's eccentricity bound (or `maxDepth`). Because BFS settles a pair
+  * the first time it is seen, the anti join IS the min() — no re-relax,
+  * no priority queue. All landmarks advance in the SAME join (multi-source:
+  * the frontier carries the landmark as a second key column), so k
+  * landmarks cost one BFS, not k.
+  *
+  * Job discipline: one lazily-materialized job per level — the count()
+  * that drives the loop also computes and stores the frontier checkpoint.
+  * Each checkpoint gets a Filter constraint barrier (see
+  * GraphQuery.reachable) before entering the settled-set union.
+  */
+object Distances {
+
+  /** edges: directed (srcCol, dstCol); landmarks: one per row of
+    * `landmarkCol`. Returns (id, landmark, dist) — every node reachable
+    * from each landmark, including (L, L, 0). Node ids compare as strings
+    * (the triple-store subject model). */
+  def fromLandmarks(edges: DataFrame, landmarks: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      landmarkCol: String = "id", maxDepth: Int = Int.MaxValue): DataFrame = {
+    require(maxDepth >= 0, "fromLandmarks: maxDepth must be >= 0")
+    val e = graft.Materialize(edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    // constraint barrier after every lazy checkpoint: see
+    // GraphQuery.reachable — a no-op Filter that survives optimization and
+    // re-filters captured constraints against the node's own output set.
+    def barrier(df: DataFrame): DataFrame =
+      df.where(col("id").isNotNull && col("landmark").isNotNull)
+    var settled = graft.Materialize(landmarks
+      .select(col(landmarkCol).cast("string").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .select(col("id"), col("id").as("landmark"), lit(0).as("dist")))
+    var frontier = settled
+    var depth = 0
+    var done = maxDepth == 0
+    while (!done) {
+      depth += 1
+      val next = barrier(graft.Materialize(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), col("landmark"))
+          .distinct()
+          .join(settled, Seq("id", "landmark"), "left_anti")
+          .select(col("id"), col("landmark"), lit(depth).as("dist")),
+        eager = false))
+      val n = next.count()
+      if (n == 0 || depth >= maxDepth) done = true
+      if (n != 0) {
+        settled = graft.Materialize(settled.union(next), eager = false)
+        frontier = next
+      }
+    }
+    settled
+  }
+}

@@ -62,4 +62,64 @@ object GraphQuery {
     }
     result.select(bound.map(col): _*)
   }
+
+  /** Transitive reachability — the SPARQL property path `pred+` (and the
+    * recursive-CTE idiom every KG consumer writes next after BGPs:
+    * `sameAs+` canonical chains, taxonomy roll-ups, org hierarchies).
+    * Returns the DISTINCT (src, dst) pairs connected by a directed path of
+    * length ≥ 1 (≤ `maxHops` when bounded). Set semantics, like SPARQL
+    * paths and SQL `WITH RECURSIVE ... UNION`; a node in a cycle reaches
+    * itself.
+    *
+    * Evaluation is SEMI-NAIVE (the Datalog strategy): each round joins
+    * only the DELTA — pairs first discovered last round — against the
+    * edge table, then anti-joins the accumulated closure, so per-round
+    * work is |Δ ⋈ E|, never |closure|² and never a re-derivation of known
+    * pairs. Rounds = the graph's longest shortest path (diameter), which
+    * for the chains KGs actually have (sameAs, broader-than) is small.
+    * Termination is guaranteed even with cycles: the closure is bounded
+    * and the anti join makes every round's delta strictly new.
+    *
+    * Job discipline matches ConnectedComponents: the delta is LAZILY
+    * materialized and its `count()` is the one action per round — it
+    * computes and stores the delta AND (first consumption) the previous
+    * round's closure checkpoint, so a round costs one job, keeping the
+    * loop's serial component flat as executors scale. */
+  def reachable(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxHops: Int = Int.MaxValue): DataFrame = {
+    require(maxHops >= 1, "reachable: maxHops must be >= 1")
+    val e = graft.Materialize(edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    var closure = e
+    var delta = e
+    var hops = 1
+    var done = false
+    while (!done && hops < maxHops) {
+      val next = graft.Materialize(
+        delta.as("d").join(e.as("e"), col("d.dst") === col("e.src"))
+          .select(col("d.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+          .join(closure, Seq("src", "dst"), "left_anti"),
+        eager = false)
+        // constraint barrier: the checkpointed LogicalRDD captures
+        // constraints from its pre-checkpoint OPTIMIZED plan, whose output
+        // ids RemoveRedundantAliases can drift away from the logical
+        // output — the captured `isnotnull(src#oldId)` then crashes
+        // Union.rewriteConstraints ("key not found: src#N") when the
+        // closure union below is planned. A Filter node survives
+        // optimization (unlike an identity Project) and re-filters
+        // constraints against its own output set; it is a semantic no-op
+        // because src/dst are null-filtered before `e` is built.
+        .where(col("src").isNotNull && col("dst").isNotNull)
+      if (next.count() == 0) done = true
+      else {
+        closure = graft.Materialize(closure.union(next), eager = false)
+        delta = next
+        hops += 1
+      }
+    }
+    closure
+  }
 }

@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic DeepWalk-style random walks over the KG — the corpus
+  * generator for graph-embedding training (DeepWalk/node2vec: walks become
+  * "sentences" fed to a skip-gram model) and for neighborhood sampling.
+  * The walk distribution is uniform over out-neighbors, but the "random"
+  * choice is a pure function of (seed, walk_id, step): step s moves from
+  * the current node to `nbrs[pmod(xxhash64(seed, walk_id, s), deg)]` over
+  * the node's SORTED distinct neighbor array. That makes the output
+  * bit-identical across runs, partition layouts and cluster sizes — the
+  * same determinism contract as PageRank's fixed-point arithmetic and the
+  * idempotence property that lets an incremental pipeline regenerate
+  * walks without invalidating downstream shards. xxhash64 is the engine's
+  * standard keyed-PRNG primitive (minhash, salting, stratified sampling);
+  * an independent replay only needs the walk logic, not engine plumbing.
+  *
+  * A walk halts early at a node with no out-neighbors (the DeepWalk
+  * convention) — the emitted path is just shorter.
+  *
+  * Scale shape: the adjacency table (src → sorted neighbor array) is
+  * built once (one groupBy) and reused every step; each step is ONE equi
+  * join of the walk-state table against it (walk-scale × node-scale, AQE
+  * broadcasts the smaller side when it fits), a narrow projection, and a
+  * lazy lineage cut — no per-step action, no driver loop over walks. A
+  * length-L run is L joins regardless of walk count. Hub nodes cost
+  * nothing extra: the neighbor ARRAY of a mega-hub is one wide row, and
+  * only walks currently AT the hub touch it.
+  */
+object RandomWalks {
+
+  /** edges: directed (srcCol, dstCol) castable to long (undirected graphs
+    * pass both directions). starts: one walk per row of `startCol`; the
+    * walk id IS the start node id. Returns (walk_id, path: array<long>)
+    * with path(0) = walk_id and length ≤ length+1. */
+  def walks(edges: DataFrame, starts: DataFrame, length: Int, seed: Long = 42L,
+      srcCol: String = "src", dstCol: String = "dst",
+      startCol: String = "id"): DataFrame = {
+    require(length >= 0, "walks: length must be >= 0")
+    val adj = graft.Materialize(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
+    var state = starts
+      .select(col(startCol).cast("long").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("cur"),
+        array(col("walk_id")).as("path"))
+    for (step <- 1 to length) {
+      val joined = state.join(adj, state("cur") === adj("src"), "left")
+      def nxt = when(col("nbrs").isNotNull, element_at(col("nbrs"),
+        (pmod(xxhash64(lit(seed), col("walk_id"), lit(step.toLong)),
+          size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
+      state = graft.Materialize(joined.select(
+        col("walk_id"),
+        coalesce(nxt, col("cur")).as("cur"),
+        when(nxt.isNotNull, concat(col("path"), array(nxt))).otherwise(col("path")).as("path")),
+        eager = false)
+    }
+    state.select("walk_id", "path")
+  }
+
+  /** Exploded form: (walk_id, step, node) — the shape a skip-gram
+    * window generator (or a hash oracle) consumes. */
+  def walkSteps(edges: DataFrame, starts: DataFrame, length: Int, seed: Long = 42L,
+      srcCol: String = "src", dstCol: String = "dst",
+      startCol: String = "id"): DataFrame =
+    walks(edges, starts, length, seed, srcCol, dstCol, startCol)
+      .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "node")))
+
+  /** Skip-gram training pairs from walks — the step DeepWalk/node2vec
+    * actually feeds to the embedding model: every (center, context) node
+    * pair co-occurring within `window` positions on the same walk, with
+    * multiplicity, returned COUNTED as (center, context, n_pairs).
+    *
+    * The window expansion is PER ROW over the walk's path array (higher-
+    * order functions inside whole-stage codegen): each walk emits its own
+    * pairs with no self-join and no shuffle — the only exchange is the
+    * final (center, context) count aggregation, which is also what keeps
+    * the output bounded (≤ 2·w·Σ|path| raw pairs, counted down to the
+    * distinct co-occurrence vocabulary). A walk-id self-join would shuffle
+    * the step table twice and skew on long walks; the array form keeps
+    * locality and is how the corpus would stream at 100 TB.
+    *
+    * A node pairs with its OWN id at another position (self co-occurrence
+    * on revisits) — kept, matching word2vec semantics where identical
+    * tokens in one window do pair. Positions pair symmetrically, so
+    * (a, b, n) implies (b, a, n). */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "skipGramPairs: window must be >= 1")
+    walks
+      .select(explode(expr(
+        s"""flatten(transform(path, (c, i) ->
+           |  transform(
+           |    filter(transform(path, (x, j) -> struct(x as x, j as j)),
+           |           s -> s.j != i AND abs(s.j - i) <= $window),
+           |    s -> struct(c as center, s.x as context))))""".stripMargin))
+        .as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+}

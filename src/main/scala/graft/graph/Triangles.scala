@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counting over an undirected simple graph — the
+  * clustering-structure pass a KG consumer runs for community detection,
+  * dense-block (spam/mirror-farm) discovery in the doc–entity graph, and
+  * local-clustering-coefficient features. Counterpart to PageRank in the
+  * post-construction analytics family.
+  *
+  * Algorithm: DEGREE-ORDERED orientation (the "compact-forward" scheme).
+  * Every undirected edge {a, b} is oriented from the endpoint with the
+  * smaller (degree, id) key to the larger, a total order because ids are
+  * unique. A triangle {x, y, z} with key(x) < key(y) < key(z) is then
+  * discovered exactly once, as the wedge (x→y, x→z) closed by the oriented
+  * edge y→z — an equi self-join on the wedge apex followed by a semi join
+  * against the oriented edge set.
+  *
+  * Why degree ordering matters at scale: with an arbitrary orientation the
+  * wedge join materializes Σ d⁺(v)² rows, which a single mega-hub (the
+  * mega-vendor skew case) turns quadratic. Orienting by degree bounds
+  * every out-degree by O(√m) on any graph, so the wedge set is O(m^1.5)
+  * worst case and near-linear on the power-law graphs KGs actually are —
+  * the hub's edges all point INTO it, so the hub apexes no wedges. All
+  * joins are equi joins on node ids (AQE-skew-splittable); nothing is
+  * collected to the driver.
+  */
+object Triangles {
+
+  /** edges: undirected edge list, one row per edge in either or both
+    * directions (duplicates and self-loops are dropped). Returns
+    * (id: string, n_tri: long) for every node in at least one triangle. */
+  def perNode(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val a = col(srcCol).cast("string")
+    val b = col(dstCol).cast("string")
+    // canonical undirected form: {min, max} pairs, self-loops out
+    val und = graft.Materialize(edges
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct())
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u → v iff key(u) < key(v)
+    val keyed = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    def key(d: String, id: String) = struct(col(d).as("kd"), col(id).as("kid"))
+    val fwd = key("da", "a") < key("db", "b")
+    val o = graft.Materialize(keyed.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, key("db", "b")).otherwise(key("da", "a")).as("vkey")))
+    // wedges from a common lower-keyed apex, closed by an oriented edge
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Global triangle count — one extra tiny aggregate over `perNode`
+    * (each triangle contributes 3 node increments). */
+  def globalCount(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): Long = {
+    val row = perNode(edges, srcCol, dstCol)
+      .agg(coalesce(sum("n_tri"), lit(0L)).as("s")).head()
+    row.getLong(0) / 3
+  }
+}

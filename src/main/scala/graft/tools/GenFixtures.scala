@@ -357,6 +357,77 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q56_pagerank_dir")
     }
 
+    // q61: deterministic DeepWalk walks over the part co-order graph.
+    // Independent sequential replay: driver adjacency maps + a plain while
+    // loop. The step rule's hash (xxhash64 chain) is the engine-wide keyed
+    // PRNG primitive — shared like q52's fingerprint — but the walk logic
+    // (neighbor sorting, selection, halting) shares no engine plumbing.
+    {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.LongType
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val edges = li.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val parts = grp.map(_._2).toVector
+        for (a <- parts; b <- parts; if a != b) yield (a, b)
+      }.toSet
+      val adj = edges.groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._2).toVector.sorted) }
+      val startIds = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+        .select(col("p_partkey").cast("long")).as[Long].collect()
+        .filter(_ % 40 == 0).distinct.sorted
+      val seed = 7L
+      val len = 8
+      val rows = startIds.toSeq.flatMap { w =>
+        val path = scala.collection.mutable.ArrayBuffer(w)
+        var cur = w
+        var s61 = 1
+        var halted = false
+        while (s61 <= len && !halted) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              var h = XxHash64Function.hash(seed, LongType, 42L)
+              h = XxHash64Function.hash(w, LongType, h)
+              h = XxHash64Function.hash(s61.toLong, LongType, h)
+              cur = nbrs((((h % nbrs.length) + nbrs.length) % nbrs.length).toInt)
+              path += cur
+            case None => halted = true
+          }
+          s61 += 1
+        }
+        path.toSeq.zipWithIndex.map { case (node, i) => (w, i, node) }
+      }
+      spark.createDataset(rows).toDF("walk_id", "step", "node")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q61_walks_dir")
+    }
+
+    // q64: deterministic synchronous label propagation over the part
+    // co-order graph. Independent sequential replay: driver adjacency
+    // maps, per-round neighbor-label vote counting with (max count, min
+    // label) tie-break — no engine plumbing at all.
+    {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val und = li.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val parts = grp.map(_._2).toVector
+        for (a <- parts; b <- parts; if a < b) yield (a, b)
+      }.toSet
+      val adj = (und.toSeq.map(e => (e._1, e._2)) ++ und.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).distinct) }
+      var labels = adj.keys.map(k => (k, k)).toMap
+      for (_ <- 0 until 4) {
+        labels = adj.map { case (v, nbrs) =>
+          val counts = nbrs.map(labels).groupBy(identity)
+            .map { case (l, occ) => (l, occ.size) }
+          (v, counts.toSeq.maxBy { case (l, n) => (n.toLong, -l) }._1)
+        }
+      }
+      spark.createDataset(labels.toSeq).toDF("part_id", "community")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q64_communities_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -373,7 +444,9 @@ object GenFixtures {
         "q55_semdedup" -> "q55_expected_semdedup.parquet",
         "q56_pagerank" -> "q56_expected_pagerank.parquet",
         "q46_av" -> "q46_av_decode.parquet",
-        "q48_bpe" -> "q48_expected_bpe.parquet").foreach { case (dir, name) =>
+        "q48_bpe" -> "q48_expected_bpe.parquet",
+        "q61_walks" -> "q61_expected_walks.parquet",
+        "q64_communities" -> "q64_expected_communities.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

@@ -67,4 +67,45 @@ class GraphQuerySpec extends SparkSuite {
       .as[String].collect().toSet
     assert(fromStore == Set("alice", "bob"))
   }
+
+  // ---- reachable: the property path pred+ ----
+
+  private def edges(rows: (String, String)*) = rows.toDF("src", "dst")
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, String)].collect().toSet
+
+  test("reachable: chain closes transitively (all ancestor pairs)") {
+    val out = pairs(GraphQuery.reachable(edges(("a", "b"), ("b", "c"), ("c", "d"))))
+    assert(out == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("reachable: maxHops bounds path length") {
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(pairs(GraphQuery.reachable(e, maxHops = 1)) ==
+      Set(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(pairs(GraphQuery.reachable(e, maxHops = 2)) ==
+      Set(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")))
+  }
+
+  test("reachable: cycles terminate and include self-reachability (SPARQL p+)") {
+    val out = pairs(GraphQuery.reachable(edges(("a", "b"), ("b", "a"), ("b", "c"))))
+    assert(out == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"),
+      ("b", "c"), ("a", "c")))
+  }
+
+  test("reachable: diamond yields set semantics (one (a,d) despite two paths)") {
+    val out = GraphQuery.reachable(
+      edges(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")))
+    assert(out.count() == 5)
+    assert(pairs(out) == Set(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")))
+  }
+
+  test("reachable: partition-layout invariance and duplicate-edge tolerance") {
+    val e = edges(("a", "b"), ("b", "c"), ("a", "b"), ("c", "d"), ("b", "c"))
+    val one = pairs(GraphQuery.reachable(e.coalesce(1)))
+    val many = pairs(GraphQuery.reachable(e.repartition(7)))
+    assert(one == many)
+    assert(one.size == 6)
+  }
 }

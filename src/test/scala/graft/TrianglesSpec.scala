@@ -1,0 +1,71 @@
+package graft
+
+import graft.graph.Triangles
+import org.apache.spark.sql.functions._
+
+class TrianglesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(rows: (String, String)*) = rows.toDF("src", "dst")
+  private def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.as[(String, Long)].collect().toMap
+
+  test("K4: four triangles, every node in three") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    val out = counts(Triangles.perNode(edges(k4: _*)))
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(Triangles.globalCount(edges(k4: _*)) == 4L)
+  }
+
+  test("triangle with a pendant: pendant is absent, not zero") {
+    val out = counts(Triangles.perNode(
+      edges(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))))
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("two triangles sharing an edge: shared endpoints count two") {
+    // a-b-c and b-c-d share edge {b,c}
+    val out = counts(Triangles.perNode(edges(
+      ("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"))))
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("reversed duplicates and self-loops do not change the count") {
+    val noisy = edges(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "a"),
+      ("a", "a"), ("b", "b"))
+    assert(counts(Triangles.perNode(noisy)) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("matches a naive driver count on a deterministic pseudo-random graph") {
+    // ~60-node graph, edge iff a hash condition holds — deterministic
+    val n = 60
+    val es = for {
+      i <- 0 until n; j <- 0 until n
+      if i < j && ((i * 2654435761L + j * 40503L) % 97) < 22
+    } yield (i, j)
+    val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+      .withDefaultValue(Set.empty[Int])
+    val expected = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    for {
+      (i, j) <- es; k <- adj(j) if adj(i).contains(k)
+    } { expected(i) += 1; expected(j) += 1; expected(k) += 1 }
+    val df = edges(es.map { case (a, b) => (s"n$a", s"n$b") }: _*).repartition(5)
+    val got = counts(Triangles.perNode(df))
+    assert(got == expected.map { case (k, v) => (s"n$k", v) }.toMap)
+  }
+
+  test("partition-layout invariance") {
+    val es = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+    val one = counts(Triangles.perNode(edges(es: _*).coalesce(1)))
+    val many = counts(Triangles.perNode(edges(es: _*).repartition(8)))
+    assert(one == many)
+  }
+
+  test("empty and triangle-free graphs yield an empty result") {
+    assert(Triangles.perNode(edges(("a", "b"), ("b", "c"))).count() == 0)
+    assert(Triangles.globalCount(edges(("a", "b"))) == 0L)
+  }
+}
