@@ -238,6 +238,58 @@ object SparkEntry {
       graft.graph.PageRank.run(edges, iters = 5)
         .select(col("id").as("part_id"), col("rank_fp"))
     }),
+    "q66_bgp_optional" -> ((s, d) => {
+      // SPARQL OPTIONAL + FILTER over a triple-ized orders graph: urgent
+      // orders with their customer and priority, OPTIONALly the big-order
+      // marker (only totalprice > 250000 orders carry one → ~half the
+      // solutions keep a null-bound ?b). Oracle = the equivalent
+      // relational LEFT-JOIN-shaped CASE on the BASE table — independent
+      // of the triple-ization and the compiler.
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
+        col("o_orderpriority").as("obj"))
+      val big = ord.where(col("o_totalprice") > 250000).select(
+        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
+      graft.graph.GraphQuery.bgpOpt(
+        placedBy.union(prio).union(big),
+        Seq(("?o", "placed_by", "?c"), ("?o", "priority", "?p")),
+        optionals = Seq(Seq(("?o", "size_class", "?b"))),
+        filters = Seq(col("p") === "1-URGENT"))
+    }),
+    "q67_characteristic_sets" -> ((s, d) => {
+      // characteristic-sets summary (Neumann & Moerkotte) over a
+      // triple-ized orders graph whose entity shapes vary by two planted
+      // conditional predicates; oracle = DuckDB's list_sort(list(DISTINCT
+      // pred)) re-implementation over the same construction
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
+        col("o_orderpriority").as("obj"))
+      val big = ord.where(col("o_totalprice") > 250000).select(
+        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
+      val fin = ord.where(col("o_orderstatus") === "F").select(
+        subj.as("subj"), lit("finished").as("pred"), lit("y").as("obj"))
+      graft.graph.GraphStats.characteristicSets(
+        placedBy.union(prio).union(big).union(fin))
+    }),
+    "q68_kcore" -> ((s, d) => {
+      // core decomposition of the part co-order graph via synchronous
+      // h-index iteration (converges exactly to coreness); the oracle
+      // fixture is an INDEPENDENT Batagelj–Žaveršnik peeling replay in
+      // tools.GenFixtures — a different algorithm, same fixpoint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.KCore.coreness(e)
+        .select(col("id").as("part_id"), col("coreness"))
+    }),
     "q58_path_reachable" -> ((s, d) => {
       // SPARQL property path `reports_to+`: transitive closure over the
       // customer parent tree (c_custkey → c_custkey div 2 — depth ~log₂ n,
@@ -335,6 +387,22 @@ object SparkEntry {
         concat(lit("c"), expr("c_custkey div 2")).as("src"),
         concat(lit("c"), col("c_custkey")).as("dst"))
       graft.graph.Distances.fromLandmarks(e, Seq("c1", "c5").toDF("id"))
+    }),
+    "q65_node2vec_walks" -> ((s, d) => {
+      // node2vec second-order biased walks (p=4 return-averse, q=0.25
+      // outward-keen) over the part co-order graph; deterministic
+      // Efraimidis–Spirakis choice keyed by xxhash64 — the fixture is an
+      // independent sequential replay in tools.GenFixtures
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
+        .select(col("p_partkey").as("id"))
+      graft.graph.RandomWalks.walksBiased(e, startsDf, length = 8,
+        p = 4.0, q = 0.25, seed = 7L)
+        .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "node")))
     }),
     "q64_communities" -> ((s, d) => {
       // deterministic synchronous label propagation over the part co-order
@@ -992,6 +1060,43 @@ object SparkEntry {
         |JOIN supplier ON s_nationkey = c_nationkey
         |JOIN nation ON n_nationkey = c_nationkey
         |WHERE n_regionkey = 0""".stripMargin,
+    // q66: the oracle answers the same question RELATIONALLY on the base
+    // table (a CASE stands in for the left join against the planted
+    // marker triples) — independent of the triple-ization, the pattern
+    // compiler, and the left-join machinery.
+    "q66_bgp_optional" ->
+      """SELECT 'o' || o_orderkey AS o, 'c' || o_custkey AS c,
+        |       o_orderpriority AS p,
+        |       CASE WHEN o_totalprice > 250000 THEN 'big' END AS b
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // q67: the oracle rebuilds the summary with DuckDB's own list
+    // machinery (list(DISTINCT pred) + list_sort + array_to_string) over
+    // the same planted triple construction.
+    "q67_characteristic_sets" ->
+      """WITH trip AS (
+        |  SELECT 'o' || o_orderkey AS subj, 'placed_by' AS pred FROM orders
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'priority' FROM orders
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'size_class' FROM orders WHERE o_totalprice > 250000
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey, 'finished' FROM orders WHERE o_orderstatus = 'F'
+        |), per_subj AS (
+        |  SELECT subj,
+        |         array_to_string(list_sort(list(DISTINCT pred)), ',') AS pred_set,
+        |         count(*) AS nt
+        |  FROM trip GROUP BY subj
+        |)
+        |SELECT pred_set, count(*) AS n_subjects,
+        |       CAST(sum(nt) AS BIGINT) AS n_triples
+        |FROM per_subj GROUP BY pred_set""".stripMargin,
+    // q68: the fixture comes from the CLASSIC peeling algorithm
+    // (sequential min-degree removal) — a genuinely different algorithm
+    // from the engine's h-index iteration; both provably reach coreness.
+    "q68_kcore" ->
+      """SELECT part_id, coreness
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q68_expected_coreness.parquet')""".stripMargin,
     // q58: the oracle is DuckDB's recursive CTE — the sequential
     // definition of the transitive closure, independent of the engine's
     // semi-naive delta loop.
@@ -1103,6 +1208,13 @@ object SparkEntry {
     "q64_communities" ->
       """SELECT part_id, community
         |FROM read_parquet('/root/repo/src/test/resources/expected/q64_expected_communities.parquet')""".stripMargin,
+    // q65: biased walks are a pure function of (graph, p, q, seed); the
+    // committed fixture is an independent sequential replay in GenFixtures
+    // (driver adjacency maps + edge set + Math.log argmax, no engine
+    // plumbing beyond the shared xxhash64 primitive — q61's standing).
+    "q65_node2vec_walks" ->
+      """SELECT walk_id, step, node
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q65_expected_biased_walks.parquet')""".stripMargin,
     // q34's fake decode is a PURE function of media_ref (codec libs absent
     // by design — Multimodal.scala); the committed expected-rows fixture is
     // therefore a legitimate oracle: it pins the full decode plumbing

@@ -34,6 +34,14 @@ object GraphQuery {
     * `Seq(("?c", "in_nation", "?n"), ("?s", "supplies_nation", "?n"))`. */
   def bgp(triples: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "bgp: at least one pattern")
+    val (result, bound) = compilePatterns(triples, patterns)
+    result.select(bound.map(col): _*)
+  }
+
+  /** Compile a conjunction of patterns to (joined frame, variables in
+    * first-appearance order). Shared by `bgp` and `bgpOpt`. */
+  private def compilePatterns(triples: DataFrame,
+      patterns: Seq[(String, String, String)]): (DataFrame, Vector[String]) = {
     val positions = Seq("subj", "pred", "obj")
     var result: DataFrame = null
     var bound = Vector.empty[String] // first-appearance order
@@ -60,6 +68,40 @@ object GraphQuery {
       }
       bound = bound ++ varsHere.filterNot(bound.contains)
     }
+    (result, bound)
+  }
+
+  /** BGP with SPARQL `OPTIONAL` groups and group-level `FILTER`s — the
+    * rest of the SPARQL WHERE-clause core. Each optional group is a
+    * conjunction compiled like a BGP and then LEFT-JOINED to the solution
+    * on its shared variables (exactly SPARQL's OPTIONAL = left outer join
+    * with the group's internal joins evaluated first); variables bound
+    * only in an unmatched optional come back null, as SPARQL leaves them
+    * unbound. Groups apply in order, so a later group may join on a
+    * variable a previous optional introduced. `filters` are Column
+    * predicates over variable columns applied AFTER all joins (top-level
+    * FILTER placement; null-valued optional variables make a comparison
+    * filter false, matching SPARQL's error-→-false semantics).
+    *
+    * Scale shape: identical to `bgp` — each group is predicate-pruned
+    * scans + equi joins; the left join broadcasts whichever side AQE
+    * finds small, and a constant-predicate optional prunes to one
+    * predicate directory of the store. */
+  def bgpOpt(triples: DataFrame, patterns: Seq[(String, String, String)],
+      optionals: Seq[Seq[(String, String, String)]] = Nil,
+      filters: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(patterns.nonEmpty, "bgpOpt: at least one required pattern")
+    var (result, bound) = compilePatterns(triples, patterns)
+    optionals.foreach { grp =>
+      require(grp.nonEmpty, "bgpOpt: empty optional group")
+      val (odf, ovars) = compilePatterns(triples, grp)
+      val shared = bound.filter(ovars.contains)
+      require(shared.nonEmpty,
+        s"bgpOpt: optional group $grp shares no variable with the solution")
+      result = result.join(odf, shared, "left")
+      bound = bound ++ ovars.filterNot(bound.contains)
+    }
+    filters.foreach { f => result = result.where(f) }
     result.select(bound.map(col): _*)
   }
 

@@ -69,6 +69,77 @@ object RandomWalks {
     walks(edges, starts, length, seed, srcCol, dstCol, startCol)
       .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "node")))
 
+  /** node2vec-biased walks — second-order walks where the next-step
+    * distribution depends on the PREVIOUS node: a candidate c from cur
+    * weighs 1/p if c = prev (return), 1 if c is a neighbor of prev
+    * (triangle-closing / BFS-ish), 1/q otherwise (outward / DFS-ish) —
+    * the search-bias knobs of the node2vec paper. First step is uniform
+    * (prev is initialized to the start, so every candidate is trivially a
+    * neighbor of prev and weighs 1).
+    *
+    * Deterministic weighted choice WITHOUT a cumulative scan: by
+    * Efraimidis–Spirakis (A-Res), drawing u_c uniform per candidate and
+    * taking argmax of ln(u_c)/w_c samples exactly the w-weighted
+    * distribution — and u_c here is a pure hash of (seed, walk_id, step,
+    * candidate), so the walk is a pure function of (graph, seed), layout-
+    * and cluster-size-independent like everything in this family. Ties
+    * (never in practice — u collides at ~2⁻⁵²) break to the larger
+    * candidate id, and the replay defines the same order.
+    *
+    * Scale shape, per step: one equi join onto the adjacency table, a
+    * per-row explode of cur's neighbors, one equi join of (prev, cand)
+    * against the EDGE SET for the neighbor-of-prev test (this is what
+    * makes second-order walks scale — the naive per-row
+    * `array_contains(prev_nbrs, c)` is O(deg²) on hubs, the join is
+    * linear in candidates and AQE-skew-splittable), and one walk-keyed
+    * max_by. Candidate volume Σ deg(cur) per step is node2vec's inherent
+    * cost; no alias tables (their per-(prev,cur) precompute is O(Σ deg²)
+    * memory — the known node2vec scaling wall), no driver loops. */
+  def walksBiased(edges: DataFrame, starts: DataFrame, length: Int,
+      p: Double = 1.0, q: Double = 1.0, seed: Long = 42L,
+      srcCol: String = "src", dstCol: String = "dst",
+      startCol: String = "id"): DataFrame = {
+    require(length >= 0, "walksBiased: length must be >= 0")
+    require(p > 0 && q > 0, "walksBiased: p and q must be > 0")
+    val e = graft.Materialize(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct())
+    val adj = graft.Materialize(
+      e.groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
+    val prevEdge = e.select(col("src").as("p_src"), col("dst").as("p_dst"),
+      lit(1).as("is_nbr"))
+    // constraint barrier after lazy checkpoints (see GraphQuery.reachable)
+    def barrier(df: DataFrame): DataFrame = df.where(col("walk_id").isNotNull)
+    val m = 1L << 52
+    var state = starts
+      .select(col(startCol).cast("long").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("prev"),
+        col("walk_id").as("cur"), array(col("walk_id")).as("path"))
+    for (step <- 1 to length) {
+      val cands = state.join(adj, state("cur") === adj("src"))
+        .select(col("walk_id"), col("prev"), col("cur"), col("path"),
+          explode(col("nbrs")).as("cand"))
+      val flagged = cands.join(prevEdge,
+        cands("prev") === prevEdge("p_src") && cands("cand") === prevEdge("p_dst"),
+        "left")
+      val w = when(col("cand") === col("prev"), lit(1.0 / p))
+        .when(col("is_nbr").isNotNull, lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val u = (pmod(xxhash64(lit(seed), col("walk_id"), lit(step.toLong), col("cand")),
+        lit(m)) + lit(1L)).cast("double") / lit(m.toDouble)
+      val key = log(u) / w
+      val moved = flagged.groupBy("walk_id").agg(
+        max_by(struct(col("cur").as("prev"), col("cand").as("cur"),
+          concat(col("path"), array(col("cand"))).as("path")),
+          struct(key.as("k"), col("cand"))).as("m"))
+        .select(col("walk_id"), col("m.prev"), col("m.cur"), col("m.path"))
+      val halted = state.join(moved, Seq("walk_id"), "left_anti")
+      state = barrier(graft.Materialize(moved.union(halted), eager = false))
+    }
+    state.select("walk_id", "path")
+  }
+
   /** Skip-gram training pairs from walks — the step DeepWalk/node2vec
     * actually feeds to the embedding model: every (center, context) node
     * pair co-occurring within `window` positions on the same walk, with

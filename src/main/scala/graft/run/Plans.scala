@@ -14,7 +14,9 @@ object Plans {
       "q20_ngram_jaccard_neardup", "q23_cosine_topk", "q29_salted_agg",
       "q37_embedding_neardup_lsh", "q38_ocr_amount_validation", "q41_layout_sections",
       "q49_decontamination", "q50_pii_redact", "q51_repetition", "q52_stratified_sample",
-      "q53_pq_ann", "q55_semdedup", "q56_pagerank", "q57_graph_bgp")
+      "q53_pq_ann", "q55_semdedup", "q56_pagerank", "q57_graph_bgp",
+      "q59_triangles", "q60_shape_validation", "q62_skipgram",
+      "q64_communities", "q66_bgp_optional", "q67_characteristic_sets")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -402,6 +402,89 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q61_walks_dir")
     }
 
+    // q65: node2vec biased walks over the part co-order graph (p=4,
+    // q=0.25, length 8, seed 7). Independent sequential replay: driver
+    // adjacency maps + a directed edge SET for the neighbor-of-prev test
+    // + Math.log Efraimidis–Spirakis argmax — plain loops, no engine
+    // plumbing beyond the shared xxhash64 primitive.
+    {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.LongType
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val dir = li.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val parts = grp.map(_._2).toVector
+        for (a <- parts; b <- parts; if a != b) yield (a, b)
+      }.toSet
+      val adj = dir.groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._2).toVector.distinct.sorted) }
+      val startIds = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+        .select(col("p_partkey").cast("long")).as[Long].collect()
+        .filter(_ % 40 == 0).distinct.sorted
+      val (p65, q65, seed65, len65) = (4.0, 0.25, 7L, 8)
+      val m65 = 1L << 52
+      val rows65 = startIds.toSeq.flatMap { w =>
+        val path = scala.collection.mutable.ArrayBuffer(w)
+        var prev = w
+        var cur = w
+        var st = 1
+        var halted = false
+        while (st <= len65 && !halted) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              val best = nbrs.map { c =>
+                var h = XxHash64Function.hash(seed65, LongType, 42L)
+                h = XxHash64Function.hash(w, LongType, h)
+                h = XxHash64Function.hash(st.toLong, LongType, h)
+                h = XxHash64Function.hash(c, LongType, h)
+                val u = (java.lang.Math.floorMod(h, m65) + 1).toDouble / m65.toDouble
+                val wt = if (c == prev) 1.0 / p65
+                         else if (dir((prev, c))) 1.0
+                         else 1.0 / q65
+                (math.log(u) / wt, c)
+              }.max
+              prev = cur; cur = best._2; path += cur
+            case None => halted = true
+          }
+          st += 1
+        }
+        path.toSeq.zipWithIndex.map { case (node, i) => (w, i, node) }
+      }
+      spark.createDataset(rows65).toDF("walk_id", "step", "node")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q65_biased_dir")
+    }
+
+    // q68: coreness of the part co-order graph by the CLASSIC
+    // Batagelj–Žaveršnik peeling (sequential min-degree removal, ties to
+    // smallest id) — a genuinely different algorithm from the engine's
+    // synchronous h-index iteration; both provably converge to coreness.
+    {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .as[(Long, Long)].collect()
+      val und = li.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val parts = grp.map(_._2).toVector
+        for (a <- parts; b <- parts; if a < b) yield (a, b)
+      }.toSet
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      und.foreach { case (x, y) =>
+        adj.getOrElseUpdate(x, scala.collection.mutable.Set()) += y
+        adj.getOrElseUpdate(y, scala.collection.mutable.Set()) += x
+      }
+      val core = scala.collection.mutable.Map[Long, Int]()
+      var k = 0
+      while (adj.nonEmpty) {
+        val v = adj.keys.minBy(n => (adj(n).size, n))
+        k = math.max(k, adj(v).size)
+        core(v) = k
+        adj(v).foreach { u => adj(u) -= v }
+        adj -= v
+      }
+      spark.createDataset(core.toSeq).toDF("part_id", "coreness")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q68_coreness_dir")
+    }
+
     // q64: deterministic synchronous label propagation over the part
     // co-order graph. Independent sequential replay: driver adjacency
     // maps, per-round neighbor-label vote counting with (max count, min
@@ -446,7 +529,9 @@ object GenFixtures {
         "q46_av" -> "q46_av_decode.parquet",
         "q48_bpe" -> "q48_expected_bpe.parquet",
         "q61_walks" -> "q61_expected_walks.parquet",
-        "q64_communities" -> "q64_expected_communities.parquet").foreach { case (dir, name) =>
+        "q64_communities" -> "q64_expected_communities.parquet",
+        "q65_biased" -> "q65_expected_biased_walks.parquet",
+        "q68_coreness" -> "q68_expected_coreness.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

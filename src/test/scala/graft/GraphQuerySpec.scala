@@ -101,6 +101,65 @@ class GraphQuerySpec extends SparkSuite {
     assert(pairs(out) == Set(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")))
   }
 
+  // ---- bgpOpt: OPTIONAL groups + FILTERs ----
+
+  test("OPTIONAL keeps unmatched solutions with null-bound variables") {
+    val out = GraphQuery.bgpOpt(g, Seq(("?x", "in", "paris")),
+      optionals = Seq(Seq(("?x", "likes", "?y"))))
+      .as[(String, Option[String])].collect().toSet
+    // alice likes alice; bob likes carol; both in paris — all matched
+    assert(out == Set(("alice", Some("alice")), ("bob", Some("carol"))))
+    val out2 = GraphQuery.bgpOpt(g, Seq(("?x", "in", "?city")),
+      optionals = Seq(Seq(("?x", "likes", "?y"))))
+      .as[(String, String, Option[String])].collect().toSet
+    // carol is in lyon but likes nothing → null-bound ?y survives
+    assert(out2(("carol", "lyon", None)))
+    assert(out2.size == 3)
+  }
+
+  test("an optional group's INTERNAL join evaluates before the left join") {
+    // optional = (?x likes ?y) ∧ (?y in paris): bob likes carol, but carol
+    // is in lyon, so the GROUP fails as a whole and bob stays null-bound —
+    // joining the patterns one-by-one as separate optionals would instead
+    // bind ?y=carol. This is the SPARQL OPTIONAL{A. B} vs OPTIONAL{A}
+    // OPTIONAL{B} distinction.
+    val grouped = GraphQuery.bgpOpt(g, Seq(("?x", "in", "paris")),
+      optionals = Seq(Seq(("?x", "likes", "?y"), ("?y", "in", "paris"))))
+      .as[(String, Option[String])].collect().toSet
+    assert(grouped == Set(("alice", Some("alice")), ("bob", None)))
+  }
+
+  test("later optionals may join on variables an earlier optional bound") {
+    val out = GraphQuery.bgpOpt(g, Seq(("?x", "in", "paris")),
+      optionals = Seq(
+        Seq(("?x", "likes", "?y")),
+        Seq(("?y", "in", "?where"))))
+      .as[(String, Option[String], Option[String])].collect().toSet
+    assert(out == Set(("alice", Some("alice"), Some("paris")),
+      ("bob", Some("carol"), Some("lyon"))))
+  }
+
+  test("FILTER applies after joins; null optional bindings compare false") {
+    val out = GraphQuery.bgpOpt(g, Seq(("?x", "in", "?city")),
+      optionals = Seq(Seq(("?x", "likes", "?y"))),
+      filters = Seq(col("y") === "carol"))
+      .as[(String, String, Option[String])].collect().toSet
+    // carol's null ?y fails the comparison (SPARQL error → false)
+    assert(out == Set(("bob", "paris", Some("carol"))))
+    val req = GraphQuery.bgpOpt(g, Seq(("?a", "knows", "?b")),
+      filters = Seq(col("a") =!= "alice"))
+      .as[(String, String)].collect().toSet
+    assert(req == Set(("bob", "carol")))
+  }
+
+  test("bgpOpt with no optionals/filters degenerates to bgp") {
+    val a = GraphQuery.bgpOpt(g, Seq(("?s", "knows", "?o")))
+      .as[(String, String)].collect().toSet
+    val b = GraphQuery.bgp(g, Seq(("?s", "knows", "?o")))
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("reachable: partition-layout invariance and duplicate-edge tolerance") {
     val e = edges(("a", "b"), ("b", "c"), ("a", "b"), ("c", "d"), ("b", "c"))
     val one = pairs(GraphQuery.reachable(e.coalesce(1)))
