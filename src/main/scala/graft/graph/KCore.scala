@@ -25,20 +25,29 @@ import org.apache.spark.sql.functions._
   * Scale shape, per round: one edge-scale equi join (values onto edge
   * sources), one destination-keyed collect of neighbor values, one
   * per-row h-index fold (sorted array HOF, codegen-adjacent) — shuffles
-  * keyed by node id, AQE reuses the layout. The loop runs until NO value
-  * changed (one lazily-materialized job per round: the change-count
-  * action doubles as the round's checkpoint — the CC discipline);
-  * convergence is typically a few rounds on power-law graphs. A mega-hub
-  * collects a degree-sized value array once per round — one wide row, the
-  * adjacency trade-off the walk family already makes. */
+  * keyed by node id, AQE reuses the layout. Each node's OLD value rides
+  * the same aggregation as a unioned self-row (a marked (id → id)
+  * contribution), so the round's change test needs no extra node-scale
+  * join: the loop runs until NO value changed with exactly one
+  * lazily-materialized job per round — the change-count action doubles
+  * as the round's checkpoint (the CC discipline). Convergence is
+  * typically a few rounds on power-law graphs. A mega-hub collects a
+  * degree-sized value array once per round — one wide row, the adjacency
+  * trade-off the walk family already makes. */
 object KCore {
 
   /** edges: undirected edge list (either/both directions; duplicates and
     * self-loops dropped). Returns (id: long, coreness: int) for every
     * node incident to an edge. `maxIters` is a safety bound only — the
-    * loop exits at the fixpoint. */
-  def coreness(edges: DataFrame, maxIters: Int = 100,
+    * loop exits at the fixpoint. `checkEvery` batches that many rounds
+    * into one job before the change-count action: past the fixpoint a
+    * round is the identity (h-index of stable neighbors is stable), so
+    * batching trades ≤ checkEvery-1 no-op rounds for checkEvery× fewer
+    * serial actions — the same serial-latency fusion as CC's round
+    * batching. */
+  def coreness(edges: DataFrame, maxIters: Int = 100, checkEvery: Int = 2,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(checkEvery >= 1, "coreness: checkEvery must be >= 1")
     val a = col(srcCol).cast("long")
     val b = col(dstCol).cast("long")
     val und = edges
@@ -60,19 +69,31 @@ object KCore {
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
-      val next = graft.Materialize(
-        cur.join(e, cur("id") === e("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(collect_list(col("val")).as("vals"))
-          .select(col("id"), hIndex.cast("int").as("val")),
-        eager = false)
+      // neighbor contributions + a marked self-row carrying the old value:
+      // one aggregation yields (new value, old value), so the change test
+      // is a per-row predicate on the batch's own output — no second
+      // node-scale join. collect_list skips the self-rows' nulled vals.
+      def round(c: DataFrame): DataFrame = {
+        val contrib = c.join(e, c("id") === e("src"))
+          .select(col("dst"), col("val"), lit(false).as("self"))
+          .union(c.select(col("id").as("dst"), col("val"), lit(true).as("self")))
+        contrib.groupBy(col("dst").as("id"))
+          .agg(collect_list(when(!col("self"), col("val"))).as("vals"),
+            max(when(col("self"), col("val"))).as("old"))
+          .select(col("id"), hIndex.cast("int").as("val"), col("old"))
+      }
+      val rounds = math.min(checkEvery, maxIters - iters)
+      var next = round(cur)
+      for (_ <- 2 to rounds) next = round(next.select("id", "val"))
+      val nextM = graft.Materialize(next, eager = false)
         // constraint barrier (see GraphQuery.reachable)
         .where(col("id").isNotNull)
-      val changed = next.as("n")
-        .join(cur.as("c"), col("n.id") === col("c.id"))
-        .where(col("n.val") =!= col("c.val")).count()
-      cur = next
-      iters += 1
+      // `old` is the value BEFORE the batch's last round: equality there
+      // means that round was the identity, i.e. the fixpoint was already
+      // reached (values are non-increasing and a stable round stays stable)
+      val changed = nextM.where(col("val") =!= col("old")).count()
+      cur = nextM.select("id", "val")
+      iters += rounds
       if (changed == 0) done = true
     }
     cur.select(col("id"), col("val").as("coreness"))

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic DeepWalk-style random walks over the KG — the corpus
@@ -86,29 +86,31 @@ object RandomWalks {
     * (never in practice — u collides at ~2⁻⁵²) break to the larger
     * candidate id, and the replay defines the same order.
     *
-    * Scale shape, per step: one equi join onto the adjacency table, a
-    * per-row explode of cur's neighbors, one equi join of (prev, cand)
-    * against the EDGE SET for the neighbor-of-prev test (this is what
-    * makes second-order walks scale — the naive per-row
-    * `array_contains(prev_nbrs, c)` is O(deg²) on hubs, the join is
-    * linear in candidates and AQE-skew-splittable), and one walk-keyed
-    * max_by. Candidate volume Σ deg(cur) per step is node2vec's inherent
-    * cost; no alias tables (their per-(prev,cur) precompute is O(Σ deg²)
-    * memory — the known node2vec scaling wall), no driver loops. */
+    * Scale shape, per step: TWO equi joins onto the adjacency table (cur's
+    * and prev's sorted neighbor arrays) and a fully per-row argmax — no
+    * candidate explode, no edge-set join, no walk-keyed aggregation, no
+    * halted anti-join (a halted walk just rides the left joins with a null
+    * array). The neighbor-of-prev split uses hash-set array_intersect /
+    * array_except, so per-row work is O(deg(cur) + deg(prev)) — LINEAR,
+    * not the O(deg(cur)·deg(prev)) of a per-candidate array_contains probe
+    * — inside whole-stage codegen. Shuffle volume per step is the same
+    * Σ deg(cur) longs node2vec inherently touches, carried as one array
+    * per walk instead of exploded candidate rows (the wide-hub-row
+    * trade-off the first-order walks already make); the step count is the
+    * serial depth and each step is ONE narrow projection between joins.
+    * No alias tables (their per-(prev,cur) precompute is O(Σ deg²) memory
+    * — the known node2vec scaling wall), no driver loops. */
   def walksBiased(edges: DataFrame, starts: DataFrame, length: Int,
       p: Double = 1.0, q: Double = 1.0, seed: Long = 42L,
       srcCol: String = "src", dstCol: String = "dst",
       startCol: String = "id"): DataFrame = {
     require(length >= 0, "walksBiased: length must be >= 0")
     require(p > 0 && q > 0, "walksBiased: p and q must be > 0")
-    val e = graft.Materialize(edges
+    val adj = graft.Materialize(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-      .distinct())
-    val adj = graft.Materialize(
-      e.groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
-    val prevEdge = e.select(col("src").as("p_src"), col("dst").as("p_dst"),
-      lit(1).as("is_nbr"))
+      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
+    val padj = adj.select(col("src").as("p_src"), col("nbrs").as("p_nbrs"))
     // constraint barrier after lazy checkpoints (see GraphQuery.reachable)
     def barrier(df: DataFrame): DataFrame = df.where(col("walk_id").isNotNull)
     val m = 1L << 52
@@ -117,25 +119,33 @@ object RandomWalks {
       .select(col("walk_id"), col("walk_id").as("prev"),
         col("walk_id").as("cur"), array(col("walk_id")).as("path"))
     for (step <- 1 to length) {
-      val cands = state.join(adj, state("cur") === adj("src"))
-        .select(col("walk_id"), col("prev"), col("cur"), col("path"),
-          explode(col("nbrs")).as("cand"))
-      val flagged = cands.join(prevEdge,
-        cands("prev") === prevEdge("p_src") && cands("cand") === prevEdge("p_dst"),
-        "left")
-      val w = when(col("cand") === col("prev"), lit(1.0 / p))
-        .when(col("is_nbr").isNotNull, lit(1.0))
-        .otherwise(lit(1.0 / q))
-      val u = (pmod(xxhash64(lit(seed), col("walk_id"), lit(step.toLong), col("cand")),
-        lit(m)) + lit(1L)).cast("double") / lit(m.toDouble)
-      val key = log(u) / w
-      val moved = flagged.groupBy("walk_id").agg(
-        max_by(struct(col("cur").as("prev"), col("cand").as("cur"),
-          concat(col("path"), array(col("cand"))).as("path")),
-          struct(key.as("k"), col("cand"))).as("m"))
-        .select(col("walk_id"), col("m.prev"), col("m.cur"), col("m.path"))
-      val halted = state.join(moved, Seq("walk_id"), "left_anti")
-      state = barrier(graft.Materialize(moved.union(halted), eager = false))
+      val j = state
+        .join(adj, state("cur") === adj("src"), "left")
+        .join(padj, state("prev") === col("p_src"), "left")
+      def key(c: Column): Column = {
+        val u = (pmod(xxhash64(lit(seed), col("walk_id"), lit(step.toLong), c),
+          lit(m)) + lit(1L)).cast("double") / lit(m.toDouble)
+        log(u)
+      }
+      def bestOf(arr: Column, w: Double): Column =
+        array_max(transform(arr, c => struct((key(c) / lit(w)).as("k"), c.as("c"))))
+      // prev ∉ adj(prev) (self-loops dropped), so the three candidate
+      // classes partition nbrs exactly: triangle-closers = nbrs ∩ pn,
+      // the return move = {prev} ∩ nbrs, outward = the rest. greatest()
+      // skips the nulls empty classes produce; struct order (k, c) is the
+      // replay's lexicographic (key, larger-id) tie-break.
+      val pn = coalesce(col("p_nbrs"), array().cast("array<long>"))
+      val best = greatest(
+        bestOf(array_intersect(col("nbrs"), pn), 1.0),
+        bestOf(array_except(array_except(col("nbrs"), pn), array(col("prev"))), 1.0 / q),
+        bestOf(array_intersect(col("nbrs"), array(col("prev"))), 1.0 / p))
+      state = barrier(graft.Materialize(j.select(
+        col("walk_id"),
+        when(best.isNull, col("prev")).otherwise(col("cur")).as("prev"),
+        coalesce(best.getField("c"), col("cur")).as("cur"),
+        when(best.isNull, col("path"))
+          .otherwise(concat(col("path"), array(best.getField("c")))).as("path")),
+        eager = false))
     }
     state.select("walk_id", "path")
   }
