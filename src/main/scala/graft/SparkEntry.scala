@@ -691,6 +691,118 @@ object SparkEntry {
           col("n_frames"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f_rms_or_r"),
           round(element_at(col("feature"), 3).cast("double"), 4).as("f_zcr_or_b"))
+    }),
+    "q69_rdfs_closure" -> ((s, d) => {
+      // RDFS materialization (rdfs2/3/5/7/9/11, WebPIE rule order) over a
+      // planted ontology: a subClassOf chain k2..k63 → k(c div 2), a
+      // 2-deep subPropertyOf chain ordered ⊑ related ⊑ linked with
+      // domain/range on `ordered`, type assertions on sampled customers,
+      // `ordered` assertions on sampled orders. Oracle = an independent
+      // relational re-derivation in DuckDB (recursive CTEs for the
+      // hierarchies, plain joins for the rules).
+      import s.implicits._
+      val schemaSc = t(s, d, "customer")
+        .where(col("c_custkey").between(2, 63))
+        .select(concat(lit("k"), col("c_custkey")).as("subj"),
+          lit("rdfs:subClassOf").as("pred"),
+          concat(lit("k"), expr("c_custkey div 2")).as("obj"))
+      val schemaRest = Seq(
+        ("p:ordered", "rdfs:subPropertyOf", "p:related"),
+        ("p:related", "rdfs:subPropertyOf", "p:linked"),
+        ("p:ordered", "rdfs:domain", "k3"),
+        ("p:ordered", "rdfs:range", "k5")).toDF("subj", "pred", "obj")
+      val dataOrdered = t(s, d, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("subj"),
+          lit("p:ordered").as("pred"),
+          concat(lit("o"), col("o_orderkey")).as("obj"))
+      val dataTypes = t(s, d, "customer").where(col("c_custkey") % 30 === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("subj"),
+          lit("rdf:type").as("pred"),
+          concat(lit("k"), col("c_custkey") % 62 + 2).as("obj"))
+      graft.graph.Inference.rdfsClosure(
+        schemaSc.unionByName(schemaRest).unionByName(dataOrdered).unionByName(dataTypes))
+    }),
+    "q70_bgp_union" -> ((s, d) => {
+      // SPARQL UNION over the q66 triple-ized orders graph: big orders
+      // with their customer, unioned with 5-LOW orders (no ?c binding →
+      // null, as SPARQL leaves branch-absent variables unbound). Bag
+      // semantics. Oracle = the relational UNION ALL on the base table.
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
+        col("o_orderpriority").as("obj"))
+      val big = ord.where(col("o_totalprice") > 250000).select(
+        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
+      graft.graph.GraphQuery.bgpUnion(
+        placedBy.union(prio).union(big),
+        Seq(
+          Seq(("?o", "placed_by", "?c"), ("?o", "size_class", "big")),
+          Seq(("?o", "priority", "5-LOW"))))
+    }),
+    "q71_bgp_minus" -> ((s, d) => {
+      // SPARQL MINUS on the same graph: every (order, customer, priority)
+      // solution minus those with the big-order marker — a shared-?o anti
+      // join (the spec's compatible-solution semantics; the no-shared-var
+      // quirk and the NOT EXISTS divergence are spec-pinned). Oracle =
+      // the relational anti condition on the base table.
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
+        col("o_orderpriority").as("obj"))
+      val big = ord.where(col("o_totalprice") > 250000).select(
+        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
+      graft.graph.GraphQuery.bgpMinus(
+        placedBy.union(prio).union(big),
+        Seq(("?o", "placed_by", "?c"), ("?o", "priority", "?p")),
+        Seq(("?o", "size_class", "big")))
+    }),
+    "q72_ntriples" -> ((s, d) => {
+      // N-Triples serialization — one canonical line per triple across
+      // all three object forms: a typed literal with every ECHAR special
+      // injected (backslash/quote/newline/tab), an IRI object, and a
+      // lang-tagged literal. Oracle = DuckDB rebuilds the lines with its
+      // own replace() chain — an independent implementation of the
+      // escaping and layout.
+      val cust = t(s, d, "customer")
+      val lines = graft.sources.NTriples.line(
+          concat(lit("urn:c"), col("c_custkey")),
+          lit("urn:p:comment"),
+          concat(col("c_mktsegment"), lit("\"q\\\n\tz")),
+          lit(false), lit(null), lit("urn:dt:s")).as("nt_line")
+      val iriLines = graft.sources.NTriples.line(
+          concat(lit("urn:c"), col("c_custkey")),
+          lit("urn:p:nation"),
+          concat(lit("urn:n"), col("c_nationkey")),
+          lit(true)).as("nt_line")
+      val langLines = graft.sources.NTriples.line(
+          concat(lit("urn:c"), col("c_custkey")),
+          lit("urn:p:name"),
+          col("c_name"),
+          lit(false), lit("en-GB")).as("nt_line")
+      cust.select(lines).union(cust.select(iriLines)).union(cust.select(langLines))
+    }),
+    "q73_weighted_sssp" -> ((s, d) => {
+      // weighted shortest paths (semi-naive Bellman-Ford, exact long
+      // arithmetic) over the customer DAG: parent edges (c div 2 → c,
+      // weight c%7+1) plus grandparent shortcuts (c div 4 → c, weight
+      // c%5+1), so min-relaxation genuinely arbitrates path choices.
+      // Oracle = DuckDB's recursive CTE enumerating all path sums with
+      // min() at the end — the sequential definition.
+      import s.implicits._
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val parent = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), expr("c_custkey div 2")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 7 + 1).cast("long").as("w"))
+      val shortcut = cust.where(col("c_custkey") > 3).select(
+        concat(lit("c"), expr("c_custkey div 4")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 5 + 1).cast("long").as("w"))
+      graft.graph.Distances.weighted(parent.union(shortcut), Seq("c1").toDF("id"))
     })
   )
 
@@ -1458,6 +1570,83 @@ object SparkEntry {
         |  SELECT doc_id,
         |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
-        |  FROM documents))""".stripMargin
+        |  FROM documents))""".stripMargin,
+    // q69: an independent relational re-derivation of the RDFS rules —
+    // recursive CTEs for the two hierarchy closures, plain joins for
+    // rdfs7 (subproperty entailment), literal constants for the planted
+    // domain/range rules, a join for rdfs9 (type inheritance).
+    "q69_rdfs_closure" ->
+      """WITH RECURSIVE
+        |sco AS (SELECT 'k'||c_custkey AS s, 'k'||(c_custkey//2) AS o
+        |        FROM customer WHERE c_custkey BETWEEN 2 AND 63),
+        |scp AS (SELECT s, o FROM sco
+        |        UNION SELECT scp.s, sco.o FROM scp JOIN sco ON scp.o = sco.s),
+        |spo(s, o) AS (SELECT * FROM (VALUES ('p:ordered','p:related'),
+        |                                    ('p:related','p:linked'))),
+        |spp AS (SELECT s, o FROM spo
+        |        UNION SELECT spp.s, spo.o FROM spp JOIN spo ON spp.o = spo.s),
+        |dat AS (SELECT 'c'||o_custkey AS s, 'p:ordered' AS p, 'o'||o_orderkey AS o
+        |        FROM orders WHERE o_orderkey % 20 = 0),
+        |typ0 AS (SELECT 'c'||c_custkey AS s, 'k'||(c_custkey % 62 + 2) AS c
+        |         FROM customer WHERE c_custkey % 30 = 0),
+        |props AS (SELECT s, p, o FROM dat
+        |          UNION ALL SELECT dat.s, spp.o, dat.o FROM dat JOIN spp ON dat.p = spp.s),
+        |types AS (SELECT s, c FROM typ0
+        |          UNION ALL SELECT props.s, 'k3' FROM props WHERE props.p = 'p:ordered'
+        |          UNION ALL SELECT props.o, 'k5' FROM props WHERE props.p = 'p:ordered'),
+        |alltypes AS (SELECT s, c FROM types
+        |             UNION ALL SELECT types.s, scp.o FROM types JOIN scp ON types.c = scp.s)
+        |SELECT DISTINCT subj, pred, obj FROM (
+        |  SELECT s AS subj, 'rdfs:subClassOf' AS pred, o AS obj FROM scp
+        |  UNION ALL SELECT s, 'rdfs:subPropertyOf', o FROM spp
+        |  UNION ALL SELECT * FROM (VALUES ('p:ordered','rdfs:domain','k3'),
+        |                                  ('p:ordered','rdfs:range','k5'))
+        |  UNION ALL SELECT s, p, o FROM props
+        |  UNION ALL SELECT s, 'rdf:type', c FROM alltypes)""".stripMargin,
+    // q70: UNION of the two branch shapes directly on the base table;
+    // the second branch leaves ?c unbound → NULL.
+    "q70_bgp_union" ->
+      """SELECT 'o'||o_orderkey AS o, 'c'||o_custkey AS c
+        |FROM orders WHERE o_totalprice > 250000
+        |UNION ALL
+        |SELECT 'o'||o_orderkey, NULL FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    // q71: MINUS's compatible-solution removal is, on this graph, the
+    // relational anti condition (the marker exists iff totalprice>250000).
+    "q71_bgp_minus" ->
+      """SELECT 'o'||o_orderkey AS o, 'c'||o_custkey AS c, o_orderpriority AS p
+        |FROM orders WHERE o_totalprice <= 250000""".stripMargin,
+    // q72: DuckDB rebuilds every N-Triples line with its own replace()
+    // chain (backslash first) — an independent implementation of the
+    // ECHAR escaping and the line layout.
+    "q72_ntriples" ->
+      """WITH esc AS (
+        |  SELECT replace(replace(replace(replace(replace(
+        |    c_mktsegment || '"q\' || chr(10) || chr(9) || 'z',
+        |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS lit_obj,
+        |    c_custkey, c_nationkey, c_name
+        |  FROM customer)
+        |SELECT '<urn:c'||c_custkey||'> <urn:p:comment> "'||lit_obj||'"^^<urn:dt:s> .' AS nt_line FROM esc
+        |UNION ALL
+        |SELECT '<urn:c'||c_custkey||'> <urn:p:nation> <urn:n'||c_nationkey||'> .' FROM customer
+        |UNION ALL
+        |SELECT '<urn:c'||c_custkey||'> <urn:p:name> "'||c_name||'"@en-GB .' FROM customer""".stripMargin,
+    // q73: the sequential definition — a recursive CTE enumerating every
+    // path's weight sum over the DAG (parent + shortcut edges), min() in
+    // the outer query; independent of the engine's delta-relaxation loop.
+    "q73_weighted_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c'||(c_custkey//2) AS s, 'c'||c_custkey AS d,
+        |         CAST(c_custkey % 7 + 1 AS BIGINT) AS w
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c'||(c_custkey//4), 'c'||c_custkey,
+        |         CAST(c_custkey % 5 + 1 AS BIGINT)
+        |  FROM customer WHERE c_custkey > 3
+        |), r AS (
+        |  SELECT 'c1' AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.d, r.dist + e.w FROM r JOIN e ON e.s = r.id
+        |)
+        |SELECT id, 'c1' AS landmark, min(dist) AS dist FROM r GROUP BY 1""".stripMargin
   )
 }

@@ -69,4 +69,67 @@ object Distances {
     }
     settled
   }
+
+  /** WEIGHTED single/multi-source shortest paths — Bellman-Ford in
+    * semi-naive form (the distributed SSSP shape: no priority queue to
+    * serialize on, every relaxation round is one data-parallel join).
+    * Weights are LONG units (fixed-point — price cents, millisecond
+    * latencies, scaled floats), so distance sums are exact integer
+    * arithmetic: bit-identical across runs, layouts and cluster sizes,
+    * the family's determinism contract (a double Σ would fold in
+    * partition order).
+    *
+    * Per round, only the DELTA — pairs whose distance improved last
+    * round — joins the edge table (semi-naive: settled mass is never
+    * re-relaxed unless genuinely beaten); candidates min-combine per
+    * (node, landmark), keep only strict improvements over the current
+    * table, and merge. Rounds ≤ the longest shortest path's hop count
+    * (≤ V-1; `maxRounds` is the safety bound — a NEGATIVE cycle, if the
+    * caller feeds negative weights, is cut off there). All landmarks
+    * advance in the same joins, like [[fromLandmarks]]. One
+    * lazily-materialized job per round via the improvement count. */
+  def weighted(edges: DataFrame, landmarks: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
+      landmarkCol: String = "id", maxRounds: Int = 1000): DataFrame = {
+    require(maxRounds >= 1, "weighted: maxRounds must be >= 1")
+    val e = graft.Materialize(edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .groupBy("src", "dst").agg(min("w").as("w"))) // parallel edges: keep cheapest
+    def barrier(df: DataFrame): DataFrame =
+      df.where(col("id").isNotNull && col("landmark").isNotNull)
+    var dist = graft.Materialize(landmarks
+      .select(col(landmarkCol).cast("string").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("dist")))
+    var delta = dist
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      // relax the delta and min-combine WITH the current table in one
+      // aggregation; the current distance rides along as a marked
+      // self-row (the KCore fusion), so the round is ONE edge-scale join
+      // + ONE (id, landmark)-keyed aggregation, and "improved" is a
+      // per-row predicate on the round's own output.
+      val cand = delta.join(e, delta("id") === e("src"))
+        .select(col("dst").as("id"), col("landmark"),
+          (col("dist") + col("w")).as("dist"), lit(false).as("self"))
+      val merged = barrier(graft.Materialize(
+        dist.select(col("id"), col("landmark"), col("dist"), lit(true).as("self"))
+          .union(cand)
+          .groupBy("id", "landmark")
+          .agg(min("dist").as("dist"), min(when(col("self"), col("dist"))).as("cur")),
+        eager = false))
+      val improved = merged.where(col("cur").isNull || col("dist") < col("cur"))
+        .select("id", "landmark", "dist")
+      if (improved.count() == 0) done = true
+      else {
+        dist = merged.select("id", "landmark", "dist")
+        delta = improved
+      }
+    }
+    dist
+  }
 }

@@ -105,6 +105,73 @@ object GraphQuery {
     result.select(bound.map(col): _*)
   }
 
+  /** SPARQL `UNION` — the bag union of the branches' solution mappings.
+    * Each branch is a conjunction compiled like a BGP; the result schema
+    * is the union of the branches' variables in first-appearance order
+    * across branches, and a variable absent from a branch comes back null
+    * for that branch's rows (unbound, as SPARQL leaves it). Bag
+    * semantics: UNION does not deduplicate.
+    *
+    * Scale shape: each branch is predicate-pruned scans + equi joins like
+    * `bgp`; the union itself is a no-shuffle concatenation. */
+  def bgpUnion(triples: DataFrame,
+      branches: Seq[Seq[(String, String, String)]]): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty),
+      "bgpUnion: at least one non-empty branch")
+    val compiled = branches.map(compilePatterns(triples, _))
+    val allVars = compiled.foldLeft(Vector.empty[String]) { case (acc, (_, vs)) =>
+      acc ++ vs.filterNot(acc.contains)
+    }
+    compiled.map { case (df, vs) =>
+      df.select(allVars.map(v =>
+        (if (vs.contains(v)) col(v) else lit(null).cast("string")).as(v)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** SPARQL `MINUS` — remove solutions for which a COMPATIBLE solution of
+    * the removal pattern exists, where compatibility is agreement on the
+    * SHARED variables. The spec quirk is preserved: when the two patterns
+    * share NO variable, no solution is compatible with anything and MINUS
+    * removes NOTHING (SPARQL 1.1 §8.3.3) — that is exactly where MINUS
+    * and NOT EXISTS part ways, see `bgpNotExists`.
+    *
+    * Scale shape: one left anti join on the shared variables (a
+    * predicate-pruned, broadcastable side), after each side's BGP
+    * compiles as usual. */
+  def bgpMinus(triples: DataFrame, patterns: Seq[(String, String, String)],
+      minusPatterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty && minusPatterns.nonEmpty,
+      "bgpMinus: both pattern groups must be non-empty")
+    val (base, bound) = compilePatterns(triples, patterns)
+    val (neg, nvars) = compilePatterns(triples, minusPatterns)
+    val shared = bound.filter(nvars.contains)
+    val out =
+      if (shared.isEmpty) base // the SPARQL MINUS disjoint-pattern quirk
+      else base.join(neg.select(shared.map(col): _*), shared, "left_anti")
+    out.select(bound.map(col): _*)
+  }
+
+  /** SPARQL `FILTER NOT EXISTS` — remove solutions under which the inner
+    * pattern (with the solution's bindings substituted) has a match.
+    * With shared variables this is the same anti join as MINUS; with NO
+    * shared variables the inner pattern is uncorrelated, so if it has ANY
+    * match every solution is removed (the other side of the MINUS/NOT
+    * EXISTS divergence — SPARQL 1.1 §8.3.3's example pair). The
+    * uncorrelated probe is a crossJoin against a 1-row-or-empty distinct,
+    * not a driver-side count. */
+  def bgpNotExists(triples: DataFrame, patterns: Seq[(String, String, String)],
+      innerPatterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty && innerPatterns.nonEmpty,
+      "bgpNotExists: both pattern groups must be non-empty")
+    val (base, bound) = compilePatterns(triples, patterns)
+    val (neg, nvars) = compilePatterns(triples, innerPatterns)
+    val shared = bound.filter(nvars.contains)
+    val out =
+      if (shared.nonEmpty) base.join(neg.select(shared.map(col): _*), shared, "left_anti")
+      else base.join(neg.limit(1).select(lit(1).as("__hit")), lit(true), "left_anti")
+    out.select(bound.map(col): _*)
+  }
+
   /** Transitive reachability — the SPARQL property path `pred+` (and the
     * recursive-CTE idiom every KG consumer writes next after BGPs:
     * `sameAs+` canonical chains, taxonomy roll-ups, org hierarchies).

@@ -65,4 +65,57 @@ class DistancesSpec extends SparkSuite {
     assert(one == many)
     assert(one.size == 7)
   }
+
+  // ---- weighted (Bellman-Ford) ----
+
+  private def wedges(rows: (String, String, Long)*) = rows.toDF("src", "dst", "w")
+  private def wt(df: DataFrame) = df.as[(String, String, Long)].collect().toSet
+
+  test("weighted: a cheap long way beats an expensive direct edge") {
+    // a→d direct costs 10; a→b→c→d costs 3 — BFS would say 1 hop, SSSP 3
+    val out = wt(Distances.weighted(
+      wedges(("a", "d", 10L), ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L)), lm("a")))
+    assert(out == Set(("a", "a", 0L), ("b", "a", 1L), ("c", "a", 2L), ("d", "a", 3L)))
+  }
+
+  test("weighted: a later round can still improve an already-settled node") {
+    // d first reached at cost 9 (a→d), improved to 4 two rounds later
+    val out = wt(Distances.weighted(
+      wedges(("a", "d", 9L), ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 2L),
+        ("d", "e", 1L)), lm("a")))
+    assert(out(("d", "a", 4L)) && out(("e", "a", 5L)))
+  }
+
+  test("weighted: parallel edges keep the cheapest; zero weights allowed") {
+    val out = wt(Distances.weighted(
+      wedges(("a", "b", 5L), ("a", "b", 2L), ("b", "c", 0L)), lm("a")))
+    assert(out == Set(("a", "a", 0L), ("b", "a", 2L), ("c", "a", 2L)))
+  }
+
+  test("weighted: positive cycle terminates at the fixpoint") {
+    val out = wt(Distances.weighted(
+      wedges(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)), lm("a")))
+    assert(out == Set(("a", "a", 0L), ("b", "a", 1L), ("c", "a", 2L)))
+  }
+
+  test("weighted: multi-landmark advances in the same rounds") {
+    val e = wedges(("a", "b", 2L), ("b", "c", 3L), ("x", "b", 1L))
+    val out = wt(Distances.weighted(e, lm("a", "x")))
+    assert(out == Set(("a", "a", 0L), ("b", "a", 2L), ("c", "a", 5L),
+      ("x", "x", 0L), ("b", "x", 1L), ("c", "x", 4L)))
+  }
+
+  test("weighted: maxRounds caps relaxation depth") {
+    val e = wedges(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L))
+    val out = wt(Distances.weighted(e, lm("a"), maxRounds = 2))
+    assert(out == Set(("a", "a", 0L), ("b", "a", 1L), ("c", "a", 2L)))
+  }
+
+  test("weighted: partition-layout invariance, unreachable nodes absent") {
+    val e = wedges(("a", "b", 1L), ("b", "c", 7L), ("z", "a", 1L), ("q", "r", 1L))
+    val one = wt(Distances.weighted(e.coalesce(1), lm("a")))
+    val many = wt(Distances.weighted(e.repartition(5), lm("a")))
+    assert(one == many)
+    assert(!one.exists(t => Set("q", "r", "z")(t._1)))
+  }
 }

@@ -160,6 +160,59 @@ class GraphQuerySpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("UNION: branch-absent variables come back null, bag semantics kept") {
+    val out = GraphQuery.bgpUnion(g, Seq(
+      Seq(("?x", "knows", "?y")),
+      Seq(("?x", "in", "lyon"))))
+    assert(out.columns.toSeq == Seq("x", "y"))
+    val rows = out.as[(String, Option[String])].collect().toSeq
+    assert(rows.sorted == Seq(("alice", Some("bob")), ("bob", Some("carol")),
+      ("carol", None)).sorted)
+    // bag semantics: a duplicate-producing branch keeps its duplicates
+    val dup = GraphQuery.bgpUnion(g, Seq(
+      Seq(("?x", "in", "paris")), Seq(("?x", "in", "paris"))))
+    assert(dup.count() == 4)
+  }
+
+  test("UNION: variable order is first appearance ACROSS branches") {
+    val out = GraphQuery.bgpUnion(g, Seq(
+      Seq(("?a", "in", "lyon")),
+      Seq(("?b", "knows", "?a"))))
+    assert(out.columns.toSeq == Seq("a", "b"))
+    val rows = out.as[(String, Option[String])].collect().toSet
+    assert(rows == Set(("carol", None), ("bob", Some("alice")), ("carol", Some("bob"))))
+  }
+
+  test("MINUS removes compatible solutions on the shared variables") {
+    // everyone in a city, minus those who know someone
+    val out = GraphQuery.bgpMinus(g,
+      Seq(("?x", "in", "?c")), Seq(("?x", "knows", "?z")))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("carol", "lyon")))
+  }
+
+  test("MINUS with no shared variable removes NOTHING (SPARQL 1.1 §8.3.3)") {
+    val out = GraphQuery.bgpMinus(g,
+      Seq(("?x", "in", "?c")), Seq(("?a", "knows", "?b")))
+    assert(out.count() == 3) // the quirk: disjoint patterns never match
+  }
+
+  test("NOT EXISTS diverges from MINUS exactly on the disjoint case") {
+    // uncorrelated non-empty inner → every solution removed
+    val none = GraphQuery.bgpNotExists(g,
+      Seq(("?x", "in", "?c")), Seq(("?a", "knows", "?b")))
+    assert(none.count() == 0)
+    // uncorrelated EMPTY inner → nothing removed
+    val all = GraphQuery.bgpNotExists(g,
+      Seq(("?x", "in", "?c")), Seq(("?a", "hates", "?b")))
+    assert(all.count() == 3)
+    // correlated: same anti join as MINUS
+    val shared = GraphQuery.bgpNotExists(g,
+      Seq(("?x", "in", "?c")), Seq(("?x", "knows", "?z")))
+      .as[(String, String)].collect().toSet
+    assert(shared == Set(("carol", "lyon")))
+  }
+
   test("reachable: partition-layout invariance and duplicate-edge tolerance") {
     val e = edges(("a", "b"), ("b", "c"), ("a", "b"), ("c", "d"), ("b", "c"))
     val one = pairs(GraphQuery.reachable(e.coalesce(1)))
