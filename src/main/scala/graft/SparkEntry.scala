@@ -803,6 +803,41 @@ object SparkEntry {
         concat(lit("c"), col("c_custkey")).as("dst"),
         (col("c_custkey") % 5 + 1).cast("long").as("w"))
       graft.graph.Distances.weighted(parent.union(shortcut), Seq("c1").toDF("id"))
+    }),
+    "q74_construct" -> ((s, d) => {
+      // SPARQL CONSTRUCT over the q57 triple view: materialize the
+      // derived customer→region relation (plus a type stamp) as new
+      // triples — the vocabulary-mapping/reshape primitive. Oracle = the
+      // relational join in DuckDB building the same triple set.
+      val cust = t(s, d, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("in_nation").as("pred"),
+        concat(lit("n"), col("c_nationkey")).as("obj"))
+      val nat = t(s, d, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("subj"),
+        lit("in_region").as("pred"),
+        concat(lit("r"), col("n_regionkey")).as("obj"))
+      graft.graph.GraphQuery.construct(cust.union(nat),
+        patterns = Seq(("?c", "in_nation", "?n"), ("?n", "in_region", "?r")),
+        template = Seq(("?c", "co_region", "?r"), ("?c", "rdf:type", "RegionalCustomer")))
+    }),
+    "q75_graph_diff" -> ((s, d) => {
+      // graph diff between two derived snapshot versions: v1 = the order
+      // graph before urgent orders got size markers, v2 = after a predicate
+      // rename (placed_by → ordered_by for F-status orders) plus the new
+      // markers — added/removed rows only. Oracle = DuckDB's FULL OUTER
+      // re-derivation of the same two versions.
+      val ord = t(s, d, "orders")
+      val subj = concat(lit("o"), col("o_orderkey"))
+      val v1 = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val renamed = ord.select(subj.as("subj"),
+        when(col("o_orderstatus") === "F", lit("ordered_by"))
+          .otherwise(lit("placed_by")).as("pred"),
+        concat(lit("c"), col("o_custkey")).as("obj"))
+      val markers = ord.where(col("o_orderpriority") === "1-URGENT").select(
+        subj.as("subj"), lit("urgency").as("pred"), lit("high").as("obj"))
+      graft.graph.GraphQuery.diff(v1, renamed.union(markers))
     })
   )
 
@@ -1647,6 +1682,37 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT e.d, r.dist + e.w FROM r JOIN e ON e.s = r.id
         |)
-        |SELECT id, 'c1' AS landmark, min(dist) AS dist FROM r GROUP BY 1""".stripMargin
+        |SELECT id, 'c1' AS landmark, min(dist) AS dist FROM r GROUP BY 1""".stripMargin,
+    // q74: the relational join builds the same constructed graph (set
+    // semantics — CONSTRUCT merges instantiations into one RDF graph).
+    "q74_construct" ->
+      """SELECT DISTINCT subj, pred, obj FROM (
+        |  SELECT 'c'||c_custkey AS subj, 'co_region' AS pred,
+        |         'r'||n_regionkey AS obj
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'c'||c_custkey, 'rdf:type', 'RegionalCustomer' FROM customer)""".stripMargin,
+    // q75: an independent FULL-OUTER re-derivation of the two versions —
+    // present-in-one-side-only rows with the change class.
+    "q75_graph_diff" ->
+      """WITH v1 AS (
+        |  SELECT 'o'||o_orderkey AS subj, 'placed_by' AS pred,
+        |         'c'||o_custkey AS obj FROM orders
+        |), v2 AS (
+        |  SELECT 'o'||o_orderkey AS subj,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'ordered_by'
+        |              ELSE 'placed_by' END AS pred,
+        |         'c'||o_custkey AS obj FROM orders
+        |  UNION ALL
+        |  SELECT 'o'||o_orderkey, 'urgency', 'high' FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT coalesce(v1.subj, v2.subj) AS subj,
+        |       coalesce(v1.pred, v2.pred) AS pred,
+        |       coalesce(v1.obj, v2.obj) AS obj,
+        |       CASE WHEN v1.subj IS NULL THEN 'added' ELSE 'removed' END AS change
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.subj = v2.subj AND v1.pred = v2.pred AND v1.obj = v2.obj
+        |WHERE v1.subj IS NULL OR v2.subj IS NULL""".stripMargin
   )
 }

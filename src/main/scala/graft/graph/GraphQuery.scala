@@ -172,6 +172,58 @@ object GraphQuery {
     out.select(bound.map(col): _*)
   }
 
+  /** SPARQL `CONSTRUCT` — instantiate a triple TEMPLATE once per solution
+    * of the WHERE pattern: the graph-transformation primitive (reshape,
+    * vocabulary mapping, materializing a derived relation as triples the
+    * store can ingest). Template terms are `?var` references into the
+    * WHERE bindings or constants; the result is a GRAPH, so set semantics
+    * (SPARQL merges the per-solution instantiations into one RDF graph —
+    * duplicates collapse), columns (subj, pred, obj).
+    *
+    * Scale shape: the WHERE compiles like `bgp`; each template triple is
+    * a narrow projection of the binding table; k template triples union
+    * into one distinct — the only data-scale shuffle. */
+  def construct(triples: DataFrame, patterns: Seq[(String, String, String)],
+      template: Seq[(String, String, String)]): DataFrame = {
+    require(template.nonEmpty, "construct: empty template")
+    val (bindings, bound) = compilePatterns(triples, patterns)
+    def term(t: String): org.apache.spark.sql.Column =
+      if (isVar(t)) {
+        require(bound.contains(t.drop(1)),
+          s"construct: template variable $t is not bound by the WHERE pattern")
+        col(t.drop(1))
+      } else lit(t)
+    template.map { case (s, p, o) =>
+      bindings.select(term(s).as("subj"), term(p).as("pred"), term(o).as("obj"))
+    }.reduce(_.union(_)).distinct()
+  }
+
+  /** Graph DIFF — what changed between two triple-set versions (two store
+    * snapshots / time-travel reads, last night's build vs tonight's): the
+    * regression audit every production KG pipeline runs before promoting
+    * a build. Returns (subj, pred, obj, change) with change ∈ added |
+    * removed; unchanged triples are absent. Each side is read with set
+    * semantics (a triple present twice on one side is that side's triple
+    * once).
+    *
+    * Scale shape: ONE shuffle — both sides union with a presence flag and
+    * group by the triple; the change class falls out of the two flags'
+    * max. No except-pair (two anti joins = two shuffles), no driver
+    * collection. */
+  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(df: DataFrame, f: Int) = df
+      .select(col("subj").cast("string").as("subj"),
+        col("pred").cast("string").as("pred"), col("obj").cast("string").as("obj"))
+      .select(col("subj"), col("pred"), col("obj"),
+        lit(1 - f).as("in_before"), lit(f).as("in_after"))
+    side(before, 0).union(side(after, 1))
+      .groupBy("subj", "pred", "obj")
+      .agg(max("in_before").as("b"), max("in_after").as("a"))
+      .where(col("b") =!= col("a"))
+      .select(col("subj"), col("pred"), col("obj"),
+        when(col("a") === 1, lit("added")).otherwise(lit("removed")).as("change"))
+  }
+
   /** Transitive reachability — the SPARQL property path `pred+` (and the
     * recursive-CTE idiom every KG consumer writes next after BGPs:
     * `sameAs+` canonical chains, taxonomy roll-ups, org hierarchies).

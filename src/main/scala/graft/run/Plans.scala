@@ -16,7 +16,8 @@ object Plans {
       "q49_decontamination", "q50_pii_redact", "q51_repetition", "q52_stratified_sample",
       "q53_pq_ann", "q55_semdedup", "q56_pagerank", "q57_graph_bgp",
       "q59_triangles", "q60_shape_validation", "q62_skipgram",
-      "q64_communities", "q66_bgp_optional", "q67_characteristic_sets")
+      "q64_communities", "q66_bgp_optional", "q67_characteristic_sets",
+      "q69_rdfs_closure", "q70_bgp_union", "q71_bgp_minus", "q72_ntriples")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

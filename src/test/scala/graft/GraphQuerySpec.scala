@@ -213,6 +213,52 @@ class GraphQuerySpec extends SparkSuite {
     assert(shared == Set(("carol", "lyon")))
   }
 
+  test("CONSTRUCT instantiates the template per solution, set semantics") {
+    val out = GraphQuery.construct(g,
+      patterns = Seq(("?x", "knows", "?y"), ("?y", "in", "?city")),
+      template = Seq(("?x", "reaches_city", "?city"), ("?x", "rdf:type", "Connected")))
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(
+      ("alice", "reaches_city", "paris"), ("bob", "reaches_city", "lyon"),
+      ("alice", "rdf:type", "Connected"), ("bob", "rdf:type", "Connected")))
+  }
+
+  test("CONSTRUCT deduplicates across solutions (an RDF graph is a set)") {
+    // both alice and bob are in paris: one (paris, rdf:type, City) triple
+    val out = GraphQuery.construct(g,
+      patterns = Seq(("?x", "in", "?c")),
+      template = Seq(("?c", "rdf:type", "City")))
+      .as[(String, String, String)].collect().toSeq
+    assert(out.length == 2 && out.toSet ==
+      Set(("paris", "rdf:type", "City"), ("lyon", "rdf:type", "City")))
+  }
+
+  test("CONSTRUCT rejects a template variable the WHERE does not bind") {
+    intercept[IllegalArgumentException] {
+      GraphQuery.construct(g, Seq(("?x", "in", "?c")), Seq(("?x", "p", "?nope")))
+    }
+  }
+
+  test("diff classifies added/removed, ignores unchanged and duplicates") {
+    val before = triples(("a", "p", "1"), ("b", "p", "2"), ("b", "p", "2"), ("c", "p", "3"))
+    val after = triples(("a", "p", "1"), ("b", "p", "2x"), ("c", "p", "3"), ("d", "p", "4"))
+    val out = GraphQuery.diff(before, after)
+      .as[(String, String, String, String)].collect().toSet
+    assert(out == Set(
+      ("b", "p", "2", "removed"), ("b", "p", "2x", "added"), ("d", "p", "4", "added")))
+  }
+
+  test("diff of two TripleStore time-travel snapshots is the increment") {
+    val root = java.nio.file.Files.createTempDirectory("diffstore").toString
+    graph.TripleStore.commitBatch(triples(("a", "p", "1"), ("b", "p", "2")), root, 0)
+    graph.TripleStore.commitBatch(triples(("c", "p", "3")), root, 1)
+    val out = GraphQuery.diff(
+      graph.TripleStore.readAsOf(spark, root, 0),
+      graph.TripleStore.readAsOf(spark, root, 1))
+      .as[(String, String, String, String)].collect().toSet
+    assert(out == Set(("c", "p", "3", "added")))
+  }
+
   test("reachable: partition-layout invariance and duplicate-edge tolerance") {
     val e = edges(("a", "b"), ("b", "c"), ("a", "b"), ("c", "d"), ("b", "c"))
     val one = pairs(GraphQuery.reachable(e.coalesce(1)))
