@@ -838,6 +838,24 @@ object SparkEntry {
       val markers = ord.where(col("o_orderpriority") === "1-URGENT").select(
         subj.as("subj"), lit("urgency").as("pred"), lit("high").as("obj"))
       graft.graph.GraphQuery.diff(v1, renamed.union(markers))
+    }),
+    "q76_property_path" -> ((s, d) => {
+      // SPARQL 1.1 property-path algebra: `child_of+/in_seg` — every
+      // customer paired with each ANCESTOR's market segment (transitive
+      // closure composed into a sequence step, set semantics). Oracle =
+      // DuckDB's recursive CTE + join, the sequential definition.
+      import graft.graph.PropertyPath._
+      val cust = t(s, d, "customer")
+      val childOf = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("child_of").as("pred"),
+        concat(lit("c"), expr("c_custkey div 2")).as("obj"))
+      val inSeg = cust.select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("in_seg").as("pred"),
+        col("c_mktsegment").as("obj"))
+      graft.graph.PropertyPath.pairs(childOf.union(inSeg),
+        Seq2(Plus(Pred("child_of")), Pred("in_seg")))
     })
   )
 
@@ -1713,6 +1731,21 @@ object SparkEntry {
         |       CASE WHEN v1.subj IS NULL THEN 'added' ELSE 'removed' END AS change
         |FROM v1 FULL OUTER JOIN v2
         |  ON v1.subj = v2.subj AND v1.pred = v2.pred AND v1.obj = v2.obj
-        |WHERE v1.subj IS NULL OR v2.subj IS NULL""".stripMargin
+        |WHERE v1.subj IS NULL OR v2.subj IS NULL""".stripMargin,
+    // q76: the sequential definition — a recursive CTE for the closure
+    // composed with a join for the sequence step, DISTINCT for the
+    // SPARQL path set semantics.
+    "q76_property_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c'||c_custkey AS s, 'c'||(c_custkey//2) AS d
+        |  FROM customer WHERE c_custkey > 1
+        |), r AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+        |), seg AS (
+        |  SELECT 'c'||c_custkey AS s, c_mktsegment AS m FROM customer
+        |)
+        |SELECT DISTINCT r.s AS src, seg.m AS dst FROM r JOIN seg ON r.d = seg.s""".stripMargin
   )
 }
