@@ -43,22 +43,38 @@ object GraphQuery {
   private def compilePatterns(triples: DataFrame,
       patterns: Seq[(String, String, String)]): (DataFrame, Vector[String]) = {
     val positions = Seq("subj", "pred", "obj")
+    val pieces = patterns.map { case (s, p, o) =>
+      compileTerms(triples, Seq(s, p, o).zip(positions))
+    }
+    joinPieces(pieces)
+  }
+
+  /** One pattern's scan: constants → pushed-down filters, repeated
+    * variables within the pattern → positional equality, projection to
+    * the pattern's variables. `terms` pairs each template term with the
+    * column it binds in `scan0`. */
+  private def compileTerms(scan0: DataFrame,
+      terms: Seq[(String, String)]): (DataFrame, Seq[String]) = {
+    var scan = scan0
+    terms.foreach { case (t, c) => if (!isVar(t)) scan = scan.where(col(c) === lit(t)) }
+    val varPos = terms.collect { case (t, c) if isVar(t) => (t.drop(1), c) }
+    varPos.groupBy(_._1).values.filter(_.length > 1).foreach { dup =>
+      dup.sliding(2).foreach { w => scan = scan.where(col(w(0)._2) === col(w(1)._2)) }
+    }
+    val varsHere = varPos.map(_._1).distinct
+    (scan.select(varsHere.map { v =>
+      col(varPos.find(_._1 == v).get._2).as(v)
+    }: _*), varsHere)
+  }
+
+  /** Fold compiled pattern pieces into the conjunction: equi join on the
+    * variables shared with the solution so far (cross join only for a
+    * genuinely disconnected pattern), variables accumulated in
+    * first-appearance order. */
+  private def joinPieces(pieces: Seq[(DataFrame, Seq[String])]): (DataFrame, Vector[String]) = {
     var result: DataFrame = null
     var bound = Vector.empty[String] // first-appearance order
-    patterns.foreach { case (s, p, o) =>
-      val terms = Seq(s, p, o).zip(positions)
-      var scan = triples
-      // constants → pushed-down filters
-      terms.foreach { case (t, c) => if (!isVar(t)) scan = scan.where(col(c) === lit(t)) }
-      // repeated variable WITHIN a pattern → positional equality
-      val varPos = terms.collect { case (t, c) if isVar(t) => (t.drop(1), c) }
-      varPos.groupBy(_._1).values.filter(_.length > 1).foreach { dup =>
-        dup.sliding(2).foreach { w => scan = scan.where(col(w(0)._2) === col(w(1)._2)) }
-      }
-      val varsHere = varPos.map(_._1).distinct
-      val projected = scan.select(varsHere.map { v =>
-        col(varPos.find(_._1 == v).get._2).as(v)
-      }: _*)
+    pieces.foreach { case (projected, varsHere) =>
       if (result == null) result = projected
       else {
         val shared = bound.filter(varsHere.contains)
@@ -69,6 +85,85 @@ object GraphQuery {
       bound = bound ++ varsHere.filterNot(bound.contains)
     }
     (result, bound)
+  }
+
+  /** SPARQL 1.1 aggregates + solution modifiers — `GROUP BY` / `HAVING`
+    * / `ORDER BY` / `LIMIT` over a BGP's solution bag (the analytics form
+    * every KG consumer reaches next after plain matching: per-entity
+    * triple counts, per-class statistics, top-k rollups). `groupVars`
+    * name bound variables (no `?`); `aggs` are aggregate Columns over
+    * variable columns (`count`, `sum(col("x").cast(...))`,
+    * `countDistinct`, ... — SPARQL's aggregate set is exactly Spark's);
+    * `having` filters apply to the aggregated rows, `orderBy`/`limit`
+    * are the solution modifiers.
+    *
+    * SPARQL semantics preserved: aggregation is over the solution BAG
+    * (duplicate bindings count); an empty `groupVars` is the implicit
+    * single group — one output row even over zero solutions, with
+    * `COUNT = 0` and value aggregates unbound (null), exactly the spec's
+    * empty-sequence rule; `groupVars` with EMPTY `aggs` degenerates to
+    * the distinct group keys (SELECT of grouped variables only). With
+    * both empty there is nothing to compute — rejected.
+    *
+    * Scale shape: the BGP compiles as usual (predicate-pruned scans +
+    * equi joins); the aggregation is one hash-partial/final pair on the
+    * group keys (map-side combine collapses per-task duplicates before
+    * the exchange); HAVING prunes post-aggregate (group-scale, tiny);
+    * ORDER BY + LIMIT plan as TakeOrdered when bounded — no global sort
+    * materializes. */
+  def bgpAgg(triples: DataFrame, patterns: Seq[(String, String, String)],
+      groupVars: Seq[String], aggs: Seq[org.apache.spark.sql.Column],
+      having: Seq[org.apache.spark.sql.Column] = Nil,
+      orderBy: Seq[org.apache.spark.sql.Column] = Nil,
+      limit: Int = -1): DataFrame = {
+    require(patterns.nonEmpty, "bgpAgg: at least one pattern")
+    require(groupVars.nonEmpty || aggs.nonEmpty,
+      "bgpAgg: need group variables or aggregates")
+    val (base, bound) = compilePatterns(triples, patterns)
+    groupVars.foreach(v => require(bound.contains(v),
+      s"bgpAgg: GROUP BY ?$v is not bound by the pattern"))
+    var out =
+      if (aggs.isEmpty) base.select(groupVars.map(col): _*).distinct()
+      else if (groupVars.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(groupVars.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    having.foreach { h => out = out.where(h) }
+    if (orderBy.nonEmpty) out = out.orderBy(orderBy: _*)
+    if (limit >= 0) out = out.limit(limit)
+    out
+  }
+
+  /** BGP whose predicate positions are PROPERTY PATHS — the composed
+    * query surface (SPARQL 1.1 §9): each pattern is (s, path, o) with
+    * `path` a [[PropertyPath.Path]] expression (`Pred("p")` for a plain
+    * step), and the conjunction joins on shared variables exactly like
+    * `bgp`. A variable repeated within one pattern (`?x path ?x`) binds
+    * both ends to the same term (cycle membership). SPARQL forbids
+    * variables in the path itself, so the path is always constant.
+    *
+    * Semantics: each path pattern evaluates to its DISTINCT (src, dst)
+    * pairs ([[PropertyPath.pairs]] — the spec's set-semantics ALP rule
+    * for non-trivial paths; for a trivial `Pred` leaf the distinct is a
+    * no-op because an RDF graph is a SET of triples), and the join fold
+    * then composes bindings relationally, so multiplicities arise only
+    * from genuine multi-way matches, never from path route counts.
+    *
+    * Scale shape: a `Pred` leaf is a predicate-pruned scan; closures are
+    * semi-naive ([[GraphQuery.reachable]]); the conjunction is the same
+    * equi-join fold as `bgp`, all broadcast/reorder decisions left to
+    * Catalyst + AQE. */
+  def bgpPaths(triples: DataFrame,
+      patterns: Seq[(String, PropertyPath.Path, String)]): DataFrame = {
+    require(patterns.nonEmpty, "bgpPaths: at least one pattern")
+    val pieces = patterns.map { case (s, path, o) =>
+      compileTerms(PropertyPath.pairs(triples, path), Seq(s -> "src", o -> "dst"))
+    }
+    val (result, bound) = joinPieces(pieces)
+    require(bound.nonEmpty,
+      "bgpPaths: no variables bound by the patterns (use PropertyPath.pairs for an ASK-style probe)")
+    // a constant-only pattern contributes at most ONE row (the pair set is
+    // distinct), so its crossJoin is a pure existence filter — SPARQL's
+    // constant-pattern semantics, no bag inflation
+    result.select(bound.map(col): _*)
   }
 
   /** BGP with SPARQL `OPTIONAL` groups and group-level `FILTER`s — the

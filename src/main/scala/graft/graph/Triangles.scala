@@ -60,6 +60,34 @@ object Triangles {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node — `2·T(v) / (deg(v)·(deg(v)−1))`
+    * over the undirected simple graph (0 for degree < 2): the standard
+    * density feature for community/spam structure, built from the same
+    * degree-ordered triangle pass. Returns (id, deg, n_tri, coeff) for
+    * EVERY node of the graph (nodes in no triangle report n_tri = 0),
+    * coeff rounded to 6 dp for cross-engine equality.
+    *
+    * Scale shape: `perNode`'s oriented wedge join (O(m^1.5) worst case,
+    * near-linear on power-law graphs) + the degree aggregate + one
+    * node-scale left join — nothing new at data scale. */
+  def clusteringCoefficient(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val a = col(srcCol).cast("string")
+    val b = col(dstCol).cast("string")
+    val und = edges
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(perNode(edges, srcCol, dstCol), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") < 2, 0.0).otherwise(
+          coalesce(col("n_tri"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1.0))), 6).as("coeff"))
+  }
+
   /** Global triangle count — one extra tiny aggregate over `perNode`
     * (each triangle contributes 3 node increments). */
   def globalCount(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): Long = {

@@ -219,4 +219,146 @@ object Curation {
         when(col("n_sequences") === 0, lit(0.0))
           .otherwise(round(col("total_tokens") / (col("n_sequences") * budget.toDouble), 4)))
       .select("n_docs", "total_tokens", "n_sequences", "fill_ratio", "n_straddling")
+
+  // ----------------------------------------------------- passage mining ----
+
+  /** Every k-token window of a document, with the window's start position:
+    * `(id, pos, passage)`. Pure HOF program (sequence + slice + array_join
+    * inside whole-stage codegen) followed by one posexplode — the standard
+    * positional-shingle expansion (q20/q49's shape, positions kept). */
+  def passageWindows(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k >= 1, "passageWindows: k must be >= 1")
+    val t = coalesce(text, lit(""))
+    val toks = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val wins = when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+    df.select(id.as("id"), posexplode(wins).as(Seq("pos", "passage")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("passage"))
+  }
+
+  /** Cross-document repeated-passage mining — the span-level dedup signal
+    * (Lee et al. 2022's "deduplicating training data" at token-window
+    * granularity): find every k-token passage that appears in at least
+    * `minDocs` DISTINCT documents, with its corpus statistics. This is how
+    * a curation pipeline discovers boilerplate (shared headers, license
+    * blocks, templated paragraphs) that document-level dedup can never
+    * remove because the surrounding documents differ.
+    *
+    * Returns (fp, passage, n_docs, n_occurrences) — n_occurrences counts
+    * every occurrence including within-document repeats; `fp` is the
+    * portable rolling fingerprint of the passage (computed once per
+    * DISTINCT passage, post-aggregation) for compact downstream joins.
+    *
+    * Scale shape: the positional-shingle explode (doc-scale × tokens, the
+    * q20 shape) feeding ONE groupBy on the passage string — a bounded
+    * O(k·avg-token-length)-byte key, so the exchange carries k-token
+    * strings, not documents; map-side combine collapses within-task
+    * repeats (boilerplate is by definition heavily repeated, so partial
+    * aggregation absorbs most of the volume before the shuffle). The
+    * output is repeated-passage-scale, orders of magnitude below the
+    * corpus. At 10^12 docs the same plan holds; the passage-string key
+    * keeps the oracle exact where a 128-bit hash key would be the
+    * (collision-accepting) production variant. */
+  def repeatedPassages(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "repeatedPassages: minDocs must be >= 2")
+    passageWindows(df, id, text, k)
+      .groupBy("passage")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+      .select(TextOps.fingerprint(col("passage")).as("fp"),
+        col("passage"), col("n_docs"), col("n_occurrences"))
+  }
+
+  /** Per-document boilerplate fraction: the share of a document's k-token
+    * windows that are corpus-repeated (present in ≥ minDocs documents) —
+    * the doc-level gate built on `repeatedPassages` (a doc that is mostly
+    * shared template text is a removal candidate even when no single
+    * whole-document duplicate exists). Returns (id, n_windows, n_repeated,
+    * boilerplate_frac[4dp]) for every document; docs with fewer than k
+    * tokens report 0 windows and fraction 0.
+    *
+    * Scale: windows join the (small) repeated-passage set on the passage
+    * key — broadcastable when the mined set is, an ordinary equi join
+    * otherwise — then one doc-keyed aggregation. */
+  def boilerplateFraction(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = passageWindows(df, id, text, k)
+    val repeated = repeatedPassages(df, id, text, k, minDocs)
+      .select(col("passage"), lit(1).as("rep"))
+    wins.join(repeated, Seq("passage"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum("rep"), lit(0L)).as("n_repeated"))
+      .select(col("id"), col("n_windows"), col("n_repeated"),
+        round(col("n_repeated") / col("n_windows").cast("double"), 4)
+          .as("boilerplate_frac"))
+      .unionByName(
+        // docs with no windows (shorter than k tokens): 0-fraction rows
+        df.select(id.as("id"), coalesce(text, lit("")).as("t"))
+          .where(when(length(trim(col("t"))) === 0, lit(0))
+            .otherwise(size(split(trim(col("t")), "\\s+"))) < k)
+          .select(col("id"), lit(0L).as("n_windows"), lit(0L).as("n_repeated"),
+            lit(0.0).as("boilerplate_frac")))
+  }
+
+  // --------------------------------------------- domain importance (DSIR) ----
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram profile is under a TARGET
+    * corpus than under the BACKGROUND — the public recipe for tilting a
+    * raw web corpus toward a quality domain without training a classifier.
+    *
+    * Model: tokens hash into `buckets` bins via the portable rolling
+    * fingerprint (layout/cluster-independent, oracle-replayable — the q52
+    * contract); each corpus side yields an additive-smoothed bucket
+    * distribution; a document's weight is Σ_tokens ln(p_target(b) /
+    * p_background(b)), rounded to 6 dp (the cross-engine float contract).
+    * `isTarget` marks the target subset; background = the rest.
+    *
+    * Scale shape: one token explode → bucket groupBy builds the
+    * BUCKET-scale ratio table (≤ `buckets` rows — never corpus-scale);
+    * totals fold in via a 1-row broadcast cross join (the PageRank
+    * dangling-mass idiom, zero driver collects); the per-doc pass joins
+    * the exploded tokens against the broadcast ratio table and folds one
+    * doc-keyed sum. Two scans of the text, both narrow; the only
+    * data-scale exchange is the doc-keyed sum, map-side-combined.
+    * Documents with no tokens weight 0 (kept — the weight is a score, not
+    * a filter). */
+  def importanceWeights(df: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 256, alpha: Double = 0.01): DataFrame = {
+    require(buckets >= 2, "importanceWeights: need at least 2 buckets")
+    require(alpha > 0, "importanceWeights: alpha must be > 0 (unseen buckets)")
+    val base = df.select(id.as("id"), text.as("t"), isTarget.cast("boolean").as("tgt"))
+    val toks = base
+      .select(col("id"), col("tgt"), explode(split(trim(col("t")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("id"), col("tgt"),
+        pmod(TextOps.fingerprint(col("tok")), lit(buckets.toLong)).as("bucket"))
+    // bucket-scale (≤ `buckets` rows) and read by TWO consumers (totals and
+    // the ratio projection) — lazily materialized so the corpus-scale
+    // explode underneath runs ONCE, not once per consumer
+    val counts = graft.Materialize(toks.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("n_bg")), eager = false)
+    val totals = counts.agg(
+      coalesce(sum("n_tgt"), lit(0L)).as("t_tgt"),
+      coalesce(sum("n_bg"), lit(0L)).as("t_bg"))
+    // bucket-scale ratio table: ln of the two smoothed probabilities
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("n_tgt") + alpha) / (col("t_tgt") + alpha * buckets)) -
+          log((col("n_bg") + alpha) / (col("t_bg") + alpha * buckets))).as("lr"))
+    base.select(col("id")).join(
+        toks.join(broadcast(ratios), Seq("bucket"))
+          .groupBy("id").agg(sum("lr").as("w"), count(lit(1)).as("n")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("w"), lit(0.0)), 6).as("weight"))
+  }
 }

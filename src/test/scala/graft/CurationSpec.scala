@@ -182,6 +182,120 @@ class CurationSpec extends SparkSuite {
     assert(got == packFold(docs, 100L))
   }
 
+  // -------------------------------------------------- passage mining ------
+
+  private val passageDocs = Seq(
+    // shared 4-token boilerplate "terms apply see site" in docs 1..3
+    (1L, "alpha beta terms apply see site gamma"),
+    (2L, "terms apply see site delta epsilon"),
+    (3L, "zeta terms apply see site"),
+    (4L, "totally unrelated words here only once"),
+    (5L, "short doc"), // fewer than k tokens
+    (6L, "rep rep rep rep rep rep")) // within-doc repeats, single doc
+    .toDF("doc_id", "text")
+
+  test("repeatedPassages finds cross-doc k-windows with doc and occurrence counts") {
+    val out = Curation.repeatedPassages(passageDocs, col("doc_id"), col("text"), k = 4)
+      .select("passage", "n_docs", "n_occurrences")
+      .as[(String, Long, Long)].collect().map { case (p, d, o) => p -> ((d, o)) }.toMap
+    assert(out.contains("terms apply see site"))
+    assert(out("terms apply see site") == ((3L, 3L)))
+    // doc 6's within-doc repeated windows are NOT cross-doc (n_docs = 1)
+    assert(!out.keys.exists(_.startsWith("rep")))
+  }
+
+  test("repeatedPassages: within-doc repeats count occurrences once minDocs is met") {
+    val docs = Seq((1L, "x y x y x y"), (2L, "x y again")).toDF("id", "t")
+    val out = Curation.repeatedPassages(docs, col("id"), col("t"), k = 2)
+      .select("passage", "n_docs", "n_occurrences")
+      .as[(String, Long, Long)].collect().map { case (p, d, o) => p -> ((d, o)) }.toMap
+    // "x y" occurs at positions 1,3,5 in doc 1 and once in doc 2
+    assert(out == Map("x y" -> ((2L, 4L))))
+  }
+
+  test("repeatedPassages fp matches the fingerprint of the passage; layout invariance") {
+    val one = Curation.repeatedPassages(passageDocs.coalesce(1),
+      col("doc_id"), col("text"), k = 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val many = Curation.repeatedPassages(passageDocs.repartition(7),
+      col("doc_id"), col("text"), k = 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+    val checked = spark.range(1).select(
+      graft.ops.TextOps.fingerprint(lit("terms apply see site"))).head().getLong(0)
+    assert(one.exists { case (fp, p, _, _) => p == "terms apply see site" && fp == checked })
+  }
+
+  test("boilerplateFraction covers every doc, including window-less ones") {
+    val out = Curation.boilerplateFraction(passageDocs, col("doc_id"), col("text"), k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, w, r, f) => id -> ((w, r, f)) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // doc 3 "zeta terms apply see site": windows at pos1 (zeta terms apply
+    // see) and pos2 (terms apply see site); only pos2 is repeated
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L)._3 == 0.0)
+    assert(out(5L) == ((0L, 0L, 0.0))) // shorter than k
+  }
+
+  // ----------------------------------------------- importance (DSIR) ------
+
+  private val dsirDocs = Seq(
+    (1L, "spark shuffle join", true),
+    (2L, "spark catalyst plan", true),
+    (3L, "cats dogs pets", false),
+    (4L, "dogs and more dogs", false),
+    (5L, "spark dogs", false), // mixed: target-ish token + background token
+    (6L, "", false)) // empty doc
+    .toDF("id", "text", "is_target")
+
+  test("importanceWeights ranks target-like docs above background-like; empty doc weights 0") {
+    val out = Curation.importanceWeights(dsirDocs, col("id"), col("text"),
+      col("is_target"), buckets = 64, alpha = 0.01)
+      .as[(Long, Long, Double)].collect().map { case (id, n, w) => id -> ((n, w)) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(6L) == ((0L, 0.0)))
+    // every target doc outscores every pure-background doc
+    val targets = Seq(out(1L)._2, out(2L)._2)
+    val background = Seq(out(3L)._2, out(4L)._2)
+    assert(targets.min > background.max)
+    // the mixed doc lands strictly between the extremes
+    assert(out(5L)._2 < targets.max && out(5L)._2 > background.min)
+  }
+
+  test("importanceWeights matches a driver-side replay of the same model") {
+    val buckets = 32
+    val alpha = 0.5
+    val rows = Seq((1L, "a b a", true), (2L, "b c", false), (3L, "a c c", false))
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => ((h * 31 + c.toLong) % 2147483647L + 2147483647L) % 2147483647L)
+    def bucket(tok: String) = ((fp(tok) % buckets) + buckets) % buckets
+    val toks = rows.flatMap { case (id, t, tgt) =>
+      t.split("\\s+").filter(_.nonEmpty).map(tok => (id, bucket(tok), tgt))
+    }
+    val tgtCounts = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bgCounts = toks.filterNot(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tT, tB) = (tgtCounts.values.sum, bgCounts.values.sum)
+    def lr(b: Long) =
+      math.log((tgtCounts.getOrElse(b, 0L) + alpha) / (tT + alpha * buckets)) -
+        math.log((bgCounts.getOrElse(b, 0L) + alpha) / (tB + alpha * buckets))
+    val expected = rows.map { case (id, t, _) =>
+      id -> math.rint(t.split("\\s+").filter(_.nonEmpty).map(tok => lr(bucket(tok))).sum * 1e6) / 1e6
+    }.toMap
+    val out = Curation.importanceWeights(rows.toDF("id", "t", "tgt"),
+      col("id"), col("t"), col("tgt"), buckets = buckets, alpha = alpha)
+      .as[(Long, Long, Double)].collect().map { case (id, _, w) => id -> w }.toMap
+    assert(out == expected)
+  }
+
+  test("importanceWeights is layout-independent") {
+    val one = Curation.importanceWeights(dsirDocs.coalesce(1), col("id"),
+      col("text"), col("is_target")).as[(Long, Long, Double)].collect().toSet
+    val many = Curation.importanceWeights(dsirDocs.repartition(8), col("id"),
+      col("text"), col("is_target")).as[(Long, Long, Double)].collect().toSet
+    assert(one == many)
+  }
+
   test("packingStats: sequence count, fill ratio, straddle count") {
     val docs = Seq((0L, 250L), (1L, 0L), (2L, 80L)).toDF("doc_id", "n")
     val packed = Curation.packSequences(docs, col("doc_id"), col("n"), 100L, numBuckets = 2)

@@ -266,4 +266,108 @@ class GraphQuerySpec extends SparkSuite {
     assert(one == many)
     assert(one.size == 6)
   }
+
+  // ------------------------------------------------------------ bgpAgg ----
+
+  test("bgpAgg: GROUP BY + COUNT over the solution bag") {
+    val out = GraphQuery.bgpAgg(g, Seq(("?who", "in", "?city")),
+      groupVars = Seq("city"), aggs = Seq(count(lit(1)).as("n")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("paris" -> 2L, "lyon" -> 1L))
+    // bag semantics: a duplicated triple counts twice
+    val dup = GraphQuery.bgpAgg(g.union(triples(("alice", "in", "paris"))),
+      Seq(("?who", "in", "?city")),
+      groupVars = Seq("city"), aggs = Seq(count(lit(1)).as("n")))
+      .as[(String, Long)].collect().toMap
+    assert(dup == Map("paris" -> 3L, "lyon" -> 1L))
+  }
+
+  test("bgpAgg: implicit single group — one row even over ZERO solutions (SPARQL empty rule)") {
+    val out = GraphQuery.bgpAgg(g, Seq(("?s", "never_used", "?o")),
+      groupVars = Nil,
+      aggs = Seq(count(lit(1)).as("n"), max(col("o")).as("m")))
+    val row = out.collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == 0L)
+    assert(row(0).isNullAt(1)) // value aggregate over nothing = unbound
+  }
+
+  test("bgpAgg: HAVING, ORDER BY, LIMIT and no-aggregate degeneration") {
+    val top = GraphQuery.bgpAgg(g, Seq(("?who", "in", "?city")),
+      groupVars = Seq("city"), aggs = Seq(count(lit(1)).as("n")),
+      having = Seq(col("n") >= 2), orderBy = Seq(col("n").desc), limit = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("paris", 2L)))
+    val keys = GraphQuery.bgpAgg(g, Seq(("?who", "in", "?city")),
+      groupVars = Seq("city"), aggs = Nil)
+      .as[String].collect().toSet
+    assert(keys == Set("paris", "lyon"))
+    intercept[IllegalArgumentException] {
+      GraphQuery.bgpAgg(g, Seq(("?s", "?p", "?o")), Nil, Nil)
+    }
+    intercept[IllegalArgumentException] { // unbound group variable rejected
+      GraphQuery.bgpAgg(g, Seq(("?who", "in", "?city")), Seq("nope"),
+        Seq(count(lit(1)).as("n")))
+    }
+  }
+
+  test("bgpAgg: multi-pattern analytics — distinct knowers per city of residence") {
+    val out = GraphQuery.bgpAgg(g,
+      Seq(("?a", "knows", "?b"), ("?a", "in", "?city")),
+      groupVars = Seq("city"),
+      aggs = Seq(countDistinct(col("a")).as("n_knowers")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("paris" -> 2L))
+  }
+
+  // ---------------------------------------------------------- bgpPaths ----
+
+  import graft.graph.PropertyPath.{Pred, Plus, Seq2, Inv}
+
+  test("bgpPaths: closure step joined with a plain step (knows+ / in)") {
+    // every city reachable through one-or-more knows hops then residence
+    val out = GraphQuery.bgpPaths(g, Seq(
+      ("?a", Plus(Pred("knows")), "?b"),
+      ("?b", Pred("in"), "?city")))
+    assert(out.columns.toSeq == Seq("a", "b", "city"))
+    val rows = out.as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("alice", "bob", "paris"),
+      ("alice", "carol", "lyon"),
+      ("bob", "carol", "lyon")))
+  }
+
+  test("bgpPaths: repeated variable binds both ends — cycle membership via p+") {
+    val cyc = triples(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+      ("d", "p", "a"))
+    val out = GraphQuery.bgpPaths(cyc, Seq(("?x", Plus(Pred("p")), "?x")))
+    assert(out.columns.toSeq == Seq("x"))
+    assert(out.as[String].collect().toSet == Set("a", "b", "c")) // d is off-cycle
+  }
+
+  test("bgpPaths: constant-only pattern is a pure existence filter (x1, no inflation)") {
+    val base = Seq(("?a", Pred("knows"), "?b"))
+    val hit = GraphQuery.bgpPaths(g, base :+ (("alice", Pred("in"), "paris")))
+    assert(hit.count() == 2) // unchanged by the probe
+    val miss = GraphQuery.bgpPaths(g, base :+ (("alice", Pred("in"), "lyon")))
+    assert(miss.count() == 0)
+  }
+
+  test("bgpPaths: Pred-only patterns degenerate to bgp on a set-of-triples graph") {
+    val viaPaths = GraphQuery.bgpPaths(g, Seq(
+      ("?a", Pred("knows"), "?b"), ("?a", Pred("in"), "?city")))
+      .as[(String, String, String)].collect().toSet
+    val viaBgp = GraphQuery.bgp(g, Seq(
+      ("?a", "knows", "?b"), ("?a", "in", "?city")))
+      .as[(String, String, String)].collect().toSet
+    assert(viaPaths == viaBgp)
+  }
+
+  test("bgpPaths: composed path algebra inside a pattern (^in/in — same-city pairs)") {
+    val out = GraphQuery.bgpPaths(g, Seq(
+      ("?x", Seq2(Pred("in"), Inv(Pred("in"))), "?y")))
+      .where(col("x") < col("y"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("alice", "bob")))
+  }
 }

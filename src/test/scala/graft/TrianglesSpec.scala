@@ -68,4 +68,30 @@ class TrianglesSpec extends SparkSuite {
     assert(Triangles.perNode(edges(("a", "b"), ("b", "c"))).count() == 0)
     assert(Triangles.globalCount(edges(("a", "b"))) == 0L)
   }
+
+  private def coeffs(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double)] =
+    df.as[(String, Long, Long, Double)].collect()
+      .map { case (id, d, t, c) => id -> ((d, t, c)) }.toMap
+
+  test("clustering coefficient: triangle with a pendant — every node present") {
+    // a-b-c triangle, c-d pendant: a,b fully clustered; c has deg 3, 1 tri
+    // of 3 possible pairs; d deg 1 -> 0 by convention
+    val out = coeffs(Triangles.clusteringCoefficient(
+      edges(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))))
+    assert(out == Map(
+      "a" -> ((2L, 1L, 1.0)), "b" -> ((2L, 1L, 1.0)),
+      "c" -> ((3L, 1L, 0.333333)), // 2*1/(3*2) rounded to 6 dp
+      "d" -> ((1L, 0L, 0.0))))
+    assert(out("c")._3 == 0.333333) // the 6-dp rounding contract
+  }
+
+  test("clustering coefficient: K4 is fully clustered; layout invariance") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    val one = coeffs(Triangles.clusteringCoefficient(edges(k4: _*).coalesce(1)))
+    val many = coeffs(Triangles.clusteringCoefficient(edges(k4: _*).repartition(7)))
+    assert(one == many)
+    assert(one.values.forall { case (d, t, c) => d == 3 && t == 3 && c == 1.0 })
+  }
 }
