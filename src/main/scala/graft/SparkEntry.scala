@@ -856,8 +856,64 @@ object SparkEntry {
         col("c_mktsegment").as("obj"))
       graft.graph.PropertyPath.pairs(childOf.union(inSeg),
         Seq2(Plus(Pred("child_of")), Pred("in_seg")))
-    })
+    }),
+    "q77_bgp_agg" -> ((s, d) => {
+      // SPARQL GROUP BY over a BGP: per market segment, how many
+      // child→parent links land on a parent of that segment and how many
+      // distinct parents — aggregation over the solution BAG.
+      val cust = t(s, d, "customer")
+      val childOf = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("child_of").as("pred"),
+        concat(lit("c"), expr("c_custkey div 2")).as("obj"))
+      val inSeg = cust.select(
+        concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("in_seg").as("pred"),
+        col("c_mktsegment").as("obj"))
+      graft.graph.GraphQuery.bgpAgg(childOf.union(inSeg),
+        Seq(("?a", "child_of", "?p"), ("?p", "in_seg", "?seg")),
+        groupVars = Seq("seg"),
+        aggs = Seq(count(lit(1)).as("n_links"),
+          countDistinct(col("p")).as("n_parents")))
+    }),
+    "q78_link_prediction" -> ((s, d) => {
+      // neighborhood-overlap link prediction over the customer tree with
+      // grandparent shortcuts (bounded degree ≤ 8, so the wedge set is
+      // linear in nodes); minCommon = 2 keeps multi-witness pairs only
+      graft.graph.LinkPrediction.scores(custGraph(s, d), minCommon = 2)
+    }),
+    "q79_clustering_coefficient" -> ((s, d) =>
+      // local clustering coefficient on the same graph — the grandparent
+      // shortcut makes (k, k div 2, k div 4) triangles everywhere
+      graft.graph.Triangles.clusteringCoefficient(custGraph(s, d))),
+    "q80_repeated_passages" -> ((s, d) =>
+      // cross-document repeated 8-token passages (boilerplate mining)
+      graft.ops.Curation.repeatedPassages(
+        t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2)),
+    "q81_boilerplate_fraction" -> ((s, d) =>
+      // per-doc share of corpus-repeated 8-token windows
+      graft.ops.Curation.boilerplateFraction(
+        t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2)),
+    "q82_importance_weights" -> ((s, d) =>
+      // DSIR hashed-unigram importance weights, target = English docs
+      graft.ops.Curation.importanceWeights(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        col("lang") === "en", buckets = 64))
   )
+
+  /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
+    * plus grandparent shortcuts (k — k div 4), so every interior node sits
+    * in (k, k div 2, k div 4) triangles and degrees stay ≤ 8. */
+  private def custGraph(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val tree = cust.where(col("c_custkey") > 1).select(
+      concat(lit("c"), col("c_custkey")).as("src"),
+      concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+    val hop2 = cust.where(col("c_custkey") > 3).select(
+      concat(lit("c"), col("c_custkey")).as("src"),
+      concat(lit("c"), expr("c_custkey div 4")).as("dst"))
+    tree.union(hop2)
+  }
 
   // ======================================================================
   // oracle SQL (DuckDB dialect) — generated from the same constants the
@@ -1746,6 +1802,144 @@ object SparkEntry {
         |), seg AS (
         |  SELECT 'c'||c_custkey AS s, c_mktsegment AS m FROM customer
         |)
-        |SELECT DISTINCT r.s AS src, seg.m AS dst FROM r JOIN seg ON r.d = seg.s""".stripMargin
+        |SELECT DISTINCT r.s AS src, seg.m AS dst FROM r JOIN seg ON r.d = seg.s""".stripMargin,
+    "q77_bgp_agg" ->
+      """WITH e AS (
+        |  SELECT 'c'||c_custkey AS a, 'c'||(c_custkey//2) AS p
+        |  FROM customer WHERE c_custkey > 1
+        |), seg AS (
+        |  SELECT 'c'||c_custkey AS p, c_mktsegment AS seg FROM customer
+        |)
+        |SELECT seg.seg AS seg, count(*) AS n_links, count(DISTINCT e.p) AS n_parents
+        |FROM e JOIN seg ON e.p = seg.p GROUP BY 1""".stripMargin,
+    // q78/q79 share the tree+grandparent-shortcut graph; both oracles
+    // rebuild the canonical undirected edge set from scratch
+    "q78_link_prediction" ->
+      """WITH raw AS (
+        |  SELECT 'c'||c_custkey AS x, 'c'||(c_custkey//2) AS y
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c'||c_custkey, 'c'||(c_custkey//4)
+        |  FROM customer WHERE c_custkey > 3
+        |), e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y
+        |), adj AS (
+        |  SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT id, count(*) AS deg FROM adj GROUP BY 1
+        |), wedges AS (
+        |  SELECT l.nb AS a, r.nb AS b, l.id AS w
+        |  FROM adj l JOIN adj r ON l.id = r.id AND l.nb < r.nb
+        |), miss AS (
+        |  SELECT w.a, w.b, w.w FROM wedges w
+        |  LEFT JOIN e ON e.a = w.a AND e.b = w.b WHERE e.a IS NULL
+        |), paired AS (
+        |  SELECT m.a, m.b, count(*) AS common, sum(1.0 / ln(d.deg)) AS aa
+        |  FROM miss m JOIN deg d ON d.id = m.w GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |)
+        |SELECT p.a, p.b, p.common,
+        |       round(p.common / (da.deg + db.deg - p.common), 6) AS jaccard,
+        |       round(p.aa, 6) AS adamic_adar
+        |FROM paired p
+        |JOIN deg da ON da.id = p.a
+        |JOIN deg db ON db.id = p.b""".stripMargin,
+    "q79_clustering_coefficient" ->
+      """WITH raw AS (
+        |  SELECT 'c'||c_custkey AS x, 'c'||(c_custkey//2) AS y
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c'||c_custkey, 'c'||(c_custkey//4)
+        |  FROM customer WHERE c_custkey > 3
+        |), e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y
+        |), adj AS (
+        |  SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT id, count(*) AS deg FROM adj GROUP BY 1
+        |), tris AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pern AS (
+        |  SELECT id, count(*) AS n_tri FROM (
+        |    SELECT x AS id FROM tris
+        |    UNION ALL SELECT y FROM tris
+        |    UNION ALL SELECT z FROM tris) GROUP BY 1
+        |)
+        |SELECT d.id, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+        |       round(CASE WHEN d.deg < 2 THEN 0.0
+        |             ELSE COALESCE(p.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1.0)) END,
+        |             6) AS coeff
+        |FROM deg d LEFT JOIN pern p USING (id)""".stripMargin,
+    // q80/q81: the q49 window expansion (w[i:i+7] = 8-token slices); q80's
+    // fp is the q28 rolling-hash replica applied to each repeated passage
+    "q80_repeated_passages" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS passage
+        |  FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), r AS (
+        |  SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |  FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [CAST(unicode(c) AS BIGINT) FOR c IN string_split(passage, '')]),
+        |       (h, c) -> (h * 31 + c) % 2147483647) AS fp,
+        |       passage, n_docs, n_occurrences
+        |FROM r""".stripMargin,
+    "q81_boilerplate_fraction" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS passage
+        |  FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), r AS (
+        |  SELECT passage AS rp FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), agg AS (
+        |  SELECT g.doc_id, count(*) AS n_windows, count(r.rp) AS n_repeated
+        |  FROM g LEFT JOIN r ON g.passage = r.rp GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id,
+        |       COALESCE(a.n_windows, 0) AS n_windows,
+        |       COALESCE(a.n_repeated, 0) AS n_repeated,
+        |       CASE WHEN a.n_windows IS NULL THEN 0.0
+        |            ELSE round(a.n_repeated / CAST(a.n_windows AS DOUBLE), 4) END
+        |         AS boilerplate_frac
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // q82: per-token q28 rolling hash -> 64 buckets; additive smoothing
+    // alpha = 0.01 over target (lang = en) vs background distributions
+    "q82_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT d.doc_id, (d.lang = 'en') AS tgt,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(unicode(c) AS BIGINT) FOR c IN string_split(u.tok, '')]),
+        |          (h, c) -> (h * 31 + c) % 2147483647) % 64 AS bucket
+        |  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS u(tok)
+        |  WHERE length(u.tok) > 0
+        |), counts AS (
+        |  SELECT bucket,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS n_bg
+        |  FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n_tgt) AS t_tgt, sum(n_bg) AS t_bg FROM counts
+        |), ratios AS (
+        |  SELECT bucket,
+        |         ln((n_tgt + 0.01) / (t_tgt + 0.01 * 64)) -
+        |         ln((n_bg + 0.01) / (t_bg + 0.01 * 64)) AS lr
+        |  FROM counts, tot
+        |), per AS (
+        |  SELECT doc_id, sum(lr) AS w, count(*) AS n
+        |  FROM toks JOIN ratios USING (bucket) GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id, COALESCE(p.n, 0) AS n_tokens,
+        |       round(COALESCE(p.w, 0.0), 6) AS weight
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   )
 }
