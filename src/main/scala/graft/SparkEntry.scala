@@ -898,7 +898,35 @@ object SparkEntry {
       // DSIR hashed-unigram importance weights, target = English docs
       graft.ops.Curation.importanceWeights(
         t(s, d, "documents"), col("doc_id"), col("text"),
-        col("lang") === "en", buckets = 64))
+        col("lang") === "en", buckets = 64)),
+    "q83_asof_join" -> ((s, d) => {
+      // "which gauge reading was in force when this click happened": clicks
+      // as-of-joined to an hourly per-user max-value gauge built from view
+      // events. One shuffle (union sort-merge), no row expansion; DuckDB's
+      // native ASOF JOIN is the independent oracle.
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val gauge = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("rts"))
+        .agg(max("value").as("gauge"))
+      graft.ops.TemporalJoin.asofJoin(clicks, gauge, Seq("user_id"),
+        leftTs = "ts", rightTs = "rts", rightPayload = Seq("gauge"),
+        asofTsCol = "asof_ts")
+    }),
+    "q84_interval_join" -> ((s, d) => {
+      // point-in-interval: clicks that fall inside a 10-minute error window
+      // [error ts, +10min). Bucketized equi join (width = window length), so
+      // the plan never degenerates to a nested-loop theta join.
+      val ev = t(s, d, "events")
+      val windows = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.TemporalJoin.intervalJoin(clicks, windows, point = "ts",
+        lo = "lo", hi = "hi", rightCols = Seq("error_id"), width = 600.0)
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -1940,6 +1968,26 @@ object SparkEntry {
         |)
         |SELECT d.doc_id AS id, COALESCE(p.n, 0) AS n_tokens,
         |       round(COALESCE(p.w, 0.0), 6) AS weight
-        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
+    // q83: DuckDB's NATIVE ASOF JOIN is the oracle — a genuinely independent
+    // implementation of the same semantics (largest rts <= ts per key, ties
+    // match, unmatched lefts keep nulls)
+    "q83_asof_join" ->
+      """WITH gauge AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS rts, max(value) AS gauge
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, g.rts AS asof_ts, g.gauge
+        |FROM events l ASOF LEFT JOIN gauge g
+        |  ON l.user_id = g.user_id AND l.ts >= g.rts
+        |WHERE l.event_type = 'click'""".stripMargin,
+    // q84: the raw inequality join IS the definition; DuckDB executes it
+    // natively (IEJoin), the engine must reproduce it via bucketized equi join
+    "q84_interval_join" ->
+      """WITH ew AS (
+        |  SELECT event_id AS error_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.ts, ew.error_id
+        |FROM events l JOIN ew ON l.ts >= ew.lo AND l.ts < ew.hi
+        |WHERE l.event_type = 'click'""".stripMargin
   )
 }
