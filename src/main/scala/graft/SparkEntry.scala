@@ -926,6 +926,41 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       graft.ops.TemporalJoin.intervalJoin(clicks, windows, point = "ts",
         lo = "lo", hi = "hi", rightCols = Seq("error_id"), width = 600.0)
+    }),
+    "q85_scc" -> ((s, d) => {
+      // strongly connected components over a directed customer graph:
+      // up-edges k -> k div 2 plus back-edges k div 2 -> k where k % 3 = 0
+      // plant chains of mutually-reachable nodes (SCCs up to size ~10)
+      // inside an otherwise DAG-shaped tree — the condensation-before-
+      // scheduling / cycle-detection pass of a dependency KG
+      val cust = t(s, d, "customer")
+      val up = cust.where(col("c_custkey") > 1).select(
+        col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+      val back = cust.where(col("c_custkey") > 1 && col("c_custkey") % 3 === 0)
+        .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
+      graft.graph.Scc.components(up.union(back))
+    }),
+    "q86_bm25" -> ((s, d) =>
+      // BM25 top-25 lexical retrieval over the documents corpus — the
+      // decontamination/curation lookup; rank cast long for oracle parity
+      graft.ops.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 25)
+        .withColumn("rank", col("rank").cast("long")))
+    ,
+    "q87_condensation_levels" -> ((s, d) => {
+      // SCC condensation of the q85 graph + Kahn topological leveling —
+      // "collapse the cycles, then schedule": (scc, level) with level =
+      // longest path from the source frontier of the condensed DAG
+      val cust = t(s, d, "customer")
+      val up = cust.where(col("c_custkey") > 1).select(
+        col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+      val back = cust.where(col("c_custkey") > 1 && col("c_custkey") % 3 === 0)
+        .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
+      val g = up.union(back)
+      val dag = graft.graph.Topo.condense(g, graft.graph.Scc.components(g))
+      graft.graph.Topo.levels(dag)
+        .select(col("id").cast("long").as("scc"),
+          col("level").cast("long").as("level"))
     })
   )
 
@@ -1988,6 +2023,92 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'error')
         |SELECT l.event_id, l.user_id, l.ts, ew.error_id
         |FROM events l JOIN ew ON l.ts >= ew.lo AND l.ts < ew.hi
-        |WHERE l.event_type = 'click'""".stripMargin
+        |WHERE l.event_type = 'click'""".stripMargin,
+    // q85: the SEQUENTIAL definition — DuckDB's recursive-CTE reachability
+    // closure, mutual pairs, min-member labels; independent of both the
+    // engine's coloring loop and its driver Tarjan
+    "q85_scc" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_custkey AS src, c_custkey // 2 AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT c_custkey // 2 AS src, c_custkey AS dst
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 = 0
+        |), reach(s, d) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+        |), nodes AS (
+        |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
+        |), mutual AS (
+        |  SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+        |)
+        |SELECT n.id, least(n.id, coalesce(min(m.y), n.id)) AS scc
+        |FROM nodes n LEFT JOIN mutual m ON m.x = n.id
+        |GROUP BY n.id""".stripMargin,
+    // q86: DuckDB replays the BM25 arithmetic relationally end to end
+    // (Lucene idf form, k1=1.2 b=0.75 folded as literals 2.2/0.25/0.75)
+    "q86_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id AS id,
+        |    len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
+        |        t -> length(t) > 0)) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(avg(dl) AS DOUBLE) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT d.doc_id AS id, u.tok AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM documents d,
+        |       unnest(string_split_regex(trim(coalesce(d.text,'')), '\s+')) AS u(tok)
+        |  WHERE u.tok IN ('spark','join','window')
+        |  GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT term, ln(1.0 + (s.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |  FROM tf, stats s GROUP BY term, s.n_docs
+        |), scored AS (
+        |  SELECT tf.id, count(*) AS n_terms,
+        |    round(sum(idf.idf * tf.tf * 2.2 /
+        |              (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+        |  FROM tf JOIN idf USING (term) JOIN dl ON dl.id = tf.id, stats s
+        |  GROUP BY tf.id
+        |)
+        |SELECT id, n_terms, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+        |FROM scored ORDER BY score DESC, id ASC LIMIT 25""".stripMargin,
+    // q87: DuckDB recomputes the SCC map (q85's CTE), condenses it
+    // relationally, and derives longest-path levels by recursive path
+    // enumeration + max — independent of the engine's Kahn peeling
+    "q87_condensation_levels" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_custkey AS src, c_custkey // 2 AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT c_custkey // 2 AS src, c_custkey AS dst
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 = 0
+        |), reach(s, d) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+        |), nodes AS (
+        |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
+        |), mutual AS (
+        |  SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+        |), scc AS (
+        |  SELECT n.id, least(n.id, coalesce(min(m.y), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mutual m ON m.x = n.id GROUP BY n.id
+        |), cedges AS (
+        |  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+        |  FROM edges e JOIN scc s1 ON e.src = s1.id JOIN scc s2 ON e.dst = s2.id
+        |  WHERE s1.scc <> s2.scc
+        |), cnodes AS (
+        |  SELECT src AS id FROM cedges UNION SELECT dst FROM cedges
+        |), paths(id, d) AS (
+        |  SELECT id, 0 FROM cnodes WHERE id NOT IN (SELECT dst FROM cedges)
+        |  UNION
+        |  SELECT c.dst, p.d + 1 FROM paths p JOIN cedges c ON p.id = c.src
+        |)
+        |SELECT id AS scc, CAST(max(d) AS BIGINT) AS level
+        |FROM paths GROUP BY id""".stripMargin
   )
 }

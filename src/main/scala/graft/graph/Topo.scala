@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Condensation + topological leveling — the step AFTER SCC: collapse each
+  * strongly connected component to one node, then layer the resulting DAG
+  * so dependency-shaped KG work (ontology import order, pipeline stage
+  * scheduling, citation-generation strata) can run level-by-level, every
+  * level fully parallel.
+  *
+  * `condense` is purely relational: two label joins + distinct, intra-SCC
+  * edges dropped. The result is acyclic BY CONSTRUCTION (the condensation
+  * theorem), which `levels` still verifies at runtime — a leftover cycle
+  * means the labels weren't a true SCC map, and silently looping would be
+  * worse than failing.
+  *
+  * `levels` is KAHN PEELING in data-parallel form: round r removes the
+  * nodes whose every predecessor is already removed, so a node's round
+  * index IS the length of the longest path reaching it from any source —
+  * the canonical "earliest possible schedule slot". Per round: one anti
+  * join to find sources, one to shrink the edge set — each a
+  * lazily-materialized single job (the CC discipline); rounds = DAG depth.
+  * No in-degree counter table to maintain (the textbook Kahn bookkeeping
+  * serializes on decrements; the anti join recomputes membership, which
+  * Spark does as one hash join pass).
+  */
+object Topo {
+
+  /** Collapse `edges` by the (id, scc) map into distinct inter-component
+    * edges. Nodes absent from `comps` are rejected by the inner join
+    * contract (every node must be labeled — use Scc.components' output). */
+  def condense(edges: DataFrame, comps: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val s = comps.select(col("id").as("__sid"), col("scc").as("csrc"))
+    val d = comps.select(col("id").as("__did"), col("scc").as("cdst"))
+    edges
+      .join(s, col(srcCol) === col("__sid"))
+      .join(d, col(dstCol) === col("__did"))
+      .where(col("csrc") =!= col("cdst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .distinct()
+  }
+
+  /** (id, level) for every node of the DAG; level = longest-path distance
+    * from the source frontier (sources are level 0). Throws on cycles. */
+  def levels(dagEdges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxDepth: Int = 10000): DataFrame = {
+    val cleaned = dagEdges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    var remaining = graft.Materialize(cleaned
+      .select(col("src").as("id")).union(cleaned.select(col("dst").as("id")))
+      .distinct(), eager = false)
+    var remEdges = graft.Materialize(cleaned, eager = false)
+    var nRemaining = remaining.count()
+    var acc: DataFrame = null
+    var level = 0
+    while (nRemaining > 0) {
+      if (level > maxDepth)
+        throw new IllegalStateException(
+          s"Topo.levels: depth exceeded $maxDepth — raise maxDepth")
+      val sources = graft.Materialize(
+        remaining.join(remEdges.select(col("dst").as("id")).distinct(),
+          Seq("id"), "left_anti"), eager = false)
+      val nSources = sources.count()
+      if (nSources == 0)
+        throw new IllegalStateException(
+          s"Topo.levels: no sources with $nRemaining nodes left — the input " +
+            "has a cycle; condense() with a true SCC map first")
+      val leveled = sources.select(col("id"), lit(level).as("level"))
+      acc = if (acc == null) leveled else acc.union(leveled)
+      remaining = graft.Materialize(
+        remaining.join(sources, Seq("id"), "left_anti"), eager = false)
+      remEdges = graft.Materialize(
+        remEdges.join(sources.select(col("id").as("src")), Seq("src"), "left_anti"),
+        eager = false)
+      nRemaining -= nSources
+      level += 1
+    }
+    if (acc == null) {
+      val spark = dagEdges.sparkSession
+      import spark.implicits._
+      spark.emptyDataset[(String, Int)].toDF("id", "level")
+    } else acc
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the lexical search pass a
+  * training-data pipeline runs for decontamination lookups ("which corpus
+  * docs match this benchmark question"), targeted curation ("pull the docs
+  * about X for re-weighting"), and passage-mining seed selection. Okapi
+  * BM25 with the Lucene idf form:
+  *
+  *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   score(d)   = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Tokenization is the corpus-wide whitespace regime (`\s+` on trimmed
+  * text, empty tokens dropped — the q82/TextOps contract), so df/tf/dl all
+  * agree with the curation operators.
+  *
+  * Scale shape: the query-term set is tiny and known, so the corpus term
+  * explode FILTERS to it immediately (the inverted-index probe, not a full
+  * index build); df and idf live in a ≤|terms|-row table that broadcasts;
+  * N and avgdl fold in via a 1-ROW cross join (the PageRank dangling
+  * idiom — zero driver collects); per-doc scores are one doc-keyed
+  * map-side-combined sum; the final top-k is a TakeOrdered, not a global
+  * sort. Two narrow text scans total (token pass + doc-length pass).
+  *
+  * Determinism: scores round to 6 dp and the ranking orders by (rounded
+  * score DESC, id ASC), so the cut and the rank column are reproducible
+  * across layouts and match an independent re-derivation bit-for-bit.
+  */
+object Retrieval {
+
+  private def toks(textCol: Column): Column =
+    filter(split(trim(coalesce(textCol, lit(""))), "\\s+"),
+      t => length(t) > 0)
+
+  /** Top-k docs by BM25 over `queryTerms` (exact-match terms, the
+    * whitespace-token regime). Returns (id, n_terms, score, rank):
+    * matched-term count, 6-dp score, 1-based rank. Docs matching no term
+    * never appear. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: query terms required")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "bm25TopK: duplicate query terms")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25TopK: bad k1=$k1 b=$b")
+    require(topK > 0, "bm25TopK: topK must be > 0")
+
+    // doc lengths — EVERY doc rides into N and avgdl (empty text => dl 0).
+    // dl and tf are both MULTI-CONSUMER (stats + the scoring join; df + the
+    // contribution join): lazily materialized so each text scan happens
+    // once, not once per consumer (the engine's multi-consumer discipline)
+    val dl = graft.Materialize(docs.select(col(idCol).as("id"),
+      size(toks(col(textCol))).cast("double").as("dl")), eager = false)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+
+    // inverted-index probe: explode filtered to the query terms only
+    val tf = graft.Materialize(docs.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf")),
+      eager = false)
+
+    // ≤|terms| rows: df -> idf, with N folded in via the 1-row cross join
+    val idf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"),
+        col("avgdl"))
+
+    val contrib = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("id"))
+      .select(col("id"), col("term"),
+        (col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+
+    val scored = contrib.groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("c")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("id").asc).limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)))
+  }
+}
