@@ -961,7 +961,12 @@ object SparkEntry {
       graft.graph.Topo.levels(dag)
         .select(col("id").cast("long").as("scc"),
           col("level").cast("long").as("level"))
-    })
+    }),
+    "q88_editdist_join" -> ((s, d) =>
+      // surface-form variant mining: all customer-name pairs within edit
+      // distance 1 via FastSS deletion-neighborhood blocking + exact verify
+      graft.ops.StringSim.editDistanceJoin(
+        t(s, d, "customer"), "c_custkey", "c_name", maxDist = 1))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2109,6 +2114,15 @@ object SparkEntry {
         |  SELECT c.dst, p.d + 1 FROM paths p JOIN cedges c ON p.id = c.src
         |)
         |SELECT id AS scc, CAST(max(d) AS BIGINT) AS level
-        |FROM paths GROUP BY id""".stripMargin
+        |FROM paths GROUP BY id""".stripMargin,
+    // q88: the raw quadratic scan IS the definition — DuckDB's built-in
+    // levenshtein over all ordered pairs, independent of the deletion-
+    // neighborhood blocking under test
+    "q88_editdist_join" ->
+      """WITH n AS (SELECT CAST(c_custkey AS VARCHAR) AS id, c_name FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 }
