@@ -88,6 +88,9 @@ object TemporalJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(asofTsCol),
       s"asofJoin: left already has a '$asofTsCol' column")
+    val collide = rightPayload.toSet.intersect(leftCols.toSet)
+    require(collide.isEmpty,
+      s"asofJoin: right payload collides with left columns: ${collide.mkString(",")}")
 
     // one struct carries ts + payload so a single last() tracks the match
     val rStruct = struct((col(rightTs) +: rightPayload.map(col)): _*)

@@ -88,6 +88,11 @@ class TemporalJoinSpec extends SparkSuite {
       TemporalJoin.asofJoin(L((1, "a", 1.0)).withColumnRenamed("ts", "asof_ts"),
         R(("a", 1.0, "r")), Seq("k"), "asof_ts", "rts", Seq("v"))
     }
+    intercept[IllegalArgumentException] { // payload shadows a left column
+      TemporalJoin.asofJoin(L((1, "a", 1.0)),
+        R(("a", 1.0, "r")).withColumnRenamed("v", "id"),
+        Seq("k"), "ts", "rts", Seq("id"))
+    }
   }
 
   // ---------------- intervalJoin ----------------
