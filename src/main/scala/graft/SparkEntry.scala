@@ -966,7 +966,12 @@ object SparkEntry {
       // surface-form variant mining: all customer-name pairs within edit
       // distance 1 via FastSS deletion-neighborhood blocking + exact verify
       graft.ops.StringSim.editDistanceJoin(
-        t(s, d, "customer"), "c_custkey", "c_name", maxDist = 1))
+        t(s, d, "customer"), "c_custkey", "c_name", maxDist = 1)),
+    "q89_funnel" -> ((s, d) =>
+      // strict-order earliest-completion funnel view -> click -> purchase
+      graft.ops.Funnel.stages(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .withColumnRenamed("user", "user_id"))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2123,6 +2128,26 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.id < b.id
-        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // q89: the progressive min-chain IS the earliest-completion funnel
+    // definition; DuckDB re-derives it with its own CTE chain
+    "q89_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, ts, event_type AS typ FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), t1 AS (
+        |  SELECT u, min(ts) AS t1 FROM e WHERE typ = 'view' GROUP BY u
+        |), t2 AS (
+        |  SELECT e.u, min(e.ts) AS t2 FROM e JOIN t1 ON e.u = t1.u
+        |  WHERE e.typ = 'click' AND e.ts > t1.t1 GROUP BY e.u
+        |), t3 AS (
+        |  SELECT e.u, min(e.ts) AS t3 FROM e JOIN t2 ON e.u = t2.u
+        |  WHERE e.typ = 'purchase' AND e.ts > t2.t2 GROUP BY e.u
+        |)
+        |SELECT t1.u AS user_id,
+        |       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |                 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stages,
+        |       t1.t1 AS first_ts, coalesce(t3.t3, t2.t2, t1.t1) AS last_ts
+        |FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u""".stripMargin
   )
 }
