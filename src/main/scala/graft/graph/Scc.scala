@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
   * Labels: scc = MIN member id (the dupGroups/CC convention), computed by
   * one group-scale relabel at the end — internally the coloring tracks max
   * because "largest id wins" needs no tie rule. Ids compare as STRINGS
-  * (the triple-store subject model); integral id columns are zero-padded
-  * internally and cast back, so unpadded numeric ids cannot mislabel.
+  * (the triple-store subject model); integral id columns get an
+  * order-preserving sign-prefixed padding internally (negatives included —
+  * see `enc`) and decode back, so unpadded numeric ids cannot mislabel.
   *
   * Scale: per round, work is |remaining edges| per propagation step — the
   * PageRank shape, all equi joins + key aggregates (AQE-skew-splittable).
@@ -64,8 +65,24 @@ object Scc {
              org.apache.spark.sql.types.IntegerType => true
         case _ => false
       })
+    // order-preserving integral encoding, NEGATIVES INCLUDED: plain
+    // zero-padding inverts order within negatives ('-…1' < '-…2' but
+    // -1 > -2). Sign-prefix + bias instead: negatives map to
+    // "0" ++ pad19(c − Long.MinValue) (∈ [0, 2⁶³), numeric order), and
+    // non-negatives to "1" ++ pad19(c) — all negatives sort before all
+    // non-negatives, so string min == numeric min everywhere incl.
+    // Long.MinValue. (dupGroups raise_errors on negatives instead; here
+    // ids routinely come from xxhash64, which is negative half the time.)
     def enc(c: org.apache.spark.sql.Column) =
-      if (integral) format_string("%019d", c.cast("long")) else c.cast("string")
+      if (integral) {
+        val l = c.cast("long")
+        when(l < 0, concat(lit("0"), format_string("%019d", l - lit(Long.MinValue))))
+          .otherwise(concat(lit("1"), format_string("%019d", l)))
+      } else c.cast("string")
+    def dec(c: org.apache.spark.sql.Column) =
+      when(substring(c, 1, 1) === "0",
+        substring(c, 2, 19).cast("long") + lit(Long.MinValue))
+        .otherwise(substring(c, 2, 19).cast("long"))
 
     val cleaned = edges
       .select(enc(col(srcCol)).as("src"), enc(col(dstCol)).as("dst"))
@@ -74,9 +91,11 @@ object Scc {
 
     // hybrid gate: one take() both sizes and collects (the CC discipline)
     val labeled: DataFrame = {
-      val head = if (smallThreshold >= 0) cleaned.take(smallThreshold.toInt + 1)
+      // clamp before toInt: a >2^31 threshold must not wrap negative
+      val thr = math.min(smallThreshold, Int.MaxValue - 1L).toInt
+      val head = if (smallThreshold >= 0) cleaned.take(thr + 1)
                  else Array.empty[org.apache.spark.sql.Row]
-      if (smallThreshold >= 0 && head.length <= smallThreshold)
+      if (smallThreshold >= 0 && head.length <= thr)
         tarjanLocal(spark, head.map(r => (r.getString(0), r.getString(1))))
       else distributed(cleaned, maxRounds, maxPropRounds)
     }
@@ -86,7 +105,7 @@ object Scc {
     val out = labeled.join(mins, labeled("scc") === mins("k"))
       .select(col("id"), col("lbl").as("scc"))
     if (integral)
-      out.select(col("id").cast("long").as("id"), col("scc").cast("long").as("scc"))
+      out.select(dec(col("id")).as("id"), dec(col("scc")).as("scc"))
     else out
   }
 

@@ -48,14 +48,15 @@ object StringSim {
       s"array_distinct(flatten(transform($arrSql, $v -> " +
         s"transform(sequence(0, length($v) - 1), $i -> " +
         s"concat(substr($v, 1, $i), substr($v, $i + 2))))))"
-    val d1 = delPass("__v", "s0", "i0")
-    val neighborhood = maxDist match {
-      case 1 => expr(s"array_union(__v, $d1)")
-      case 2 => expr(s"array_union(__v, array_union($d1, ${delPass(d1, "s1", "i1")}))")
-    }
+    // __d1 is bound as its own column: Catalyst does not CSE HOF lambdas,
+    // so inlining d1 twice at k=2 would evaluate the first pass twice
     val variants = base
       .withColumn("__v", array(col("s")))
-      .withColumn("__n", neighborhood)
+      .withColumn("__d1", expr(delPass("__v", "s0", "i0")))
+      .withColumn("__n", maxDist match {
+        case 1 => expr("array_union(__v, __d1)")
+        case 2 => expr(s"array_union(__v, array_union(__d1, ${delPass("__d1", "s1", "i1")}))")
+      })
       .select(col("id"), explode(col("__n")).as("__var"))
       .select(col("id"), xxhash64(col("__var")).as("h"))
       .distinct()

@@ -91,15 +91,31 @@ object TemporalJoin {
     val collide = rightPayload.toSet.intersect(leftCols.toSet)
     require(collide.isEmpty,
       s"asofJoin: right payload collides with left columns: ${collide.mkString(",")}")
+    require(!rightPayload.contains(asofTsCol),
+      s"asofJoin: right payload contains the output column '$asofTsCol'")
+    require(!rightPayload.contains(rightTs),
+      s"asofJoin: '$rightTs' is emitted as '$asofTsCol' — do not repeat it in the payload")
+
+    // NULL semantics = the DuckDB/kdb ASOF contract the q83 oracle pins:
+    // null timestamps and null keys never MATCH. Right rows with a null
+    // ts/key drop here (a null __ts would sort NULLS FIRST and be carried
+    // as a sticky bogus match); left rows with a null ts/key bypass the
+    // merge entirely and come back below with null match columns (left
+    // join keeps every left row).
+    def nonNull(ts: String): Column =
+      key.map(col(_).isNotNull).reduce(_ && _) && col(ts).isNotNull
+    val rightOk = right.where(nonNull(rightTs))
+    val leftOk = left.where(nonNull(leftTs))
+    val leftBad = left.where(!nonNull(leftTs))
 
     // one struct carries ts + payload so a single last() tracks the match
     val rStruct = struct((col(rightTs) +: rightPayload.map(col)): _*)
-    val l = left.select(
+    val l = leftOk.select(
       (key.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
         struct(leftCols.map(col): _*).as("__l") :+
         lit(null).cast(
           right.select(rStruct).schema.head.dataType).as("__r")): _*)
-    val r = right.select(
+    val r = rightOk.select(
       (key.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(
           left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
@@ -122,10 +138,17 @@ object TemporalJoin {
       case None => col("__m").isNotNull
     }
     val matched = when(inTol, col("__m"))
-    carried.select(
+    val merged = carried.select(
       leftCols.map(c => col("__l").getField(c).as(c)) ++
         (matched.getField(rightTs).as(asofTsCol) +:
           rightPayload.map(c => matched.getField(c).as(c))): _*)
+    // left rows with null ts/key re-enter unmatched (left-join contract)
+    val nullMatch = lit(null).cast(
+      right.select(rStruct).schema.head.dataType)
+    merged.unionByName(leftBad.select(
+      leftCols.map(col) ++
+        (nullMatch.getField(rightTs).as(asofTsCol) +:
+          rightPayload.map(c => nullMatch.getField(c).as(c))): _*))
   }
 
   /** Inner point-in-interval join: left rows paired with every right

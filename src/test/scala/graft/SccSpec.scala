@@ -66,6 +66,19 @@ class SccSpec extends SparkSuite {
     assert(out == Set((2L, 2L), (10L, 2L), (7L, 7L)))
   }
 
+  test("NEGATIVE integral ids (xxhash64-shaped) still label by numeric min") {
+    // plain zero-padding would invert order within negatives
+    val e = Seq((-2L, -10L), (-10L, -2L), (-2L, 5L), (5L, -2L),
+      (Long.MinValue, -10L)).toDF("src", "dst")
+    val out = Scc.components(e).as[(Long, Long)].collect().toSet
+    assert(out == Set((-10L, -10L), (-2L, -10L), (5L, -10L),
+      (Long.MinValue, Long.MinValue)))
+    // distributed path agrees
+    val dist = Scc.components(e, smallThreshold = -1L)
+      .as[(Long, Long)].collect().toSet
+    assert(dist == out)
+  }
+
   test("SCC-chain in descending-id order needs multiple harvest rounds" +
       " and still finishes; tight maxRounds fails loudly") {
     // {e,f} -> {c,d} -> {a,b}: coloring floods everything with 'f', so

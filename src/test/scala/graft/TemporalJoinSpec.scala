@@ -95,6 +95,27 @@ class TemporalJoinSpec extends SparkSuite {
     }
   }
 
+  test("asof: null timestamps and null keys never match (oracle semantics)") {
+    // a null-rts right row would sort NULLS FIRST and stick as a bogus
+    // carry-forward match without the operator's null fence
+    val r = Seq((Some("a"), None: Option[Double], "bad"),
+      (Some("a"), Some(10.0), "ok"), (None, Some(1.0), "nullkey"))
+      .toDF("k", "rts", "v")
+    val l = Seq((1, Some("a"), Some(5.0)),   // before any real right: no match
+      (2, Some("a"), Some(12.0)),            // matches the ts=10 row
+      (3, Some("a"), None),                  // null left ts: kept, unmatched
+      (4, None, Some(50.0)))                 // null left key: kept, unmatched
+      .toDF("id", "k", "ts")
+    val out = TemporalJoin.asofJoin(l, r, Seq("k"), "ts", "rts", Seq("v"))
+      .select(col("id"), col("asof_ts"), col("v"))
+      .as[(Int, Option[Double], Option[String])].collect().toSet
+    assert(out == Set(
+      (1, None, None),
+      (2, Some(10.0), Some("ok")),
+      (3, None, None),
+      (4, None, None)))
+  }
+
   // ---------------- intervalJoin ----------------
 
   private def P(rows: (Int, Double)*) = rows.toDF("id", "p")
