@@ -971,7 +971,16 @@ object SparkEntry {
       // strict-order earliest-completion funnel view -> click -> purchase
       graft.ops.Funnel.stages(t(s, d, "events"), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))
-        .withColumnRenamed("user", "user_id"))
+        .withColumnRenamed("user", "user_id")),
+    "q90_interval_merge" -> ((s, d) => {
+      // per-user error-state uptime: coalesce overlapping 10-minute error
+      // windows into maximal disjoint outage periods
+      val ev = t(s, d, "events")
+      val iv = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      graft.ops.TemporalJoin.mergeIntervals(iv, Seq("user_id"), "lo", "hi")
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2148,6 +2157,28 @@ object SparkEntry {
         |       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
         |                 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stages,
         |       t1.t1 AS first_ts, coalesce(t3.t3, t2.t2, t1.t1) AS last_ts
-        |FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u""".stripMargin
+        |FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u""".stripMargin,
+    // q90: DuckDB replays the running-max chain construction with its own
+    // window machinery
+    "q90_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+        |  FROM events
+        |  WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
+        |), marked AS (
+        |  SELECT user_id, lo, hi,
+        |    CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+        |         THEN 1 ELSE 0 END AS new_c
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), chains AS (
+        |  SELECT user_id, lo, hi,
+        |    sum(new_c) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+        |  FROM marked
+        |)
+        |SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+        |FROM chains GROUP BY user_id, chain""".stripMargin
   )
 }

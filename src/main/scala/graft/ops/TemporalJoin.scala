@@ -151,6 +151,45 @@ object TemporalJoin {
           rightPayload.map(c => nullMatch.getField(c).as(c))): _*))
   }
 
+  /** Coalesce overlapping-or-touching [lo, hi) intervals per key into
+    * maximal disjoint intervals — the temporal-validity normalizer (a
+    * fact's validity periods unioned across sources; a user's error-state
+    * uptime; sensor on-windows) run before any duration sum, which would
+    * otherwise double-count overlaps.
+    *
+    * One pass: per-key window ordered by (lo, hi), a running max of the
+    * preceding hi marks where a new chain starts (lo > maxSoFar), the
+    * running count of starts is the chain id, one (key, chain) aggregate
+    * emits (lo = min lo, hi = max hi). Degenerate (lo >= hi) and null
+    * intervals drop. Two exchanges total: the window's key shuffle (reused
+    * by the aggregate — same key prefix) — the sort-merge floor for an
+    * order-dependent merge. Skew: a mega-key buffers in WindowExec, which
+    * spills; running frames evaluate incrementally.
+    *
+    * Output: (key..., lo, hi, n_merged) — n_merged counts the source
+    * intervals folded into each maximal interval. Touching intervals
+    * ([1,3) + [3,5)) MERGE (their union is one contiguous period;
+    * half-open semantics make 3 covered exactly once).
+    */
+  def mergeIntervals(df: DataFrame, key: Seq[String],
+      lo: String, hi: String): DataFrame = {
+    require(key.nonEmpty, "mergeIntervals: at least one key column")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(lo).asc, col(hi).asc)
+    val prevMax = max(col(hi)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val chained = df
+      .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) < col(hi))
+      .withColumn("__new", when(prevMax.isNull || col(lo) > prevMax, 1)
+        .otherwise(0))
+      .withColumn("__chain", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    chained.groupBy((key.map(col) :+ col("__chain")): _*)
+      .agg(min(col(lo)).as(lo), max(col(hi)).as(hi),
+        count(lit(1)).as("n_merged"))
+      .drop("__chain")
+  }
+
   /** Inner point-in-interval join: left rows paired with every right
     * interval [lo, hi) containing `point`. Output = left columns +
     * `rightCols` from the interval side. `width` is the bucket size in the

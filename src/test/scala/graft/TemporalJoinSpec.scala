@@ -182,6 +182,52 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out == Set((1, "w1")))
   }
 
+  // ---------------- mergeIntervals ----------------
+
+  private def MI(rows: (String, Double, Double)*) = rows.toDF("k", "lo", "hi")
+  private def mi(df: org.apache.spark.sql.DataFrame): Set[(String, Double, Double, Long)] =
+    TemporalJoin.mergeIntervals(df, Seq("k"), "lo", "hi")
+      .as[(String, Double, Double, Long)].collect().toSet
+
+  test("merge: overlapping and touching intervals coalesce, disjoint stay") {
+    val out = mi(MI(("a", 1.0, 3.0), ("a", 2.0, 5.0),   // overlap
+      ("a", 5.0, 6.0),                                  // touching: merges
+      ("a", 8.0, 9.0),                                  // gap: separate
+      ("b", 1.0, 2.0)))                                 // other key isolated
+    assert(out == Set(("a", 1.0, 6.0, 3L), ("a", 8.0, 9.0, 1L),
+      ("b", 1.0, 2.0, 1L)))
+  }
+
+  test("merge: containment folds in; degenerate/null intervals drop") {
+    val rows = Seq((Some("a"), Some(1.0), Some(10.0)),
+      (Some("a"), Some(2.0), Some(3.0)),     // contained
+      (Some("a"), Some(4.0), Some(4.0)),     // empty: dropped
+      (Some("a"), Some(9.0), Some(2.0)),     // inverted: dropped
+      (Some("a"), None, Some(5.0)))          // null: dropped
+      .toDF("k", "lo", "hi")
+    assert(mi(rows) == Set(("a", 1.0, 10.0, 2L)))
+  }
+
+  test("merge: matches a naive driver sweep on pseudo-random intervals") {
+    val rows = (1 to 80).map { i =>
+      val lo = (i * 13 % 50).toDouble
+      (if (i % 2 == 0) "x" else "y", lo, lo + (i % 7 + 1))
+    }
+    def naive(rs: Seq[(String, Double, Double)]): Set[(String, Double, Double, Long)] =
+      rs.groupBy(_._1).flatMap { case (k, v) =>
+        val sorted = v.map(t => (t._2, t._3)).sortBy(identity)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+        for ((l, h) <- sorted) {
+          if (acc.nonEmpty && l <= acc.last._2)
+            acc(acc.length - 1) = (acc.last._1, math.max(acc.last._2, h), acc.last._3 + 1)
+          else acc += ((l, h, 1L))
+        }
+        acc.map(t => (k, t._1, t._2, t._3))
+      }.toSet
+    assert(mi(MI(rows: _*)) == naive(rows))
+    assert(mi(MI(rows: _*).repartition(7)) == naive(rows)) // layout invariance
+  }
+
   test("timestamp_ntz (parquet default) works for both joins incl tolerance") {
     // NTZ has no direct double cast — the operator must route it through LTZ
     val pts = Seq((1, "2024-01-01 00:05:00"), (2, "2024-01-01 02:00:00"))
