@@ -980,7 +980,13 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("lo"),
           (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
       graft.ops.TemporalJoin.mergeIntervals(iv, Seq("user_id"), "lo", "hi")
-    })
+    }),
+    "q91_priority_sample" -> ((s, d) =>
+      // weighted sample-without-replacement ∝ n_chars (priority sampling:
+      // k smallest u/w, u from the portable rolling fingerprint)
+      graft.ops.Curation.prioritySample(
+        t(s, d, "documents"), col("doc_id"), col("n_chars"), k = 50)
+        .select("doc_id", "n_chars", "u", "priority"))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2179,6 +2185,21 @@ object SparkEntry {
         |  FROM marked
         |)
         |SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
-        |FROM chains GROUP BY user_id, chain""".stripMargin
+        |FROM chains GROUP BY user_id, chain""".stripMargin,
+    // q91: DuckDB replays u = (fp('w:'||id) mod 2^20 + 1)/2^20 with its own
+    // list_reduce fold (the q52-proven portable hash) and the same single
+    // IEEE division — bit-identical priorities, identical top-k cut
+    "q91_priority_sample" ->
+      """SELECT doc_id, n_chars, u, u / CAST(n_chars AS DOUBLE) AS priority
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT)
+        |       FOR c IN string_split('w:' || CAST(doc_id AS VARCHAR), '')]),
+        |     (h, c) -> (h * 31 + c) % 2147483647) % 1048576 + 1 AS DOUBLE)
+        |      / 1048576.0 AS u
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |ORDER BY priority ASC, doc_id ASC LIMIT 50""".stripMargin
   )
 }

@@ -147,6 +147,36 @@ object Curation {
       .where(col("bucket") < rate)
   }
 
+  /** Deterministic WEIGHTED sample-without-replacement of fixed size k —
+    * PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007): each row gets
+    * priority q = u / w with u a per-id uniform in (0, 1] and w its weight,
+    * and the k SMALLEST priorities are kept — inclusion probability scales
+    * with weight, and the scheme is the one-pass, merge-friendly standard
+    * for "sample docs ∝ quality/importance weight" (the consumer of DSIR
+    * weights — importanceWeights — or any positive quality score).
+    *
+    * Determinism across engines AND layouts: u derives from the q28-proven
+    * rolling fingerprint of (salt || id) — (h mod 2²⁰ + 1) / 2²⁰, an exact
+    * dyadic rational — and q = u / w is a single correctly-rounded IEEE
+    * division of exactly-representable inputs, so any engine computes the
+    * identical double and the identical top-k cut (no ln/pow — the
+    * Efraimidis–Spirakis u^(1/w) form would not replay bit-exactly).
+    * Ties (same q) break by id. Non-positive/null weights are rejected
+    * rows (a weight of 0 cannot be prioritized; counted+warned upstream if
+    * needed). The cut itself is a TakeOrdered, not a global sort. */
+  def prioritySample(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "w:"): DataFrame = {
+    require(k > 0, "prioritySample: k must be > 0")
+    val den = 1L << 20
+    val u = (pmod(TextOps.fingerprint(concat(lit(salt), id.cast("string"))),
+      lit(den)) + lit(1L)).cast("double") / lit(den.toDouble)
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("u", u)
+      .withColumn("priority", col("u") / weight.cast("double"))
+      .orderBy(col("priority").asc, id.asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------ packing ----
 
   /** Concat-and-chunk sequence packing — the GPT-style training-data layout:

@@ -296,6 +296,42 @@ class CurationSpec extends SparkSuite {
     assert(one == many)
   }
 
+  test("prioritySample: matches a driver replay of the published formula") {
+    // independent sequential replay: same rolling fingerprint, same
+    // u = (h mod 2^20 + 1)/2^20, same single division, same (q, id) cut
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => java.lang.Math.floorMod(h * 31 + c.toLong, 2147483647L))
+    val rows = (0L until 120L).map(i => (i, (i * 37 % 900 + 1).toDouble))
+    val expected = rows.map { case (id, w) =>
+      val u = (java.lang.Math.floorMod(fp(s"w:$id"), 1L << 20) + 1).toDouble / (1L << 20)
+      (id, w, u, u / w)
+    }.sortBy(t => (t._4, t._1)).take(25).toSet
+    val out = Curation.prioritySample(rows.toDF("id", "w"),
+      col("id"), col("w"), k = 25)
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(out == expected)
+    // layout invariance: identical cut at any partitioning
+    val re = Curation.prioritySample(rows.toDF("id", "w").repartition(13),
+      col("id"), col("w"), k = 25)
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(re == out)
+  }
+
+  test("prioritySample: non-positive and null weights are excluded; heavy" +
+      " weights are overrepresented") {
+    val rows = Seq((1L, Some(0.0)), (2L, Some(-5.0)), (3L, None),
+      (4L, Some(2.0)), (5L, Some(3.0))).toDF("id", "w")
+    val out = Curation.prioritySample(rows, col("id"), col("w"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(4L, 5L))
+    // statistical sanity at scale: weight-1000 ids should dominate a k-cut
+    // over weight-1 ids (deterministic given the fixed hash)
+    val skewed = (0L until 200L).map(i => (i, if (i < 100) 1000.0 else 1.0))
+    val kept = Curation.prioritySample(skewed.toDF("id", "w"),
+      col("id"), col("w"), k = 40).select("id").as[Long].collect()
+    assert(kept.count(_ < 100) > 30, s"heavy ids underrepresented: ${kept.toSeq}")
+  }
+
   test("packingStats: sequence count, fill ratio, straddle count") {
     val docs = Seq((0L, 250L), (1L, 0L), (2L, 80L)).toDF("doc_id", "n")
     val packed = Curation.packSequences(docs, col("doc_id"), col("n"), 100L, numBuckets = 2)
