@@ -77,8 +77,10 @@ object ConnectedComponents {
     // single action: take(threshold+1) both sizes the edge set AND collects
     // it when small — no separate count() pass over the linking chain
     if (smallThreshold >= 0) {
-      val head = cleaned.take(smallThreshold.toInt + 1)
-      if (head.length <= smallThreshold) {
+      // clamp before toInt: a >2^31 threshold must not wrap negative
+      val thr = math.min(smallThreshold, Int.MaxValue - 1L).toInt
+      val head = cleaned.take(thr + 1)
+      if (head.length <= thr) {
         val spark = edges.sparkSession
         import spark.implicits._
         return unionFindLocal(spark,

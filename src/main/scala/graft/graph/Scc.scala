@@ -59,30 +59,13 @@ object Scc {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val integral = Seq(srcCol, dstCol).forall(c =>
-      edges.schema(c).dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => true
-        case _ => false
-      })
-    // order-preserving integral encoding, NEGATIVES INCLUDED: plain
-    // zero-padding inverts order within negatives ('-…1' < '-…2' but
-    // -1 > -2). Sign-prefix + bias instead: negatives map to
-    // "0" ++ pad19(c − Long.MinValue) (∈ [0, 2⁶³), numeric order), and
-    // non-negatives to "1" ++ pad19(c) — all negatives sort before all
-    // non-negatives, so string min == numeric min everywhere incl.
-    // Long.MinValue. (dupGroups raise_errors on negatives instead; here
-    // ids routinely come from xxhash64, which is negative half the time.)
+    val integral = graft.ops.Ids.integral(edges, srcCol, dstCol)
+    // order-preserving integral encoding, NEGATIVES INCLUDED (ids
+    // routinely come from xxhash64, negative half the time) — the shared
+    // sign-prefixed codec, see graft.ops.Ids
     def enc(c: org.apache.spark.sql.Column) =
-      if (integral) {
-        val l = c.cast("long")
-        when(l < 0, concat(lit("0"), format_string("%019d", l - lit(Long.MinValue))))
-          .otherwise(concat(lit("1"), format_string("%019d", l)))
-      } else c.cast("string")
-    def dec(c: org.apache.spark.sql.Column) =
-      when(substring(c, 1, 1) === "0",
-        substring(c, 2, 19).cast("long") + lit(Long.MinValue))
-        .otherwise(substring(c, 2, 19).cast("long"))
+      if (integral) graft.ops.Ids.encodeOrdered(c) else c.cast("string")
+    def dec(c: org.apache.spark.sql.Column) = graft.ops.Ids.decodeOrdered(c)
 
     val cleaned = edges
       .select(enc(col(srcCol)).as("src"), enc(col(dstCol)).as("dst"))

@@ -342,28 +342,21 @@ object Dedup {
     * machinery; the input is pair-scale, not corpus-scale.
     *
     * CC propagates STRING labels under lexicographic order; integral id
-    * columns are therefore zero-padded internally and cast back, so the
-    * group label is the NUMERIC minimum and the output keeps the ids'
-    * integral type — callers cannot silently mislabel unpadded numeric ids
-    * (r3 verdict #4). Negative ids would invert the padding order, so they
-    * fail loudly instead of mislabeling. */
+    * columns are therefore encoded with the ORDER-PRESERVING sign-prefixed
+    * padding (`Ids.encodeOrdered` — negatives included, unlike plain
+    * zero-padding) and decoded back, so the group label is the NUMERIC
+    * minimum and the output keeps the ids' integral type — callers cannot
+    * silently mislabel unpadded or negative (xxhash64-shaped) ids
+    * (r3 verdict #4; negative support added r4 with the Scc codec). */
   def dupGroups(pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    import org.apache.spark.sql.types._
-    val integral = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    })
+    val integral = graft.ops.Ids.integral(pairs, idA, idB)
     if (integral) {
-      val pad = (c: String) =>
-        when(col(c) < 0, raise_error(
-          lit(s"dupGroups: negative integral id in '$c' — numeric-min " +
-            "labeling requires non-negative ids (pad to string upstream)")))
-          .otherwise(format_string("%019d", col(c).cast("long")))
       graft.canon.ConnectedComponents.run(
-          pairs.select(pad(idA).as("src"), pad(idB).as("dst")))
-        .select(col("id").cast("long").as("id"),
-          col("component").cast("long").as("group_id"))
+          pairs.select(graft.ops.Ids.encodeOrdered(col(idA)).as("src"),
+            graft.ops.Ids.encodeOrdered(col(idB)).as("dst")))
+        .select(graft.ops.Ids.decodeOrdered(col("id")).as("id"),
+          graft.ops.Ids.decodeOrdered(col("component")).as("group_id"))
     } else
       graft.canon.ConnectedComponents.run(
           pairs.select(col(idA).as("src"), col(idB).as("dst")))

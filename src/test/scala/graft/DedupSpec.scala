@@ -192,11 +192,13 @@ class DedupSpec extends SparkSuite {
     assert(out.schema("group_id").dataType == org.apache.spark.sql.types.LongType)
     val groups = out.as[(Long, Long)].collect().toMap
     assert(groups == Map(2L -> 2L, 10L -> 2L, 100L -> 2L, 7L -> 7L, 30L -> 7L))
-    // negative ids would invert the padding order → loud failure, not a
-    // silent mislabel
-    val neg = Seq((-1L, 2L)).toDF("id_a", "id_b")
-    val e = intercept[Exception](Dedup.dupGroups(neg).collect())
-    assert(e.getMessage != null)
+    // negative (xxhash64-shaped) ids label correctly too — the shared
+    // order-preserving codec (graft.ops.Ids), not plain zero-padding
+    val neg = Seq((-1L, 2L), (-10L, -1L), (Long.MinValue, 5L))
+      .toDF("id_a", "id_b")
+    val gn = Dedup.dupGroups(neg).as[(Long, Long)].collect().toMap
+    assert(gn == Map(-10L -> -10L, -1L -> -10L, 2L -> -10L,
+      Long.MinValue -> Long.MinValue, 5L -> Long.MinValue))
   }
 
   test("decontamination: verbatim k-gram overlap vs an eval set, minHits knob") {
