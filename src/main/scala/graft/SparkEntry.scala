@@ -986,7 +986,20 @@ object SparkEntry {
       // k smallest u/w, u from the portable rolling fingerprint)
       graft.ops.Curation.prioritySample(
         t(s, d, "documents"), col("doc_id"), col("n_chars"), k = 50)
-        .select("doc_id", "n_chars", "u", "priority"))
+        .select("doc_id", "n_chars", "u", "priority")),
+    "q92_neighbor_mean" -> ((s, d) => {
+      // one round of mean message passing (GraphSAGE aggregation) over the
+      // vec_id tree+shortcut graph; flattened to (id, dim, mean@6dp) rows
+      val emb = t(s, d, "embeddings")
+      val e1 = emb.where(col("vec_id") > 1)
+        .select(col("vec_id").as("src"), expr("vec_id div 2").as("dst"))
+      val e2 = emb.where(col("vec_id") > 3)
+        .select(col("vec_id").as("src"), expr("vec_id div 4").as("dst"))
+      graft.graph.Propagate.neighborMean(e1.union(e2), emb)
+        .select(col("id"), posexplode(col("mean")).as(Seq("i", "v")))
+        .select(col("id"), col("i").cast("long").as("i"),
+          round(col("v"), 6).as("mean"))
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2200,6 +2213,21 @@ object SparkEntry {
         |      / 1048576.0 AS u
         |  FROM documents
         |  WHERE n_chars IS NOT NULL AND n_chars > 0)
-        |ORDER BY priority ASC, doc_id ASC LIMIT 50""".stripMargin
+        |ORDER BY priority ASC, doc_id ASC LIMIT 50""".stripMargin,
+    // q92: DuckDB re-derives the neighbor mean relationally (zipped unnest
+    // of index range + double-cast values, GROUP BY (node, dim) avg)
+    "q92_neighbor_mean" ->
+      """WITH e AS (
+        |  SELECT vec_id AS src, vec_id // 2 AS dst FROM embeddings WHERE vec_id > 1
+        |  UNION ALL
+        |  SELECT vec_id AS src, vec_id // 4 AS dst FROM embeddings WHERE vec_id > 3
+        |), msg AS (
+        |  SELECT e.dst,
+        |         unnest(range(len(f.embedding))) AS i,
+        |         unnest([CAST(x AS DOUBLE) FOR x IN f.embedding]) AS v
+        |  FROM e JOIN embeddings f ON f.vec_id = e.src
+        |)
+        |SELECT dst AS id, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS mean
+        |FROM msg GROUP BY 1, 2""".stripMargin
   )
 }
