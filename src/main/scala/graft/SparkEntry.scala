@@ -999,7 +999,12 @@ object SparkEntry {
         .select(col("id"), posexplode(col("mean")).as(Seq("i", "v")))
         .select(col("id"), col("i").cast("long").as("i"),
           round(col("v"), 6).as("mean"))
-    })
+    }),
+    "q93_cooccurrence" -> ((s, d) =>
+      // bipartite projection: parts co-ordered in >= 2 distinct orders
+      // (the entities-co-mentioned edge builder), capped + audit-counted
+      graft.graph.Cooccur.project(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2228,6 +2233,16 @@ object SparkEntry {
         |  FROM e JOIN embeddings f ON f.vec_id = e.src
         |)
         |SELECT dst AS id, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS mean
-        |FROM msg GROUP BY 1, 2""".stripMargin
+        |FROM msg GROUP BY 1, 2""".stripMargin,
+    // q93: the definitional relational projection (ids compared as VARCHAR,
+    // matching the operator's string id model)
+    "q93_cooccurrence" ->
+      """WITH m AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS c,
+        |         CAST(l_partkey AS VARCHAR) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
+        |FROM m a JOIN m b ON a.c = b.c AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   )
 }
