@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed `Aggregator` computing the element-wise MEAN of float vectors —
+/** Typed `Aggregator` computing the element-wise MEAN of numeric vectors —
   * the reduce side of one message-passing round (`graph/Propagate`): the
   * buffer carries (element-wise double sums, count), reduce adds a vector,
   * merge adds buffers — fully decomposable, so Spark applies MAP-SIDE
@@ -12,29 +12,35 @@ import org.apache.spark.sql.expressions.Aggregator
   * advantage over collect_list-then-fold, which ships every neighbor
   * vector to one reducer).
   *
-  * Sums are doubles (a float Σ over a large neighborhood loses bits);
+  * Input is Seq[Double] — callers up-cast float features losslessly and
+  * double features pass through untruncated (Propagate casts to
+  * array<double>; an earlier array<float> signature silently rounded
+  * stacked-round doubles back to 24-bit mantissas). Sums are doubles;
   * vectors must share one dimension per group — a mismatch fails loudly
   * rather than silently truncating. Null/empty vectors are ignored (they
   * contribute neither sum nor count); an all-null group yields null.
+  * Vectors containing NULL ELEMENTS must be fenced by the caller (the
+  * primitive-seq encoder rejects them at runtime — Propagate drops them
+  * with a forall(isNotNull) filter).
   */
-class VecMeanAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+class VecMeanAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
-  override def reduce(buf: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+  override def reduce(buf: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     if (v == null || v.isEmpty) buf
     else {
       val (s, n) = buf
       if (n == 0L) {
         val fresh = new Array[Double](v.length)
         var i = 0
-        while (i < v.length) { fresh(i) = v(i).toDouble; i += 1 }
+        while (i < v.length) { fresh(i) = v(i); i += 1 }
         (fresh, 1L)
       } else {
         require(s.length == v.length,
           s"VecMeanAgg: dimension mismatch (${s.length} vs ${v.length})")
         var i = 0
-        while (i < s.length) { s(i) += v(i).toDouble; i += 1 }
+        while (i < s.length) { s(i) += v(i); i += 1 }
         (s, n + 1L)
       }
     }

@@ -35,16 +35,13 @@ object Cooccur {
       .where(col("c").isNotNull && col("i").isNotNull)
       .distinct(), eager = false)
     val sizes = graft.Materialize(m.groupBy("c").count(), eager = false)
-    if (graft.Materialize.accountingEnabled(df.sparkSession)) {
-      val dropped = sizes.where(col("count") > maxPerContainer)
-        .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
-      if (dropped.getLong(0) > 0)
-        graft.Audit.warn(s"Cooccur.project: excluding ${dropped.getLong(0)} " +
-          s"containers over $maxPerContainer items (covering " +
-          s"${dropped.getLong(1)} membership rows); their pairs are not " +
-          "counted — raise maxPerContainer if they carry signal")
-    } else graft.Audit.warn("Cooccur.project: materialize=none — " +
-      "in-operator cap accounting skipped")
+    graft.Audit.capAccounting(sizes, maxPerContainer, "Cooccur.project") {
+      (nGroups, nRows) =>
+        s"Cooccur.project: excluding $nGroups containers over " +
+          s"$maxPerContainer items (covering $nRows membership rows); " +
+          "their pairs are not counted — raise maxPerContainer if they " +
+          "carry signal"
+    }
     val kept = m.join(sizes.where(col("count") <= maxPerContainer), Seq("c"))
     kept.select(col("c"), col("i").as("item_a"))
       .join(kept.select(col("c"), col("i").as("item_b")), Seq("c"))

@@ -35,9 +35,14 @@ object Propagate {
     edges
       .select(col(srcCol).as("__src"), col(dstCol).as("id"))
       .where(col("__src").isNotNull && col("id").isNotNull)
+      // cast UP to double (float features lossless, double features — e.g.
+      // a previous round's output — untruncated); vectors with null
+      // ELEMENTS are malformed features and drop (the primitive-seq
+      // encoder would reject them mid-aggregation otherwise)
       .join(features.select(col(idCol).as("__src"),
-        col(vecCol).cast("array<float>").as("__v"))
-        .where(col("__v").isNotNull), Seq("__src"))
+        col(vecCol).cast("array<double>").as("__v"))
+        .where(col("__v").isNotNull &&
+          forall(col("__v"), x => x.isNotNull)), Seq("__src"))
       .groupBy("id")
       .agg(agg(col("__v")).as("mean"))
       .where(col("mean").isNotNull)

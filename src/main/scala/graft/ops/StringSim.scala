@@ -62,19 +62,16 @@ object StringSim {
       .distinct()
     val hashed = graft.Materialize(variants, eager = false)
 
-    // cap hot buckets, counted+warned in-operator (the minhash discipline)
+    // cap hot buckets, counted+warned in-operator (the minhash discipline,
+    // via the shared Audit.capAccounting step)
     val sizes = graft.Materialize(hashed.groupBy("h").count(), eager = false)
-    if (graft.Materialize.accountingEnabled(df.sparkSession)) {
-      val dropped = sizes.where(col("count") > maxBucket)
-        .agg(count(lit(1)), coalesce(sum(col("count")), lit(0L))).head()
-      if (dropped.getLong(0) > 0)
-        graft.Audit.warn(s"editDistanceJoin: dropping ${dropped.getLong(0)} " +
-          s"over-cap variant buckets covering ${dropped.getLong(1)} " +
-          s"(id, variant) rows (maxBucket=$maxBucket); pairs found ONLY " +
-          "through dropped variants are not emitted — raise maxBucket")
-    } else graft.Audit.warn("editDistanceJoin: materialize=none — " +
-      "in-operator cap accounting skipped (it would double-compute the " +
-      "variant aggregate)")
+    graft.Audit.capAccounting(sizes, maxBucket, "editDistanceJoin") {
+      (nBuckets, nRows) =>
+        s"editDistanceJoin: dropping $nBuckets over-cap variant buckets " +
+          s"covering $nRows (id, variant) rows (maxBucket=$maxBucket); " +
+          "pairs found ONLY through dropped variants are not emitted — " +
+          "raise maxBucket"
+    }
     val kept = hashed.join(sizes.where(col("count") <= maxBucket), Seq("h"))
 
     val cand = kept.select(col("h"), col("id").as("id_a"))

@@ -160,11 +160,13 @@ object TemporalJoin {
     * One pass: per-key window ordered by (lo, hi), a running max of the
     * preceding hi marks where a new chain starts (lo > maxSoFar), the
     * running count of starts is the chain id, one (key, chain) aggregate
-    * emits (lo = min lo, hi = max hi). Degenerate (lo >= hi) and null
-    * intervals drop. Two exchanges total: the window's key shuffle (reused
-    * by the aggregate — same key prefix) — the sort-merge floor for an
-    * order-dependent merge. Skew: a mega-key buffers in WindowExec, which
-    * spills; running frames evaluate incrementally.
+    * emits (lo = min lo, hi = max hi). Degenerate (lo >= hi), null-interval
+    * and null-KEY rows drop (unrelated null keys must not merge into one
+    * bogus group — the asofJoin null fence). ONE exchange total: the
+    * window's key shuffle, which the (key, chain) aggregate reuses (its
+    * required distribution is satisfied by hash(key)) — the sort-merge
+    * floor for an order-dependent merge. Skew: a mega-key buffers in
+    * WindowExec, which spills; running frames evaluate incrementally.
     *
     * Output: (key..., lo, hi, n_merged) — n_merged counts the source
     * intervals folded into each maximal interval. Touching intervals
@@ -179,7 +181,8 @@ object TemporalJoin {
     val prevMax = max(col(hi)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
     val chained = df
-      .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) < col(hi))
+      .where(key.map(col(_).isNotNull).reduce(_ && _) &&
+        col(lo).isNotNull && col(hi).isNotNull && col(lo) < col(hi))
       .withColumn("__new", when(prevMax.isNull || col(lo) > prevMax, 1)
         .otherwise(0))
       .withColumn("__chain", sum(col("__new")).over(

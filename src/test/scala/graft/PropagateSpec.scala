@@ -57,6 +57,25 @@ class PropagateSpec extends SparkSuite {
     assert(close(run(edges(e: _*).repartition(7), feats(f: _*)), naive.toMap))
   }
 
+  test("double-typed features pass untruncated (multi-round stacking)") {
+    // 0.1 is not float-representable: a silent float cast would shift it
+    val f = Seq((1L, Seq(0.1, 0.3)), (2L, Seq(0.3, 0.1))).toDF("vec_id", "embedding")
+    val out = Propagate.neighborMean(edges((1L, 9L), (2L, 9L)), f)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(9L) == Seq((0.1 + 0.3) / 2, (0.3 + 0.1) / 2))
+    // and rounds stack: the double output feeds straight back in
+    val out2 = Propagate.neighborMean(edges((9L, 10L)),
+      out.toSeq.toDF("vec_id", "embedding")).as[(Long, Seq[Double])].collect().toMap
+    assert(out2(10L) == out(9L))
+  }
+
+  test("vectors with null ELEMENTS are fenced (dropped, not a crash)") {
+    val f = Seq((1L, Seq(Some(1f), None, Some(3f))), (2L, Seq(Some(4f), Some(6f), Some(8f))))
+      .toDF("vec_id", "embedding")
+    val out = run(edges((1L, 9L), (2L, 9L)), f)
+    assert(out == Map(9L -> Seq(4.0, 6.0, 8.0))) // only the clean vector
+  }
+
   test("dimension mismatch fails loudly") {
     val f = feats((1L, Seq(1f, 2f)), (2L, Seq(3f)))
     val e = intercept[Exception] {

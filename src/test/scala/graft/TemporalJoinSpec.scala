@@ -198,12 +198,14 @@ class TemporalJoinSpec extends SparkSuite {
       ("b", 1.0, 2.0, 1L)))
   }
 
-  test("merge: containment folds in; degenerate/null intervals drop") {
+  test("merge: containment folds in; degenerate/null intervals + null keys drop") {
     val rows = Seq((Some("a"), Some(1.0), Some(10.0)),
       (Some("a"), Some(2.0), Some(3.0)),     // contained
       (Some("a"), Some(4.0), Some(4.0)),     // empty: dropped
       (Some("a"), Some(9.0), Some(2.0)),     // inverted: dropped
-      (Some("a"), None, Some(5.0)))          // null: dropped
+      (Some("a"), None, Some(5.0)),          // null lo: dropped
+      (None, Some(1.0), Some(2.0)),          // null KEY: dropped (unrelated
+      (None, Some(50.0), Some(60.0)))        //  null keys must not merge)
       .toDF("k", "lo", "hi")
     assert(mi(rows) == Set(("a", 1.0, 10.0, 2L)))
   }
