@@ -1004,7 +1004,48 @@ object SparkEntry {
       // bipartite projection: parts co-ordered in >= 2 distinct orders
       // (the entities-co-mentioned edge builder), capped + audit-counted
       graft.graph.Cooccur.project(t(s, d, "lineitem"),
-        "l_orderkey", "l_partkey", minCount = 2L))
+        "l_orderkey", "l_partkey", minCount = 2L)),
+    "q94_validity_intervals" -> ((s, d) =>
+      // temporal-KG SCD2: collapse each user's event-type assertion stream
+      // into half-open validity intervals (open tail = current belief)
+      graft.graph.History.validityIntervals(
+        t(s, d, "events").select(col("user_id").as("subj"),
+          lit("status").as("pred"), col("event_type").as("obj"), col("ts")))
+        .withColumnRenamed("subj", "user_id")),
+    "q95_entity_pivot" -> ((s, d) => {
+      // triples -> wide entity table by conditional aggregation (no pivot
+      // distinct-scan); ordered_part is multi-valued and resolves to
+      // max(obj) with the collapse counted in n_vals
+      val o = t(s, d, "orders")
+      def subj(c: org.apache.spark.sql.Column) = concat(lit("o"), c)
+      val tr = o.select(subj(col("o_orderkey")).as("subj"),
+          lit("placed_by").as("pred"),
+          concat(lit("c"), col("o_custkey")).as("obj"))
+        .union(o.select(subj(col("o_orderkey")), lit("has_priority"),
+          col("o_orderpriority")))
+        .union(t(s, d, "lineitem").select(subj(col("l_orderkey")),
+          lit("ordered_part"), concat(lit("p"), col("l_partkey"))))
+      graft.graph.EntityTable.entityTable(tr,
+        Seq("placed_by", "has_priority", "ordered_part"),
+        nValsCol = Some("n_vals"))
+    }),
+    "q96_setsim_join" -> ((s, d) =>
+      // EXACT jaccard >= 0.9 over distinct-word sets via prefix filtering
+      // (AllPairs/PPJoin) — the zero-recall-loss twin of q21's minhash
+      graft.ops.SetSim.jaccardJoin(
+        t(s, d, "documents").select(col("doc_id"),
+          array_distinct(split(trim(col("text")), "\\s+")).as("toks")),
+        "doc_id", "toks", threshold = 0.9)),
+    "q97_profile" -> ((s, d) =>
+      // one-pass data-quality report (count/null/distinct/min/max per
+      // column, single Expand aggregate — no per-column jobs)
+      graft.ops.Profile.columns(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "q98_kmv_distinct" -> ((s, d) =>
+      // per-language distinct-text cardinality via the deterministic KMV
+      // sketch (exact below k; (k-1)*M/h_k above)
+      graft.ops.Sketch.kmvDistinct(t(s, d, "documents"),
+        Seq("lang"), "text", k = 64))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2243,6 +2284,93 @@ object SparkEntry {
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
         |SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
         |FROM m a JOIN m b ON a.c = b.c AND a.i < b.i
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // q94: DuckDB replays the run construction with its own window
+    // machinery (lag change-detect -> running-sum run id -> run aggregate
+    // -> lead), the q90 precedent for order-dependent operators
+    "q94_validity_intervals" ->
+      """WITH base AS (
+        |  SELECT user_id, 'status' AS pred, event_type AS obj, ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+        |), marked AS (
+        |  SELECT *, CASE WHEN lag(obj) OVER w IS NULL OR lag(obj) OVER w <> obj
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY user_id, pred ORDER BY ts, obj)
+        |), runs AS (
+        |  SELECT user_id, pred, obj, min(ts) AS valid_from, count(*) AS n_events, r
+        |  FROM (SELECT *, sum(chg) OVER (PARTITION BY user_id, pred
+        |          ORDER BY ts, obj ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |        FROM marked)
+        |  GROUP BY user_id, pred, obj, r
+        |)
+        |SELECT user_id, pred, obj, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id, pred ORDER BY r) AS valid_to,
+        |       n_events
+        |FROM runs""".stripMargin,
+    // q95: the oracle answers RELATIONALLY on the base tables (orders +
+    // a lineitem max/count rollup) — independent of the triple-ization
+    // and the conditional-aggregation pivot under test
+    "q95_entity_pivot" ->
+      """SELECT 'o' || o_orderkey AS subj,
+        |       'c' || o_custkey AS placed_by,
+        |       o_orderpriority AS has_priority,
+        |       lp.top_part AS ordered_part,
+        |       CAST(2 + coalesce(lp.n_parts, 0) AS BIGINT) AS n_vals
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, max('p' || l_partkey) AS top_part,
+        |         count(*) AS n_parts
+        |  FROM lineitem GROUP BY 1
+        |) lp ON lp.l_orderkey = o_orderkey""".stripMargin,
+    // q96: the raw quadratic scan IS the definition — DuckDB all-pairs
+    // exact jaccard over distinct-word sets, independent of the prefix-
+    // filtering blocking under test (the q88 oracle pattern)
+    "q96_setsim_join" ->
+      """WITH s AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         len(list_intersect(a.toks, b.toks)) AS i,
+        |         len(a.toks) AS sa, len(b.toks) AS sb
+        |  FROM s a JOIN s b ON a.id < b.id
+        |)
+        |SELECT id_a, id_b,
+        |       round(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
+        |FROM p WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.9""".stripMargin,
+    // q97: the report restated as five independent scalar aggregates
+    "q97_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map {
+      c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
+    // q98: DuckDB replays the scrambled portable hash (the q28 fingerprint
+    // fold + two MINSTD LCG rounds) and the same row_number/aggregate
+    // construction — bit-identical h_k, identical IEEE estimate
+    "q98_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |        (h, c) -> (h * 31 + c) % 2147483647)
+        |       * 48271 + 12345) % 2147483647)
+        |     * 69621 + 54321) % 2147483647 AS hv
+        |  FROM documents WHERE text IS NOT NULL
+        |), ranked AS (
+        |  SELECT lang, hv,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |  FROM h
+        |), agg AS (
+        |  SELECT lang, count(*) AS n_sketch, max(hv) AS h_k
+        |  FROM ranked WHERE rn <= 64 GROUP BY lang
+        |)
+        |SELECT lang, n_sketch, h_k,
+        |       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE round(63.0 * 2147483647 / h_k, 4) END AS estimate
+        |FROM agg""".stripMargin
   )
 }

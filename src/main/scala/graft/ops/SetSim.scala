@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT Jaccard set-similarity self-join via prefix filtering — the
+  * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08;
+  * distributed form: Vernica et al., SIGMOD'10). The exact complement to
+  * `Dedup.minhashNearDup`: same blocking+verify house shape, but the
+  * candidate set PROVABLY contains every pair at jaccard ≥ t, so the
+  * output is the exact answer (minhash trades a recall epsilon for fewer
+  * candidates; prefix filtering trades more candidates for zero loss —
+  * at dedup thresholds ≥0.5 the prefix is short and the trade wins).
+  *
+  * Blocking: order each record's distinct tokens by ASCENDING global
+  * document frequency (rarest first, ties by token — any global total
+  * order is correct; df order makes prefixes meet in RARE tokens, which
+  * is what keeps candidate buckets small at corpus scale), then emit
+  * only the first `|s| - ceil(t·|s|) + 1` tokens as join keys: two sets
+  * with jaccard ≥ t must share a prefix token (if the prefixes were
+  * disjoint, every common token would sit in the suffixes, bounding the
+  * overlap below t·min(|a|,|b|) — which forces jaccard < t).
+  *
+  * Scale: token-frequency aggregate + per-record sort are one shuffle
+  * each over the token stream; prefix join keys are 64-bit token HASHES
+  * (strings never shuffle; a hash collision only ADDS candidates, which
+  * the exact verify removes); length pruning (min ≥ ceil(t·max)) cuts
+  * candidates inside the join; hot prefix buckets are capped at
+  * `maxBucket` with the drop counted and WARNED in-operator (the
+  * no-silent-caps rule). Verify re-joins the full token arrays by id and
+  * scores `|a∩b| / |a∪b|` in codegen'd HOFs. The `ceil` calls back off
+  * by 1e-9 so IEEE noise can only widen prefixes (more candidates),
+  * never narrow them (lost pairs).
+  */
+object SetSim {
+
+  /** Distinct pairs (id_a < id_b, string-compared) with exact
+    * jaccard(toks_a, toks_b) ≥ threshold, plus the score. Tokens are
+    * deduped per record; null ids / null or empty token arrays drop. */
+  def jaccardJoin(df: DataFrame, idCol: String, toksCol: String,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "jaccardJoin: threshold must be in (0, 1]")
+    require(maxBucket > 1, "jaccardJoin: maxBucket must be > 1")
+
+    val base = graft.Materialize(df
+      .select(col(idCol).cast("string").as("id"),
+        array_distinct(col(toksCol)).as("toks"))
+      .where(col("id").isNotNull && col("toks").isNotNull &&
+        size(col("toks")) > 0), eager = false)
+
+    val toks = base.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // rarest-first canonical order, then keep only the prefix
+    val prefixes = toks
+      .join(freq, Seq("tok"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("sorted"))
+      .withColumn("sz", size(col("sorted")))
+      .withColumn("plen",
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+      .select(col("id"), col("sz"),
+        explode(expr("slice(sorted, 1, plen)")).as("p"))
+      .select(col("id"), col("sz"), xxhash64(col("p.tok")).as("h"))
+    val hashed = graft.Materialize(prefixes, eager = false)
+
+    val sizes = graft.Materialize(hashed.groupBy("h").count(), eager = false)
+    graft.Audit.capAccounting(sizes, maxBucket, "SetSim.jaccardJoin") {
+      (nBuckets, nRows) =>
+        s"SetSim.jaccardJoin: dropping $nBuckets over-cap prefix-token " +
+          s"buckets covering $nRows (id, token) rows (maxBucket=" +
+          s"$maxBucket); pairs found ONLY through dropped tokens are not " +
+          "emitted — raise maxBucket"
+    }
+    val kept = hashed.join(sizes.where(col("count") <= maxBucket), Seq("h"))
+
+    val cand = kept.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(kept.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("h"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
+      .select("id_a", "id_b").distinct()
+
+    cand
+      .join(base.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("__j", col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+}
