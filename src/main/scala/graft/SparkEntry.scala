@@ -1045,7 +1045,58 @@ object SparkEntry {
       // per-language distinct-text cardinality via the deterministic KMV
       // sketch (exact below k; (k-1)*M/h_k above)
       graft.ops.Sketch.kmvDistinct(t(s, d, "documents"),
-        Seq("lang"), "text", k = 64))
+        Seq("lang"), "text", k = 64)),
+    "q99_golden_record" -> ((s, d) =>
+      // survivorship: one canonical record per customer entity by
+      // majority vote over its order records (ties to the largest value)
+      graft.canon.Survivorship.goldenRecord(t(s, d, "orders"),
+        "o_custkey", Seq("o_orderpriority", "o_orderstatus"))),
+    "q100_event_patterns" -> ((s, d) =>
+      // frequent consecutive event-type trigrams across users (behavior
+      // motifs; per-user sequence is ONE wide row, ordered by (ts, id))
+      graft.ops.Sequences.frequentPatterns(t(s, d, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type", k = 3, minKeys = 5L)),
+    "q101_resample_locf" -> ((s, d) =>
+      // per-user hourly gauge grid with last-observation-carried-forward
+      graft.ops.Resample.locf(t(s, d, "events"),
+        Seq("user_id"), "ts", "value")),
+    "q102_cooccur_pmi" -> ((s, d) =>
+      // q93's co-order projection scored by association strength (lift +
+      // PMI over margins from the same kept membership)
+      graft.graph.Cooccur.pmi(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)),
+    "q103_outliers" -> ((s, d) =>
+      // per-language length outliers (|z| > 1.5) with exact integer moments
+      graft.ops.Profile.outliers(t(s, d, "documents"),
+        Seq("lang"), "n_chars", threshold = 1.5)),
+    "q104_histogram" -> ((s, d) =>
+      // integer-exact equi-width length histogram, holes emitted as 0
+      graft.ops.Profile.histogram(t(s, d, "documents"), "n_chars", nBins = 20)),
+    "q105_cdc_apply" -> ((s, d) => {
+      // CDC mirror maintenance: earliest event seeds the base snapshot,
+      // the rest replay as a typed feed (view→U, click→I, error→D);
+      // time axis = exact integer microseconds (unix_micros)
+      val ev = t(s, d, "events").where(col("user_id").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val first = ev.withColumn("__r", row_number().over(w))
+      val base = first.where(col("__r") === 1).select(col("user_id"), col("value"))
+      val feed = first.where(col("__r") > 1)
+        .where(col("event_type").isin("view", "click", "error"))
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          when(col("event_type") === "view", "U")
+            .when(col("event_type") === "click", "I")
+            .otherwise("D").as("op"),
+          col("value"))
+      graft.ops.Cdc.applyChanges(base, feed, Seq("user_id"), "ts_us", "op",
+        Seq("value"))
+    }),
+    "q106_group_sample" -> ((s, d) =>
+      // deterministic fixed-size per-language eval sample (k smallest
+      // scrambled hashes — consistent under corpus growth)
+      graft.ops.Curation.groupSample(t(s, d, "documents"),
+        Seq("lang"), col("doc_id"), k = 10))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2371,6 +2422,187 @@ object SparkEntry {
         |SELECT lang, n_sketch, h_k,
         |       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
         |            ELSE round(63.0 * 2147483647 / h_k, 4) END AS estimate
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+    // q99: DuckDB replays the vote (melt -> count -> argmax window ->
+    // conditional-agg pivot) with its own machinery
+    "q99_golden_record" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS g, f, v FROM (
+        |    SELECT o_custkey, 'o_orderpriority' AS f,
+        |           CAST(o_orderpriority AS VARCHAR) AS v FROM orders
+        |    UNION ALL
+        |    SELECT o_custkey, 'o_orderstatus',
+        |           CAST(o_orderstatus AS VARCHAR) FROM orders)
+        |  WHERE g IS NOT NULL AND v IS NOT NULL
+        |), votes AS (
+        |  SELECT g, f, v, count(*) AS n FROM m GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT g, f, v, row_number() OVER (
+        |    PARTITION BY g, f ORDER BY n DESC, v DESC) AS r
+        |  FROM votes
+        |), mem AS (
+        |  SELECT o_custkey AS g, count(*) AS n_members FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY 1
+        |)
+        |SELECT p.g AS o_custkey, p.p1 AS o_orderpriority,
+        |       p.p2 AS o_orderstatus, mem.n_members
+        |FROM (SELECT g,
+        |        max(CASE WHEN f = 'o_orderpriority' THEN v END) AS p1,
+        |        max(CASE WHEN f = 'o_orderstatus' THEN v END) AS p2
+        |      FROM w WHERE r = 1 GROUP BY g) p
+        |JOIN mem ON mem.g = p.g""".stripMargin,
+    // q100: DuckDB re-derives the ordered sequences with list(ORDER BY)
+    // and the q20 slice idiom for consecutive k-grams
+    "q100_event_patterns" ->
+      """WITH s AS (
+        |  SELECT user_id AS g, list(event_type ORDER BY ts, event_id) AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1
+        |), grams AS (
+        |  SELECT g, array_to_string(t[i:i+2], '>') AS pattern
+        |  FROM s, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        |  WHERE len(t) >= 3
+        |)
+        |SELECT pattern, count(DISTINCT g) AS n_keys,
+        |       count(*) AS n_occurrences
+        |FROM grams GROUP BY 1 HAVING count(DISTINCT g) >= 5""".stripMargin,
+    // q101: DuckDB rebuilds the grid with generate_series and fills with
+    // its own IGNORE NULLS running frame
+    "q101_resample_locf" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), obs AS (
+        |  SELECT user_id, bucket, value FROM (
+        |    SELECT user_id, bucket, value, row_number() OVER (
+        |      PARTITION BY user_id, bucket ORDER BY ts DESC, value DESC) AS r
+        |    FROM b) WHERE r = 1
+        |), grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(min(bucket), max(bucket),
+        |                INTERVAL 1 HOUR)) AS bucket
+        |  FROM obs GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.bucket,
+        |       last_value(o.value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       o.value IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.user_id = g.user_id AND o.bucket = g.bucket""".stripMargin,
+    // q102: the definitional relational projection + margins in DuckDB;
+    // lift is pure IEEE arithmetic on exact integers, pmi one ln at 6dp
+    // (the q82 importance-weights precedent)
+    "q102_cooccur_pmi" ->
+      """WITH m AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS c,
+        |         CAST(l_partkey AS VARCHAR) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
+        |  FROM m a JOIN m b ON a.c = b.c AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), marg AS (SELECT i, count(*) AS n FROM m GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT c) AS n_total FROM m)
+        |SELECT item_a, item_b, n_common,
+        |  round((CAST(n_common AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift,
+        |  round(ln((CAST(n_common AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))), 6) AS pmi
+        |FROM pairs
+        |JOIN marg ma ON ma.i = item_a
+        |JOIN marg mb ON mb.i = item_b, tot""".stripMargin,
+    // q103: DuckDB replays the exact-integer-moment z-scores (its BIGINT
+    // sums are exact too; the double expression is term-for-term the same)
+    "q103_outliers" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS value FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), st AS (
+        |  SELECT lang, count(*) AS n, sum(value) AS s,
+        |         sum(value * value) AS sq
+        |  FROM b GROUP BY 1 HAVING count(*) >= 2
+        |), st2 AS (
+        |  SELECT lang, n, CAST(s AS DOUBLE) / n AS mu,
+        |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      / (n - 1) AS var
+        |  FROM st
+        |)
+        |SELECT b.lang, b.value,
+        |       round((CAST(b.value AS DOUBLE) - mu) / sqrt(var), 4) AS z
+        |FROM b JOIN st2 ON b.lang = st2.lang
+        |WHERE var > 0
+        |  AND abs((CAST(b.value AS DOUBLE) - mu) / sqrt(var)) > 1.5""".stripMargin,
+    // q104: DuckDB replays the integer bin math (`//` = Spark's `div` on
+    // non-negative spans) and rebuilds the spine with range()
+    "q104_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL
+        |), bounds AS (
+        |  SELECT min(v) AS lo0, max(v) AS hi0,
+        |         greatest((max(v) - min(v) + 20) // 20, 1) AS w
+        |  FROM b
+        |), binned AS (
+        |  SELECT (b.v - bounds.lo0) // bounds.w AS bin, count(*) AS cnt
+        |  FROM b, bounds GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(0, 20)) AS bin, lo0, hi0, w FROM bounds
+        |)
+        |SELECT s.bin, s.lo0 + s.bin * s.w AS lo,
+        |       s.lo0 + (s.bin + 1) * s.w AS hi,
+        |       coalesce(c.cnt, CAST(0 AS BIGINT)) AS n
+        |FROM spine s LEFT JOIN binned c ON c.bin = s.bin
+        |WHERE s.lo0 + s.bin * s.w <= s.hi0""".stripMargin,
+    // q105: DuckDB replays seed/feed construction and the latest-change
+    // argmax (epoch_us = unix_micros; -infinity seeds the base; D-first
+    // at equal ts via op ASC; payload DESC NULLS LAST = struct desc)
+    "q105_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r
+        |  FROM events WHERE user_id IS NOT NULL
+        |), base AS (
+        |  SELECT user_id, CAST('-infinity' AS DOUBLE) AS tsd, 'I' AS op, value
+        |  FROM ev WHERE r = 1
+        |), feed AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS tsd,
+        |         CASE event_type WHEN 'view' THEN 'U'
+        |              WHEN 'click' THEN 'I' ELSE 'D' END AS op,
+        |         value
+        |  FROM ev
+        |  WHERE r > 1 AND event_type IN ('view', 'click', 'error')
+        |    AND ts IS NOT NULL
+        |), u AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM feed
+        |)
+        |SELECT user_id, value FROM (
+        |  SELECT user_id, op, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY tsd DESC, op ASC, value DESC NULLS LAST) AS r
+        |  FROM u)
+        |WHERE r = 1 AND op <> 'D'""".stripMargin,
+    // q106: DuckDB replays the scrambled portable hash (the q98 KMV
+    // uniformizer: fingerprint -> two MINSTD LCG rounds mod 2^31-1) and
+    // the same per-group rank-<=k cut
+    "q106_group_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(unicode(c) AS BIGINT)
+        |        FOR c IN string_split('gs:' || CAST(doc_id AS VARCHAR), '')]),
+        |      (h, c) -> (h * 31 + c) % 2147483647)
+        |     * 48271 + 12345) % 2147483647 AS r1
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY (r1 * 69621 + 54321) % 2147483647 ASC, doc_id ASC) AS rk
+        |  FROM h)
+        |WHERE rk <= 10""".stripMargin
   )
 }

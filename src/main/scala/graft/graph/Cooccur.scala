@@ -22,13 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Cooccur {
 
-  /** (item_a, item_b, n_common) with item_a < item_b (string order — cast
-    * upstream for numeric ids if numeric order matters downstream; counts
-    * are unaffected) and n_common ≥ minCount. */
-  def project(df: DataFrame, containerCol: String, itemCol: String,
-      minCount: Long = 2L, maxPerContainer: Int = 10000): DataFrame = {
-    require(minCount >= 1, "Cooccur.project: minCount must be >= 1")
-    require(maxPerContainer > 1, "Cooccur.project: maxPerContainer must be > 1")
+  /** Deduped membership restricted to containers within the cap, with the
+    * drop counted and warned — shared by the raw projection and the
+    * association-scored one (margins MUST come from the same kept set the
+    * pairs come from, or the scores are inconsistent). */
+  private def keptMembership(df: DataFrame, containerCol: String,
+      itemCol: String, maxPerContainer: Int): DataFrame = {
     val m = graft.Materialize(df
       .select(col(containerCol).cast("string").as("c"),
         col(itemCol).cast("string").as("i"))
@@ -42,12 +41,62 @@ object Cooccur {
           "their pairs are not counted — raise maxPerContainer if they " +
           "carry signal"
     }
-    val kept = m.join(sizes.where(col("count") <= maxPerContainer), Seq("c"))
+    graft.Materialize(
+      m.join(sizes.where(col("count") <= maxPerContainer), Seq("c"))
+        .select("c", "i"), eager = false)
+  }
+
+  private def pairCounts(kept: DataFrame, minCount: Long): DataFrame =
     kept.select(col("c"), col("i").as("item_a"))
       .join(kept.select(col("c"), col("i").as("item_b")), Seq("c"))
       .where(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCount)
+
+  /** (item_a, item_b, n_common) with item_a < item_b (string order — cast
+    * upstream for numeric ids if numeric order matters downstream; counts
+    * are unaffected) and n_common ≥ minCount. */
+  def project(df: DataFrame, containerCol: String, itemCol: String,
+      minCount: Long = 2L, maxPerContainer: Int = 10000): DataFrame = {
+    require(minCount >= 1, "Cooccur.project: minCount must be >= 1")
+    require(maxPerContainer > 1, "Cooccur.project: maxPerContainer must be > 1")
+    pairCounts(keptMembership(df, containerCol, itemCol, maxPerContainer),
+      minCount)
+  }
+
+  /** The projection SCORED by association strength — raw counts rank
+    * mega-popular items first regardless of affinity; lift/PMI normalize
+    * by the margins (Church & Hanks 1990): over the kept membership,
+    * lift = (n_ab·N) / (n_a·n_b) with N = distinct kept containers and
+    * n_x = containers containing x, pmi = ln(lift). Margins, N, and the
+    * pairs all derive from the SAME cap-filtered deduped membership (a
+    * capped container is absent from every factor consistently).
+    *
+    * lift is two double products + one division of exactly-represented
+    * integers — engine-reproducible without libm; pmi adds one `ln`
+    * (rounded 6 dp, the importance-weights precedent). Margins are
+    * item-scale; N folds in via a 1-row broadcast cross join (the
+    * PageRank dangling idiom — no driver collect).
+    *
+    * Output: (item_a, item_b, n_common, lift@6dp, pmi@6dp). */
+  def pmi(df: DataFrame, containerCol: String, itemCol: String,
+      minCount: Long = 2L, maxPerContainer: Int = 10000): DataFrame = {
+    require(minCount >= 1, "Cooccur.pmi: minCount must be >= 1")
+    require(maxPerContainer > 1, "Cooccur.pmi: maxPerContainer must be > 1")
+    val kept = keptMembership(df, containerCol, itemCol, maxPerContainer)
+    val pairs = pairCounts(kept, minCount)
+    val margins = kept.groupBy("i").agg(count(lit(1)).as("__n"))
+    val total = kept.select(countDistinct(col("c")).as("__N"))
+    val lift = (col("n_common").cast("double") * col("__N").cast("double")) /
+      (col("__na").cast("double") * col("__nb").cast("double"))
+    pairs
+      .join(margins.select(col("i").as("item_a"), col("__n").as("__na")),
+        Seq("item_a"))
+      .join(margins.select(col("i").as("item_b"), col("__n").as("__nb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        round(lift, 6).as("lift"), round(log(lift), 6).as("pmi"))
   }
 }

@@ -177,6 +177,32 @@ object Curation {
       .limit(k)
   }
 
+  /** Deterministic FIXED-SIZE sample per group — the per-stratum twin of
+    * `prioritySample` (fixed-size eval sets per class/language/source,
+    * where `stratifiedSample`'s fixed-RATE keep is the wrong contract):
+    * within each group keep the k rows whose scrambled portable hash of
+    * (salt || id) is smallest (`Sketch.kmvHash` — the KMV uniformizer, so
+    * structured ids don't bias membership). A pure function of the id
+    * set: stable across runs, layouts, cluster sizes, AND under corpus
+    * growth (a new id evicts at most one old member — the "consistent
+    * sample" property hash-rate sampling has and RAND() does not).
+    * Groups smaller than k keep everything. One exchange: the group-keyed
+    * rank window (bounded frame, rank-1..k cut). Ties are impossible
+    * (ids are distinct; equal hashes of distinct ids break by id). */
+  def groupSample(df: DataFrame, groupCols: Seq[String], id: Column, k: Int,
+      salt: String = "gs:"): DataFrame = {
+    require(k > 0, "groupSample: k must be > 0")
+    require(groupCols.nonEmpty, "groupSample: groupCols must be non-empty")
+    val h = graft.ops.Sketch.kmvHash(concat(lit(salt), id.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc, id.asc)
+    df.where(id.isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .drop("__r")
+  }
+
   // ------------------------------------------------------------ packing ----
 
   /** Concat-and-chunk sequence packing — the GPT-style training-data layout:

@@ -43,4 +43,77 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group z-score outliers over an INTEGRAL column, with EXACT
+    * integer moments: Σv and Σv² accumulate as longs (order-free, so the
+    * flagged set is a pure function of the data — a float Σ would make
+    * "is this row an outlier" depend on partition layout at the margin),
+    * then mean/sample-variance/z are a FIXED double expression both
+    * engines evaluate identically (`sqrt` is IEEE-exact; no libm
+    * transcendentals). The sentinel-row detector the profiler's min/max
+    * hints at: truncated texts, unit-confused amounts, epoch dates.
+    *
+    * Caller contract: values integral with group Σv² < 2^63 (violations
+    * would silently wrap — hence the cast-to-long is explicit here, not
+    * hidden). Groups with fewer than `minN` values or zero variance
+    * yield no outliers (z is undefined). One stats aggregate + one
+    * group-keyed join back (co-keyed, SMJ/BHJ-able); two scans of the
+    * input. Output: input keys + (value, z@4dp), |z| > threshold only. */
+  def outliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      threshold: Double = 2.0, minN: Long = 2L): DataFrame = {
+    require(keyCols.nonEmpty, "Profile.outliers: keyCols must be non-empty")
+    require(threshold > 0, "Profile.outliers: threshold must be > 0")
+    val k = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val base = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _) && v.isNotNull)
+      .select(k :+ v.as("value"): _*)
+    val stats = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("value")).as("__s"),
+        sum(col("value") * col("value")).as("__sq"))
+      .where(col("__n") >= minN)
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        (col("__sq").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__n")) /
+          (col("__n") - 1))
+      .where(col("__var") > 0)
+      .withColumn("__sigma", sqrt(col("__var")))
+    base.join(stats, keyCols)
+      .withColumn("z", (col("value").cast("double") - col("__mu")) / col("__sigma"))
+      .where(abs(col("z")) > threshold)
+      .select(k :+ col("value") :+ round(col("z"), 4).as("z"): _*)
+  }
+
+  /** Equi-width histogram of an INTEGRAL column: `nBins` equal integer-
+    * width bins spanning the observed [min, max] (width = ⌈span/nBins⌉,
+    * so bounds are exact integers — no float bin-edge ambiguity at scale
+    * and any engine reproduces the same assignment), plus per-bin count
+    * and exact bounds. Empty bins are emitted with count 0 (a histogram
+    * with holes reads wrong). Two jobs: a 1-row min/max aggregate folded
+    * in via broadcast cross join (the PageRank dangling idiom — no
+    * driver collect in the lineage), then one bin-keyed count; the bin
+    * spine is a `sequence` explode of the 1-row bounds. Null values
+    * drop; a constant column yields one bin. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, "Profile.histogram: nBins must be >= 1")
+    val v = col(valueCol).cast("long")
+    val base = df.where(v.isNotNull).select(v.as("__v"))
+    val bounds = base.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .withColumn("__w",
+        greatest(expr(s"(__hi - __lo + $nBins) div $nBins"), lit(1L)))
+    val binned = base.crossJoin(broadcast(bounds))
+      .select(expr("(__v - __lo) div __w").as("bin"),
+        col("__lo"), col("__w"))
+      .groupBy("bin", "__lo", "__w").agg(count(lit(1)).as("n"))
+    val spine = bounds
+      .select(explode(sequence(lit(0L), lit(nBins.toLong - 1L))).as("bin"),
+        col("__lo"), col("__w"))
+      .where(col("__lo") + col("bin") * col("__w") <= col("__hi"))
+    spine.join(binned, Seq("bin", "__lo", "__w"), "left")
+      .select(col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("lo"),
+        (col("__lo") + (col("bin") + 1) * col("__w")).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

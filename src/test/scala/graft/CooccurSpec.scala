@@ -50,4 +50,36 @@ class CooccurSpec extends SparkSuite {
     assert(run(m(rows: _*)) == naive(rows))
     assert(run(m(rows: _*).repartition(9)) == naive(rows)) // layout invariance
   }
+
+  test("pmi/lift: margins and N come from the SAME kept membership") {
+    // a in d1,d2,d3; b in d1,d2,d4; ab co-occur in d1,d2; N=4 containers
+    // (d4 carries c to keep it in N via its membership)
+    val rows = m(("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+      ("d3", "a"), ("d4", "b"))
+    val out = Cooccur.pmi(rows, "c", "i", minCount = 2L)
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    val lift = 2.0 * 4.0 / (3.0 * 3.0) // n_ab*N / (n_a*n_b)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Set(("a", "b", 2L, r6(lift), r6(math.log(lift)))))
+  }
+
+  test("pmi: independent items have lift ~1, affine items > 1") {
+    // x and y always together (4 of 8 containers); u uniform everywhere
+    val rows = (1 to 4).flatMap(d => Seq((s"p$d", "x"), (s"p$d", "y"), (s"p$d", "u"))) ++
+      (1 to 4).map(d => (s"q$d", "u"))
+    val out = Cooccur.pmi(m(rows: _*), "c", "i", minCount = 1L)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("x", "y")) == 2.0)   // 4*8/(4*4): perfectly affine
+    assert(out(("u", "x")) == 1.0)   // 4*8/(8*4): x independent of u
+    // capped containers drop consistently from pairs AND margins
+    val (capped, _) = Audit.capturing {
+      Cooccur.pmi(m((rows ++ (1 to 30).map(k => ("mega", s"z$k"))): _*),
+        "c", "i", minCount = 1L, maxPerContainer = 10)
+        .as[(String, String, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+    }
+    assert(capped == out) // the mega container never entered any factor
+  }
 }
