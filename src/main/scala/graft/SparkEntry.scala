@@ -1096,7 +1096,38 @@ object SparkEntry {
       // deterministic fixed-size per-language eval sample (k smallest
       // scrambled hashes — consistent under corpus growth)
       graft.ops.Curation.groupSample(t(s, d, "documents"),
-        Seq("lang"), col("doc_id"), k = 10))
+        Seq("lang"), col("doc_id"), k = 10)),
+    "q107_quantiles" -> ((s, d) =>
+      // exact per-language p50/p90/p99 length profile (percentile_disc;
+      // heavy machinery at value-scale, not row-scale)
+      graft.ops.Profile.quantiles(t(s, d, "documents"),
+        Seq("lang"), "n_chars", Seq(0.5, 0.9, 0.99))),
+    "q108_skyline" -> ((s, d) =>
+      // Pareto frontier of parts by (size, retail price), both maximized
+      graft.ops.Curation.skyline(t(s, d, "part"), "p_size", "p_retailprice")),
+    "q109_cluster_agreement" -> ((s, d) =>
+      // pairwise P/R/F1 + ARI between the nation partition and the
+      // market-segment partition of customers — all from the contingency
+      // table, zero pair enumeration
+      graft.metrics.ClusterEval.pairwisePR(
+        t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").cast("string").as("pred"),
+          col("c_mktsegment").as("gold")),
+        "c_custkey", "pred", "gold")),
+    "q110_inclusion" -> ((s, d) => {
+      // FK-candidate discovery across the corpus star schema: forward
+      // FKs (expect 1.0) plus reverse/heterogeneous probes (expect < 1)
+      val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+      val pt = t(s, d, "part"); val cu = t(s, d, "customer")
+      val na = t(s, d, "nation"); val ev = t(s, d, "events")
+      graft.ops.Profile.inclusion(Seq(
+        ("lineitem", li, "l_orderkey", "orders", ord, "o_orderkey"),
+        ("lineitem", li, "l_partkey", "part", pt, "p_partkey"),
+        ("orders", ord, "o_custkey", "customer", cu, "c_custkey"),
+        ("customer", cu, "c_nationkey", "nation", na, "n_nationkey"),
+        ("part", pt, "p_partkey", "lineitem", li, "l_partkey"),
+        ("events", ev, "user_id", "customer", cu, "c_custkey")))
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2603,6 +2634,137 @@ object SparkEntry {
         |    PARTITION BY lang
         |    ORDER BY (r1 * 69621 + 54321) % 2147483647 ASC, doc_id ASC) AS rk
         |  FROM h)
-        |WHERE rk <= 10""".stripMargin
+        |WHERE rk <= 10""".stripMargin,
+    // q107: DuckDB's NATIVE percentile_disc — an independent
+    // implementation of the same SQL-standard definition (probed: its
+    // edge semantics match smallest-value-with-cum-fraction >= p)
+    "q107_quantiles" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS value FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), q AS (
+        |  SELECT lang,
+        |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS q0,
+        |    percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS q1,
+        |    percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS q2
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT lang, CAST(0.5 AS DOUBLE) AS p, q0 AS value FROM q
+        |UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), q1 FROM q
+        |UNION ALL SELECT lang, CAST(0.99 AS DOUBLE), q2 FROM q""".stripMargin,
+    // q108: the DEFINITIONAL dominance test — a NOT EXISTS over all
+    // distinct points (quadratic, fine at oracle scale; the engine's
+    // window construction must select exactly this set)
+    "q108_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_size, p_retailprice, count(*) AS n_rows FROM part
+        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p_size, p_retailprice, n_rows FROM pts r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts s
+        |  WHERE s.p_size >= r.p_size AND s.p_retailprice >= r.p_retailprice
+        |    AND (s.p_size > r.p_size OR s.p_retailprice > r.p_retailprice))""".stripMargin,
+    // q109: the DEFINITIONAL pairwise scan — DuckDB enumerates actual
+    // item pairs (id < id self-join) and counts agreements, the engine
+    // derives identical totals from the contingency table
+    "q109_cluster_agreement" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id, CAST(c_nationkey AS VARCHAR) AS p,
+        |         c_mktsegment AS g
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL
+        |), pr AS (
+        |  SELECT count(*) AS n_items FROM a
+        |), pairs AS (
+        |  SELECT CAST(sum(CASE WHEN x.p = y.p THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS pred_pairs,
+        |         CAST(sum(CASE WHEN x.g = y.g THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS gold_pairs,
+        |         CAST(sum(CASE WHEN x.p = y.p AND x.g = y.g THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS agree_pairs
+        |  FROM a x JOIN a y ON x.id < y.id
+        |)
+        |SELECT n_items, pred_pairs, gold_pairs, agree_pairs,
+        |  round(CAST(agree_pairs AS DOUBLE) / pred_pairs, 6) AS pair_precision,
+        |  round(CAST(agree_pairs AS DOUBLE) / gold_pairs, 6) AS pair_recall,
+        |  round(2.0 * (CAST(agree_pairs AS DOUBLE) / pred_pairs)
+        |      * (CAST(agree_pairs AS DOUBLE) / gold_pairs)
+        |      / (CAST(agree_pairs AS DOUBLE) / pred_pairs
+        |         + CAST(agree_pairs AS DOUBLE) / gold_pairs), 6) AS pair_f1,
+        |  round((CAST(agree_pairs AS DOUBLE)
+        |      - CAST(pred_pairs AS DOUBLE) * gold_pairs
+        |        / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2))
+        |    / ((CAST(pred_pairs AS DOUBLE) + gold_pairs) / 2
+        |      - CAST(pred_pairs AS DOUBLE) * gold_pairs
+        |        / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2)), 6) AS ari
+        |FROM pairs, pr""".stripMargin,
+    // q110: definitional distinct-value containment counts per candidate
+    "q110_inclusion" ->
+      """WITH probe AS (
+        |  SELECT 'lineitem' AS fk_rel, 'l_orderkey' AS fk_col,
+        |         'orders' AS pk_rel, 'o_orderkey' AS pk_col,
+        |         (SELECT count(DISTINCT CAST(l_orderkey AS VARCHAR)) FROM lineitem
+        |          WHERE l_orderkey IS NOT NULL) AS n_fk_distinct,
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+        |            WHERE o_orderkey IS NOT NULL)) AS n_missing
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', 'part', 'p_partkey',
+        |         (SELECT count(DISTINCT CAST(l_partkey AS VARCHAR)) FROM lineitem
+        |          WHERE l_partkey IS NOT NULL),
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |            WHERE l_partkey IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(p_partkey AS VARCHAR) FROM part
+        |            WHERE p_partkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'customer', 'c_custkey',
+        |         (SELECT count(DISTINCT CAST(o_custkey AS VARCHAR)) FROM orders
+        |          WHERE o_custkey IS NOT NULL),
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        |            WHERE o_custkey IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer
+        |            WHERE c_custkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'nation', 'n_nationkey',
+        |         (SELECT count(DISTINCT CAST(c_nationkey AS VARCHAR)) FROM customer
+        |          WHERE c_nationkey IS NOT NULL),
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS k FROM customer
+        |            WHERE c_nationkey IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(n_nationkey AS VARCHAR) FROM nation
+        |            WHERE n_nationkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'part', 'p_partkey', 'lineitem', 'l_partkey',
+        |         (SELECT count(DISTINCT CAST(p_partkey AS VARCHAR)) FROM part
+        |          WHERE p_partkey IS NOT NULL),
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k FROM part
+        |            WHERE p_partkey IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(l_partkey AS VARCHAR) FROM lineitem
+        |            WHERE l_partkey IS NOT NULL))
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'customer', 'c_custkey',
+        |         (SELECT count(DISTINCT CAST(user_id AS VARCHAR)) FROM events
+        |          WHERE user_id IS NOT NULL),
+        |         (SELECT count(*) FROM
+        |           (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+        |            WHERE user_id IS NOT NULL) f
+        |          WHERE f.k NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer
+        |            WHERE c_custkey IS NOT NULL))
+        |)
+        |SELECT fk_rel, fk_col, pk_rel, pk_col,
+        |       CAST(n_fk_distinct AS BIGINT) AS n_fk_distinct,
+        |       CAST(n_missing AS BIGINT) AS n_missing,
+        |       CASE WHEN n_fk_distinct > 0 THEN
+        |         round(CAST(n_fk_distinct - n_missing AS DOUBLE)
+        |               / n_fk_distinct, 6) END AS containment
+        |FROM probe""".stripMargin
   )
 }

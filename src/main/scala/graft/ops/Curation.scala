@@ -203,6 +203,40 @@ object Curation {
       .drop("__r")
   }
 
+  /** 2-D skyline (Pareto frontier), both dimensions MAXIMIZED: the rows
+    * no other row beats on one axis without losing on the other —
+    * "longest documents at every quality level", "largest parts at
+    * every price point" (curation keeps the frontier, not a scalarized
+    * top-k that collapses the tradeoff). Standard dominance: r is out
+    * iff ∃s with s.x ≥ r.x ∧ s.y ≥ r.y and strictly better somewhere.
+    *
+    * Scale shape: one (x, y) count aggregate (the only row-scale
+    * exchange, map-side combined) → per-x argmax window (equal-x rows
+    * with lower y are dominated) → ONE running-max filter over the
+    * x-descending sequence of per-x maxima. That last window is
+    * single-partition BY CONSTRUCTION over one row per DISTINCT x —
+    * value-scale, not row-scale (the q90 argument); for continuous x
+    * the caller buckets first. No self-join, no O(n²) dominance test.
+    * Output: (x, y, n_rows) frontier points, n_rows = rows at exactly
+    * that point; null coordinates drop. Comparisons only — no
+    * arithmetic on the coordinates, so any ordered type cast to the
+    * column's native comparison is reproduced exactly cross-engine. */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("__x").orderBy(col("__y").desc)
+    val perX = pts.withColumn("__r", row_number().over(wx))
+      .where(col("__r") === 1).drop("__r")
+    val wRun = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perX.withColumn("__pmax", max(col("__y")).over(wRun))
+      .where(col("__pmax").isNull || col("__y") > col("__pmax"))
+      .select(col("__x").as(xCol), col("__y").as(yCol), col("n_rows"))
+  }
+
   // ------------------------------------------------------------ packing ----
 
   /** Concat-and-chunk sequence packing — the GPT-style training-data layout:

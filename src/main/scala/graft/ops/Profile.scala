@@ -85,6 +85,83 @@ object Profile {
       .select(k :+ col("value") :+ round(col("z"), 4).as("z"): _*)
   }
 
+  /** EXACT per-group percentiles (SQL-standard `percentile_disc`: the
+    * smallest value whose cumulative fraction ≥ p) over an INTEGRAL
+    * column — p50/p95/p99 length/latency profiles where an approximate
+    * sketch's rank error moves the reported tail. Exact at scale
+    * because the heavy machinery runs at VALUE-scale, not row-scale:
+    * one (group, value) count aggregate (map-side combined — the only
+    * row-scale exchange), a per-group cumulative window over DISTINCT
+    * values (bounded by the value domain, the q90 argument), then one
+    * conditional-min per requested p riding a final group aggregate.
+    * The p·n threshold compare is a single IEEE multiply both engines
+    * evaluate identically. Output long-format: (group..., p, value) —
+    * groups with data always emit every p (a group's max value always
+    * qualifies at p ≤ 1). Null keys/values drop. */
+  def quantiles(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(keyCols.nonEmpty, "Profile.quantiles: keyCols must be non-empty")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "Profile.quantiles: each p must be in (0, 1]")
+    require(ps.distinct == ps, "Profile.quantiles: ps must be distinct")
+    val k = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val base = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _) && v.isNotNull)
+      .select(k :+ v.as("__v"): _*)
+    val counts = base.groupBy(k :+ col("__v"): _*).agg(count(lit(1)).as("__n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum").cast("double") >=
+        lit(p) * col("__tot").cast("double"), col("__v"))).as(s"__q$i")
+    }
+    val wide = cum.groupBy(k: _*).agg(aggs.head, aggs.tail: _*)
+    val pairs = ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"__q$i").as("value"))
+    }
+    wide.select(k :+ explode(array(pairs: _*)).as("__q"): _*)
+      .select(k :+ col("__q.p") :+ col("__q.value"): _*)
+  }
+
+  /** Inclusion-dependency (FK-candidate) discovery: for each candidate
+    * (fk column ⊆ pk column) pair, the fraction of the fk side's
+    * DISTINCT values present on the pk side — the schema-discovery
+    * profiler that tells a KG builder which columns actually join
+    * before it wires a 10^12-row join on a broken key. Per candidate:
+    * two distinct-value reductions (row-scale, map-side combined) and
+    * one LEFT ANTI count at distinct-value scale; values compare as
+    * strings so heterogeneous key types (int vs string exports) still
+    * profile. Candidates are independent subplans — Spark runs them as
+    * one union job. Output: (fk_rel, fk_col, pk_rel, pk_col,
+    * n_fk_distinct, n_missing, containment@6dp); containment = 1.0 is
+    * a verified FK, null fk sides report containment null. */
+  def inclusion(cands: Seq[(String, DataFrame, String, String, DataFrame, String)]): DataFrame = {
+    require(cands.nonEmpty, "Profile.inclusion: cands must be non-empty")
+    val reports = cands.map { case (fkRel, fkDf, fkCol, pkRel, pkDf, pkCol) =>
+      val fk = fkDf.where(col(fkCol).isNotNull)
+        .select(col(fkCol).cast("string").as("__k")).distinct()
+      val pk = pkDf.where(col(pkCol).isNotNull)
+        .select(col(pkCol).cast("string").as("__k")).distinct()
+      val missing = fk.join(pk, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("__miss"))
+      fk.agg(count(lit(1)).as("__nd")).crossJoin(missing)
+        .select(lit(fkRel).as("fk_rel"), lit(fkCol).as("fk_col"),
+          lit(pkRel).as("pk_rel"), lit(pkCol).as("pk_col"),
+          col("__nd").as("n_fk_distinct"), col("__miss").as("n_missing"),
+          when(col("__nd") > 0, round((col("__nd") - col("__miss"))
+            .cast("double") / col("__nd").cast("double"), 6))
+            .as("containment"))
+    }
+    reports.reduce(_ unionAll _)
+  }
+
   /** Equi-width histogram of an INTEGRAL column: `nBins` equal integer-
     * width bins spanning the observed [min, max] (width = ⌈span/nBins⌉,
     * so bounds are exact integers — no float bin-edge ambiguity at scale
