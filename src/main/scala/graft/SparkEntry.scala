@@ -1127,7 +1127,30 @@ object SparkEntry {
         ("customer", cu, "c_nationkey", "nation", na, "n_nationkey"),
         ("part", pt, "p_partkey", "lineitem", li, "l_partkey"),
         ("events", ev, "user_id", "customer", cu, "c_custkey")))
-    })
+    }),
+    "q111_cdc_diff" -> ((s, d) => {
+      // net-change computation between two deterministic snapshots of
+      // the customer mirror: %5-keys deleted, %7-keys inserted, %3-keys
+      // updated (+100.0 acctbal) — the feed applyChanges consumes
+      val cu = t(s, d, "customer").where(col("c_custkey").isNotNull)
+      val oldSnap = cu.where(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val newSnap = cu.where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      graft.ops.Cdc.diff(oldSnap, newSnap, Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"))
+    }),
+    "q112_bigram_lm" -> ((s, d) =>
+      // corpus bigram LM self-scoring: per-doc mean log-probability in
+      // exact integer micro-nats (the perplexity-proxy quality score)
+      graft.ops.LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
+    "q113_alias_table" -> ((s, d) =>
+      // top-3 surface forms per brand with counts + frequency share —
+      // the linker-facing alias dictionary
+      graft.canon.AliasTable.build(t(s, d, "part"), "p_brand", "p_type", k = 3))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2765,6 +2788,75 @@ object SparkEntry {
         |       CASE WHEN n_fk_distinct > 0 THEN
         |         round(CAST(n_fk_distinct - n_missing AS DOUBLE)
         |               / n_fk_distinct, 6) END AS containment
-        |FROM probe""".stripMargin
+        |FROM probe""".stripMargin,
+    // q111: the definitional FULL OUTER diff in DuckDB (IS NOT DISTINCT
+    // FROM = the engine's null-safe struct compare)
+    "q111_cdc_diff" ->
+      """WITH o AS (
+        |  SELECT c_custkey AS k, c_acctbal AS a, c_mktsegment AS m
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 5 <> 0
+        |), n AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS a,
+        |         c_mktsegment AS m
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 7 <> 0
+        |), j AS (
+        |  SELECT coalesce(n.k, o.k) AS c_custkey, o.k AS ko, n.k AS kn,
+        |         o.a AS ao, o.m AS mo, n.a AS an, n.m AS mn
+        |  FROM o FULL OUTER JOIN n ON o.k = n.k
+        |), ops AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN ko IS NULL THEN 'I' WHEN kn IS NULL THEN 'D'
+        |         WHEN NOT (ao IS NOT DISTINCT FROM an
+        |                   AND mo IS NOT DISTINCT FROM mn) THEN 'U' END AS op,
+        |    an AS c_acctbal, mn AS c_mktsegment
+        |  FROM j
+        |)
+        |SELECT * FROM ops WHERE op IS NOT NULL""".stripMargin,
+    // q112: DuckDB replays tokenize -> bigram explode -> counts -> add-one
+    // log-prob quantized to integer micro-nats -> exact per-doc sum
+    "q112_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), ok AS (
+        |  SELECT * FROM base WHERE len(t) >= 2
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+        |  FROM ok, unnest(range(1, len(t))) AS u(i)
+        |), bgc AS (
+        |  SELECT bg, count(*) AS nbg FROM pairs GROUP BY 1
+        |), ctx AS (
+        |  SELECT w1, count(*) AS nctx FROM pairs GROUP BY 1
+        |), voc AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM ok)
+        |), sp AS (
+        |  SELECT p.doc_id,
+        |    CAST(round(ln(CAST(bgc.nbg + 1 AS DOUBLE)
+        |               / CAST(ctx.nctx + voc.v AS DOUBLE)) * 1000000, 0)
+        |         AS BIGINT) AS lp
+        |  FROM pairs p JOIN bgc USING (bg) JOIN ctx USING (w1), voc
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / 1000000 / count(*), 6)
+        |         AS avg_logprob
+        |FROM sp GROUP BY 1""".stripMargin,
+    // q113: the definitional count -> per-entity share + rank replay
+    "q113_alias_table" ->
+      """WITH c AS (
+        |  SELECT p_brand AS entity, p_type AS form, count(*) AS n FROM part
+        |  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT entity, form, n,
+        |         sum(n) OVER (PARTITION BY entity) AS tot,
+        |         row_number() OVER (
+        |           PARTITION BY entity ORDER BY n DESC, form ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT entity, form, n, round(CAST(n AS DOUBLE) / tot, 6) AS share,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM t WHERE rank <= 3""".stripMargin
   )
 }

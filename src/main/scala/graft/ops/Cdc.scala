@@ -54,4 +54,39 @@ object Cdc {
       .where(col("__r") === 1 && col("__op") =!= "D")
       .select(k ++ p: _*)
   }
+
+  /** The inverse of [[applyChanges]]: diff two snapshots of a keyed
+    * table and emit the change feed that turns `oldDf` into `newDf` —
+    * what an incremental pipeline ships downstream instead of the full
+    * mirror (net-change computation; the Delta/Hudi "merge source"
+    * shape). Per key: only-in-new → I, only-in-old → D, in both with a
+    * different payload → U; identical rows emit NOTHING (the whole
+    * point — the feed is change-scale, not table-scale). D rows carry
+    * null payload (the payload no longer exists).
+    *
+    * One full-outer join on hash(key) is the only exchange; payload
+    * equality is a single null-safe struct compare (inner nulls compare
+    * as values, so a null→value transition is a U, not a drop). Caller
+    * contract (same as applyChanges): one row per key per snapshot;
+    * null keys drop. Round-trip law (spec-asserted):
+    * `applyChanges(old, diff(old, new)) == new`. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "Cdc.diff: keyCols must be non-empty")
+    require(payloadCols.nonEmpty, "Cdc.diff: payloadCols must be non-empty")
+    def side(df: DataFrame, tag: String) = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(struct(keyCols.map(col): _*).as(s"__k$tag"),
+        struct(payloadCols.map(col): _*).as(s"__p$tag"))
+    val joined = side(oldDf, "o")
+      .join(side(newDf, "n"), col("__ko") === col("__kn"), "full_outer")
+    val op = when(col("__ko").isNull, "I")
+      .when(col("__kn").isNull, "D")
+      .when(!(col("__po") <=> col("__pn")), "U")
+    val key = coalesce(col("__kn"), col("__ko"))
+    joined.withColumn("op", op).where(col("op").isNotNull)
+      .select(keyCols.map(c => key.getField(c).as(c)) ++
+        Seq(col("op")) ++
+        payloadCols.map(c => col("__pn").getField(c).as(c)): _*)
+  }
 }
