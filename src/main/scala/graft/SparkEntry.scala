@@ -1150,7 +1150,79 @@ object SparkEntry {
     "q113_alias_table" -> ((s, d) =>
       // top-3 surface forms per brand with counts + frequency share —
       // the linker-facing alias dictionary
-      graft.canon.AliasTable.build(t(s, d, "part"), "p_brand", "p_type", k = 3))
+      graft.canon.AliasTable.build(t(s, d, "part"), "p_brand", "p_type", k = 3)),
+
+    // ---- r4 continuation: centrality / MST / KG-training / chunking ----
+    "q114_harmonic" -> ((s, d) => {
+      // inbound harmonic centrality over the customer parent tree with ALL
+      // nodes as landmarks (exact scores; a landmark SAMPLE is the 10^12
+      // path). Fixed-point Σ floor(SCALE/d) — replayable integer division;
+      // oracle = DuckDB recursive-CTE BFS, the sequential definition.
+      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
+        concat(lit("c"), expr("c_custkey div 2")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"))
+      val lm = t(s, d, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("id"))
+      graft.graph.Centrality.harmonic(e, lm)
+    }),
+    "q115_mst" -> ((s, d) => {
+      // minimum spanning forest (Borůvka rounds) of the weighted customer
+      // graph — tree edges (w = k%7+1) compete against grandparent
+      // shortcuts (w = k%5+1), so min-edge selection genuinely arbitrates.
+      // Oracle = an independent sequential KRUSKAL under the same
+      // (w, src, dst) total order in tools.GenFixtures (unique forest).
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val parent = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), expr("c_custkey div 2")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 7 + 1).cast("long").as("w"))
+      val shortcut = cust.where(col("c_custkey") > 3).select(
+        concat(lit("c"), expr("c_custkey div 4")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 5 + 1).cast("long").as("w"))
+      graft.graph.Mst.spanningForest(parent.union(shortcut))
+        .select("src", "dst", "w")
+    }),
+    "q116_hits" -> ((s, d) =>
+      // HITS hubs/authorities, 4 exact-integer rounds over the directed
+      // customer graph (child→parent + grandparent shortcuts): interior
+      // nodes accumulate authority, deep leaves act as hubs. Oracle = an
+      // independent sequential adjacency-map replay in tools.GenFixtures
+      // (bit-equality — integer HITS has exactly one correct answer).
+      graft.graph.Centrality.hits(custGraph(s, d), iters = 4)),
+    "q117_neg_sampling" -> ((s, d) =>
+      // filtered negative sampling for KG-embedding training: 2 tail
+      // corruptions per (order, hasCustomer, customer) triple, drawn by
+      // the engine-wide fingerprint PRNG from the indexed entity pool,
+      // true triples filtered. Oracle = DuckDB replaying the draw
+      // term-for-term (list_reduce rolling hash + row_number pool).
+      graft.graph.NegativeSampler.corruptTail(
+        t(s, d, "orders").select(
+          concat(lit("o"), col("o_orderkey")).as("subj"),
+          lit("hasCustomer").as("pred"),
+          concat(lit("c"), col("o_custkey")).as("obj")), k = 2)),
+    "q118_transitive_reduction" -> ((s, d) =>
+      // taxonomy hygiene: every grandparent shortcut is implied by two
+      // tree hops, so the reduction returns exactly the tree edges.
+      // Oracle = DuckDB recursive closure + NOT EXISTS — independent of
+      // the engine's semi-naive fixpoint.
+      graft.graph.TransitiveReduction.reduce(custGraph(s, d))),
+    "q119_rag_chunks" -> ((s, d) =>
+      // sliding-window retrieval chunking (window 32, stride 24) over the
+      // documents corpus — overlapping windows, provenance offsets, pure
+      // per-row HOFs (zero shuffles). Oracle = DuckDB list slicing over
+      // the same whitespace tokenization.
+      graft.ops.Chunker.chunk(t(s, d, "documents"), "text", Seq("doc_id"),
+        window = 32, stride = 24)),
+    "q120_heavy_hitters" -> ((s, d) =>
+      // exact heavy hitters (count·k > n, k=10) with Misra–Gries-bounded
+      // shuffle over a planted-skew key (25% 'megacorp' + uniform tail).
+      // Oracle = DuckDB GROUP BY + HAVING, the exact definition.
+      graft.ops.Sketch.heavyHitters(
+        t(s, d, "orders").select(
+          when(col("o_orderkey") % 4 === 0, lit("megacorp"))
+            .otherwise(concat(lit("c"), col("o_custkey"))).as("hh_key")),
+        "hh_key", k = 10))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -2857,6 +2929,103 @@ object SparkEntry {
         |)
         |SELECT entity, form, n, round(CAST(n AS DOUBLE) / tot, 6) AS share,
         |       CAST(rank AS BIGINT) AS rank
-        |FROM t WHERE rank <= 3""".stripMargin
+        |FROM t WHERE rank <= 3""".stripMargin,
+
+    // q114: recursive-CTE BFS (the sequential definition) + the same
+    // replayable integer division SCALE // d — independent of the
+    // engine's semi-naive frontier loop.
+    "q114_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || (c_custkey // 2) AS s, 'c' || c_custkey AS d
+        |  FROM customer WHERE c_custkey > 1
+        |), lm AS (SELECT 'c' || c_custkey AS l FROM customer),
+        |r AS (
+        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
+        |  UNION
+        |  SELECT e.d, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.s
+        |), m AS (SELECT id, landmark, min(dist) AS dist FROM r GROUP BY 1, 2)
+        |SELECT id, CAST(sum(1000000000000 // dist) AS BIGINT) AS score_fp,
+        |       count(*) AS n_sources
+        |FROM m WHERE dist > 0 GROUP BY 1""".stripMargin,
+    // q115/q116: Borůvka's forest and integer HITS are checked against
+    // INDEPENDENT sequential replays in tools.GenFixtures (Kruskal with
+    // union-find under the same total edge order; adjacency-map HITS loop
+    // with the same exact-integer re-scale) — different algorithms, same
+    // unique answer.
+    "q115_mst" ->
+      """SELECT src, dst, w
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q115_expected_mst.parquet')""".stripMargin,
+    "q116_hits" ->
+      """SELECT id, hub_fp, auth_fp
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q116_expected_hits.parquet')""".stripMargin,
+    // q117: the draw is replayed term-for-term — q28's list_reduce rolling
+    // hash over s‖p‖o‖i, mod the row_number-indexed entity pool — then the
+    // filtered-setting anti join, all in DuckDB.
+    "q117_neg_sampling" ->
+      """WITH t AS (
+        |  SELECT DISTINCT 'o' || o_orderkey AS subj, 'hasCustomer' AS pred,
+        |         'c' || o_custkey AS obj FROM orders),
+        |pool AS (
+        |  SELECT cand, row_number() OVER (ORDER BY cand) - 1 AS idx
+        |  FROM (SELECT DISTINCT obj AS cand FROM t)),
+        |draws AS (
+        |  SELECT subj, pred, obj, CAST(i AS INTEGER) AS neg_idx,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(ch) AS BIGINT) FOR ch IN
+        |        string_split(subj || '|' || pred || '|' || obj || '|' || CAST(i AS VARCHAR), '')]),
+        |      (h, cp) -> (h * 31 + cp) % 2147483647)
+        |      % (SELECT count(*) FROM pool) AS idx
+        |  FROM t, unnest(range(0, 2)) AS u(i)),
+        |cand AS (
+        |  SELECT d.subj, d.pred, d.obj, d.neg_idx, p.cand AS obj_neg
+        |  FROM draws d JOIN pool p USING (idx) WHERE p.cand <> d.obj)
+        |SELECT c.subj, c.pred, c.obj, c.neg_idx, c.obj_neg
+        |FROM cand c LEFT JOIN t
+        |  ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.obj_neg
+        |WHERE t.subj IS NULL""".stripMargin,
+    // q118: closure + NOT EXISTS — the quadratic definition, independent
+    // of the engine's semi-naive reachability loop.
+    "q118_transitive_reduction" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || c_custkey AS s, 'c' || (c_custkey // 2) AS d
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+        |  FROM customer WHERE c_custkey > 3
+        |), r AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+        |), two AS (
+        |  SELECT DISTINCT e.s, r.d FROM e JOIN r ON e.d = r.s
+        |)
+        |SELECT e.s AS src, e.d AS dst FROM e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM two WHERE two.s = e.s AND two.d = e.d)""".stripMargin,
+    // q119: DuckDB's 1-based inclusive list slicing over the same
+    // whitespace tokenization (full \s trim, \s+ split).
+    "q119_rag_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tok
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+        |c AS (
+        |  SELECT doc_id, tok, CAST(i AS INTEGER) AS chunk_id,
+        |         CAST(i * 24 AS INTEGER) AS start_tok
+        |  FROM w, unnest(range(0, ((len(tok) - 1) // 24) + 1)) AS t(i))
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(least(32, len(tok) - start_tok) AS INTEGER) AS n_tok,
+        |  array_to_string(tok[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // q120: GROUP BY + HAVING is the exact heavy-hitter definition the
+    // sketch-bounded plan must reproduce.
+    "q120_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'megacorp'
+        |              ELSE 'c' || o_custkey END AS hh_key FROM orders)
+        |SELECT hh_key AS "key", count(*) AS cnt
+        |FROM k GROUP BY 1 HAVING count(*) * 10 > (SELECT count(*) FROM k)""".stripMargin
   )
 }

@@ -67,4 +67,68 @@ object Sketch {
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(round(lit((k - 1).toDouble * M) / col("h_k"), 4)))
   }
+
+  /** Exact heavy hitters with SKETCH-BOUNDED shuffle — every key whose
+    * count strictly exceeds n/k, with its exact count. The naive plan
+    * (groupBy key + HAVING) shuffles one combiner row per DISTINCT key;
+    * over 10^12 rows of long-tail keys (URLs, vendor strings) that is the
+    * job's dominant exchange. This operator caps it with Misra–Gries
+    * (Misra & Gries, Sci. Comp. Prog. 1982; the Space-Saving family):
+    *
+    *  1. per-partition MG summaries of k−1 counters (narrow mapPartitions
+    *     fold — the genuine per-partition-imperative case) emit candidate
+    *     keys: any key with count_p > n_p/k in SOME partition survives
+    *     there, and a global count > n/k forces count_p > n_p/k in at
+    *     least one partition (averaging) — so the candidate set is a
+    *     SUPERSET of the true heavy hitters, ≤ (k−1)·P keys total;
+    *  2. one exact counting pass where only candidate keys keep their
+    *     identity (broadcast membership; everything else collapses into a
+    *     single "other" combiner per partition) — the shuffle carries
+    *     ≤ (k−1)·P + P rows, independent of the distinct-key count; n
+    *     falls out of the same aggregate, so the whole operator is the
+    *     narrow sketch pass + ONE exchange;
+    *  3. filter cnt·k > n.
+    *
+    * MG's internal state is arrival-order-dependent (so the CANDIDATE set
+    * varies with partition layout), but step 3 makes the OUTPUT a pure
+    * function of the data multiset — exact counts, deterministic across
+    * runs and layouts. Null keys are ignored. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "heavyHitters: k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val candidates = keys.as[String].mapPartitions { it =>
+      // Misra–Gries fold, k-1 counters; decrement-all amortizes to O(1)
+      // per row (each decrement pays back an earlier increment)
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        m.get(x) match {
+          case Some(c) => m.update(x, c + 1L)
+          case None if m.size < k - 1 => m.update(x, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            m.keysIterator.foreach { y =>
+              val c = m(y) - 1L
+              if (c == 0L) dead += y else m.update(y, c)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("key").distinct()
+    // exact pass: candidates keep identity, the tail collapses per
+    // partition into one combiner row; n = Σ over ALL groups of the same
+    // aggregate (no second scan)
+    val counted = keys
+      .join(broadcast(candidates.withColumn("__cand", lit(true))), Seq("key"), "left")
+      .groupBy(coalesce(col("__cand"), lit(false)).as("__cand"),
+        when(col("__cand"), col("key")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = graft.Materialize(counted, eager = false)
+    val nRow = m.agg(sum("cnt")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    m.where(col("__cand") && col("cnt") * k > n).select("key", "cnt")
+  }
 }

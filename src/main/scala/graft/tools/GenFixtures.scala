@@ -511,6 +511,64 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q64_communities_dir")
     }
 
+    // q115: minimum spanning forest of the weighted customer graph. The
+    // engine's Borůvka rounds are replayed by a sequential KRUSKAL under
+    // the same (w, src, dst) total order — a genuinely different algorithm
+    // (global edge sort + union-find, no component rounds); under a total
+    // order the forest is unique, so the two must agree edge-for-edge.
+    {
+      val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        .select(col("c_custkey").cast("long")).as[Long].collect()
+      val raw = cust.filter(_ > 1).map(k => (s"c${k / 2}", s"c$k", k % 7 + 1)) ++
+        cust.filter(_ > 3).map(k => (s"c${k / 4}", s"c$k", k % 5 + 1))
+      val es = raw.filter(e => e._1 != e._2)
+        .map(e => if (e._1 <= e._2) e else (e._2, e._1, e._3))
+        .groupBy(e => (e._1, e._2)).map { case (_, g) => g.minBy(_._3) }
+        .toSeq.sortBy(e => (e._3, e._1, e._2))
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find115(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find115(p); parent(x) = r; r }
+      }
+      val mst = es.filter { case (u, v, _) =>
+        val (ru, rv) = (find115(u), find115(v))
+        if (ru != rv) { parent(ru) = rv; true } else false
+      }
+      spark.createDataset(mst).toDF("src", "dst", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q115_mst_dir")
+    }
+
+    // q116: integer HITS over the directed customer graph, replayed as a
+    // plain sequential adjacency-map loop with the engine's arithmetic
+    // spec (exact long sums; re-scale by q = max(1, max div SCALE) after
+    // each half-step). Bit-equality is the point.
+    {
+      val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        .select(col("c_custkey").cast("long")).as[Long].collect()
+      val es = (cust.filter(_ > 1).map(k => (s"c$k", s"c${k / 2}")) ++
+        cust.filter(_ > 3).map(k => (s"c$k", s"c${k / 4}"))).distinct.toSeq
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val outN = es.groupBy(_._1)
+      val inN = es.groupBy(_._2)
+      val scale116 = 1000000L
+      var hub = nodes.map(_ -> scale116).toMap
+      var auth = hub
+      def rescale116(m: Map[String, Long]): Map[String, Long] = {
+        val mx = if (m.isEmpty) 0L else m.values.max
+        val q = math.max(1L, mx / scale116)
+        if (q == 1L) m else m.map { case (k, v) => k -> v / q }
+      }
+      for (_ <- 0 until 4) {
+        auth = rescale116(nodes.map(v =>
+          v -> inN.getOrElse(v, Seq.empty).map(e => hub(e._1)).sum).toMap)
+        hub = rescale116(nodes.map(u =>
+          u -> outN.getOrElse(u, Seq.empty).map(e => auth(e._2)).sum).toMap)
+      }
+      spark.createDataset(nodes.map(v => (v, hub(v), auth(v))))
+        .toDF("id", "hub_fp", "auth_fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q116_hits_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -531,7 +589,9 @@ object GenFixtures {
         "q61_walks" -> "q61_expected_walks.parquet",
         "q64_communities" -> "q64_expected_communities.parquet",
         "q65_biased" -> "q65_expected_biased_walks.parquet",
-        "q68_coreness" -> "q68_expected_coreness.parquet").foreach { case (dir, name) =>
+        "q68_coreness" -> "q68_expected_coreness.parquet",
+        "q115_mst" -> "q115_expected_mst.parquet",
+        "q116_hits" -> "q116_expected_hits.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

@@ -55,4 +55,40 @@ class SketchSpec extends SparkSuite {
       .map(r => r._1 -> r._2).toMap
     assert(out(Some("a")) == 1L && out(None) == 1L)
   }
+
+  // ---- heavyHitters ----
+
+  private def hh(keys: Seq[String], k: Int, parts: Int = 4) =
+    Sketch.heavyHitters(keys.toDF("key").repartition(parts), "key", k)
+      .as[(String, Long)].collect().toMap
+
+  test("heavy hitters: exactly the keys with count*k > n, with exact counts") {
+    // 400 'mega' (40%), 100 'mid' (10%), 500 unique tail keys
+    val keys = Seq.fill(400)("mega") ++ Seq.fill(100)("mid") ++
+      (0 until 500).map(i => s"tail$i")
+    // n=1000: k=4 -> only mega (400*4 > 1000; 100*4 = 400 < 1000)
+    assert(hh(keys, 4) == Map("mega" -> 400L))
+    // k=12 -> mega and mid (100*12 = 1200 > 1000); no tail key qualifies
+    assert(hh(keys, 12) == Map("mega" -> 400L, "mid" -> 100L))
+  }
+
+  test("heavy hitters: the threshold is STRICT (count*k == n is excluded)") {
+    // 4 keys, 25% each, k=4: count*k == n exactly -> none qualify
+    val keys = (0 until 100).map(i => s"k${i % 4}")
+    assert(hh(keys, 4).isEmpty)
+  }
+
+  test("heavy hitters: output is layout-independent even though MG state is not") {
+    val keys = Seq.fill(400)("hot") ++ (0 until 600).map(i => s"c${i % 97}")
+    val a = hh(keys, 3, parts = 1) // 400*3 > 1000
+    val b = hh(keys, 3, parts = 17)
+    assert(a == b && a == Map("hot" -> 400L))
+  }
+
+  test("heavy hitters: nulls ignored, empty input is empty") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), None).toDF("key")
+    val out = Sketch.heavyHitters(df, "key", 2).as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L)) // n = 3 non-null, 3*2 > 3
+    assert(Sketch.heavyHitters(df.where("key IS NULL"), "key", 2).isEmpty)
+  }
 }
