@@ -37,6 +37,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst=false alone sizes post-shuffle partitions to the
+      // 64 MB default advisory — at bench SF the ~60 MB edge shuffles of
+      // the graph round loops (k-core, triangles, PageRank) coalesce to
+      // ONE partition and the loops serialize (measured: q68 100 s → 31 s
+      // with a 2 MB advisory, q56 29 s → 17 s; entity-scale stages still
+      // collapse to 1, keeping the r3 serial-latency win). 2 MB is the
+      // BENCH-SCALE calibration of the pair — a real cluster keeps the
+      // 64 MB default, where the same shuffles are TBs and already
+      // thousands of partitions.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

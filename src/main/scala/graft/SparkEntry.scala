@@ -1222,7 +1222,52 @@ object SparkEntry {
         t(s, d, "orders").select(
           when(col("o_orderkey") % 4 === 0, lit("megacorp"))
             .otherwise(concat(lit("c"), col("o_custkey"))).as("hh_key")),
-        "hh_key", k = 10))
+        "hh_key", k = 10)),
+    "q121_betweenness" -> ((s, d) =>
+      // broker-entity ranking: Brandes dependency accumulation from a
+      // hashed source sample over the customer graph (tree + shortcuts,
+      // so shortest-path counts genuinely compound); fixed-point integer
+      // arithmetic — oracle = independent sequential Brandes replay in
+      // tools.GenFixtures (bit-equality)
+      graft.graph.Betweenness.fromSources(custGraph(s, d),
+        t(s, d, "customer").where(col("c_custkey") % 80 === 0)
+          .select(concat(lit("c"), col("c_custkey")).as("id")))),
+    "q122_mis" -> ((s, d) =>
+      // conflict-free merge batching: Luby MIS over the customer conflict
+      // graph with the keyed-hash total order; oracle = sequential Luby
+      // replay in tools.GenFixtures sharing only the hash values
+      graft.graph.Mis.maximalIndependentSet(custGraph(s, d))),
+    "q123_ktruss" -> ((s, d) =>
+      // triangle-backed cohesion filter before canonicalization: the
+      // 3-truss of the customer graph (every (k, k/2, k/4) closes a
+      // triangle, but chain-only edges peel); oracle = independent
+      // sequential peel replay in tools.GenFixtures
+      graft.graph.Truss.kTruss(custGraph(s, d), k = 3)),
+    "q124_text_normalize" -> ((s, d) =>
+      // accent-insensitive dedup keys through the native text_norm
+      // Catalyst expression (codegen, §2.10): accents synthesized
+      // deterministically via translate, normalized, grouped; oracle =
+      // DuckDB's lower(strip_accents(...)) over the same translate
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          translate(col("p_name"), "aeiou", "àéîöü").as("accented"))
+        .select(col("p_partkey"),
+          graft.functions.TextNorm.normCol(col("accented")).as("norm_key"))
+        .groupBy("norm_key")
+        .agg(count(lit(1)).as("n"), min("p_partkey").as("first_key"))),
+    "q125_time_decay" -> ((s, d) =>
+      // freshness-weighted activity: exponentially decayed event value per
+      // type (half-life 7 days, as-of 2024-04-01) in exact micro-unit
+      // integer sums; oracle = DuckDB replaying the per-row term
+      graft.ops.Decay.decayedSum(t(s, d, "events"), Seq("event_type"),
+        "ts", "value", halfLifeSec = 604800L, asOfEpochSec = 1711929600L)),
+    "q126_rendezvous" -> ((s, d) =>
+      // rendezvous (HRW) sharding of the entity space over 5 stores —
+      // minimal-movement ownership; oracle = DuckDB replaying the
+      // fingerprint argmax term-for-term
+      graft.ops.Shard.assign(
+        t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("k")),
+        "k", Seq("shard-00", "shard-01", "shard-02", "shard-03", "shard-04")))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3026,6 +3071,56 @@ object SparkEntry {
         |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'megacorp'
         |              ELSE 'c' || o_custkey END AS hh_key FROM orders)
         |SELECT hh_key AS "key", count(*) AS cnt
-        |FROM k GROUP BY 1 HAVING count(*) * 10 > (SELECT count(*) FROM k)""".stripMargin
+        |FROM k GROUP BY 1 HAVING count(*) * 10 > (SELECT count(*) FROM k)""".stripMargin,
+    // q121/q122/q123: fixed-point Brandes, Luby MIS, and k-truss peeling
+    // are iterative fixpoints — checked against INDEPENDENT sequential
+    // replays in tools.GenFixtures (per-source BFS Brandes with the same
+    // truncating arithmetic; driver Luby sharing only the hash values;
+    // naive per-round triangle recount peel).
+    "q121_betweenness" ->
+      """SELECT id, bc_fp, n_sources
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q121_expected_betweenness.parquet')""".stripMargin,
+    "q122_mis" ->
+      """SELECT id, round
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q122_expected_mis.parquet')""".stripMargin,
+    "q123_ktruss" ->
+      """SELECT src, dst, support
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q123_expected_ktruss.parquet')""".stripMargin,
+    // q124: DuckDB's strip_accents+lower is an independent implementation
+    // of the same Latin-script fold the native expression computes.
+    "q124_text_normalize" ->
+      """WITH n AS (
+        |  SELECT p_partkey,
+        |         lower(strip_accents(translate(p_name, 'aeiou', 'àéîöü'))) AS norm_key
+        |  FROM part)
+        |SELECT norm_key, count(*) AS n, min(p_partkey) AS first_key
+        |FROM n GROUP BY 1""".stripMargin,
+    // q125: the per-row decay term (floor-epoch Δ, IEEE pow, micro-unit
+    // round) replayed in SQL; the sum is exact BIGINT on both sides.
+    "q125_time_decay" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(round(value * power(2,
+        |      -(1711929600 - floor(date_part('epoch', ts))) / 604800.0)
+        |      * 1000000.0) AS BIGINT) AS term
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT event_type, CAST(sum(term) AS BIGINT) AS decayed_fp,
+        |       count(*) AS n_events
+        |FROM t GROUP BY 1""".stripMargin,
+    // q126: the scrambled-fingerprint argmax replayed with a DuckDB list
+    // comprehension + struct list_max (same (weight, shard) total order;
+    // the q98-proven kmvHash construction).
+    "q126_rendezvous" ->
+      """WITH k AS (SELECT 'c' || c_custkey AS k FROM customer),
+        |w AS (
+        |  SELECT k, list_max([{'w':
+        |    (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(s || '|' || k, '')]),
+        |        (h, cp) -> (h * 31 + cp) % 2147483647)
+        |       * 48271 + 12345) % 2147483647)
+        |     * 69621 + 54321) % 2147483647, 's': s}
+        |    FOR s IN ['shard-00', 'shard-01', 'shard-02', 'shard-03', 'shard-04']]) AS m
+        |  FROM k)
+        |SELECT k, m.s AS owner FROM w""".stripMargin
   )
 }

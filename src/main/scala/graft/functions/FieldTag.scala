@@ -82,5 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("text_norm"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "text_norm"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)))
   }
 }

@@ -1,0 +1,99 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal independent set by Luby's algorithm (Luby, SIAM J. Comput.
+  * 1986) — the distributed symmetry breaker. The KG use is CONFLICT-FREE
+  * MERGE BATCHING: nodes are proposed entity merges, edges are conflicts
+  * (two merges touching the same entity must not apply concurrently); an
+  * MIS is a maximal batch that can run in one parallel wave, and repeated
+  * waves (`batches`) schedule the whole merge set — this is how a
+  * canonicalization backlog applies without a global lock.
+  *
+  * Luby's randomness is derationalized the engine way: the priority is
+  * the keyed hash xxhash64(id) with the id itself as tie-break — a total
+  * order, so selection is a pure function of the graph (bit-stable across
+  * runs/layouts/cluster sizes; the sequential-replay oracle lever).
+  *
+  * Per round: one edge-scale join carrying (priority) pairs, one
+  * node-keyed min aggregate (map-side combinable), one anti join to drop
+  * selected ∪ neighbors — the round's survivors shrink geometrically in
+  * expectation (Luby's bound: ≥ half the EDGES die per round whp), so
+  * rounds = O(log E). Isolated nodes (no surviving conflicts) are all
+  * selected — maximality. */
+object Mis {
+
+  /** One maximal independent set over the UNDIRECTED conflict graph:
+    * returns (id, round) for selected nodes — round = the wave that
+    * selected them (audit of the geometric shrink). Every node of `edges`
+    * appears in NO or exactly one row; adding any absent node would break
+    * independence (maximality). */
+  def maximalIndependentSet(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1, "maximalIndependentSet: maxRounds must be >= 1")
+    val und = edges
+      .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // symmetrize once; keep both directions so one join sees all neighbors
+    var live = graft.Materialize(
+      und.union(und.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var selected = graft.Materialize(
+      Seq.empty[(String, Int)].toDF("id", "round"))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      // a node wins iff its (hash, id) priority is strictly below every
+      // surviving neighbor's — computed as one neighbor-min aggregate
+      val prio = struct(xxhash64(col("a")).as("h"), col("a").as("i"))
+      val nbrPrio = struct(xxhash64(col("b")).as("h"), col("b").as("i"))
+      val winners = graft.Materialize(
+        live.groupBy(col("a").as("id"))
+          .agg(min(nbrPrio).as("minNbr"), first(prio).as("own"))
+          .where(col("own") < col("minNbr"))
+          .select(col("id"), lit(round).as("round")),
+        eager = false)
+      val nWin = winners.count()
+      if (nWin == 0L) {
+        // no edges can remain: with a total order some node is always a
+        // local min while any edge survives — so live is empty
+        done = true
+      } else {
+        selected = graft.Materialize(selected.union(winners), eager = false)
+        // drop winners and their neighbors: every edge listing a winner on
+        // either side kills both its endpoints' survivor status
+        val dead = winners.select(col("id")).union(
+          live.join(winners.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+            .select(col("b").as("id"))).distinct()
+        // no emptiness probe here — the next round's winner count doubles
+        // as it (one job per round, the family discipline)
+        live = graft.Materialize(
+          live.join(dead.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+            .join(dead.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+            .select("a", "b"),
+          eager = false)
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"maximalIndependentSet did not converge in $maxRounds rounds " +
+          "(edges halve per round in expectation — raise maxRounds)")
+    // maximality: nodes whose every conflict died without selecting them
+    // are now isolated — select them all (they conflict with nothing left)
+    val all = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
+    val nbrsOfSelected = und
+      .join(selected.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("id"))
+      .union(und.join(selected.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select(col("a").as("id")))
+      .distinct()
+    val isolated = all
+      .join(selected, Seq("id"), "left_anti")
+      .join(nbrsOfSelected, Seq("id"), "left_anti")
+      .select(col("id"), lit(0).as("round"))
+    selected.union(isolated)
+  }
+}

@@ -569,6 +569,106 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q116_hits_dir")
     }
 
+    // q121/q122/q123 share the customer graph (tree child→parent +
+    // grandparent shortcuts) — build it once, driver-side
+    val custKeys = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_custkey").cast("long")).as[Long].collect()
+    val custEdges = (custKeys.filter(_ > 1).map(k => (s"c$k", s"c${k / 2}")) ++
+      custKeys.filter(_ > 3).map(k => (s"c$k", s"c${k / 4}"))).distinct.toSeq
+
+    // q121: sequential Brandes (per-source BFS + descending-level
+    // accumulation over driver adjacency maps) with the engine's
+    // fixed-point spec: exact long σ sums, per-edge term
+    // floor(σ_u · (S + δ_v) / σ_v). Independent of the engine's
+    // multi-source frontier loop; bit-equality is the point.
+    {
+      val S121 = 1000000L
+      val sources = custKeys.filter(_ % 80 == 0).map(k => s"c$k").toSeq
+      val adj = custEdges.groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+      val acc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val nSrc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (s121 <- sources.distinct) {
+        val dist = scala.collection.mutable.Map(s121 -> 0)
+        val sigma = scala.collection.mutable.Map(s121 -> 1L)
+        var frontier = Seq(s121)
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          val contrib = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+          frontier.foreach(u => adj.getOrElse(u, Nil).foreach { v =>
+            if (!dist.contains(v)) contrib(v) += sigma(u)
+          })
+          frontier = contrib.keys.toSeq.sorted
+          frontier.foreach { v => dist(v) = d; sigma(v) = contrib(v) }
+        }
+        val delta = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        val maxD = if (dist.isEmpty) 0 else dist.values.max
+        for (level <- (maxD - 1) to 0 by -1;
+             u <- dist.keys.toSeq.sorted if dist(u) == level;
+             v <- adj.getOrElse(u, Nil) if dist.get(v).contains(level + 1))
+          delta(u) += sigma(u) * (S121 + delta(v)) / sigma(v)
+        delta.foreach { case (v, dl) =>
+          if (v != s121 && dl > 0) { acc(v) += dl; nSrc(v) += 1L }
+        }
+      }
+      spark.createDataset(acc.keys.toSeq.sorted.map(v => (v, acc(v), nSrc(v))))
+        .toDF("id", "bc_fp", "n_sources")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q121_betweenness_dir")
+    }
+
+    // q122: sequential Luby replay — shares only the xxhash64 priority
+    // VALUES (read back once through Spark, the engine-wide keyed PRNG);
+    // the selection/removal logic is a plain driver loop.
+    {
+      val und = custEdges.flatMap(e => Seq(e, e.swap)).distinct
+      val ids = und.map(_._1).distinct
+      val prio = ids.toDF("id").select(col("id"), xxhash64(col("id")).as("h"))
+        .as[(String, Long)].collect().toMap
+      val tupleLt = Ordering.Tuple2[Long, String]
+      var live = und.toSet
+      val rounds = scala.collection.mutable.Map[String, Int]()
+      var round = 0
+      while (live.nonEmpty) {
+        round += 1
+        val winners = live.map(_._1).filter { a =>
+          live.filter(_._1 == a).forall { case (_, b) =>
+            tupleLt.lt((prio(a), a), (prio(b), b)) }
+        }
+        winners.foreach(w => rounds(w) = round)
+        val dead = winners ++ live.filter(e => winners(e._1)).map(_._2)
+        live = live.filter(e => !dead(e._1) && !dead(e._2))
+      }
+      ids.foreach { v =>
+        if (!rounds.contains(v) &&
+          !und.exists { case (a, b) => a == v && rounds.contains(b) })
+          rounds(v) = 0
+      }
+      spark.createDataset(rounds.toSeq.sortBy(_._1)).toDF("id", "round")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q122_mis_dir")
+    }
+
+    // q123: sequential 3-truss peel — naive per-round triangle recount
+    // over driver sets, remove-below-threshold to the fixpoint.
+    {
+      var edges123 = custEdges.map(e => if (e._1 <= e._2) e else e.swap).distinct.toSet
+      def supports(s: Set[(String, String)]): Map[(String, String), Long] = {
+        val adj = scala.collection.mutable.Map[String, Set[String]]().withDefaultValue(Set())
+        s.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+        s.map { case (u, v) => (u, v) -> (adj(u) & adj(v)).size.toLong }.toMap
+      }
+      var stable = false
+      while (!stable) {
+        val sup = supports(edges123)
+        val kept = edges123.filter(e => sup(e) >= 1) // k = 3 → support ≥ 1
+        stable = kept == edges123
+        edges123 = kept
+      }
+      val supF = supports(edges123)
+      spark.createDataset(edges123.toSeq.sorted.map(e => (e._1, e._2, supF(e))))
+        .toDF("src", "dst", "support")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q123_ktruss_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -591,7 +691,10 @@ object GenFixtures {
         "q65_biased" -> "q65_expected_biased_walks.parquet",
         "q68_coreness" -> "q68_expected_coreness.parquet",
         "q115_mst" -> "q115_expected_mst.parquet",
-        "q116_hits" -> "q116_expected_hits.parquet").foreach { case (dir, name) =>
+        "q116_hits" -> "q116_expected_hits.parquet",
+        "q121_betweenness" -> "q121_expected_betweenness.parquet",
+        "q122_mis" -> "q122_expected_mis.parquet",
+        "q123_ktruss" -> "q123_expected_ktruss.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)

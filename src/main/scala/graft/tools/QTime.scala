@@ -1,14 +1,24 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Per-query wall timing in one warm session — the PLANS.md / BASELINE.md
+  * per-query evidence tool. SPARK_GRAFT_SF_DIR picks the scale (default
+  * sf0.01); SPARK_GRAFT_EXTRA_CONF ("k=v;k=v") injects session conf, e.g.
+  * to reproduce the Bench session's AQE coalescing choices. */
 object QTime {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    var builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.ansi.enabled", false)
       .config("spark.driver.memory", "8g")
-      .appName("qtime").getOrCreate()
+      .appName("qtime")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder = builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime
