@@ -1267,7 +1267,39 @@ object SparkEntry {
       // fingerprint argmax term-for-term
       graft.ops.Shard.assign(
         t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("k")),
-        "k", Seq("shard-00", "shard-01", "shard-02", "shard-03", "shard-04")))
+        "k", Seq("shard-00", "shard-01", "shard-02", "shard-03", "shard-04"))),
+    "q127_blocking_eval" -> ((s, d) => {
+      // blocking-strategy scorecard (RR / PC / PQ) for a nation-keyed
+      // blocking against a deterministic gold pair set; oracle = the
+      // DEFINITIONAL computation in DuckDB (block self-join + gold joins)
+      val blocks = t(s, d, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("id"),
+        concat(lit("n"), col("c_nationkey")).as("block"))
+      val gold = t(s, d, "customer").where(col("c_custkey") % 2 === 0).select(
+        concat(lit("c"), col("c_custkey")).as("a"),
+        concat(lit("c"), col("c_custkey") + 1).as("b"))
+      graft.metrics.BlockingEval.evaluate(blocks, gold)
+    }),
+    "q128_jaro_winkler" -> ((s, d) =>
+      // native codegen Jaro–Winkler (§2.10) scoring names against a
+      // deterministic mutation; oracle = DuckDB's independent
+      // jaro_winkler_similarity (identical on this query's ASCII input —
+      // probe-verified incl. the 0.7 boost threshold; on non-ASCII the
+      // engine scores codepoints where DuckDB scores UTF-8 bytes, the
+      // divergence documented in functions/JaroWinkler)
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        round(graft.functions.JaroWinkler.jwCol(
+          lower(col("c_name")),
+          translate(lower(col("c_name")), "aeiou#", "eaoiu-")), 6).as("jw"))),
+    "q129_snm_blocking" -> ((s, d) =>
+      // sorted-neighborhood candidate pairs (window 4 over the name sort
+      // order) — the hash-blocking complement; oracle = DuckDB's direct
+      // rank self-join definition (no buckets)
+      graft.link.SortedNeighborhood.pairs(
+        t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("id"),
+          col("c_name").as("key")),
+        "id", "key", w = 4))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3121,6 +3153,56 @@ object SparkEntry {
         |     * 69621 + 54321) % 2147483647, 's': s}
         |    FOR s IN ['shard-00', 'shard-01', 'shard-02', 'shard-03', 'shard-04']]) AS m
         |  FROM k)
-        |SELECT k, m.s AS owner FROM w""".stripMargin
+        |SELECT k, m.s AS owner FROM w""".stripMargin,
+    // q127: the definitional scorecard — block sizes for Σ C(n_b,2),
+    // distinct pair self-join, gold coverage joins — computed directly.
+    "q127_blocking_eval" ->
+      """WITH b AS (
+        |  SELECT DISTINCT 'c' || c_custkey AS id, 'n' || c_nationkey AS block
+        |  FROM customer),
+        |g AS (
+        |  SELECT DISTINCT least('c' || c_custkey, 'c' || (c_custkey + 1)) AS x,
+        |         greatest('c' || c_custkey, 'c' || (c_custkey + 1)) AS y
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |sizes AS (SELECT block, count(*) AS nb FROM b GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS x, r.id AS y
+        |  FROM b l JOIN b r ON l.block = r.block AND l.id < r.id),
+        |cov AS (
+        |  SELECT DISTINCT g.x, g.y
+        |  FROM g JOIN b bx ON bx.id = g.x JOIN b bz ON bz.id = g.y
+        |   AND bz.block = bx.block),
+        |n AS (SELECT count(DISTINCT id) AS n_entities FROM b)
+        |SELECT n.n_entities,
+        |  n.n_entities * (n.n_entities - 1) // 2 AS total_pairs,
+        |  (SELECT CAST(coalesce(sum(nb * (nb - 1) // 2), 0) AS BIGINT) FROM sizes)
+        |    AS candidate_pairs,
+        |  (SELECT count(*) FROM cand) AS distinct_candidates,
+        |  (SELECT count(*) FROM g) AS gold_pairs,
+        |  (SELECT count(*) FROM cov) AS covered_gold,
+        |  round(1.0 - CAST((SELECT count(*) FROM cand) AS DOUBLE)
+        |    / (n.n_entities * (n.n_entities - 1) // 2), 6) AS rr,
+        |  round(CAST((SELECT count(*) FROM cov) AS DOUBLE)
+        |    / (SELECT count(*) FROM g), 6) AS pc,
+        |  round(CAST((SELECT count(*) FROM cov) AS DOUBLE)
+        |    / (SELECT count(*) FROM cand), 6) AS pq
+        |FROM n""".stripMargin,
+    // q128: DuckDB's jaro_winkler_similarity is an independent
+    // implementation of the same contract (probe-verified).
+    "q128_jaro_winkler" ->
+      """SELECT c_custkey,
+        |  round(jaro_winkler_similarity(lower(c_name),
+        |    translate(lower(c_name), 'aeiou#', 'eaoiu-')), 6) AS jw
+        |FROM customer""".stripMargin,
+    // q129: the direct rank self-join definition — no buckets.
+    "q129_snm_blocking" ->
+      """WITH b AS (
+        |  SELECT DISTINCT 'c' || c_custkey AS id, c_name AS key
+        |  FROM customer WHERE c_name IS NOT NULL),
+        |r AS (SELECT id, row_number() OVER (ORDER BY key, id) AS rank FROM b)
+        |SELECT l.id AS id_a, r2.id AS id_b,
+        |       CAST(l.rank AS INT) AS rank_a, CAST(r2.rank AS INT) AS rank_b
+        |FROM r l JOIN r r2
+        |  ON r2.rank > l.rank AND r2.rank - l.rank < 4 AND l.id <> r2.id""".stripMargin
   )
 }

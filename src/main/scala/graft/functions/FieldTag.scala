@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_norm"),
       new ExpressionInfo(classOf[NormalizeText].getName, "text_norm"),
       (exprs: Seq[Expression]) => NormalizeText(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
   }
 }
