@@ -1299,7 +1299,41 @@ object SparkEntry {
       graft.link.SortedNeighborhood.pairs(
         t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("id"),
           col("c_name").as("key")),
-        "id", "key", w = 4))
+        "id", "key", w = 4)),
+    "q130_bpe_encode" -> ((s, d) =>
+      // the full BPE token SEQUENCE with the committed vocab (q48 is its
+      // length projection); oracle = the independent merge-order
+      // sequential replay in tools.GenFixtures, position for position
+      graft.ops.Bpe.encode(t(s, d, "documents"))),
+    "q131_inverted_index" -> ((s, d) =>
+      // materialized positional postings over the documents corpus
+      // (minDf 2 prunes hapax terms); oracle = DuckDB's unnest WITH
+      // ORDINALITY definition
+      graft.ops.Retrieval.invertedIndex(
+        t(s, d, "documents"), "doc_id", "text", minDf = 2)),
+    "q132_rrf_fusion" -> ((s, d) => {
+      // reciprocal-rank fusion of two heterogeneous top-100 rankings
+      // (price-desc and date-asc) — exact integer 10⁹ div (60+rank)
+      // terms; oracle = DuckDB row_number + the same truncating division
+      val o = t(s, d, "orders")
+      def top100(order: Column*) = o
+        .orderBy(order: _*).limit(100)
+        .select(col("o_orderkey").as("id"),
+          row_number().over(Window.orderBy(order: _*)).as("rank"))
+      val byPrice = top100(col("o_totalprice").desc, col("o_orderkey").asc)
+      val byDate = top100(col("o_orderdate").asc, col("o_orderkey").asc)
+      graft.ops.Retrieval.rrfFuse(Seq(byPrice, byDate), k = 60, topK = 20)
+    }),
+    "q133_calibration" -> ((s, d) =>
+      // reliability diagram of a deliberately miscalibrated synthetic
+      // confidence (conf = keyed hash / 1000, accuracy = 1/3 everywhere)
+      // — integer-exact bins; oracle = DuckDB replaying the micro-unit
+      // quantization and truncating divisions
+      graft.metrics.Calibration.reliability(
+        t(s, d, "orders").select(
+          (pmod(col("o_orderkey") * 37, lit(1000)) / 1000.0).as("conf"),
+          (col("o_orderkey") % 3 === 0).as("ok")),
+        "conf", "ok", bins = 10))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3203,6 +3237,66 @@ object SparkEntry {
         |SELECT l.id AS id_a, r2.id AS id_b,
         |       CAST(l.rank AS INT) AS rank_a, CAST(r2.rank AS INT) AS rank_b
         |FROM r l JOIN r r2
-        |  ON r2.rank > l.rank AND r2.rank - l.rank < 4 AND l.id <> r2.id""".stripMargin
+        |  ON r2.rank > l.rank AND r2.rank - l.rank < 4 AND l.id <> r2.id""".stripMargin,
+    // q130: independent merge-order sequential replay (GenFixtures).
+    "q130_bpe_encode" ->
+      """SELECT doc_id, pos, token
+        |FROM read_parquet('/root/repo/src/test/resources/expected/q130_expected_bpe_tokens.parquet')""".stripMargin,
+    // q131: unnest WITH ORDINALITY is the definitional positional index.
+    "q131_inverted_index" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> length(t) > 0) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, tok[CAST(i AS INT) + 1] AS term, CAST(i AS INT) AS pos
+        |  FROM w, unnest(range(0, len(tok))) AS t(i)),
+        |post AS (
+        |  SELECT term, doc_id, count(*) AS tf,
+        |         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+        |  FROM p GROUP BY 1, 2),
+        |keep AS (SELECT term FROM post GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT post.term, post.doc_id, post.tf, post.positions
+        |FROM post JOIN keep USING (term)""".stripMargin,
+    // q132: row_number + the same truncating integer division.
+    "q132_rrf_fusion" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS id,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+        |d AS (
+        |  SELECT o_orderkey AS id,
+        |    row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey) AS rank
+        |  FROM orders ORDER BY o_orderdate ASC, o_orderkey LIMIT 100),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM d),
+        |f AS (
+        |  SELECT CAST(id AS VARCHAR) AS id,
+        |         CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+        |         count(*) AS n_lists
+        |  FROM u GROUP BY 1)
+        |SELECT id, rrf_fp, n_lists,
+        |       CAST(row_number() OVER (ORDER BY rrf_fp DESC, id ASC) AS INT) AS rank
+        |FROM f ORDER BY rrf_fp DESC, id ASC LIMIT 20""".stripMargin,
+    // q133: micro-unit quantization + truncating division replayed.
+    "q133_calibration" ->
+      """WITH c AS (
+        |  SELECT ((o_orderkey * 37) % 1000) / 1000.0 AS conf,
+        |         o_orderkey % 3 = 0 AS ok
+        |  FROM orders),
+        |b AS (
+        |  SELECT least(CAST(floor(conf * 10) AS INT), 9) AS bin,
+        |         CAST(round(conf * 1000000.0) AS BIGINT) AS conf_fp,
+        |         CASE WHEN ok THEN 1 ELSE 0 END AS hit
+        |  FROM c),
+        |g AS (
+        |  SELECT bin, count(*) AS n, sum(conf_fp) AS sum_conf,
+        |         sum(hit) AS n_hit
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n,
+        |  CAST(sum_conf // n AS BIGINT) AS conf_avg_fp,
+        |  CAST((1000000 * n_hit) // n AS BIGINT) AS acc_fp,
+        |  CAST(abs(sum_conf // n - (1000000 * n_hit) // n) AS BIGINT) AS gap_fp
+        |FROM g""".stripMargin
   )
 }

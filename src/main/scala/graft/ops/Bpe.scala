@@ -90,6 +90,19 @@ object Bpe {
       }
       n
     }
+
+    /** The token SEQUENCE (not just its length) — the artifact sequence
+      * packing / decontamination / model input prep actually consume.
+      * countTokens(text) == encodeTokens(text).length by construction
+      * (both walk the same pre-tokens through the same merge loop). */
+    def encodeTokens(text: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      PreTokenRegex.findAllIn(text).foreach { t =>
+        if (t.length > 1 || Character.isLetter(t.charAt(0))) out ++= encodeWord(t)
+        else out += t
+      }
+      out.result()
+    }
   }
 
   /** (id, n_tokens_bpe) over a corpus — a mapPartitions pass (the merge
@@ -110,6 +123,30 @@ object Bpe {
     in.mapPartitions(_.map { r =>
       val t = if (r.isNullAt(1)) "" else r.getString(1)
       Row(r.get(0), tok.countTokens(t))
+    })(Encoders.row(outSchema))
+  }
+
+  /** Full tokenization: one row per (id, pos, token) in document order —
+    * the model-input artifact (tokenCounts is its length projection).
+    * Same narrow mapPartitions shape; the explode happens in-task, so a
+    * document's tokens never leave their partition. Empty/null texts emit
+    * no rows. */
+  def encode(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val tok = new Tokenizer(merges)
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("token", StringType, nullable = false)))
+    in.mapPartitions(_.flatMap { r =>
+      val t = if (r.isNullAt(1)) "" else r.getString(1)
+      tok.encodeTokens(t).iterator.zipWithIndex.map { case (s, i) =>
+        Row(r.get(0), i, s)
+      }
     })(Encoders.row(outSchema))
   }
 }

@@ -86,4 +86,60 @@ object Retrieval {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("id").asc)))
   }
+
+  /** Positional inverted index — the MATERIALIZED artifact bm25TopK probes
+    * on the fly: one posting row per (term, doc) with the term's 0-based
+    * token offsets (joined to a string — the stable cross-engine array
+    * form) and tf. Phrase/proximity search and highlighting read exactly
+    * this table; at 10^12 docs it is written partitioned by term-hash and
+    * becomes the retrieval join's pruned side. `minDf` drops hapax terms
+    * (the long tail that doubles index size and matches nothing twice).
+    * One explode + two keyed aggregates; positions are collected
+    * per-(term, doc) — bounded by the document length, never corpus-scale
+    * in one group. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1): DataFrame = {
+    require(minDf >= 1, "invertedIndex: minDf must be >= 1")
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(array_sort(collect_list(col("pos"))),
+          _.cast("string")), ",").as("positions"))
+    if (minDf <= 1) postings
+    else {
+      val keep = postings.groupBy("term")
+        .agg(count(lit(1)).as("df")).where(col("df") >= minDf)
+      postings.join(keep.select("term"), Seq("term"), "left_semi")
+    }
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard way to combine heterogeneous rankings (BM25 lexical +
+    * ANN semantic + recency) WITHOUT calibrating their scores:
+    * rrf(d) = Σ_r 1/(k + rank_r(d)). Entirely in exact integer
+    * fixed-point — each term is 10⁹ div (k + rank), a truncating integer
+    * division replayable in any engine; the sum is an exact long — so the
+    * fused ranking is bit-stable (the family determinism contract), and
+    * ties break by id. Input rankings are (id, rank) frames; rank-scale
+    * data throughout (one union + one keyed aggregate + a top-k cut). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10,
+      idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(k >= 0, "rrfFuse: k must be >= 0")
+    require(topK >= 1, "rrfFuse: topK must be >= 1")
+    val all = rankings.map(_.select(col(idCol).cast("string").as("id"),
+        col(rankCol).cast("long").as("rank"))
+      .where(col("id").isNotNull && col("rank").isNotNull && col("rank") >= 1))
+      .reduce(_ union _)
+    all.select(col("id"), expr(s"1000000000L div ($k + rank)").as("term"))
+      .groupBy("id")
+      .agg(sum("term").as("rrf_fp"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_fp").desc, col("id").asc)
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_fp").desc, col("id").asc)))
+  }
 }

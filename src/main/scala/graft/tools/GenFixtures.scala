@@ -67,8 +67,8 @@ object GenFixtures {
     * pairs), so the committed q48 fixture computed here checks the
     * engine's encoder end to end (and BpeSpec cross-checks both on
     * adversarial strings). */
-  def bpeCountSequential(text: String, merges: Seq[(String, String)]): Int = {
-    var n = 0
+  def bpeTokensSequential(text: String, merges: Seq[(String, String)]): Vector[String] = {
+    val toks = Vector.newBuilder[String]
     graft.ops.Bpe.PreTokenRegex.findAllIn(text).foreach { t =>
       if (t.length > 1 || Character.isLetter(t.charAt(0))) {
         var syms: List[String] = t.map(_.toString).toList
@@ -81,11 +81,14 @@ object GenFixtures {
           }
           syms = out.toList
         }
-        n += syms.length
-      } else n += 1
+        toks ++= syms
+      } else toks += t
     }
-    n
+    toks.result()
   }
+
+  def bpeCountSequential(text: String, merges: Seq[(String, String)]): Int =
+    bpeTokensSequential(text, merges).length
 
   def main(args: Array[String]): Unit = {
     val spark = graft.run.Sessions.local(4, 8, "gen-fixtures")
@@ -136,6 +139,14 @@ object GenFixtures {
         (id, bpeCountSequential(t, graft.ops.Bpe.defaultMerges)) }.toVector)
       .toDF("doc_id", "n_tokens_bpe")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q48_bpe_dir")
+
+    // q130: the same sequential replay, emitting the token SEQUENCES the
+    // engine's greedy encoder must reproduce position for position
+    spark.createDataset(docs.flatMap { case (id, t) =>
+        bpeTokensSequential(t, graft.ops.Bpe.defaultMerges)
+          .zipWithIndex.map { case (s130, i) => (id, i, s130) } }.toVector)
+      .toDF("doc_id", "pos", "token")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q130_bpe_tokens_dir")
 
     // q45: live output of the P8 quality pipeline (pure fn of media_ref;
     // drift-guarded by ImageQualitySpec — q34's justification)
@@ -694,7 +705,8 @@ object GenFixtures {
         "q116_hits" -> "q116_expected_hits.parquet",
         "q121_betweenness" -> "q121_expected_betweenness.parquet",
         "q122_mis" -> "q122_expected_mis.parquet",
-        "q123_ktruss" -> "q123_expected_ktruss.parquet").foreach { case (dir, name) =>
+        "q123_ktruss" -> "q123_expected_ktruss.parquet",
+        "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
