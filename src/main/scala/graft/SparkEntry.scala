@@ -1333,7 +1333,28 @@ object SparkEntry {
         t(s, d, "orders").select(
           (pmod(col("o_orderkey") * 37, lit(1000)) / 1000.0).as("conf"),
           (col("o_orderkey") % 3 === 0).as("ok")),
-        "conf", "ok", bins = 10))
+        "conf", "ok", bins = 10)),
+    "q134_sentence_lid" -> ((s, d) =>
+      // sentence segmentation + per-sentence language ID (the curation
+      // unit below the document — mixed-language docs become visible);
+      // RE2-compatible split rule, q25's oracle-proven language scorer;
+      // oracle = DuckDB replaying split, trim, ranks, and the score CASE
+      graft.ops.Segmenter.sentenceTable(t(s, d, "documents"), "text",
+        Seq("doc_id"))),
+    "q135_trimmed_mean" -> ((s, d) =>
+      // robust per-group center: 10%-trimmed mean of quantities (exact
+      // long kept-sum, one IEEE division); oracle = DuckDB replaying
+      // rank-trim + integer sum
+      graft.ops.Profile.trimmedMean(
+        t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v")),
+        Seq("g"), "v", trim = 0.1)),
+    "q136_kwic" -> ((s, d) =>
+      // keyword-in-context concordance for a corpus term (±4 tokens) —
+      // zero-shuffle per-row HOFs; oracle = DuckDB slice arithmetic over
+      // the same tokenization
+      graft.ops.Retrieval.kwic(t(s, d, "documents"), "doc_id", "text",
+        term = "hash", w = 4))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -1399,13 +1420,16 @@ object SparkEntry {
       l -> ms.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
     }
 
-  /** Inner SELECT producing (doc_id, s_<lang>..., best, zh) from documents. */
-  private val langScoresFromDocs: String = {
+  /** Inner SELECT producing (keys…, s_<lang>..., best, zh) from a source
+    * relation whose text column is named `text`. */
+  private def langScoresFrom(keys: String, src: String): String = {
     val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
     val best = langScoreSql.map("s_" + _._1).mkString("greatest(", ", ", ")")
     val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
-    s"SELECT doc_id, $scores, $best AS best, $zh AS zh FROM documents"
+    s"SELECT $keys, $scores, $best AS best, $zh AS zh FROM $src"
   }
+
+  private val langScoresFromDocs: String = langScoresFrom("doc_id", "documents")
 
   /** The language decision CASE over the langScoresFromDocs columns. */
   private val langCaseSql: String = {
@@ -3297,6 +3321,69 @@ object SparkEntry {
         |  CAST(sum_conf // n AS BIGINT) AS conf_avg_fp,
         |  CAST((1000000 * n_hit) // n AS BIGINT) AS acc_fp,
         |  CAST(abs(sum_conf // n - (1000000 * n_hit) // n) AS BIGINT) AS gap_fp
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q134: the split/trim/rank replayed (RE2 split rule by construction),
+    // then q25's score CASE over per-sentence text.
+    "q134_sentence_lid" -> {
+      val scores = langScoresFrom("doc_id, sent_id, sentence",
+        "(SELECT doc_id, sent_id, sentence, sentence AS text FROM s)")
+      s"""WITH raw AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+        |    chr(1)) AS frag
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(frag[CAST(i AS INT) + 1], '^\\s+|\\s+$$', '', 'g')
+        |      AS sentence,
+        |    CAST(i AS INT) AS rawpos
+        |  FROM raw, unnest(range(0, len(frag))) AS t(i)),
+        |s AS (
+        |  SELECT doc_id, sentence,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1
+        |      AS INT) AS sent_id
+        |  FROM f WHERE length(sentence) > 0),
+        |sc AS ($scores)
+        |SELECT doc_id, sent_id, sentence, $langCaseSql AS lang,
+        |  CASE WHEN length(trim(sentence)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(sentence), '\\s+')) AS INT)
+        |  END AS n_tok
+        |FROM sc""".stripMargin
+    },
+    // q135: rank-trim + exact integer kept-sum, replayed directly.
+    "q135_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |k AS (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS k FROM r)
+        |SELECT g, max(n) AS n,
+        |  CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT)
+        |    AS sum_kept,
+        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS DOUBLE)
+        |    / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END), 6)
+        |    AS trimmed_mean
+        |FROM k GROUP BY g""".stripMargin,
+    // q136: the same tokenization + 1-based inclusive slice arithmetic.
+    "q136_kwic" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, tok, CAST(i AS INT) AS pos
+        |  FROM w, unnest(range(0, len(tok))) AS t(i)
+        |  WHERE tok[CAST(i AS INT) + 1] = 'hash')
+        |SELECT doc_id, pos,
+        |  coalesce(array_to_string(tok[greatest(1, pos + 1 - 4) : pos], ' '), '')
+        |    AS left_ctx,
+        |  coalesce(array_to_string(tok[pos + 2 : least(len(tok), pos + 1 + 4)], ' '), '')
+        |    AS right_ctx
+        |FROM p""".stripMargin
   )
 }

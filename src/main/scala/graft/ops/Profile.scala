@@ -193,4 +193,39 @@ object Profile {
         (col("__lo") + (col("bin") + 1) * col("__w")).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Per-group TRIMMED mean — the robust center the plain avg() isn't
+    * (one OCR-garbled amount of 10¹² drags a vendor's mean into
+    * nonsense): drop the lowest and highest floor(n·trim) rows by value
+    * rank, average the rest. Values are LONG fixed-point units (cents),
+    * so the kept-sum is an exact long and the mean is ONE IEEE division —
+    * deterministic at any layout (the q107 discipline). Rank ties among
+    * equal values are interchangeable for a mean, so row_number's
+    * arbitrary tie order cannot change the result. One per-group value
+    * sort (window partitioned by group — spills per group like q90,
+    * never corpus-scale in one partition) + one keyed aggregate.
+    * Returns (group…, n, n_kept, sum_kept, trimmed_mean). Groups where
+    * trimming leaves nothing (n ≤ 2·floor(n·trim)) report null mean. */
+  def trimmedMean(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      trim: Double): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trimmedMean: trim must be in [0, 0.5), got $trim")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__v"))
+    df.where(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .withColumn("__k", floor(col("__n") * trim).cast("long"))
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"),
+          col("__v"))).as("sum_kept"))
+      .withColumn("trimmed_mean",
+        when(col("n_kept") > 0,
+          round(col("sum_kept").cast("double") / col("n_kept"), 6)))
+  }
 }

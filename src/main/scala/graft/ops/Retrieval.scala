@@ -124,6 +124,35 @@ object Retrieval {
     * fused ranking is bit-stable (the family determinism contract), and
     * ties break by id. Input rankings are (id, rank) frames; rank-scale
     * data throughout (one union + one keyed aggregate + a top-k cut). */
+  /** Keyword-in-context (KWIC) concordance — every occurrence of `term`
+    * with its ±`w`-token context: the corpus-inspection view an annotator
+    * or prompt-engineer reads when deciding whether a term is signal or
+    * boilerplate, and the provenance snippet retrieval UIs highlight.
+    * Pure per-row Column HOFs over the whitespace tokens (the retrieval
+    * family's rule): positions via a filtered index sequence, contexts
+    * via bounded slices — ZERO shuffles, output one row per occurrence
+    * (doc_id, pos, left_ctx, right_ctx). */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+      term: String, w: Int = 5): DataFrame = {
+    require(term.nonEmpty && !term.exists(_.isWhitespace),
+      "kwic: term must be one non-empty whitespace-free token")
+    require(w >= 0, "kwic: w must be >= 0")
+    val tk = toks(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), tk.as("__t"))
+      // guard: sequence(0, -1) DESCENDS in Spark — empty docs must not
+      // reach it
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(filter(sequence(lit(0), size(col("__t")) - 1),
+          i => element_at(col("__t"), i + 1) === term)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("__t"),
+          greatest(lit(1), col("pos") + 1 - w),
+          least(col("pos"), lit(w))), " ").as("left_ctx"),
+        array_join(slice(col("__t"), col("pos") + 2, lit(w)), " ").as("right_ctx"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10,
       idCol: String = "id", rankCol: String = "rank"): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking")
