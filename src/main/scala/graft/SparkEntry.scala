@@ -1354,7 +1354,53 @@ object SparkEntry {
       // zero-shuffle per-row HOFs; oracle = DuckDB slice arithmetic over
       // the same tokenization
       graft.ops.Retrieval.kwic(t(s, d, "documents"), "doc_id", "text",
-        term = "hash", w = 4))
+        term = "hash", w = 4)),
+    "q137_zorder" -> ((s, d) =>
+      // Z-order (Morton) clustering key — the multi-column file-pruning
+      // layout (native codegen expression; locality + interleave2 parity
+      // in ZOrderSpec); oracle = DuckDB replaying the bit interleave with
+      // plain shift/mask arithmetic
+      t(s, d, "part").select(col("p_partkey"), col("p_size"),
+        graft.ops.Layout.zorderKey(col("p_partkey"), col("p_size"))
+          .as("zkey"))),
+    "q138_fellegi_sunter" -> ((s, d) => {
+      // Fellegi–Sunter record-linkage scoring: nation-blocked candidate
+      // pairs (key distance ≤ 30 bounds the block quadratic), three
+      // agreement fields, chained log2-weight sum, two-threshold decision;
+      // oracle = DuckDB replaying the identical CASE arithmetic
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_custkey").as("a"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
+        col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("b"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg_b"), col("c_acctbal").as("bal_b"),
+        col("c_name").as("name_b"))
+      val pairs = a.join(b, Seq("nk"))
+        .where(col("a") < col("b") && col("b") - col("a") <= 30)
+        .select(col("a"), col("b"),
+          (col("seg_a") === col("seg_b")).as("agr_seg"),
+          (floor(col("bal_a") / 1000.0) === floor(col("bal_b") / 1000.0))
+            .as("agr_bal"),
+          (substring(col("name_a"), -3, 3) === substring(col("name_b"), -3, 3))
+            .as("agr_sfx"))
+      graft.link.FellegiSunter.score(pairs,
+        Seq(("agr_seg", 1.5, -0.7), ("agr_bal", 2.25, -0.2),
+          ("agr_sfx", 4.5, -0.05)),
+        upper = 3.1, lower = -0.5)
+    }),
+    "q139_soundex_blocking" -> ((s, d) =>
+      // phonetic blocking: collision classes of the corpus vocabulary under
+      // American Soundex (Spark's BUILT-IN expression; the oracle joins the
+      // same DuckDB-tokenized vocabulary to a committed map computed by an
+      // independent sequential Odell–Russell implementation)
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+        .where(length(col("token")) >= 3)
+        .distinct()
+        .select(col("token"), soundex(col("token")).as("skey"))
+        .withColumn("class_size",
+          count(lit(1)).over(Window.partitionBy("skey"))))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3384,6 +3430,61 @@ object SparkEntry {
         |    AS left_ctx,
         |  coalesce(array_to_string(tok[pos + 2 : least(len(tok), pos + 1 + 4)], ' '), '')
         |    AS right_ctx
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // q137: the bit-interleave contract replayed with plain shift/mask
+    // arithmetic — result bit (2i) = bit i of p_partkey, bit (2i+1) =
+    // bit i of p_size (disjoint bits, so SUM == OR).
+    "q137_zorder" ->
+      """SELECT p_partkey, p_size,
+        |  CAST(sum((((p_partkey >> i) & 1) << (2 * i)) +
+        |           (((CAST(p_size AS BIGINT) >> i) & 1) << (2 * i + 1)))
+        |       AS BIGINT) AS zkey
+        |FROM part,
+        |     (SELECT CAST(i AS BIGINT) AS i
+        |      FROM unnest(range(0, 32)) AS t(i)) bits
+        |GROUP BY 1, 2""".stripMargin,
+    // q138: identical blocking join + the SAME chained CASE arithmetic
+    // (left-to-right adds of the same double literals → bit-identical).
+    "q138_fellegi_sunter" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |    a.c_mktsegment = b.c_mktsegment AS agr_seg,
+        |    floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+        |      AS agr_bal,
+        |    right(a.c_name, 3) = right(b.c_name, 3) AS agr_sfx
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 30),
+        |sc AS (
+        |  SELECT *, round(CASE WHEN agr_seg THEN 1.5 ELSE -0.7 END
+        |                + CASE WHEN agr_bal THEN 2.25 ELSE -0.2 END
+        |                + CASE WHEN agr_sfx THEN 4.5 ELSE -0.05 END, 6)
+        |    AS score
+        |  FROM p)
+        |SELECT a, b, agr_seg, agr_bal, agr_sfx, score,
+        |  CASE WHEN score > 3.1 THEN 'match'
+        |       WHEN score < -0.5 THEN 'non_match'
+        |       ELSE 'possible' END AS decision
+        |FROM sc""".stripMargin,
+    // q139: DuckDB re-derives the vocabulary with its own regex engine,
+    // then joins the committed token→key map computed by an INDEPENDENT
+    // sequential Odell–Russell soundex (tools.GenFixtures) — any token the
+    // map misses, or any key the two implementations disagree on, surfaces
+    // as a row/value mismatch.
+    "q139_soundex_blocking" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT t AS token
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS u(t)
+        |  WHERE text IS NOT NULL AND length(t) >= 3),
+        |j AS (
+        |  SELECT tok.token, m.skey
+        |  FROM tok JOIN read_parquet(
+        |    '/root/repo/src/test/resources/expected/q139_expected_soundex.parquet') m
+        |    USING (token))
+        |SELECT token, skey,
+        |       count(*) OVER (PARTITION BY skey) AS class_size
+        |FROM j""".stripMargin
   )
 }

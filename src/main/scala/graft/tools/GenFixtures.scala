@@ -90,6 +90,58 @@ object GenFixtures {
   def bpeCountSequential(text: String, merges: Seq[(String, String)]): Int =
     bpeTokensSequential(text, merges).length
 
+  /** q139's tokenizer, sequentially: maximal lowercase [a-z]+ runs of the
+    * lowercased text (a manual char scan, not the engine's regex). */
+  def tokenizeAlpha(text: String): Vector[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') cur.append(c)
+      else if (cur.nonEmpty) { out += cur.toString(); cur.clear() }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString()
+    out.result()
+  }
+
+  /** q139's independent American Soundex (Odell–Russell as in Knuth TAOCP
+    * vol. 3 §6, the US-Census variant): first letter kept; B F P V→1,
+    * C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6; H and W are TRANSPARENT
+    * (a letter with the same code as the letter before an intervening
+    * h/w is still a duplicate and drops); vowels A E I O U Y carry no code
+    * but BREAK runs; zero-padded/truncated to 4. Shares no code with
+    * Spark's built-in soundex expression, which the engine path uses. */
+  def soundexSequential(word: String): String = {
+    def code(c: Char): Int = c match {
+      case 'b' | 'f' | 'p' | 'v' => 1
+      case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => 2
+      case 'd' | 't' => 3
+      case 'l' => 4
+      case 'm' | 'n' => 5
+      case 'r' => 6
+      case _ => 0 // vowels + h w y
+    }
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    require(w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'),
+      s"soundexSequential expects an ascii-alpha word, got '$word'")
+    val sb = new StringBuilder
+    sb.append(w.charAt(0).toUpper)
+    var last = code(w.charAt(0)) // the first letter's code seeds the run
+    var i = 1
+    while (i < w.length && sb.length < 4) {
+      val c = w.charAt(i)
+      val k = code(c)
+      if (k != 0 && k != last) sb.append(('0' + k).toChar)
+      if (c != 'h' && c != 'w') last = k // h/w transparent, vowels reset
+      i += 1
+    }
+    while (sb.length < 4) sb.append('0')
+    sb.toString()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.run.Sessions.local(4, 8, "gen-fixtures")
     import spark.implicits._
@@ -680,6 +732,21 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q123_ktruss_dir")
     }
 
+    // q139: independent sequential American Soundex (Odell & Russell's
+    // patent rules as published in Knuth TAOCP vol. 3 §6 — code map,
+    // H/W transparency, vowel separators, zero-pad to 4) over the distinct
+    // lowercase alphabetic tokens of the sf0.01 documents; the engine path
+    // uses Spark's BUILT-IN soundex expression, so the two implementations
+    // share no code at all.
+    {
+      val tokens = docs.iterator.flatMap { case (_, t) =>
+        tokenizeAlpha(t)
+      }.filter(_.length >= 3).toVector.distinct.sorted
+      spark.createDataset(tokens.map(w => (w, soundexSequential(w))))
+        .toDF("token", "skey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q139_soundex_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -706,7 +773,8 @@ object GenFixtures {
         "q121_betweenness" -> "q121_expected_betweenness.parquet",
         "q122_mis" -> "q122_expected_mis.parquet",
         "q123_ktruss" -> "q123_expected_ktruss.parquet",
-        "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet").foreach { case (dir, name) =>
+        "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet",
+        "q139_soundex" -> "q139_expected_soundex.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
