@@ -1400,7 +1400,28 @@ object SparkEntry {
         .distinct()
         .select(col("token"), soundex(col("token")).as("skey"))
         .withColumn("class_size",
-          count(lit(1)).over(Window.partitionBy("skey"))))
+          count(lit(1)).over(Window.partitionBy("skey")))),
+    "q140_katz" -> ((s, d) =>
+      // bounded-horizon Katz centrality, exact integer fixed-point
+      // (α = 1/4, L = 4): L vertex-keyed matvec shuffles + one final
+      // aggregate; oracle = DuckDB recursive-CTE walk enumeration with the
+      // same invAlpha^(L−l) weights
+      graft.graph.Katz.boundedKatz(custGraph(s, d), L = 4, invAlpha = 4)),
+    "q141_wl_refine" -> ((s, d) =>
+      // 1-WL color refinement (3 rounds) with a commutative modular
+      // multiset fingerprint — structural-role keys; oracle = the same
+      // integer arithmetic unrolled as 3 join+GROUP BY rounds in DuckDB
+      graft.graph.WlRefine.refine(custGraph(s, d), rounds = 3)),
+    "q142_subword_segment" -> ((s, d) =>
+      // unigram-LM Viterbi subword segmentation (committed integer-cost
+      // vocab, smallest-j tie rule) over the corpus vocabulary — narrow
+      // mapPartitions, zero shuffle; oracle = committed fixture from the
+      // independent forward-DP sequential replay (tools.GenFixtures)
+      graft.ops.Subword.segmentTokens(
+        t(s, d, "documents").where(col("text").isNotNull)
+          .select(explode(expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+          .where(length(col("token")) >= 3).distinct()))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3485,6 +3506,77 @@ object SparkEntry {
         |    USING (token))
         |SELECT token, skey,
         |       count(*) OVER (PARTITION BY skey) AS class_size
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    // q140: enumerate every directed walk of length ≤ 4 with a recursive
+    // CTE and re-weight by invAlpha^(L−l) — same exact-integer fixed point.
+    "q140_katz" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+        |  FROM customer WHERE c_custkey > 3),
+        |w(v, len) AS (
+        |  SELECT dst, 1 FROM e
+        |  UNION ALL
+        |  SELECT e.dst, w.len + 1 FROM w JOIN e ON e.src = w.v
+        |  WHERE w.len < 4)
+        |SELECT v AS id,
+        |  CAST(sum(CASE len WHEN 1 THEN 64 WHEN 2 THEN 16
+        |                    WHEN 3 THEN 4 ELSE 1 END) AS BIGINT) AS katz_fp,
+        |  count(*) AS n_walks
+        |FROM w GROUP BY 1""".stripMargin,
+    // q141: the same modular fingerprint unrolled — degree init, then three
+    // (neighbor-sum ⋈ relabel) rounds; P = 1048573, mixA/mixB constants as
+    // in graph.WlRefine.
+    "q141_wl_refine" ->
+      """WITH e AS (
+        |  SELECT 'c' || c_custkey AS v, 'c' || (c_custkey // 2) AS u
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || (c_custkey // 2), 'c' || c_custkey
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+        |  FROM customer WHERE c_custkey > 3
+        |  UNION ALL
+        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey
+        |  FROM customer WHERE c_custkey > 3),
+        |l0 AS (SELECT v, count(*) AS degree, count(*) % 1048573 AS l
+        |       FROM e GROUP BY 1),
+        |n1 AS (SELECT e.v, CAST(sum((l0.l * 886151 + 54321) % 1048573)
+        |               AS BIGINT) AS nb
+        |       FROM e JOIN l0 ON l0.v = e.u GROUP BY 1),
+        |l1 AS (SELECT l0.v, l0.degree,
+        |         (((l0.l * 741103 + 12345) % 1048573) * 31 + n1.nb)
+        |           % 1048573 AS l
+        |       FROM l0 JOIN n1 ON n1.v = l0.v),
+        |n2 AS (SELECT e.v, CAST(sum((l1.l * 886151 + 54321) % 1048573)
+        |               AS BIGINT) AS nb
+        |       FROM e JOIN l1 ON l1.v = e.u GROUP BY 1),
+        |l2 AS (SELECT l1.v, l1.degree,
+        |         (((l1.l * 741103 + 12345) % 1048573) * 31 + n2.nb)
+        |           % 1048573 AS l
+        |       FROM l1 JOIN n2 ON n2.v = l1.v),
+        |n3 AS (SELECT e.v, CAST(sum((l2.l * 886151 + 54321) % 1048573)
+        |               AS BIGINT) AS nb
+        |       FROM e JOIN l2 ON l2.v = e.u GROUP BY 1),
+        |l3 AS (SELECT l2.v, l2.degree,
+        |         (((l2.l * 741103 + 12345) % 1048573) * 31 + n3.nb)
+        |           % 1048573 AS l
+        |       FROM l2 JOIN n3 ON n3.v = l2.v)
+        |SELECT v AS id, degree, l AS wl_label FROM l3""".stripMargin,
+    // q142: DuckDB re-derives the vocabulary, the committed fixture carries
+    // the INDEPENDENT forward-DP segmentation (tools.GenFixtures).
+    "q142_subword_segment" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT t AS token
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS u(t)
+        |  WHERE text IS NOT NULL AND length(t) >= 3)
+        |SELECT token, pieces, n_pieces, cost_fp
+        |FROM tok JOIN read_parquet(
+        |  '/root/repo/src/test/resources/expected/q142_expected_subword.parquet') m
+        |  USING (token)""".stripMargin
   )
 }

@@ -747,6 +747,42 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q139_soundex_dir")
     }
 
+    // q142: independent sequential replay of the unigram-LM Viterbi
+    // contract (ops.Subword doc): FORWARD DP with parent recording —
+    // ascending j, strict improvement only, so the recorded parent is the
+    // smallest j achieving the minimum (the engine reconstructs BACKWARD
+    // under the same tie rule; same unique answer, different program).
+    {
+      val vocab = graft.ops.Subword.defaultVocab
+      val maxLen = vocab.keys.map(_.length).max
+      def segSeq(w: String): (String, Int, Long) = {
+        val n = w.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 2); dp(0) = 0L
+        val parent = Array.fill(n + 1)(-1)
+        for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+          val piece = w.substring(j, i)
+          val c = vocab.get(piece) match {
+            case Some(x) => x
+            case None if piece.length == 1 => graft.ops.Subword.CharCost
+            case None => Long.MaxValue / 4
+          }
+          if (c < Long.MaxValue / 4 && dp(j) + c < dp(i)) {
+            dp(i) = dp(j) + c; parent(i) = j
+          }
+        }
+        val ps = scala.collection.mutable.ListBuffer.empty[String]
+        var i = n
+        while (i > 0) { ps.prepend(w.substring(parent(i), i)); i = parent(i) }
+        (ps.mkString("|"), ps.length, dp(n))
+      }
+      val toks = docs.iterator.flatMap(d => tokenizeAlpha(d._2))
+        .filter(_.length >= 3).toVector.distinct.sorted
+      spark.createDataset(toks.map { w =>
+          val (p, np, c) = segSeq(w); (w, p, np, c) })
+        .toDF("token", "pieces", "n_pieces", "cost_fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q142_subword_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -774,7 +810,8 @@ object GenFixtures {
         "q122_mis" -> "q122_expected_mis.parquet",
         "q123_ktruss" -> "q123_expected_ktruss.parquet",
         "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet",
-        "q139_soundex" -> "q139_expected_soundex.parquet").foreach { case (dir, name) =>
+        "q139_soundex" -> "q139_expected_soundex.parquet",
+        "q142_subword" -> "q142_expected_subword.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
