@@ -1421,7 +1421,30 @@ object SparkEntry {
         t(s, d, "documents").where(col("text").isNotNull)
           .select(explode(expr(
             "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
-          .where(length(col("token")) >= 3).distinct()))
+          .where(length(col("token")) >= 3).distinct())),
+    "q143_functional_deps" -> ((s, d) => {
+      // exact FD discovery: all rhs candidates per lhs in ONE keyed
+      // aggregation pass + unpivot (KG schema induction: which predicates
+      // are single-valued); a key lhs (holds) and a low-card lhs
+      // (violated) in the same report; oracle = DuckDB per-candidate
+      // count(DISTINCT) replays
+      val c = t(s, d, "customer")
+      graft.ops.Profile.functionalDeps(c, "c_custkey",
+          Seq("c_name", "c_mktsegment"))
+        .unionByName(graft.ops.Profile.functionalDeps(c, "c_nationkey",
+          Seq("c_mktsegment", "c_acctbal")))
+    }),
+    "q144_truth_discovery" -> ((s, d) =>
+      // source-reliability truth discovery (Sums fixpoint, 5 rounds,
+      // exact ppm integer arithmetic) over synthetic conflicting claims:
+      // 7 sources each assert an order-priority per customer; oracle =
+      // the SAME integer fixpoint unrolled as 5 CTE rounds in DuckDB
+      graft.ops.TruthDiscovery.resolve(
+        t(s, d, "orders").select(
+          concat(lit("src"), col("o_orderkey") % 7).as("src"),
+          concat(lit("c"), col("o_custkey")).as("obj"),
+          col("o_orderpriority").as("val")),
+        rounds = 5))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3577,6 +3600,69 @@ object SparkEntry {
         |SELECT token, pieces, n_pieces, cost_fp
         |FROM tok JOIN read_parquet(
         |  '/root/repo/src/test/resources/expected/q142_expected_subword.parquet') m
-        |  USING (token)""".stripMargin
+        |  USING (token)""".stripMargin,
+    // q143: per-candidate count(DISTINCT)-per-group replays, one UNION ALL
+    // block per (lhs, rhs) pair.
+    "q143_functional_deps" -> Seq(
+        ("c_custkey", "c_name"), ("c_custkey", "c_mktsegment"),
+        ("c_nationkey", "c_mktsegment"), ("c_nationkey", "c_acctbal"))
+      .map { case (l, r) =>
+        s"""SELECT '$l' AS lhs, '$r' AS rhs, count(*) AS n_lhs,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+           |    AS holds
+           |FROM (SELECT $l, count(DISTINCT $r) AS nd FROM customer
+           |      WHERE $l IS NOT NULL GROUP BY 1)""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", ""),
+    // q144: the ppm integer fixpoint unrolled round by round (DuckDB `//`
+    // floor division == Spark `div` truncation on these non-negative
+    // operands; HUGEINT sums cast back to BIGINT).
+    "q144_truth_discovery" -> truthOracleSql(5)
   )
+
+  /** q144's oracle, built by unrolling the TruthDiscovery recurrence —
+    * belief/normalize/trust per round as plain CTEs (aggregates are not
+    * allowed inside a recursive CTE, so the fixed round count unrolls). */
+  private def truthOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |b$r AS (
+         |  SELECT cl.obj, cl.val, CAST(sum(t${r - 1}.trust_fp) AS BIGINT)
+         |    AS belief_fp
+         |  FROM cl JOIN t${r - 1} ON t${r - 1}.src = cl.src GROUP BY 1, 2),
+         |n$r AS (
+         |  SELECT obj, val,
+         |    CAST((belief_fp * 1000000) //
+         |      CAST(sum(belief_fp) OVER (PARTITION BY obj) AS BIGINT)
+         |      AS BIGINT) AS norm_fp
+         |  FROM b$r),
+         |t$r AS (
+         |  SELECT s.src, CAST(s.sn // nc.n_claims AS BIGINT) AS trust_fp
+         |  FROM (SELECT cl.src, CAST(sum(n.norm_fp) AS BIGINT) AS sn
+         |        FROM cl JOIN n$r n ON n.obj = cl.obj AND n.val = cl.val
+         |        GROUP BY 1) s
+         |  JOIN nc ON nc.src = s.src)""".stripMargin
+    }.mkString
+    s"""WITH cl AS (
+       |  SELECT DISTINCT 'src' || (o_orderkey % 7) AS src,
+       |    'c' || o_custkey AS obj, o_orderpriority AS val
+       |  FROM orders
+       |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL),
+       |nc AS (SELECT src, count(*) AS n_claims FROM cl GROUP BY 1),
+       |t0 AS (SELECT src, CAST(1000000 AS BIGINT) AS trust_fp FROM nc)$roundCtes,
+       |stats AS (
+       |  SELECT obj, count(DISTINCT val) AS n_values,
+       |         count(DISTINCT src) AS n_sources
+       |  FROM cl GROUP BY 1),
+       |win AS (
+       |  SELECT obj, val, belief_fp,
+       |    row_number() OVER (PARTITION BY obj
+       |      ORDER BY belief_fp DESC, val) AS rk
+       |  FROM b$rounds)
+       |SELECT w.obj, w.val AS resolved_val, w.belief_fp,
+       |       stats.n_values, stats.n_sources
+       |FROM win w JOIN stats USING (obj) WHERE w.rk = 1""".stripMargin
+  }
 }

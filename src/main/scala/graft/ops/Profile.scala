@@ -162,6 +162,33 @@ object Profile {
     reports.reduce(_ unionAll _)
   }
 
+  /** Exact functional-dependency discovery lhs → rhs_i (the Metanome/
+    * TANE-style profiling primitive; for KG construction it decides which
+    * predicates are single-valued and which need multi-valued modeling):
+    * an FD holds iff no lhs value maps to two distinct rhs values. ALL
+    * candidate rhs columns are checked in ONE lhs-keyed aggregation pass
+    * (count_distinct per rhs inside the same groupBy — partial aggregation
+    * collapses the scan map-side), then the per-lhs-group vector unpivots
+    * and one tiny second aggregate summarizes each candidate. NULL rhs
+    * values are ignored (SQL semantics: an unknown can't witness a
+    * violation). Two shuffles total regardless of how many candidates. */
+  def functionalDeps(df: DataFrame, lhs: String, rhs: Seq[String]): DataFrame = {
+    require(rhs.nonEmpty, "Profile.functionalDeps: rhs must be non-empty")
+    require(!rhs.contains(lhs), "lhs cannot appear in rhs")
+    val perGroup = df.where(col(lhs).isNotNull)
+      .groupBy(col(lhs))
+      .agg(countDistinct(col(rhs.head)).as(rhs.head),
+        rhs.tail.map(c => countDistinct(col(c)).as(c)): _*)
+    val unpivoted = perGroup.select(explode(array(rhs.map(c =>
+      struct(lit(c).as("rhs"), col(c).as("nd"))): _*)).as("e"))
+      .select(col("e.rhs"), col("e.nd"))
+    unpivoted.groupBy(col("rhs"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(lhs).as("lhs"), col("rhs"), col("n_lhs"),
+        col("n_violating"), (col("n_violating") === 0).as("holds"))
+  }
+
   /** Equi-width histogram of an INTEGRAL column: `nBins` equal integer-
     * width bins spanning the observed [min, max] (width = ⌈span/nBins⌉,
     * so bounds are exact integers — no float bin-edge ambiguity at scale
