@@ -13,6 +13,10 @@ import scala.jdk.CollectionConverters._
   * Layout:
   *   <root>/data/pred=<p>/batch=<k>/...                 (micro-batch appends)
   *   <root>/cdata/pred=<p>/sbucket=<b>/batch=<k>/...    (compacted, bucketed)
+  *   <root>/odata/pred=<p>/obucket=<b>/batch=<k>/...    (optional OBJECT
+  *     permutation of the same compaction — the RDF-store SPO/POS split:
+  *     `compact(objectIndex = true)` pays 2× storage so `?s pred obj`
+  *     lookups prune like subject lookups do)
   *   <root>/_snapshots/snap-<k>.json            (manifest: batch id, counters)
   *
   * Append commits use the cheap (pred, batch) layout; `compact` rewrites the
@@ -97,6 +101,12 @@ object TripleStore {
       if (f.canConvertToInt) Some(b -> f.asInt()) else None
     }
 
+  /** Compaction batches that also wrote the `odata` object permutation. */
+  private def objectIndexedOf(
+      snaps: Map[Int, com.fasterxml.jackson.databind.JsonNode]): Set[Int] =
+    snaps.collect { case (b, node)
+      if node.path("object_index").asInt(0) == 1 => b }.toSet
+
   /** One lineage counter of one committed snapshot, read driver-side from
     * its OWN manifest file (one read, not a directory scan — Pipeline's
     * batch loop calls this per batch). Looks ONLY inside the "counters"
@@ -154,7 +164,8 @@ object TripleStore {
     val target = s"batch=$batchId"
     val stale =
       subdirs(Paths.get(root, "data")).flatMap(subdirs) ++
-        subdirs(Paths.get(root, "cdata")).flatMap(pred => subdirs(pred).flatMap(subdirs))
+        subdirs(Paths.get(root, "cdata")).flatMap(pred => subdirs(pred).flatMap(subdirs)) ++
+        subdirs(Paths.get(root, "odata")).flatMap(pred => subdirs(pred).flatMap(subdirs))
     stale.filter(_.getFileName.toString == target).foreach(deleteRecursive)
   }
 
@@ -252,11 +263,11 @@ object TripleStore {
   /** Exact same xxhash64 the Column expression `xxhash64(col)` compiles to
     * (seed 42), evaluated driver-side so subject-bucket predicates are plain
     * integer literals — partition pruning needs no constant-fold help. */
-  private def subjBucket(subj: String, buckets: Int): Int = {
+  private def hashBucket(value: String, buckets: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
-    val h = XxHash64Function.hash(UTF8String.fromString(subj), StringType, 42L)
+    val h = XxHash64Function.hash(UTF8String.fromString(value), StringType, 42L)
     (((h % buckets) + buckets) % buckets).toInt // pmod
   }
 
@@ -292,7 +303,7 @@ object TripleStore {
         val byCount = bucketedVisible.groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
         byCount.map { case (n, ids) =>
           col("batch").isin(ids: _*) &&
-            col("sbucket").isin(subjects.map(subjBucket(_, n)).distinct: _*)
+            col("sbucket").isin(subjects.map(hashBucket(_, n)).distinct: _*)
         }.reduce(_ || _)
       }
     readBatches(spark, root, committed, bucketedAll.keySet,
@@ -317,9 +328,14 @@ object TripleStore {
     * unaffected) until `vacuum`.
     *
     * `filesPerPred` is the subject-bucket count per predicate (at a real
-    * deployment derive it from store size / 128 MB).
+    * deployment derive it from store size / 128 MB). `objectIndex = true`
+    * additionally writes the OBJECT permutation under `odata` (same bucket
+    * count, obj-hashed and obj-sorted) — the SPO/POS storage-for-latency
+    * trade every RDF store makes; both trees commit under ONE manifest, so
+    * the permutations can never disagree about visibility.
     * Returns the new compacted batch id. */
-  def compact(spark: SparkSession, root: String, filesPerPred: Int = 1): Int = {
+  def compact(spark: SparkSession, root: String, filesPerPred: Int = 1,
+      objectIndex: Boolean = false): Int = {
     val texts = manifestNodes(root)
     val visible = visibleBatchesOf(texts, Int.MaxValue)
     require(visible.nonEmpty, "compact: nothing committed")
@@ -346,9 +362,63 @@ object TripleStore {
       .partitionBy("pred", "sbucket", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$root/cdata")
+    if (objectIndex) {
+      // second permutation from the SAME materialized rows (no re-read of
+      // the input store): re-shuffle by (pred, obucket), obj-sorted files
+      m.drop("sbucket")
+        .withColumn("obucket",
+          pmod(xxhash64(col("obj")), lit(filesPerPred.toLong)))
+        .repartition(col("pred"), col("obucket"))
+        .sortWithinPartitions("pred", "obucket", "batch", "obj")
+        .write
+        .mode("overwrite")
+        .partitionBy("pred", "obucket", "batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/odata")
+    }
     commitManifest(root, newId, counts, replaces = visible,
-      extraFields = Map("files_per_pred" -> filesPerPred.toLong))
+      extraFields = Map("files_per_pred" -> filesPerPred.toLong) ++
+        (if (objectIndex) Map("object_index" -> 1L) else Map.empty))
     newId
+  }
+
+  /** Object lookup with PRUNED reads — the `?s pred obj` access path
+    * (who links TO this entity?). Compactions written with
+    * `objectIndex = true` open only the `obucket = pmod(xxhash64(obj),
+    * filesPerPred)` partition directories of the `odata` permutation
+    * (obj-sorted files add parquet min/max pruning); compactions without
+    * the object index and plain micro-batches fall back to an ordinary
+    * filtered scan of their trees, so the API is total either way. */
+  def readForObjects(spark: SparkSession, root: String, objects: Seq[String],
+      preds: Seq[String] = Nil): DataFrame = {
+    require(objects.nonEmpty, "readForObjects: no objects given")
+    val texts = manifestNodes(root)
+    val committed = visibleBatchesOf(texts, Int.MaxValue)
+    if (committed.isEmpty) return emptyTriples(spark)
+    val bucketedAll = bucketedBatchesOf(texts)
+    val oindexed = objectIndexedOf(texts).filter(committed)
+    val objPred = col("obj").isin(objects: _*)
+    val predPred = if (preds.isEmpty) lit(true) else col("pred").isin(preds: _*)
+    // object-indexed compactions read from odata with bucket pruning…
+    val fromOdata = Option.when(oindexed.nonEmpty) {
+      val byCount = oindexed.toSeq.groupBy(bucketedAll)
+      val bucketPred = byCount.map { case (n, ids) =>
+        col("batch").isin(ids: _*) &&
+          col("obucket").isin(objects.map(hashBucket(_, n)).distinct: _*)
+      }.reduce(_ || _)
+      spark.read.parquet(s"$root/odata")
+        .where(bucketPred && objPred && predPred)
+        .select("subj", "pred", "obj")
+    }
+    // …everything else scans its own tree under the ordinary filter
+    val rest = committed -- oindexed
+    val fromRest = Option.when(rest.nonEmpty)(
+      readBatches(spark, root, rest, bucketedAll.keySet,
+        extraPlain = objPred && predPred,
+        extraBucketed = objPred && predPred))
+    (fromOdata.toSeq ++ fromRest.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(emptyTriples(spark))
   }
 
   /** Physically delete data partitions of batches superseded by a committed
@@ -360,7 +430,7 @@ object TripleStore {
     val replaced = replacedBy(root).values.flatten.toSet
     if (replaced.isEmpty) return 0
     var removed = 0
-    Seq("data", "cdata").map(Paths.get(root, _)).filter(Files.exists(_))
+    Seq("data", "cdata", "odata").map(Paths.get(root, _)).filter(Files.exists(_))
       .foreach { tree =>
         val targets = scala.util.Using.resource(Files.walk(tree)) { st =>
           st.iterator().asScala.filter { p =>

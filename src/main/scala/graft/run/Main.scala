@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.run.Main facturaispark.jar \
   *     --docs <parquet path | synthetic:N> --store <storeRoot> \
-  *     [--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]
+  *     [--batches N] [--no-ice] [--report] [--compact [--object-index]] [--vacuum] [--incremental]
   *
   * Runs the resumable pipeline: documents → canonical triple graph in the
   * snapshot store. Re-running the same command after a kill resumes at the
@@ -27,7 +27,7 @@ object Main {
     def value(flag: String): String = {
       if (i + 1 >= args.length) throw new IllegalArgumentException(
         s"$flag requires a value — expected --docs <path|synthetic:N> --store <dir> " +
-          "[--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]")
+          "[--batches N] [--no-ice] [--report] [--compact [--object-index]] [--vacuum] [--incremental]")
       args(i + 1)
     }
     while (i < args.length) {
@@ -38,11 +38,12 @@ object Main {
         case "--no-ice" => m("noIce") = "true"; i += 1
         case "--report" => m("report") = "true"; i += 1
         case "--compact" => m("compact") = "true"; i += 1
+        case "--object-index" => m("object-index") = "true"; i += 1
         case "--vacuum" => m("vacuum") = "true"; i += 1
         case "--incremental" => m("incremental") = "true"; i += 1
         case other => throw new IllegalArgumentException(
           s"unknown argument '$other' — expected --docs <path|synthetic:N> --store <dir> " +
-            "[--batches N] [--no-ice] [--report] [--compact] [--vacuum] [--incremental]")
+            "[--batches N] [--no-ice] [--report] [--compact [--object-index]] [--vacuum] [--incremental]")
       }
     }
     require(m.contains("docs"), "--docs <parquet path | synthetic:N> is required")
@@ -99,8 +100,10 @@ object Main {
     // the superseded partitions — the small-file defense for long-lived
     // stores fed by many incremental runs
     if (opts.contains("compact")) {
-      val cid = TripleStore.compact(spark, store)
-      println(s"[graft] compacted store into snapshot $cid")
+      val cid = TripleStore.compact(spark, store,
+        objectIndex = opts.contains("object-index"))
+      println(s"[graft] compacted store into snapshot $cid" +
+        (if (opts.contains("object-index")) " (+ object permutation)" else ""))
       val postCompact = Pipeline.readGraph(spark, store).count()
       require(postCompact == nTriples,
         s"compaction changed the graph: $nTriples -> $postCompact")

@@ -219,6 +219,66 @@ class TripleStoreSpec extends SparkSuite {
     assert(mixed == expected17 + (("inv:17", "p0", "late")))
   }
 
+  test("readForObjects: object permutation prunes like the subject one; " +
+    "falls back to filtered scans where no odata exists") {
+    val root = tmp()
+    (0 until 4).foreach { b =>
+      val df = (0 until 10).map(i => (s"inv:${b * 10 + i}", s"p${i % 2}", s"ent:${i % 5}"))
+        .toDF("subj", "pred", "obj")
+      TripleStore.commitBatch(df, root, b)
+    }
+    val expected = TripleStore.read(spark, root).where($"obj" === "ent:3")
+      .as[(String, String, String)].collect().toSet
+    assert(expected.size == 8) // 4 batches x 2 rows with i%5==3
+
+    // BEFORE any object index: the API works as a filtered scan
+    val pre = TripleStore.readForObjects(spark, root, Seq("ent:3"))
+      .as[(String, String, String)].collect().toSet
+    assert(pre == expected)
+
+    val cid = TripleStore.compact(spark, root, filesPerPred = 8,
+      objectIndex = true)
+    assert(TripleStore.vacuum(root) > 0)
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).sum
+    }
+    // single-object lookup: one obucket dir per predicate opens
+    val one = TripleStore.readForObjects(spark, root, Seq("ent:3"))
+    assert(filesRead(one) == 2,
+      "single-object lookup must open 1/filesPerPred of each pred")
+    assert(one.as[(String, String, String)].collect().toSet == expected)
+    // (pred, obj) point lookup prunes on the pred dir too
+    val point = TripleStore.readForObjects(spark, root, Seq("ent:3"),
+      preds = Seq("p1"))
+    assert(filesRead(point) == 1)
+    assert(point.as[(String, String, String)].collect().toSet ==
+      expected.filter(_._2 == "p1"))
+
+    // subject lookups still serve from cdata, untouched by the new tree
+    val subj = TripleStore.readForSubjects(spark, root, Seq("inv:13"))
+    assert(filesRead(subj) == 2)
+
+    // a fresh micro-batch after compaction joins via the plain path
+    TripleStore.commitBatch(
+      Seq(("inv:99", "p0", "ent:3"), ("inv:98", "p1", "other"))
+        .toDF("subj", "pred", "obj"), root, cid + 1)
+    val mixed = TripleStore.readForObjects(spark, root, Seq("ent:3"))
+      .as[(String, String, String)].collect().toSet
+    assert(mixed == expected + (("inv:99", "p0", "ent:3")))
+
+    // both permutations carry the SAME visible rows (one manifest)
+    val viaS = TripleStore.read(spark, root)
+      .as[(String, String, String)].collect().toSet
+    val allObjs = viaS.map(_._3).toSeq
+    val viaO = TripleStore.readForObjects(spark, root, allObjs)
+      .as[(String, String, String)].collect().toSet
+    assert(viaO == viaS)
+  }
+
   test("counterValue: driver-side manifest counter lookup, no Spark job") {
     val root = tmp()
     TripleStore.commitBatch(
