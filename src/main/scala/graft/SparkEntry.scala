@@ -1444,7 +1444,42 @@ object SparkEntry {
           concat(lit("src"), col("o_orderkey") % 7).as("src"),
           concat(lit("c"), col("o_custkey")).as("obj"),
           col("o_orderpriority").as("val")),
-        rounds = 5))
+        rounds = 5)),
+    "q145_er_pipeline" -> ((s, d) => {
+      // the end-to-end ER composition: blocking → Fellegi–Sunter scoring →
+      // match threshold → connected-components clustering (oracle-proven
+      // large/small-star) → per-entity cluster + size; zero-padded ids make
+      // CC's lexicographic min == numeric min; oracle = the same scoring
+      // arithmetic + q47's recursive-CTE reachability
+      val c = t(s, d, "customer")
+      val a = c.select(format_string("c%06d", col("c_custkey")).as("a"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg_a"),
+        col("c_acctbal").as("bal_a"))
+      val b = c.select(format_string("c%06d", col("c_custkey")).as("b"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg_b"),
+        col("c_acctbal").as("bal_b"))
+      val pairs = a.join(b, Seq("nk"))
+        .where(col("a") < col("b"))
+        .where(substring(col("b"), 2, 6).cast("long") -
+          substring(col("a"), 2, 6).cast("long") <= 30)
+        .select(col("a"), col("b"),
+          (col("seg_a") === col("seg_b")).as("agr_seg"),
+          (floor(col("bal_a") / 1000.0) === floor(col("bal_b") / 1000.0))
+            .as("agr_bal"))
+      val matches = graft.link.FellegiSunter.score(pairs,
+          Seq(("agr_seg", 1.5, -0.7), ("agr_bal", 2.25, -0.2)),
+          upper = 3.1, lower = -0.5)
+        .where(col("decision") === "match")
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.canon.ConnectedComponents.run(matches)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+    }),
+    "q146_wl_quotient" -> ((s, d) =>
+      // role-level KG summary: collapse nodes into 2-round WL color classes
+      // and count directed edges between classes; oracle = the q141 WL
+      // replay at 2 rounds + two label joins over the directed edges
+      graft.graph.WlRefine.quotient(custGraph(s, d), rounds = 2))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3549,46 +3584,11 @@ object SparkEntry {
         |                    WHEN 3 THEN 4 ELSE 1 END) AS BIGINT) AS katz_fp,
         |  count(*) AS n_walks
         |FROM w GROUP BY 1""".stripMargin,
-    // q141: the same modular fingerprint unrolled — degree init, then three
-    // (neighbor-sum ⋈ relabel) rounds; P = 1048573, mixA/mixB constants as
-    // in graph.WlRefine.
+    // q141: the same modular fingerprint unrolled — degree init, then r
+    // (neighbor-sum ⋈ relabel) rounds (see wlOracleSql); P = 1048573,
+    // mixA/mixB constants as in graph.WlRefine.
     "q141_wl_refine" ->
-      """WITH e AS (
-        |  SELECT 'c' || c_custkey AS v, 'c' || (c_custkey // 2) AS u
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || (c_custkey // 2), 'c' || c_custkey
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-        |  FROM customer WHERE c_custkey > 3
-        |  UNION ALL
-        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey
-        |  FROM customer WHERE c_custkey > 3),
-        |l0 AS (SELECT v, count(*) AS degree, count(*) % 1048573 AS l
-        |       FROM e GROUP BY 1),
-        |n1 AS (SELECT e.v, CAST(sum((l0.l * 886151 + 54321) % 1048573)
-        |               AS BIGINT) AS nb
-        |       FROM e JOIN l0 ON l0.v = e.u GROUP BY 1),
-        |l1 AS (SELECT l0.v, l0.degree,
-        |         (((l0.l * 741103 + 12345) % 1048573) * 31 + n1.nb)
-        |           % 1048573 AS l
-        |       FROM l0 JOIN n1 ON n1.v = l0.v),
-        |n2 AS (SELECT e.v, CAST(sum((l1.l * 886151 + 54321) % 1048573)
-        |               AS BIGINT) AS nb
-        |       FROM e JOIN l1 ON l1.v = e.u GROUP BY 1),
-        |l2 AS (SELECT l1.v, l1.degree,
-        |         (((l1.l * 741103 + 12345) % 1048573) * 31 + n2.nb)
-        |           % 1048573 AS l
-        |       FROM l1 JOIN n2 ON n2.v = l1.v),
-        |n3 AS (SELECT e.v, CAST(sum((l2.l * 886151 + 54321) % 1048573)
-        |               AS BIGINT) AS nb
-        |       FROM e JOIN l2 ON l2.v = e.u GROUP BY 1),
-        |l3 AS (SELECT l2.v, l2.degree,
-        |         (((l2.l * 741103 + 12345) % 1048573) * 31 + n3.nb)
-        |           % 1048573 AS l
-        |       FROM l2 JOIN n3 ON n3.v = l2.v)
-        |SELECT v AS id, degree, l AS wl_label FROM l3""".stripMargin,
+      wlOracleSql(3, "SELECT v AS id, degree, l AS wl_label FROM l3"),
     // q142: DuckDB re-derives the vocabulary, the committed fixture carries
     // the INDEPENDENT forward-DP segmentation (tools.GenFixtures).
     "q142_subword_segment" ->
@@ -3618,8 +3618,72 @@ object SparkEntry {
     // q144: the ppm integer fixpoint unrolled round by round (DuckDB `//`
     // floor division == Spark `div` truncation on these non-negative
     // operands; HUGEINT sums cast back to BIGINT).
-    "q144_truth_discovery" -> truthOracleSql(5)
+    "q144_truth_discovery" -> truthOracleSql(5),
+    // q145: identical blocking + CASE-sum scoring, then q47's recursive-CTE
+    // reachability computes the same min-label components.
+    "q145_er_pipeline" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT format('c{:06d}', a.c_custkey) AS a,
+        |         format('c{:06d}', b.c_custkey) AS b,
+        |    round(CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |               THEN 1.5 ELSE -0.7 END
+        |        + CASE WHEN floor(a.c_acctbal / 1000.0)
+        |                  = floor(b.c_acctbal / 1000.0)
+        |               THEN 2.25 ELSE -0.2 END, 6) AS score
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 30),
+        |m AS (SELECT a, b FROM p WHERE score > 3.1),
+        |edges AS (SELECT a, b FROM m UNION ALL SELECT b, a FROM m),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT id, least(id, min(r)) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT id, component,
+        |       count(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp""".stripMargin,
+    // q146: the same WL replay at 2 rounds, quotiented over the DIRECTED
+    // edge list.
+    "q146_wl_quotient" -> wlOracleSql(2,
+      """SELECT ls.l AS c_src, ld.l AS c_dst, count(*) AS n_edges
+        |FROM edir JOIN l2 ls ON ls.v = edir.src
+        |          JOIN l2 ld ON ld.v = edir.dst
+        |GROUP BY 1, 2""".stripMargin)
   )
+
+  /** q141/q146's WL oracle prefix: the symmetrized customer-graph edge
+    * list (`e`), the DIRECTED original (`edir`), degree-init labels
+    * (`l0`), and `rounds` unrolled (neighbor-sum ⋈ relabel) CTEs
+    * (`n1`/`l1` … `n<r>`/`l<r>`) replaying graph.WlRefine's modular
+    * arithmetic; `select` runs over the final `l<rounds>`. */
+  private def wlOracleSql(rounds: Int, select: String): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |n$r AS (SELECT e.v, CAST(sum((l${r - 1}.l * 886151 + 54321) % 1048573)
+         |               AS BIGINT) AS nb
+         |       FROM e JOIN l${r - 1} ON l${r - 1}.v = e.u GROUP BY 1),
+         |l$r AS (SELECT l${r - 1}.v, l${r - 1}.degree,
+         |         (((l${r - 1}.l * 741103 + 12345) % 1048573) * 31 + n$r.nb)
+         |           % 1048573 AS l
+         |       FROM l${r - 1} JOIN n$r ON n$r.v = l${r - 1}.v)""".stripMargin
+    }.mkString
+    s"""WITH edir AS (
+       |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+       |  FROM customer WHERE c_custkey > 1
+       |  UNION ALL
+       |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+       |  FROM customer WHERE c_custkey > 3),
+       |e AS (
+       |  SELECT src AS v, dst AS u FROM edir
+       |  UNION ALL
+       |  SELECT dst, src FROM edir),
+       |l0 AS (SELECT v, count(*) AS degree, count(*) % 1048573 AS l
+       |       FROM e GROUP BY 1)$roundCtes
+       |$select""".stripMargin
+  }
 
   /** q144's oracle, built by unrolling the TruthDiscovery recurrence —
     * belief/normalize/trust per round as plain CTEs (aggregates are not

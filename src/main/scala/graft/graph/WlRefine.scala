@@ -50,4 +50,20 @@ object WlRefine {
     lab.select(col("v").as("id"), col("deg").as("degree"),
       col("l").as("wl_label"))
   }
+
+  /** WL quotient graph (graph summarization): collapse nodes into their
+    * round-r WL color classes and count the DIRECTED edges between classes
+    * — the role-level summary of a KG (how many child→parent links flow
+    * from "leaf-shaped" nodes into "hub-shaped" nodes, etc.). Two label
+    * joins + one class-keyed aggregate on top of `refine`; the summary is
+    * color-class-scale, tiny next to the edge list. */
+  def quotient(edges: DataFrame, rounds: Int): DataFrame = {
+    val lab = refine(edges, rounds).select(col("id"), col("wl_label"))
+    edges.select(col("src"), col("dst"))
+      .join(lab.select(col("id").as("src"), col("wl_label").as("c_src")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("wl_label").as("c_dst")),
+        Seq("dst"))
+      .groupBy("c_src", "c_dst").agg(count(lit(1)).as("n_edges"))
+  }
 }

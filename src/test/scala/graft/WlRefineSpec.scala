@@ -38,6 +38,23 @@ class WlRefineSpec extends SparkSuite {
     assert(out("a1")._2 != out("b1")._2) // x-adjacent vs x-opposite split
   }
 
+  test("quotient collapses role classes and counts directed cross-class " +
+    "edges") {
+    import org.apache.spark.sql.functions.col
+    // star: 6 leaves -> hub. Two classes; all 6 edges leaf-class -> hub-class
+    val edges = (1 to 6).map(i => (s"l$i", "hub")).toDF("src", "dst")
+    val q = graft.graph.WlRefine.quotient(edges, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(q.length == 1 && q.head._3 == 6L)
+    val lab = run((1 to 6).map(i => s"l$i" -> "hub"), rounds = 2)
+    assert(q.head._1 == lab("l1")._2 && q.head._2 == lab("hub")._2)
+    // direction preserved: reversing the edges swaps the class pair
+    val rq = graft.graph.WlRefine.quotient(
+      edges.select(col("dst").as("src"), col("src").as("dst")), rounds = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(rq.length == 1 && rq.head._1 == q.head._2 && rq.head._2 == q.head._1)
+  }
+
   test("multi-edges are real multiset multiplicity; layout invariant") {
     val single = run(Seq("a" -> "b", "b" -> "c"))
     val doubled = run(Seq("a" -> "b", "a" -> "b", "b" -> "c"))
