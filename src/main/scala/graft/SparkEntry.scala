@@ -1479,7 +1479,31 @@ object SparkEntry {
       // role-level KG summary: collapse nodes into 2-round WL color classes
       // and count directed edges between classes; oracle = the q141 WL
       // replay at 2 rounds + two label joins over the directed edges
-      graft.graph.WlRefine.quotient(custGraph(s, d), rounds = 2))
+      graft.graph.WlRefine.quotient(custGraph(s, d), rounds = 2)),
+    "q147_hll" -> ((s, d) =>
+      // HyperLogLog over the portable KMV hash: integer registers, exact
+      // S_fp, one float step; oracle = DuckDB replaying hash → bucket/rank
+      // (bin() bitlength) → max registers → the identical estimate
+      // arithmetic
+      graft.ops.Sketch.hllEstimate(
+        t(s, d, "orders").select(concat(lit("c"), col("o_custkey")).as("v")),
+        "v", b = 8)),
+    "q148_temporal_reach" -> ((s, d) => {
+      // earliest-arrival reachability over a deterministic temporal edge
+      // stream derived from events (4 time-respecting hops from 5 seeds);
+      // pure timestamp MINs — oracle = the same rounds unrolled in DuckDB
+      val ev = t(s, d, "events")
+      val edges = ev.select(
+        concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("u"), (col("user_id") * 31 + col("event_id")) % 150)
+          .as("dst"),
+        col("ts").as("t"))
+      val seeds = ev.where(col("user_id") <= 5)
+        .select(concat(lit("u"), col("user_id")).as("id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("t0"))
+        .distinct()
+      graft.graph.TemporalReach.earliestArrival(edges, seeds, hops = 4)
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3651,7 +3675,79 @@ object SparkEntry {
       """SELECT ls.l AS c_src, ld.l AS c_dst, count(*) AS n_edges
         |FROM edir JOIN l2 ls ON ls.v = edir.src
         |          JOIN l2 ld ON ld.v = edir.dst
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+    // q147: q98's portable scrambled hash → bucket/rank registers (bin()
+    // bitlength, w = 0 handled as the all-zeros rank) → per-bucket MAX →
+    // exact-integer S_fp → the identical left-associated estimate chain
+    // (ln-based linear counting in the same CASE, not triggered at this
+    // cardinality).
+    "q147_hll" ->
+      """WITH h AS (
+        |  SELECT (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(c) AS BIGINT) FOR c IN
+        |          string_split('c' || o_custkey, '')]),
+        |      (h, c) -> (h * 31 + c) % 2147483647)
+        |     * 48271 + 12345) % 2147483647)
+        |   * 69621 + 54321) % 2147483647 AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |rk AS (
+        |  SELECT hv % 256 AS bucket,
+        |    CASE WHEN hv // 256 = 0 THEN 24
+        |         ELSE 24 - length(bin(hv // 256)) END AS rank
+        |  FROM h),
+        |reg AS (SELECT bucket, CAST(max(rank) AS INT) AS max_rank
+        |        FROM rk GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*) AS n_buckets_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << (24 - max_rank)) AS BIGINT)
+        |      AS s_used
+        |  FROM reg),
+        |s AS (
+        |  SELECT n_buckets_used,
+        |    s_used + (256 - n_buckets_used) * (CAST(1 AS BIGINT) << 24)
+        |      AS s_fp
+        |  FROM agg),
+        |e AS (
+        |  -- DOUBLE casts matter: bare decimal literals are DECIMAL in
+        |  -- DuckDB, and the replay must walk the same IEEE chain Spark does
+        |  SELECT n_buckets_used, s_fp,
+        |    (CAST(0.7213 AS DOUBLE) /
+        |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256))
+        |      * 256 * 256 * 16777216 / s_fp AS raw
+        |  FROM s)
+        |SELECT n_buckets_used, s_fp,
+        |  round(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256
+        |              AND n_buckets_used < 256
+        |             THEN CAST(256.0 AS DOUBLE) *
+        |                  ln(CAST(256.0 AS DOUBLE) / (256 - n_buckets_used))
+        |             ELSE raw END, 4) AS hll_estimate
+        |FROM e""".stripMargin,
+    // q148: the same hop rounds unrolled — per round a time-respecting
+    // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
+    "q148_temporal_reach" -> {
+      val roundCtes = (1 to 4).map { r =>
+        s""",
+           |c$r AS (
+           |  SELECT e.dst AS id, min(e.t) AS arrival
+           |  FROM e JOIN a${r - 1} ON a${r - 1}.id = e.src
+           |   AND e.t >= a${r - 1}.arrival
+           |  GROUP BY 1),
+           |a$r AS (
+           |  SELECT id, min(arrival) AS arrival
+           |  FROM (SELECT id, arrival FROM a${r - 1}
+           |        UNION ALL SELECT id, arrival FROM c$r)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""WITH e AS (
+         |  SELECT 'u' || user_id AS src,
+         |    'u' || ((user_id * 31 + event_id) % 150) AS dst, ts AS t
+         |  FROM events),
+         |a0 AS (
+         |  SELECT DISTINCT 'u' || user_id AS id,
+         |    TIMESTAMP '2024-01-01 00:00:00' AS arrival
+         |  FROM events WHERE user_id <= 5)$roundCtes
+         |SELECT id, arrival FROM a4""".stripMargin
+    }
   )
 
   /** q141/q146's WL oracle prefix: the symmetrized customer-graph edge

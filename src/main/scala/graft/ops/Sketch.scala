@@ -93,6 +93,67 @@ object Sketch {
     * varies with partition layout), but step 3 makes the OUTPUT a pure
     * function of the data multiset — exact counts, deterministic across
     * runs and layouts. Null keys are ignored. */
+  /** HyperLogLog registers over the SAME portable hash (Flajolet 2007 —
+    * THE production cardinality sketch; KMV above keeps k values, HLL
+    * keeps only 2^b max-rank bytes, constant space per group at any
+    * cardinality). Registers, not a float state, are the sketch: bucket =
+    * hash mod 2^b, w = hash div 2^b ∈ [0, 2^(31−b)), rank = leading-zero
+    * count of w in its (31−b)-bit field + 1 (computed PORTABLY as
+    * width+1 − bitlength via `bin()`, identical in Spark and DuckDB) —
+    * so the register table is pure integer arithmetic and the oracle
+    * replays it hash-exact. Mergeable: union = per-bucket MAX.
+    *
+    * Scale: one bucket-keyed MAX aggregate (map-side combinable; 2^b
+    * rows out regardless of input size) — the reason HLL is the sketch
+    * every engine ships. */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"hll precision b in 4..16, got $b")
+    val m = 1 << b
+    val width = 31 - b // bits left in w after the bucket is peeled off
+    val h = kmvHash(col(valueCol).cast("string"))
+    df.where(col(valueCol).isNotNull)
+      .select(pmod(h, lit(m.toLong)).as("bucket"),
+        call_function("div", h, lit(m.toLong)).as("__w"))
+      .select(col("bucket"),
+        when(col("__w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("__w")))).as("rank"))
+      .groupBy("bucket").agg(max("rank").cast("int").as("max_rank"))
+  }
+
+  /** One-row HLL estimate from the registers: exact-integer S_fp =
+    * Σ_j 2^(width+1−M_j) (empty buckets contribute 2^(width+1)), then the
+    * single float step E = α_m·m²·2^(width+1) / S_fp — one multiply chain
+    * and one divide, bit-identical cross-engine. Linear-counting
+    * small-range correction (E ≤ 2.5m and empty buckets exist →
+    * m·ln(m/V)) included per the paper. */
+  def hllEstimate(df: DataFrame, valueCol: String, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val width = 31 - b
+    val regs = hllRegisters(df, valueCol, b)
+    val alpha = m match {
+      case 16 => lit(0.673)
+      case 32 => lit(0.697)
+      case 64 => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    }
+    regs.agg(
+        count(lit(1)).as("n_buckets_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $width + 1 - max_rank)"))
+          .as("__s_used"))
+      .select(col("n_buckets_used"),
+        (col("__s_used") +
+          (lit(m.toLong) - col("n_buckets_used")) * lit(1L << (width + 1)))
+          .as("s_fp"))
+      .select(col("n_buckets_used"), col("s_fp"),
+        (alpha * m * m * lit(math.pow(2.0, width + 1).toLong) /
+          col("s_fp")).as("__e"))
+      .select(col("n_buckets_used"), col("s_fp"),
+        round(when(col("__e") <= 2.5 * m && col("n_buckets_used") < m,
+            lit(m.toDouble) *
+              log(lit(m.toDouble) / (lit(m.toLong) - col("n_buckets_used"))))
+          .otherwise(col("__e")), 4).as("hll_estimate"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, "heavyHitters: k must be >= 2")
     val spark = df.sparkSession

@@ -91,4 +91,40 @@ class SketchSpec extends SparkSuite {
     assert(out == Map("a" -> 3L)) // n = 3 non-null, 3*2 > 3
     assert(Sketch.heavyHitters(df.where("key IS NULL"), "key", 2).isEmpty)
   }
+
+  test("hll: estimate within the published error band; duplicates free") {
+    val n = 5000
+    val vals = (0 until n).map(i => s"value_$i") ++ (0 until n).map(i => s"value_$i")
+    val est = Sketch.hllEstimate(vals.toDF("v"), "v")
+      .as[(Long, Long, Double)].collect().head
+    // sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est._3 - n) / n < 0.20, s"estimate ${est._3} for $n")
+  }
+
+  test("hll: linear-counting small-range correction path") {
+    val est = Sketch.hllEstimate((0 until 50).map(i => s"x$i").toDF("v"), "v")
+      .as[(Long, Long, Double)].collect().head
+    assert(est._1 <= 50) // at most one bucket per value
+    assert(math.abs(est._3 - 50) / 50 < 0.15, s"estimate ${est._3} for 50")
+  }
+
+  test("hll: registers merge by per-bucket MAX (sketch of union)") {
+    val a = (0 until 800).map(i => s"a$i").toDF("v")
+    val b = (400 until 1200).map(i => s"a$i").toDF("v")
+    val union = Sketch.hllRegisters(a.unionByName(b), "v")
+      .as[(Long, Int)].collect().toMap
+    val merged = (Sketch.hllRegisters(a, "v").as[(Long, Int)].collect() ++
+        Sketch.hllRegisters(b, "v").as[(Long, Int)].collect())
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(union == merged)
+  }
+
+  test("hll: layout invariant (exact registers at any partitioning)") {
+    val vals = (0 until 3000).map(i => s"k${i % 1100}")
+    val r1 = Sketch.hllRegisters(vals.toDF("v").repartition(1), "v")
+      .as[(Long, Int)].collect().toSet
+    val r9 = Sketch.hllRegisters(vals.toDF("v").repartition(9), "v")
+      .as[(Long, Int)].collect().toSet
+    assert(r1 == r9)
+  }
 }
