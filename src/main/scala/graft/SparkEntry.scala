@@ -1503,7 +1503,29 @@ object SparkEntry {
           lit("2024-01-01 00:00:00").cast("timestamp").as("t0"))
         .distinct()
       graft.graph.TemporalReach.earliestArrival(edges, seeds, hops = 4)
-    })
+    }),
+    "q149_count_min" -> ((s, d) => {
+      // Count-Min frequency sketch (4x1024 integer counters over the
+      // portable hash) probed for 10 keys, true counts joined for the
+      // one-sided-error contract; oracle = the identical register build +
+      // probe mins in DuckDB
+      val li = t(s, d, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("v"))
+      val probes = t(s, d, "part").where(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("key"))
+      val truth = li.groupBy(col("v").as("key"))
+        .agg(count(lit(1)).as("true_count"))
+      graft.ops.Sketch.cmEstimate(li, "v", probes, "key")
+        .join(truth, Seq("key"), "left")
+        .select(col("key"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          col("cm_estimate"))
+    }),
+    "q150_assortativity" -> ((s, d) =>
+      // Newman degree assortativity of the customer graph from exact
+      // integer moment sums (one float division at the very end); oracle =
+      // the same moments + the same closed form in DuckDB
+      graft.graph.GraphStats.assortativity(custGraph(s, d)))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3722,6 +3744,58 @@ object SparkEntry {
         |                  ln(CAST(256.0 AS DOUBLE) / (256 - n_buckets_used))
         |             ELSE raw END, 4) AS hll_estimate
         |FROM e""".stripMargin,
+    // q149: the same register build + probe mins — the 4 row-hashes
+    // unrolled as a UNION ALL fan-out over the shared scrambled hash.
+    "q149_count_min" -> {
+      def fan(src: String, extra: String) =
+        Seq((0, 16807L, 11L), (1, 48271L, 101L), (2, 69621L, 1009L),
+          (3, 40692L, 10007L)).map { case (r, a, c) =>
+          s"SELECT $extra$r AS row, ((hv * $a + $c) % 2147483647) % 1024 AS bucket FROM $src"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT ${kmvHashSql("'p' || l_partkey")} AS hv
+         |  FROM lineitem WHERE l_partkey IS NOT NULL),
+         |fan AS (
+         |  ${fan("h", "")}),
+         |reg AS (SELECT row, bucket, count(*) AS cnt FROM fan GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT 'p' || p_partkey AS key,
+         |    ${kmvHashSql("'p' || p_partkey")} AS hv
+         |  FROM part WHERE p_partkey <= 10),
+         |paddr AS (
+         |  ${fan("pk", "key, ")}),
+         |est AS (
+         |  SELECT key, min(coalesce(cnt, 0)) AS cm_estimate
+         |  FROM paddr LEFT JOIN reg USING (row, bucket) GROUP BY 1),
+         |tc AS (SELECT 'p' || l_partkey AS key, count(*) AS true_count
+         |       FROM lineitem GROUP BY 1)
+         |SELECT key, coalesce(true_count, 0) AS true_count, cm_estimate
+         |FROM est LEFT JOIN tc USING (key)""".stripMargin
+    },
+    // q150: the same exact moments + the same single-division closed form.
+    "q150_assortativity" ->
+      """WITH edir AS (
+        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+        |  FROM customer WHERE c_custkey > 3),
+        |sym AS (SELECT src AS a, dst AS b FROM edir
+        |        UNION ALL SELECT dst, src FROM edir),
+        |deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY 1),
+        |xy AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM sym JOIN deg dx ON dx.id = sym.a JOIN deg dy ON dy.id = sym.b),
+        |m AS (
+        |  SELECT count(*) AS n_edges, CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_xx
+        |  FROM xy)
+        |SELECT n_edges, sum_x, sum_xy, sum_xx,
+        |  round(CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE) /
+        |        CAST(n_edges * sum_xx - sum_x * sum_x AS DOUBLE), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
     // q148: the same hop rounds unrolled — per round a time-respecting
     // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
     "q148_temporal_reach" -> {
@@ -3749,6 +3823,15 @@ object SparkEntry {
          |SELECT id, arrival FROM a4""".stripMargin
     }
   )
+
+  /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
+    * expression over `inner` — rolling 31-fold + two MINSTD rounds. */
+  private def kmvHashSql(inner: String): String =
+    s"""(( (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($inner, '')]),
+       |    (h, c) -> (h * 31 + c) % 2147483647)
+       |   * 48271 + 12345) % 2147483647)
+       | * 69621 + 54321) % 2147483647""".stripMargin
 
   /** q141/q146's WL oracle prefix: the symmetrized customer-graph edge
     * list (`e`), the DIRECTED original (`edir`), degree-init labels

@@ -154,6 +154,62 @@ object Sketch {
           .otherwise(col("__e")), 4).as("hll_estimate"))
   }
 
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) — fixed-space
+    * frequency estimation where MG heavy hitters (q120) answer only the
+    * top-k question: d independent hash rows × w counters, point estimate
+    * = MIN over rows of the probed counter, always ≥ the true count
+    * (one-sided error ≤ e·N/w with prob 1−(1/2)^d... the textbook bound).
+    * Rows reuse the portable scrambled hash re-mixed per row with distinct
+    * MINSTD multipliers — pure `*`/`+`/`pmod` BIGINT arithmetic, so the
+    * registers AND the probes replay cross-engine exactly.
+    *
+    * Scale: ONE (row, bucket)-keyed SUM over a d-way in-task fan-out —
+    * d·w counter rows out regardless of input size; merge = counter-wise
+    * add. */
+  object CountMin {
+    val M = 2147483647L
+    // distinct odd multipliers per row (MINSTD family), applied on top of
+    // the shared kmvHash value
+    val RowMul = Vector(16807L, 48271L, 69621L, 40692L)
+    val RowAdd = Vector(11L, 101L, 1009L, 10007L)
+
+    def rowHash(h: org.apache.spark.sql.Column, row: Int, w: Int) =
+      pmod(pmod(h * RowMul(row) + RowAdd(row), lit(M)), lit(w.toLong))
+  }
+
+  /** The d×w counter table of `valueCol`: (row, bucket, cnt). */
+  def cmRegisters(df: DataFrame, valueCol: String, d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 4 && w >= 2, s"cm: d in 1..4, got $d; w >= 2")
+    val h = kmvHash(col(valueCol).cast("string"))
+    val rows = (0 until d).map(r =>
+      struct(lit(r).as("row"), CountMin.rowHash(h, r, w).as("bucket")))
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.row").as("row"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` against the sketch of `df`:
+    * (key, cm_estimate) with estimate = min over rows of the probed
+    * counter. An ABSENT counter is 0 (left join + coalesce — an inner
+    * join would silently drop the zero row and over-estimate unseen
+    * keys); the d×w counter table broadcasts (it is sketch-sized by
+    * construction, never input-sized). */
+  def cmEstimate(df: DataFrame, valueCol: String, probes: DataFrame,
+      probeCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val regs = cmRegisters(df, valueCol, d, w)
+    val h = kmvHash(col(probeCol).cast("string"))
+    val rows = (0 until d).map(r =>
+      struct(lit(r).as("row"), CountMin.rowHash(h, r, w).as("bucket")))
+    val addrs = probes.where(col(probeCol).isNotNull)
+      .select(col(probeCol).as("key"), explode(array(rows: _*)).as("e"))
+      .select(col("key"), col("e.row").as("row"), col("e.bucket").as("bucket"))
+    addrs.join(broadcast(regs), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, "heavyHitters: k must be >= 2")
     val spark = df.sparkSession

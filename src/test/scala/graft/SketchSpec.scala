@@ -119,6 +119,44 @@ class SketchSpec extends SparkSuite {
     assert(union == merged)
   }
 
+  test("count-min: estimates are one-sided (never below the true count); " +
+    "exact for a sparse key set") {
+    val vals = (0 until 2000).flatMap(i => Seq.fill(i % 7 + 1)(s"k${i % 500}"))
+    val probes = (0 until 500 by 50).map(i => s"k$i") :+ "never-seen"
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Sketch.cmEstimate(vals.toDF("v"), "v",
+        probes.toDF("key"), "key")
+      .as[(String, Long)].collect().toMap
+    probes.foreach { k =>
+      assert(est(k) >= truth.getOrElse(k, 0L), s"$k under-estimated")
+    }
+    assert(est("never-seen") >= 0L)
+    // 20 distinct keys in 4x1024 buckets: collisions are overwhelmingly
+    // unlikely in at least one row -> min is exact
+    val sparse = (0 until 20).flatMap(i => Seq.fill(i + 1)(s"s$i"))
+    val es = Sketch.cmEstimate(sparse.toDF("v"), "v",
+        (0 until 20).map(i => s"s$i").toDF("key"), "key")
+      .as[(String, Long)].collect().toMap
+    (0 until 20).foreach(i => assert(es(s"s$i") == i + 1L))
+  }
+
+  test("count-min: registers merge counter-wise; layout invariant") {
+    val a = (0 until 600).map(i => s"k${i % 50}")
+    val b = (0 until 400).map(i => s"k${i % 80}")
+    val union = Sketch.cmRegisters((a ++ b).toDF("v"), "v")
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val merged = (Sketch.cmRegisters(a.toDF("v"), "v")
+        .as[(Int, Long, Long)].collect() ++
+        Sketch.cmRegisters(b.toDF("v"), "v").as[(Int, Long, Long)].collect())
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    assert(union == merged)
+    val r1 = Sketch.cmRegisters(a.toDF("v").repartition(1), "v")
+      .as[(Int, Long, Long)].collect().toSet
+    val r7 = Sketch.cmRegisters(a.toDF("v").repartition(7), "v")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(r1 == r7)
+  }
+
   test("hll: layout invariant (exact registers at any partitioning)") {
     val vals = (0 until 3000).map(i => s"k${i % 1100}")
     val r1 = Sketch.hllRegisters(vals.toDF("v").repartition(1), "v")
