@@ -1525,7 +1525,26 @@ object SparkEntry {
       // Newman degree assortativity of the customer graph from exact
       // integer moment sums (one float division at the very end); oracle =
       // the same moments + the same closed form in DuckDB
-      graft.graph.GraphStats.assortativity(custGraph(s, d)))
+      graft.graph.GraphStats.assortativity(custGraph(s, d))),
+    "q151_leakage_split" -> ((s, d) => {
+      // leakage-safe splits: near-dup GROUPS (q20's exact-jaccard pairs →
+      // q47's components) share a train/val/test assignment, singletons
+      // hash on their own id; oracle = q20's pair SQL + the recursive-CTE
+      // components + the same hash-bucket CASE
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.2,
+        maxDf = 50)
+      graft.ops.Curation.leakageSafeSplit(docs, "doc_id",
+        Dedup.dupGroups(pairs))
+    }),
+    "q152_ppr" -> ((s, d) =>
+      // personalized PageRank from 5 seed customers (α = 0.2, 5 rounds,
+      // exact ppb integer mass); oracle = the same truncating-div rounds
+      // unrolled in DuckDB
+      graft.graph.Ppr.personalized(custGraph(s, d),
+        t(s, d, "customer").where(col("c_custkey") <= 5)
+          .select(concat(lit("c"), col("c_custkey")).as("id")),
+        rounds = 5, alphaTenths = 2))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3796,6 +3815,85 @@ object SparkEntry {
         |        CAST(n_edges * sum_xx - sum_x * sum_x AS DOUBLE), 6)
         |    AS assortativity
         |FROM m""".stripMargin,
+    // q151: q20's exact-jaccard pair mining + q47's recursive-CTE
+    // components + the portable-hash bucket CASE — singletons fall back to
+    // their own id as the group label via the LEFT join.
+    "q151_leakage_split" ->
+      s"""WITH RECURSIVE words AS (
+         | SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+         | FROM documents),
+         |sh AS (
+         | SELECT DISTINCT id, shingle FROM (
+         |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+         |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+         |  WHERE len(w) >= 5)),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         |kept AS (SELECT id, shingle FROM sh
+         |         WHERE shingle IN (SELECT shingle FROM sh
+         |                           GROUP BY shingle HAVING COUNT(*) <= 50)),
+         |cand AS (
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id),
+         |inter AS (
+         | SELECT c.id_a, c.id_b, COUNT(*) AS i
+         | FROM cand c
+         | JOIN sh a ON a.id = c.id_a
+         | JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         | GROUP BY c.id_a, c.id_b),
+         |pairs AS (
+         | SELECT id_a AS a, id_b AS b
+         | FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         | WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach AS (
+         | SELECT a AS id, b AS r FROM edges
+         | UNION
+         | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |grp AS (SELECT id, least(id, min(r)) AS group_id
+         |        FROM reach GROUP BY id),
+         |asg AS (
+         | SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+         | FROM documents d LEFT JOIN grp g ON g.id = d.doc_id),
+         |bkt AS (
+         | SELECT doc_id, group_id,
+         |   (${kmvHashSql("'g' || group_id")}) % 1000 AS bucket
+         | FROM asg)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
+    // q152: the ppb truncating-div rounds unrolled (same double-div order:
+    // (r·(10−A)) div 10, then div out-degree).
+    "q152_ppr" -> {
+      val roundCtes = (1 to 5).map { r =>
+        s""",
+           |p$r AS (
+           |  SELECT e.dst AS id,
+           |    CAST(sum(((r${r - 1}.r * 8) // 10) // o.outd) AS BIGINT) AS r
+           |  FROM r${r - 1} JOIN edir e ON e.src = r${r - 1}.id
+           |  JOIN outd o ON o.src = e.src
+           |  GROUP BY 1),
+           |r$r AS (
+           |  SELECT id, CAST(sum(r) AS BIGINT) AS r
+           |  FROM (SELECT id, r FROM p$r UNION ALL SELECT id, r FROM rst)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""WITH edir AS (
+         |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+         |  FROM customer WHERE c_custkey > 1
+         |  UNION ALL
+         |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+         |  FROM customer WHERE c_custkey > 3),
+         |outd AS (SELECT src, count(*) AS outd FROM edir GROUP BY 1),
+         |sd AS (SELECT DISTINCT 'c' || c_custkey AS id FROM customer
+         |       WHERE c_custkey <= 5),
+         |ns AS (SELECT count(*) AS ns FROM sd),
+         |r0 AS (SELECT id, 1000000000 // ns AS r FROM sd, ns),
+         |rst AS (SELECT id, ((1000000000 * 2) // 10) // ns AS r
+         |        FROM sd, ns)$roundCtes
+         |SELECT id, r AS ppr_fp FROM r5 WHERE r > 0""".stripMargin
+    },
     // q148: the same hop rounds unrolled — per round a time-respecting
     // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
     "q148_temporal_reach" -> {

@@ -451,4 +451,35 @@ object Curation {
         coalesce(col("n"), lit(0L)).as("n_tokens"),
         round(coalesce(col("w"), lit(0.0)), 6).as("weight"))
   }
+
+  /** Leakage-safe train/val/test split: assign splits by DUPLICATE GROUP,
+    * not by document — the step after near-dedup that a per-doc hash split
+    * gets wrong (two near-copies landing in train AND test leak the test
+    * set; Lee et al. 2022 "Deduplicating Training Data…" measure the
+    * inflation). Docs absent from `groups` are their own singleton group.
+    * Assignment = the portable scrambled hash of the group label mod 1000
+    * against per-mille cut points — a pure function of the group, so the
+    * same corpus splits identically on any cluster/layout, and adding NEW
+    * docs never reshuffles old groups (hash-stable splits, the property
+    * that lets train sets grow incrementally).
+    *
+    * Scale shape: one left join (doc-scale, co-keyed with the dedup
+    * output) + a narrow hash Project — the split inherits dedup's cost,
+    * adds none of its own. Output: (idCol, group_id, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, groups: DataFrame,
+      trainPerMille: Int = 800, valPerMille: Int = 900): DataFrame = {
+    require(0 < trainPerMille && trainPerMille < valPerMille &&
+      valPerMille < 1000, s"cuts 0 < $trainPerMille < $valPerMille < 1000")
+    val g = groups.select(col("id").as(idCol), col("group_id"))
+    val bucket = pmod(
+      graft.ops.Sketch.kmvHash(concat(lit("g"), col("group_id"))),
+      lit(1000L))
+    docs.select(col(idCol)).join(g, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("group_id"), col(idCol)).as("group_id"))
+      .select(col(idCol), col("group_id"),
+        when(bucket < trainPerMille, "train")
+          .when(bucket < valPerMille, "val")
+          .otherwise("test").as("split"))
+  }
 }
