@@ -1544,7 +1544,22 @@ object SparkEntry {
       graft.graph.Ppr.personalized(custGraph(s, d),
         t(s, d, "customer").where(col("c_custkey") <= 5)
           .select(concat(lit("c"), col("c_custkey")).as("id")),
-        rounds = 5, alphaTenths = 2))
+        rounds = 5, alphaTenths = 2)),
+    "q153_mutual_align" -> ((s, d) => {
+      // mutual-nearest-neighbor alignment of the even-id vs odd-id
+      // embedding halves (one scored cross product feeds BOTH direction
+      // ranks); oracle = committed fixture from an independent naive
+      // double-loop replay (tools.GenFixtures)
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.mutualTopMatch(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1))
+    }),
+    "q154_null_model" -> ((s, d) =>
+      // configuration-model rewiring of the customer graph (deterministic
+      // stub pairing by portable hash; self-loops/multi-edges kept — that
+      // IS the null model); oracle = the identical stub windows in DuckDB
+      graft.graph.NullModel.rewire(custGraph(s, d)))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3894,6 +3909,38 @@ object SparkEntry {
          |        FROM sd, ns)$roundCtes
          |SELECT id, r AS ppr_fp FROM r5 WHERE r > 0""".stripMargin
     },
+    // q153: independent naive double-loop fixture (GenFixtures) — same r4
+    // rounding and (sim desc, id asc) tie rule.
+    "q153_mutual_align" ->
+      """SELECT id_a, id_b, sim
+        |FROM read_parquet(
+        |  '/root/repo/src/test/resources/expected/q153_expected_mutual.parquet')""".stripMargin,
+    // q154: the same stub construction — per-node stub index window, the
+    // portable hash of node||'#'||i, the global pairing window, pair
+    // min/max, multiplicity count.
+    "q154_null_model" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+         |    FROM customer WHERE c_custkey > 1
+         |    UNION ALL
+         |    SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+         |    FROM customer WHERE c_custkey > 3)),
+         |stubs AS (
+         |  SELECT src AS node, dst AS other, 0 AS side FROM e
+         |  UNION ALL SELECT dst, src, 1 FROM e),
+         |si AS (
+         |  SELECT node,
+         |    row_number() OVER (PARTITION BY node ORDER BY other, side) AS i
+         |  FROM stubs),
+         |k AS (SELECT node, i,
+         |        (${kmvHashSql("node || '#' || i")}) AS key FROM si),
+         |g AS (SELECT node,
+         |        row_number() OVER (ORDER BY key, node, i) AS g FROM k),
+         |pe AS (
+         |  SELECT (g - 1) // 2 AS pair, min(node) AS a, max(node) AS b
+         |  FROM g GROUP BY 1)
+         |SELECT a, b, count(*) AS n FROM pe GROUP BY 1, 2""".stripMargin,
     // q148: the same hop rounds unrolled — per round a time-respecting
     // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
     "q148_temporal_reach" -> {

@@ -702,4 +702,39 @@ object Similarity {
         round(col("centroid_sim"), 4).as("centroid_sim"),
         col("group_id"), col("keep"))
   }
+
+  /** Mutual-nearest-neighbor alignment of two embedding sets (the
+    * unsupervised bilingual-lexicon / cross-source entity-alignment
+    * primitive — MUSE, Conneau 2018; VecMap): (a, b) is a match iff b is
+    * a's top-1 in B AND a is b's top-1 in A. The mutuality constraint is
+    * the precision filter — one-directional top-1 pairs every a with
+    * SOMETHING; mutual pairs survive only where the geometry agrees both
+    * ways.
+    *
+    * ONE scored cross product feeds BOTH direction ranks (two row_number
+    * windows over the same table — not two scans), then a self-join keeps
+    * rank-1×rank-1 agreements. Ties break (sim desc, id asc) like
+    * bruteForceTopK. Scale: brute-force is the small-side path (broadcast
+    * B); above memory, swap the scorer for the LSH/IVF candidate
+    * generators in this file — the mutual filter is unchanged. */
+  def mutualTopMatch(a: DataFrame, b: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val av = a.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val bv = broadcast(b.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb")))
+    val scored = av.join(bv)
+      .select(col("id_a"), col("id_b"), round(
+        when(col("na") * col("nb") === 0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 4)
+        .as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val rankAB = row_number().over(Window.partitionBy("id_a")
+      .orderBy(col("sim").desc, col("id_b").asc))
+    val rankBA = row_number().over(Window.partitionBy("id_b")
+      .orderBy(col("sim").desc, col("id_a").asc))
+    val ranked = scored.withColumn("r_ab", rankAB).withColumn("r_ba", rankBA)
+    ranked.where(col("r_ab") === 1 && col("r_ba") === 1)
+      .select("id_a", "id_b", "sim")
+  }
 }

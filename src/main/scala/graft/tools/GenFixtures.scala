@@ -379,6 +379,29 @@ object GenFixtures {
       spark.createDataset(rows55)
         .toDF("vec_id", "cluster_id", "centroid_sim", "group_id", "keep")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q55_semdedup_dir")
+
+      // q153: mutual-nearest-neighbor alignment of the even-id vs odd-id
+      // halves — an independent naive double loop (best-in-B per a, best-
+      // in-A per b, keep agreements); same r4 rounding + (sim desc, id asc)
+      // tie rule as the engine's window ranks.
+      {
+        val aIdx = emb.indices.filter(i => emb(i)._1 % 2 == 0)
+        val bIdx = emb.indices.filter(i => emb(i)._1 % 2 == 1)
+        def best(from: Int, pool: Seq[Int]): Long =
+          pool.map(p => (emb(p)._1, r4(cos(emb(from)._2, norms(from),
+              emb(p)._2, norms(p)))))
+            .minBy { case (id, s) => (-s, id) }._1
+        val bestB = aIdx.map(i => emb(i)._1 -> best(i, bIdx)).toMap
+        val bestA = bIdx.map(i => emb(i)._1 -> best(i, aIdx)).toMap
+        val idToIdx = emb.indices.map(i => emb(i)._1 -> i).toMap
+        val mutual = bestB.toSeq.collect {
+          case (ia, ib) if bestA(ib) == ia =>
+            val (i, j) = (idToIdx(ia), idToIdx(ib))
+            (ia, ib, r4(cos(emb(i)._2, norms(i), emb(j)._2, norms(j))))
+        }
+        spark.createDataset(mutual.toVector).toDF("id_a", "id_b", "sim")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/q153_mutual_dir")
+      }
     }
 
     // q56: fixed-point PageRank over the part co-order graph. The engine's
@@ -811,7 +834,8 @@ object GenFixtures {
         "q123_ktruss" -> "q123_expected_ktruss.parquet",
         "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet",
         "q139_soundex" -> "q139_expected_soundex.parquet",
-        "q142_subword" -> "q142_expected_subword.parquet").foreach { case (dir, name) =>
+        "q142_subword" -> "q142_expected_subword.parquet",
+        "q153_mutual" -> "q153_expected_mutual.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
