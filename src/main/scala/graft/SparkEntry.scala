@@ -1559,7 +1559,18 @@ object SparkEntry {
       // configuration-model rewiring of the customer graph (deterministic
       // stub pairing by portable hash; self-loops/multi-edges kept — that
       // IS the null model); oracle = the identical stub windows in DuckDB
-      graft.graph.NullModel.rewire(custGraph(s, d)))
+      graft.graph.NullModel.rewire(custGraph(s, d))),
+    "q155_keyphrases" -> ((s, d) =>
+      // RAKE corpus keyphrases: gaps-and-islands phrase assembly, integer
+      // deg·10^6 div freq word scores, order-free phrase sums; oracle =
+      // the same islands + stats replayed in DuckDB
+      graft.ops.Keyphrases.rake(t(s, d, "documents"), "doc_id", "text",
+        k = 20)),
+    "q156_maximal_matching" -> ((s, d) =>
+      // maximal matching by local-min edge rounds (ER merge-planning: a
+      // disjoint pair set with no live edge left); oracle = committed
+      // fixture from the independent sequential replay (tools.GenFixtures)
+      graft.graph.Matching.maximal(custGraph(s, d)))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3941,6 +3952,60 @@ object SparkEntry {
          |  SELECT (g - 1) // 2 AS pair, min(node) AS a, max(node) AS b
          |  FROM g GROUP BY 1)
          |SELECT a, b, count(*) AS n FROM pe GROUP BY 1, 2""".stripMargin,
+    // q155: the same islands (position minus keeper-rank), word stats over
+    // ALL phrase occurrences, integer div scores, distinct-phrase sums.
+    // Constant position shifts from dropped/kept boundary empties cannot
+    // change islands — island ids are grouping keys only.
+    "q155_keyphrases" -> {
+      val stop = graft.ops.Keyphrases.DefaultStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH raw AS (
+         |  SELECT doc_id AS doc,
+         |    string_split_regex(lower(text), '[^a-z ]+') AS fr
+         |  FROM documents WHERE text IS NOT NULL),
+         |frags AS (
+         |  SELECT doc, CAST(f AS BIGINT) AS fid,
+         |    string_split_regex(fr[CAST(f AS INT) + 1], ' +') AS ws
+         |  FROM raw, unnest(range(0, len(fr))) AS t(f)),
+         |words AS (
+         |  SELECT doc, fid, CAST(i AS BIGINT) AS pos,
+         |    ws[CAST(i AS INT) + 1] AS w
+         |  FROM frags, unnest(range(0, len(ws))) AS t(i)
+         |  WHERE length(ws[CAST(i AS INT) + 1]) > 0),
+         |keep AS (
+         |  SELECT doc, fid, pos, w,
+         |    pos - row_number() OVER (PARTITION BY doc, fid ORDER BY pos)
+         |      AS island
+         |  FROM words WHERE w NOT IN ($stop)),
+         |ph AS (
+         |  SELECT array_to_string(array_agg(w ORDER BY pos), ' ') AS phrase
+         |  FROM keep GROUP BY doc, fid, island),
+         |occw AS (
+         |  SELECT t.w, len(string_split(phrase, ' ')) AS len
+         |  FROM ph, unnest(string_split(phrase, ' ')) AS t(w)),
+         |ws2 AS (
+         |  SELECT w, (CAST(sum(len) AS BIGINT) * 1000000) // count(*)
+         |    AS wscore_fp
+         |  FROM occw GROUP BY w),
+         |occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
+         |scored AS (
+         |  SELECT o.phrase, o.n_occ, count(*) AS n_words,
+         |    CAST(sum(ws2.wscore_fp) AS BIGINT) AS score_fp
+         |  FROM (SELECT occ.phrase, occ.n_occ, t.w
+         |        FROM occ, unnest(string_split(occ.phrase, ' ')) AS t(w)) o
+         |  JOIN ws2 ON ws2.w = o.w
+         |  GROUP BY 1, 2)
+         |SELECT phrase, n_words, n_occ, score_fp,
+         |  row_number() OVER (ORDER BY score_fp DESC, phrase) AS rk
+         |FROM scored
+         |QUALIFY rk <= 20""".stripMargin
+    },
+    // q156: independent sequential replay fixture (GenFixtures) of the
+    // local-min rule — same portable hash, same fixpoint.
+    "q156_maximal_matching" ->
+      """SELECT a, b, priority
+        |FROM read_parquet(
+        |  '/root/repo/src/test/resources/expected/q156_expected_matching.parquet')""".stripMargin,
     // q148: the same hop rounds unrolled — per round a time-respecting
     // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
     "q148_temporal_reach" -> {

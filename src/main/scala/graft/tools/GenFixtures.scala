@@ -806,6 +806,42 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q142_subword_dir")
     }
 
+    // q156: independent sequential replay of the local-min matching rule
+    // over the customer graph — mutable edge list + per-node min scans
+    // (the engine loops node-keyed MIN aggregates + anti joins); same
+    // portable hash, same (p, a, b) tuple order, same unique fixpoint.
+    {
+      def phash(s: String): Long = {
+        var h = 0L
+        s.foreach(c => h = (h * 31 + c.toLong) % 2147483647L)
+        h = (h * 48271L + 12345L) % 2147483647L
+        (h * 69621L + 54321L) % 2147483647L
+      }
+      var live = custEdges.map(e => if (e._1 <= e._2) e else e.swap)
+        .filter(e => e._1 != e._2).distinct
+        .map { case (a, b) => (phash(s"$a|$b"), a, b) }
+      val matched = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      while (live.nonEmpty) {
+        val nodeMin = scala.collection.mutable.Map.empty[String, (Long, String, String)]
+        live.foreach { e =>
+          Seq(e._2, e._3).foreach { n =>
+            val cur = nodeMin.get(n)
+            val key = (e._1, e._2, e._3)
+            if (cur.isEmpty || Ordering[(Long, String, String)].lt(key, cur.get))
+              nodeMin(n) = key
+          }
+        }
+        val wins = live.filter(e =>
+          nodeMin(e._2) == e && nodeMin(e._3) == e)
+        matched ++= wins
+        val gone = wins.flatMap(e => Seq(e._2, e._3)).toSet
+        live = live.filterNot(e => gone(e._2) || gone(e._3))
+      }
+      spark.createDataset(matched.toVector.map(e => (e._2, e._3, e._1)))
+        .toDF("a", "b", "priority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q156_matching_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -835,7 +871,8 @@ object GenFixtures {
         "q130_bpe_tokens" -> "q130_expected_bpe_tokens.parquet",
         "q139_soundex" -> "q139_expected_soundex.parquet",
         "q142_subword" -> "q142_expected_subword.parquet",
-        "q153_mutual" -> "q153_expected_mutual.parquet").foreach { case (dir, name) =>
+        "q153_mutual" -> "q153_expected_mutual.parquet",
+        "q156_matching" -> "q156_expected_matching.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
