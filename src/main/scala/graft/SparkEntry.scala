@@ -1570,7 +1570,18 @@ object SparkEntry {
       // maximal matching by local-min edge rounds (ER merge-planning: a
       // disjoint pair set with no live edge left); oracle = committed
       // fixture from the independent sequential replay (tools.GenFixtures)
-      graft.graph.Matching.maximal(custGraph(s, d)))
+      graft.graph.Matching.maximal(custGraph(s, d))),
+    "q157_quantile_norm" -> ((s, d) =>
+      // cross-source score calibration: within-source rank quantiles on
+      // the shared ppm grid (one window, integer div); oracle = the same
+      // rank/count window arithmetic in DuckDB
+      graft.metrics.Calibration.quantileNormalize(t(s, d, "orders"),
+        "o_orderpriority", "o_orderkey", "o_totalprice")),
+    "q158_benford" -> ((s, d) =>
+      // Benford first-digit audit of order totals — string-derived digits
+      // (no float logs), integer ppm shares vs committed expectations;
+      // oracle = the identical digit/ppm arithmetic in DuckDB
+      graft.ops.Profile.benford(t(s, d, "orders"), "o_totalprice"))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -3999,6 +4010,37 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY score_fp DESC, phrase) AS rk
          |FROM scored
          |QUALIFY rk <= 20""".stripMargin
+    },
+    // q157: the same rank/count window + ppm integer division.
+    "q157_quantile_norm" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+        |       ELSE 0 END AS q_ppm
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL)""".stripMargin,
+    // q158: the same string-derived first digit + integer ppm shares and
+    // the committed Benford constants.
+    "q158_benford" -> {
+      val caseExp = graft.ops.Profile.BenfordPpm.toSeq.sortBy(_._1)
+        .map { case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS n
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND CAST(floor(abs(o_totalprice)) AS BIGINT) >= 1
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+         |  CAST(CASE digit $caseExp END AS BIGINT) AS exp_ppm,
+         |  abs((n * 1000000) // total
+         |      - CAST(CASE digit $caseExp END AS BIGINT)) AS dev_ppm
+         |FROM c, t""".stripMargin
     },
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.

@@ -54,6 +54,30 @@ object Calibration {
   }
 
   /** Expected calibration error in micro-units: Σ n_b·gap_b div N. */
+  /** Quantile normalization of scores ACROSS SOURCES — the fusion
+    * pre-step when extractors emit incomparable confidences (one's 0.9 is
+    * another's 0.6): replace each score by its within-source rank quantile
+    * q_ppm = (rank − 1)·10^6 div (n − 1), so every source maps onto the
+    * same uniform [0, 10^6] grid and a downstream threshold means the same
+    * thing everywhere. Ranks are row_number with an id tiebreak (ties get
+    * DISTINCT adjacent quantiles — deterministic, layout-independent; the
+    * averaged-rank variant would reintroduce float sums). A 1-row source
+    * maps to 0.
+    *
+    * Scale: ONE source-keyed window (rank and count share its sort) —
+    * the q135 single-exchange shape. */
+  def quantileNormalize(df: DataFrame, sourceCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+    val rank = row_number().over(w.orderBy(col(scoreCol).asc, col(idCol).asc))
+    val n = count(lit(1)).over(w)
+    df.where(col(scoreCol).isNotNull)
+      .select(col(sourceCol), col(idCol), col(scoreCol),
+        when(n > 1, call_function("div", (rank - 1).cast("long") * 1000000L,
+          (n - 1).cast("long"))).otherwise(0L).as("q_ppm"))
+  }
+
   def ece(df: DataFrame, confCol: String, correctCol: String,
       bins: Int = 10): Long = {
     val r = reliability(df, confCol, correctCol, bins)

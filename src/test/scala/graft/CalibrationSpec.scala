@@ -44,4 +44,29 @@ class CalibrationSpec extends SparkSuite {
       Calibration.reliability(bad, "conf", "ok").collect()
     }
   }
+
+  test("quantile normalization: sources map onto one ppm grid") {
+    import org.apache.spark.sql.functions.col
+    // source A scores 10/20/30, source B scores 1000/9999
+    val df = Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("A", 3L, 30.0),
+      ("B", 4L, 1000.0), ("B", 5L, 9999.0), ("C", 6L, 7.0))
+      .toDF("src", "id", "score")
+    val out = Calibration.quantileNormalize(df, "src", "id", "score")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(out(1L) == 0L && out(2L) == 500000L && out(3L) == 1000000L)
+    assert(out(4L) == 0L && out(5L) == 1000000L)
+    assert(out(6L) == 0L) // singleton source
+    // ties get distinct adjacent quantiles via the id tiebreak
+    val ties = Seq(("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0))
+      .toDF("src", "id", "score")
+    val t = Calibration.quantileNormalize(ties, "src", "id", "score")
+      .as[(String, Long, Double, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(t == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L))
+    // null scores drop
+    val n = Calibration.quantileNormalize(
+      Seq(("A", 1L, Some(1.0)), ("A", 2L, None)).toDF("src", "id", "score"),
+      "src", "id", "score").count()
+    assert(n == 1L)
+  }
 }

@@ -96,4 +96,31 @@ class ProfileSpec extends SparkSuite {
     assert(a.exists(r => r.getString(0) == "g0" && r.getLong(1) == 10000L))
     assert(a.exists(r => r.getString(0) == "g1" && r.getLong(1) == -5000L))
   }
+
+  test("benford: string-derived first digits, ppm shares, committed " +
+    "expectations") {
+    import graft.ops.Profile
+    // 1000 values ~ exact Benford proportions by construction
+    val vals = Profile.BenfordPpm.toSeq.flatMap { case (d, p) =>
+      Seq.fill((p / 1000L).toInt)(d * 1000.0 + 137.5)
+    }
+    val out = Profile.benford(vals.toDF("v"), "v")
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == (1 to 9).toSet)
+    out.foreach { case (d, (_, _, obs, exp, dev)) =>
+      assert(dev == math.abs(obs - exp))
+      assert(dev < 5000L, s"digit $d deviates $dev ppm") // built to conform
+    }
+    // fabricated uniform data flunks: digit 1 share ~11% vs 30.1%
+    val uniform = (1 to 900).map(i => (i % 9 + 1) * 100.0 + i % 37)
+    val bad = Profile.benford(uniform.toDF("v"), "v")
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(bad(1) > 150000L)
+    // sub-1 magnitudes are excluded, negatives use |v|
+    val edge = Profile.benford(Seq(0.5, -23.0, 0.0).toDF("v"), "v")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(edge.toSeq.map(_._1) == Seq(2))
+  }
 }
