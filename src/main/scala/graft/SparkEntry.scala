@@ -1581,7 +1581,35 @@ object SparkEntry {
       // Benford first-digit audit of order totals — string-derived digits
       // (no float logs), integer ppm shares vs committed expectations;
       // oracle = the identical digit/ppm arithmetic in DuckDB
-      graft.ops.Profile.benford(t(s, d, "orders"), "o_totalprice"))
+      graft.ops.Profile.benford(t(s, d, "orders"), "o_totalprice")),
+    "q159_damerau" -> ((s, d) => {
+      // full Damerau–Levenshtein (native codegen expression, Lowrance–
+      // Wagner unrestricted transpositions) over corpus-vocabulary pairs;
+      // oracle = DuckDB's INDEPENDENT damerau_levenshtein implementation
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        .where(length(col("tok")) >= 3).distinct()
+      val a = toks.select(col("tok").as("tok_a"))
+      val b = toks.select(col("tok").as("tok_b"))
+      a.join(b, col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b"),
+          graft.functions.Damerau.distCol(col("tok_a"), col("tok_b"))
+            .as("dl"))
+        .where(col("dl") <= 3)
+    }),
+    "q160_eccentricity" -> ((s, d) => {
+      // landmark eccentricities over the downward customer tree (the
+      // diameter lower bound max-ecc estimates at 10^12 nodes via a
+      // landmark sample); oracle = q114's recursive-CTE BFS + max
+      val down = custGraph(s, d)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val lm = t(s, d, "customer").where(col("c_custkey") <= 3)
+        .select(concat(lit("c"), col("c_custkey")).as("id"))
+      graft.graph.Distances.fromLandmarks(down, lm)
+        .groupBy("landmark")
+        .agg(max("dist").as("eccentricity"), count(lit(1)).as("n_reached"))
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -4042,6 +4070,38 @@ object SparkEntry {
          |      - CAST(CASE digit $caseExp END AS BIGINT)) AS dev_ppm
          |FROM c, t""".stripMargin
     },
+    // q159: DuckDB's own damerau_levenshtein — an implementation the
+    // engine shares nothing with (probe-verified full-DL semantics:
+    // ca→abc = 2); ASCII vocabulary keeps the codepoint-vs-byte scoring
+    // equivalent.
+    "q159_damerau" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT t AS tok
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS u(t)
+        |  WHERE text IS NOT NULL AND length(t) >= 3)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(damerau_levenshtein(a.tok, b.tok) AS INT) AS dl
+        |FROM tok a JOIN tok b ON a.tok < b.tok
+        |WHERE damerau_levenshtein(a.tok, b.tok) <= 3""".stripMargin,
+    // q160: the q114 recursive-CTE BFS (min dist per node) + per-landmark
+    // max/count over the downward tree.
+    "q160_eccentricity" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey
+        |  FROM customer WHERE c_custkey > 3),
+        |lm AS (SELECT 'c' || c_custkey AS l FROM customer
+        |       WHERE c_custkey <= 3),
+        |r AS (
+        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
+        |  UNION
+        |  SELECT e.dst, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.src),
+        |m AS (SELECT id, landmark, min(dist) AS dist FROM r GROUP BY 1, 2)
+        |SELECT landmark, max(dist) AS eccentricity, count(*) AS n_reached
+        |FROM m GROUP BY 1""".stripMargin,
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->
