@@ -1609,7 +1609,24 @@ object SparkEntry {
       graft.graph.Distances.fromLandmarks(down, lm)
         .groupBy("landmark")
         .agg(max("dist").as("eccentricity"), count(lit(1)).as("n_reached"))
-    })
+    }),
+    "q161_kappa" -> ((s, d) =>
+      // Cohen's κ between the labeled lang column and the q25 language-ID
+      // predictor — chance-corrected agreement from exact confusion
+      // marginals, ONE float division; oracle = the same integer closed
+      // form over DuckDB's replay of the predictor
+      graft.metrics.Agreement.cohensKappa(
+        t(s, d, "documents").select(col("lang").as("gold"),
+          graft.ops.TextOps.langId(col("text")).as("pred")),
+        "gold", "pred")),
+    "q162_mann_kendall" -> ((s, d) =>
+      // Mann–Kendall drift test over daily event counts — pure integer
+      // sign sums on a bucket-scale self-join; oracle = the same pairwise
+      // definition in DuckDB
+      graft.ops.Trend.mannKendall(
+        t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events"))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -4102,6 +4119,51 @@ object SparkEntry {
         |m AS (SELECT id, landmark, min(dist) AS dist FROM r GROUP BY 1, 2)
         |SELECT landmark, max(dist) AS eccentricity, count(*) AS n_reached
         |FROM m GROUP BY 1""".stripMargin,
+    // q161: κ's integer closed form over the confusion marginals of
+    // (labeled lang × the q25 predictor CASE).
+    "q161_kappa" ->
+      s"""WITH pred AS (
+         |  SELECT doc_id, $langCaseSql AS b FROM ($langScoresFromDocs)),
+         |j AS (
+         |  SELECT d.lang AS a, p.b
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND p.b IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS nij FROM j GROUP BY 1, 2),
+         |r AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+         |c AS (SELECT b, CAST(sum(nij) AS BIGINT) AS ci FROM cells GROUP BY 1),
+         |ch AS (SELECT CAST(coalesce(sum(ri * ci), 0) AS BIGINT)
+         |         AS chance_num
+         |       FROM r JOIN c ON c.b = r.a),
+         |tot AS (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN nij ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM cells)
+         |SELECT n, n_agree, chance_num,
+         |  round(CAST(n * n_agree - chance_num AS DOUBLE) /
+         |        CAST(n * n - chance_num AS DOUBLE), 6) AS kappa
+         |FROM tot, ch""".stripMargin,
+    // q162: the pairwise sign-sum definition over the same daily buckets.
+    "q162_mann_kendall" ->
+      """WITH s AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT CASE WHEN b.v > a.v THEN 1
+        |              WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+        |  FROM s a JOIN s b ON a.day < b.day),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s,
+        |    count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ties
+        |  FROM p),
+        |n AS (SELECT count(*) AS n FROM s)
+        |SELECT n.n, agg.s, agg.n_pairs, coalesce(agg.n_ties, 0) AS n_ties,
+        |  CASE WHEN agg.s > 0 THEN 'asc' WHEN agg.s < 0 THEN 'desc'
+        |       ELSE 'none' END AS trend
+        |FROM agg, n""".stripMargin,
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->
