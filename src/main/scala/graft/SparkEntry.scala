@@ -1626,7 +1626,29 @@ object SparkEntry {
       graft.ops.Trend.mannKendall(
         t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_events")),
-        "day", "n_events"))
+        "day", "n_events")),
+    "q163_partition_quality" -> ((s, d) =>
+      // modularity + conductance scorecard of the nation partition over
+      // the customer graph — exact integer vol/cut/ppm, one float Q;
+      // oracle = the same joins and closed form in DuckDB
+      graft.graph.PartitionQuality.scorecard(
+        custGraph(s, d),
+        t(s, d, "customer").select(
+          concat(lit("c"), col("c_custkey")).as("id"),
+          concat(lit("n"), col("c_nationkey")).as("community")))),
+    "q164_simrank" -> ((s, d) => {
+      // bounded-subgraph SimRank (custkey ≤ 150 — the candidate-block
+      // deployment shape), 3 exact ppm rounds; oracle = the rounds
+      // unrolled in DuckDB over the same G×G product walk
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 150)
+      val e = cust.where(col("c_custkey") > 1).select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+        .union(cust.where(col("c_custkey") > 3).select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), expr("c_custkey div 4")).as("dst")))
+      graft.graph.SimRank.similarity(e, rounds = 3)
+    })
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -4164,6 +4186,80 @@ object SparkEntry {
         |  CASE WHEN agg.s > 0 THEN 'asc' WHEN agg.s < 0 THEN 'desc'
         |       ELSE 'none' END AS trend
         |FROM agg, n""".stripMargin,
+    // q163: the same undirected dedup, node-keyed degree/assignment joins,
+    // and integer vol/cut/ppm closed forms; one float division for Q.
+    "q163_partition_quality" ->
+      """WITH edir AS (
+        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+        |  FROM customer WHERE c_custkey > 3),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edir WHERE src <> dst),
+        |sym AS (SELECT a AS id, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY 1),
+        |p AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS community
+        |      FROM customer),
+        |asg AS (SELECT deg.id, deg.deg, coalesce(p.community, deg.id) AS community
+        |        FROM deg LEFT JOIN p USING (id)),
+        |volc AS (SELECT community, count(*) AS n_nodes,
+        |           CAST(sum(deg) AS BIGINT) AS vol
+        |         FROM asg GROUP BY 1),
+        |inter AS (
+        |  SELECT pa.community, 2 * count(*) AS internal_x2
+        |  FROM und JOIN asg pa ON pa.id = und.a JOIN asg pb ON pb.id = und.b
+        |  WHERE pa.community = pb.community GROUP BY 1),
+        |perc AS (SELECT volc.community, n_nodes, vol,
+        |    CAST(coalesce(internal_x2, 0) AS BIGINT) AS internal_x2,
+        |    vol - CAST(coalesce(internal_x2, 0) AS BIGINT) AS cut
+        |  FROM volc LEFT JOIN inter USING (community)),
+        |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS two_m,
+        |    CAST(sum(vol * vol) AS BIGINT) AS sum_vol_sq,
+        |    CAST(sum(internal_x2) AS BIGINT) AS sum_int2 FROM perc)
+        |SELECT community, n_nodes, vol, internal_x2, cut,
+        |  CASE WHEN least(vol, two_m - vol) > 0
+        |       THEN (cut * 1000000) // least(vol, two_m - vol)
+        |  END AS conductance_ppm,
+        |  CASE WHEN two_m > 0
+        |       THEN round(CAST(two_m * sum_int2 - sum_vol_sq AS DOUBLE) /
+        |                  CAST(two_m * two_m AS DOUBLE), 6)
+        |  END AS modularity
+        |FROM perc, tot""".stripMargin,
+    // q164: the 3 ppm rounds unrolled — per round the G×G product-graph
+    // walk (two src-keyed joins), an (a,b)-keyed SUM, and the truncating
+    // C = 4/5 division; the diagonal is re-pinned at 10^6 each round.
+    "q164_simrank" -> {
+      val roundCtes = (1 to 3).map { r =>
+        s""",
+           |n$r AS (
+           |  SELECT e1.dst AS a, e2.dst AS b, CAST(sum(sp.s) AS BIGINT) AS num
+           |  FROM s${r - 1} sp JOIN ed e1 ON e1.src = sp.x
+           |                    JOIN ed e2 ON e2.src = sp.y
+           |  GROUP BY 1, 2),
+           |s$r AS (
+           |  SELECT x, y, s FROM (
+           |    SELECT n$r.a AS x, n$r.b AS y,
+           |      (4 * num) // (5 * ia.ind * ib.ind) AS s
+           |    FROM n$r JOIN ind ia ON ia.v = n$r.a
+           |             JOIN ind ib ON ib.v = n$r.b
+           |    WHERE n$r.a <> n$r.b)
+           |  WHERE s > 0
+           |  UNION ALL SELECT v, v, CAST(1000000 AS BIGINT) FROM nodes)""".stripMargin
+      }.mkString
+      s"""WITH ed AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+         |    FROM customer WHERE c_custkey > 1 AND c_custkey <= 150
+         |    UNION ALL
+         |    SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+         |    FROM customer WHERE c_custkey > 3 AND c_custkey <= 150)),
+         |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+         |ind AS (SELECT dst AS v, count(*) AS ind FROM ed GROUP BY 1),
+         |s0 AS (SELECT v AS x, v AS y, CAST(1000000 AS BIGINT) AS s
+         |       FROM nodes)$roundCtes
+         |SELECT x AS a, y AS b, s AS s_ppm FROM s3 WHERE x < y""".stripMargin
+    },
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->
