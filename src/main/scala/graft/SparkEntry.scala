@@ -1648,6 +1648,58 @@ object SparkEntry {
           concat(lit("c"), col("c_custkey")).as("src"),
           concat(lit("c"), expr("c_custkey div 4")).as("dst")))
       graft.graph.SimRank.similarity(e, rounds = 3)
+    }),
+    "q165_coloring" -> ((s, d) =>
+      // Jones–Plassmann vertex coloring of the customer graph (conflict
+      // schedule: color classes = parallel-safe merge waves); oracle =
+      // committed fixture from the independent sequential greedy in
+      // decreasing (priority, id) order — the JP equivalence
+      graft.graph.Coloring.jonesPlassmann(custGraph(s, d))),
+    "q166_densest" -> ((s, d) => {
+      // densest-subgraph peeling (Charikar greedy, BKV parallel waves,
+      // ε = 1/2) over the customer graph with a planted K20 — the best
+      // wave recovers the dense core; oracle = the waves unrolled in
+      // DuckDB with the same integer threshold and cross-multiplied argmax
+      val small = t(s, d, "customer").where(col("c_custkey") <= 20)
+        .select(col("c_custkey").as("k"))
+      val clique = small.as("x").join(small.as("y"),
+          col("x.k") < col("y.k"))
+        .select(concat(lit("c"), col("x.k")).as("src"),
+          concat(lit("c"), col("y.k")).as("dst"))
+      graft.graph.Densest.peel(custGraph(s, d).unionByName(clique))
+    }),
+    "q167_bloom" -> ((s, d) => {
+      // Bloom membership gate over the portable hash family: build on the
+      // custkeys that HAVE orders, probe custkeys ≤ 50 — no false
+      // negatives, designed-rate false positives; oracle = the same hash
+      // fan-out, bit set, and all-k-hits probe in DuckDB
+      val present = t(s, d, "orders")
+        .select(concat(lit("c"), col("o_custkey")).as("v"))
+      val probes = t(s, d, "customer").where(col("c_custkey") <= 50)
+        .select(concat(lit("c"), col("c_custkey")).as("v"))
+      val bits = graft.ops.Bloom.bits(present, "v", k = 4, mBits = 1 << 14)
+      graft.ops.Bloom.probe(bits, probes, "v", k = 4, mBits = 1 << 14)
+        .join(t(s, d, "orders")
+          .select(concat(lit("c"), col("o_custkey")).as("key"))
+          .distinct()
+          .select(col("key"), lit(true).as("hit")), Seq("key"), "left")
+        .select(col("key"), col("maybe_present"),
+          coalesce(col("hit"), lit(false)).as("true_present"))
+    }),
+    "q168_critical_path" -> ((s, d) => {
+      // DAG longest paths (critical-path/PERT bound) over the downward
+      // customer tree with per-child integer weights; oracle = a recursive
+      // path-enumeration CTE (structurally different computation)
+      val cust = t(s, d, "customer")
+      val down = cust.where(col("c_custkey") > 1).select(
+          concat(lit("c"), expr("c_custkey div 2")).as("src"),
+          concat(lit("c"), col("c_custkey")).as("dst"),
+          (col("c_custkey") % 7 + 1).as("w"))
+        .union(cust.where(col("c_custkey") > 3).select(
+          concat(lit("c"), expr("c_custkey div 4")).as("src"),
+          concat(lit("c"), col("c_custkey")).as("dst"),
+          (col("c_custkey") % 7 + 1).as("w")))
+      graft.graph.Dag.longestPaths(down)
     })
   )
 
@@ -4260,6 +4312,113 @@ object SparkEntry {
          |       FROM nodes)$roundCtes
          |SELECT x AS a, y AS b, s AS s_ppm FROM s3 WHERE x < y""".stripMargin
     },
+    // q165: committed fixture from the independent sequential greedy in
+    // decreasing (priority, id) order (GenFixtures — the JP equivalence;
+    // TIED to sf0.01, the driver's correctness scale).
+    "q165_coloring" ->
+      """SELECT id, color, round
+        |FROM read_parquet(
+        |  '/root/repo/src/test/resources/expected/q165_expected_coloring.parquet')""".stripMargin,
+    // q166: the peeling waves unrolled — per wave one degree aggregate,
+    // the integer threshold deg·2·V > 6·E (ε = 1/2), and the edge
+    // restriction; argmax wave by cross-multiplied density, earliest wins.
+    "q166_densest" -> {
+      val waves = (1 to 24).map { r =>
+        s""",
+           |dg$r AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+           |    SELECT a AS id FROM e${r - 1}
+           |    UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |st$r AS MATERIALIZED (SELECT (SELECT count(*) FROM v${r - 1}) AS nv,
+           |                (SELECT count(*) FROM e${r - 1}) AS ne),
+           |v$r AS MATERIALIZED (SELECT v.id FROM v${r - 1} v
+           |  LEFT JOIN dg$r d USING (id), st$r
+           |  WHERE coalesce(d.deg, 0) * 2 * st$r.nv > 6 * st$r.ne),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT id FROM v$r) AND b IN (SELECT id FROM v$r))""".stripMargin
+      }.mkString
+      val roundsUnion = (1 to 24)
+        .map(r => s"SELECT $r AS r, nv, ne FROM st$r WHERE nv > 0")
+        .mkString("\n  UNION ALL ")
+      val nodesUnion = (1 to 24)
+        .map(r => s"SELECT $r AS r, id FROM v${r - 1}")
+        .mkString("\n  UNION ALL ")
+      s"""WITH edir AS (
+         |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+         |  FROM customer WHERE c_custkey > 1
+         |  UNION ALL
+         |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+         |  FROM customer WHERE c_custkey > 3
+         |  UNION ALL
+         |  SELECT 'c' || x.c_custkey, 'c' || y.c_custkey
+         |  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+         |  WHERE x.c_custkey <= 20 AND y.c_custkey <= 20),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edir WHERE src <> dst),
+         |v0 AS MATERIALIZED (
+         |  SELECT a AS id FROM e0 UNION SELECT b FROM e0)$waves,
+         |rounds AS (
+         |  $roundsUnion),
+         |rn AS (
+         |  $nodesUnion),
+         |best AS (
+         |  SELECT min(r) AS r FROM rounds a
+         |  WHERE NOT EXISTS (SELECT 1 FROM rounds b
+         |                    WHERE b.ne * a.nv > a.ne * b.nv))
+         |SELECT rn.id, best.r AS best_round, rounds.nv AS n_nodes,
+         |  rounds.ne AS n_edges,
+         |  round(CAST(rounds.ne AS DOUBLE) / CAST(rounds.nv AS DOUBLE), 6)
+         |    AS density
+         |FROM rn JOIN best ON rn.r = best.r
+         |        JOIN rounds ON rounds.r = best.r""".stripMargin
+    },
+    // q167: the same portable-hash fan-out (CountMin multiplier family
+    // over the shared scrambled hash), DISTINCT bit set, and all-k-hits
+    // probe — replayed term for term.
+    "q167_bloom" -> {
+      def fan(src: String, extra: String) =
+        Seq((16807L, 11L), (48271L, 101L), (69621L, 1009L), (40692L, 10007L))
+          .map { case (a, c) =>
+            s"SELECT $extra((hv * $a + $c) % 2147483647) % 16384 AS bit FROM $src"
+          }.mkString("\n  UNION ALL ")
+      s"""WITH pres AS (
+         |  SELECT ${kmvHashSql("'c' || o_custkey")} AS hv
+         |  FROM orders WHERE o_custkey IS NOT NULL),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  ${fan("pres", "")})),
+         |pk AS (
+         |  SELECT 'c' || c_custkey AS key,
+         |    ${kmvHashSql("'c' || c_custkey")} AS hv
+         |  FROM customer WHERE c_custkey <= 50),
+         |paddr AS (
+         |  ${fan("pk", "key, ")}),
+         |probe AS (
+         |  SELECT key,
+         |    count(CASE WHEN bits.bit IS NOT NULL THEN 1 END) = 4
+         |      AS maybe_present
+         |  FROM paddr LEFT JOIN bits USING (bit) GROUP BY 1),
+         |truth AS (SELECT DISTINCT 'c' || o_custkey AS key FROM orders)
+         |SELECT probe.key, probe.maybe_present,
+         |  truth.key IS NOT NULL AS true_present
+         |FROM probe LEFT JOIN truth USING (key)""".stripMargin
+    },
+    // q168: recursive path-sum enumeration with (id, d) dedup, then a
+    // per-node MAX — independent of the engine's max-relax rounds.
+    "q168_critical_path" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst,
+        |    CAST(c_custkey % 7 + 1 AS BIGINT) AS w
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey,
+        |    CAST(c_custkey % 7 + 1 AS BIGINT)
+        |  FROM customer WHERE c_custkey > 3),
+        |paths AS (
+        |  SELECT src AS id, CAST(0 AS BIGINT) AS d FROM ed
+        |  WHERE src NOT IN (SELECT dst FROM ed)
+        |  UNION
+        |  SELECT ed.dst, paths.d + ed.w FROM paths JOIN ed ON ed.src = paths.id)
+        |SELECT id, max(d) AS dist FROM paths GROUP BY 1""".stripMargin,
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->

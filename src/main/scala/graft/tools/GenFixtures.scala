@@ -842,6 +842,39 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/q156_matching_dir")
     }
 
+    // q165: independent sequential replay of Jones–Plassmann coloring —
+    // the classic equivalence: greedy mex over already-colored neighbors
+    // in DECREASING (priority, id) order computes exactly the parallel
+    // rounds' result; round(v) = 1 + max round of v's higher-(p,id)
+    // neighbors. Same portable node hash as the engine's priorities.
+    {
+      def phash(s: String): Long = {
+        var h = 0L
+        s.foreach(c => h = (h * 31 + c.toLong) % 2147483647L)
+        h = (h * 48271L + 12345L) % 2147483647L
+        (h * 69621L + 54321L) % 2147483647L
+      }
+      val und = custEdges.map(e => if (e._1 <= e._2) e else e.swap)
+        .filter(e => e._1 != e._2).distinct
+      val nbrs = und.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+      val order = nbrs.keys.toVector.sortWith { (x, y) =>
+        val px = phash(x); val py = phash(y)
+        px > py || (px == py && x > y)
+      }
+      val color = scala.collection.mutable.Map.empty[String, Int]
+      val wave = scala.collection.mutable.Map.empty[String, Int]
+      order.foreach { v =>
+        val done = nbrs(v).filter(color.contains) // exactly the higher nbrs
+        val used = done.map(color)
+        color(v) = Iterator.from(0).find(c => !used.contains(c)).get
+        wave(v) = if (done.isEmpty) 1 else done.map(wave).max + 1
+      }
+      spark.createDataset(order.map(v => (v, color(v), wave(v))))
+        .toDF("id", "color", "round")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/q165_coloring_dir")
+    }
+
     // flatten the single part files to stable names
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -872,7 +905,8 @@ object GenFixtures {
         "q139_soundex" -> "q139_expected_soundex.parquet",
         "q142_subword" -> "q142_expected_subword.parquet",
         "q153_mutual" -> "q153_expected_mutual.parquet",
-        "q156_matching" -> "q156_expected_matching.parquet").foreach { case (dir, name) =>
+        "q156_matching" -> "q156_expected_matching.parquet",
+        "q165_coloring" -> "q165_expected_coloring.parquet").foreach { case (dir, name) =>
       val d = Paths.get(s"$out/${dir}_dir")
       val part = scala.util.Using.resource(Files.list(d))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
