@@ -1700,7 +1700,29 @@ object SparkEntry {
           concat(lit("c"), col("c_custkey")).as("dst"),
           (col("c_custkey") % 7 + 1).as("w")))
       graft.graph.Dag.longestPaths(down)
-    })
+    }),
+    "q169_grid_density" -> ((s, d) =>
+      // cell-histogram density clustering over the embedding projection —
+      // ONE cell-keyed aggregate touches the points, everything after is
+      // cell-scale (the no-pairwise-join DBSCAN); oracle = the same
+      // IEEE floor-snap + recursive-CTE CC over Chebyshev-adjacent dense
+      // cells in DuckDB
+      graft.ops.Density.gridClusters(
+        t(s, d, "embeddings").select(
+          element_at(col("embedding"), 1).as("x"),
+          element_at(col("embedding"), 2).as("y")),
+        "x", "y", eps = 0.05, minPts = 3L)),
+    "q170_kmv_setops" -> ((s, d) =>
+      // θ-style union/intersection/Jaccard estimates between the open- and
+      // finished-order customer populations from merged KMV sketches —
+      // the two-corpus overlap estimator with no raw join; oracle = the
+      // same k-min merge, membership flags, and fixed-order IEEE estimate
+      graft.ops.Sketch.kmvSetOps(
+        t(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(concat(lit("c"), col("o_custkey")).as("v")),
+        t(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select(concat(lit("c"), col("o_custkey")).as("v")),
+        "v", k = 256))
   )
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
@@ -4419,6 +4441,76 @@ object SparkEntry {
         |  UNION
         |  SELECT ed.dst, paths.d + ed.w FROM paths JOIN ed ON ed.src = paths.id)
         |SELECT id, max(d) AS dist FROM paths GROUP BY 1""".stripMargin,
+    // q169: the same floor-snap on the same widened doubles, HAVING-gated
+    // dense cells, Chebyshev cell join, q47's recursive-CTE CC, min-key
+    // labels (byte-wise string min in both engines).
+    "q169_grid_density" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT)
+        |           AS cx,
+        |         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT)
+        |           AS cy
+        |  FROM embeddings
+        |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+        |cells AS (
+        |  SELECT cx, cy, count(*) AS n_points FROM pts
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ids AS (SELECT cx, cy,
+        |          CAST(cx AS VARCHAR) || '|' || CAST(cy AS VARCHAR) AS id,
+        |          n_points
+        |        FROM cells),
+        |ed AS (
+        |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.id <> b.id),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM ed
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN ed e ON e.src = reach.r),
+        |comp AS (SELECT id, least(id, min(r)) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT coalesce(comp.component, ids.id) AS cluster,
+        |  count(*) AS n_cells, CAST(sum(n_points) AS BIGINT) AS n_points
+        |FROM ids LEFT JOIN comp ON comp.id = ids.id
+        |GROUP BY 1""".stripMargin,
+    // q170: the same k-min sketches, merged k-min, membership flags, and
+    // the estimate chain in the SAME IEEE order (constant product, one
+    // division, fixed parenthesization).
+    "q170_kmv_setops" ->
+      s"""WITH ha AS (
+         |  SELECT DISTINCT ${kmvHashSql("'c' || o_custkey")} AS h
+         |  FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL),
+         |ka AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |hb AS (
+         |  SELECT DISTINCT ${kmvHashSql("'c' || o_custkey")} AS h
+         |  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL),
+         |kb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |ku AS (
+         |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |  ORDER BY h LIMIT 256),
+         |fl AS (
+         |  SELECT ku.h, ka.h IS NOT NULL AS ina, kb.h IS NOT NULL AS inb
+         |  FROM ku LEFT JOIN ka ON ka.h = ku.h LEFT JOIN kb ON kb.h = ku.h),
+         |agg AS (
+         |  SELECT count(*) AS n_union_sketch, CAST(max(h) AS BIGINT) AS h_k,
+         |    CAST(coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_inter_sketch
+         |  FROM fl),
+         |na AS (SELECT count(*) AS n_a_sketch FROM ka),
+         |nb AS (SELECT count(*) AS n_b_sketch FROM kb)
+         |SELECT n_a_sketch, n_b_sketch, n_union_sketch, h_k, n_inter_sketch,
+         |  CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
+         |       ELSE round((CAST(255 AS DOUBLE) * 2147483647) / h_k, 4)
+         |  END AS union_est,
+         |  CASE WHEN n_union_sketch < 256 THEN CAST(n_inter_sketch AS DOUBLE)
+         |       ELSE round((CAST(n_inter_sketch AS DOUBLE) *
+         |              ((CAST(255 AS DOUBLE) * 2147483647) / h_k))
+         |              / n_union_sketch, 4)
+         |  END AS inter_est,
+         |  CASE WHEN n_union_sketch > 0
+         |       THEN (n_inter_sketch * 1000000) // n_union_sketch
+         |  END AS jaccard_ppm
+         |FROM agg, na, nb""".stripMargin,
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->

@@ -248,4 +248,66 @@ object Sketch {
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     m.where(col("__cand") && col("cnt") * k > n).select("key", "cnt")
   }
+
+  /** θ-sketch-style SET-OPERATION estimates from two KMV sketches (the
+    * Theta framework — Dasgupta/Lang/Rhodes/Thaler, "Data Sketching" /
+    * DataSketches' theta union–intersection): |A∪B| from the k smallest
+    * hashes of the MERGED sketches (KMV mergeability), |A∩B| and Jaccard
+    * from membership of those k minima in each side's sketch — the
+    * "how contaminated is corpus A by corpus B" / "how much do these two
+    * crawls overlap" estimator that never joins the raw tables.
+    *
+    * Deterministic by the same argument as kmvDistinct: pure function of
+    * the two value sets over the portable hash. One row out:
+    * (n_a_sketch, n_b_sketch, n_union_sketch, h_k, n_inter_sketch,
+    *  union_est, inter_est, jaccard_ppm). Below k everything is EXACT
+    * (the sketches hold the full hash sets); at k the estimates carry the
+    * usual 1/sqrt(k) error. jaccard_ppm is an exact integer ratio of
+    * sketch counts; union/inter estimates fix the IEEE evaluation order
+    * (one constant product, one division each) so the oracle replays them
+    * bit-for-bit.
+    *
+    * Scale shape: two hash+distinct passes (one per input — the only
+    * row-scale work), then everything is ≤ k rows; the k-min cuts ride
+    * single-column TakeOrdered, and sketches merge associatively so
+    * per-partition/per-source sketches combine without re-scanning. */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvSetOps: k must be >= 2")
+    val M = 2147483647L
+    def kmin(df: DataFrame) = graft.Materialize(
+      df.where(col(valueCol).isNotNull)
+        .select(kmvHash(col(valueCol).cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k))
+    val a = kmin(dfA)
+    val b = kmin(dfB)
+    // k-min of the union of the FULL hash sets == k-min of the merged
+    // sketches (mergeability); membership flags for the θ intersection
+    val u = a.union(b).distinct().orderBy("h").limit(k)
+    val flags = u
+      .join(a.select(col("h"), lit(true).as("ina")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(true).as("inb")), Seq("h"), "left")
+    val agg = flags.agg(
+      count(lit(1)).as("n_union_sketch"),
+      max("h").as("h_k"),
+      coalesce(sum(when(col("ina") && col("inb"), 1L).otherwise(0L)), lit(0L))
+        .as("n_inter_sketch"))
+    val na = a.agg(count(lit(1)).as("n_a_sketch"))
+    val nb = b.agg(count(lit(1)).as("n_b_sketch"))
+    val uRaw = lit((k - 1).toDouble * M) / col("h_k")
+    agg.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a_sketch"), col("n_b_sketch"), col("n_union_sketch"),
+        col("h_k"), col("n_inter_sketch"),
+        when(col("n_union_sketch") < k,
+          col("n_union_sketch").cast("double"))
+          .otherwise(round(uRaw, 4)).as("union_est"),
+        when(col("n_union_sketch") < k,
+          col("n_inter_sketch").cast("double"))
+          .otherwise(round(
+            col("n_inter_sketch").cast("double") * uRaw /
+              col("n_union_sketch"), 4)).as("inter_est"),
+        when(col("n_union_sketch") > 0,
+          call_function("div", col("n_inter_sketch") * 1000000L,
+            col("n_union_sketch"))).as("jaccard_ppm"))
+  }
 }
