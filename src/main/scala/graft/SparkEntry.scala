@@ -1722,8 +1722,122 @@ object SparkEntry {
           .select(concat(lit("c"), col("o_custkey")).as("v")),
         t(s, d, "orders").where(col("o_orderstatus") === "F")
           .select(concat(lit("c"), col("o_custkey")).as("v")),
-        "v", k = 256))
+        "v", k = 256)),
+    "q171_scan" -> ((s, d) => {
+      // SCAN structural clustering over the customer graph with a planted
+      // K12 — cores/borders cluster by neighborhood agreement, HUBS (the
+      // CC-merge bridges) and outliers are named explicitly; oracle = the
+      // same integer ε-test, core gate, CC, and role rules in DuckDB
+      val small = t(s, d, "customer").where(col("c_custkey") <= 12)
+        .select(col("c_custkey").as("k"))
+      val clique = small.as("x").join(small.as("y"),
+          col("x.k") < col("y.k"))
+        .select(concat(lit("c"), col("x.k")).as("src"),
+          concat(lit("c"), col("y.k")).as("dst"))
+      graft.graph.Scan.cluster(custGraph(s, d).unionByName(clique))
+    }),
+    "q172_widest_path" -> ((s, d) => {
+      // maximin bottleneck paths from the root over the downward customer
+      // tree — the best-derivation-chain confidence (max-min, not Σ);
+      // oracle = recursive (id, bottleneck) state enumeration + MAX
+      val cust = t(s, d, "customer")
+      val down = cust.where(col("c_custkey") > 1).select(
+          concat(lit("c"), expr("c_custkey div 2")).as("src"),
+          concat(lit("c"), col("c_custkey")).as("dst"),
+          (col("c_custkey") % 7 + 1).as("w"))
+        .union(cust.where(col("c_custkey") > 3).select(
+          concat(lit("c"), expr("c_custkey div 4")).as("src"),
+          concat(lit("c"), col("c_custkey")).as("dst"),
+          (col("c_custkey") % 7 + 1).as("w")))
+      graft.graph.Widest.paths(down,
+        cust.where(col("c_custkey") === 1)
+          .select(concat(lit("c"), col("c_custkey")).as("id")))
+    }),
+    "q173_winnow" -> ((s, d) =>
+      // winnowing (MOSS) fingerprints over the documents table — the
+      // guaranteed-recall copy-detection index at ~2/(w+1) density; the
+      // engine's one-window-pass rightmost-min vs the oracle's
+      // position-range self-join replay of the same rule
+      graft.ops.Winnow.fingerprints(
+        t(s, d, "documents"), "doc_id", "text", k = 5, w = 4)),
+    "q174_butterflies" -> ((s, d) =>
+      // butterfly census of the order–part bipartite graph — the (2,2)-
+      // biclique motif count behind the bipartite clustering coefficient;
+      // oracle = the same exact integer census in DuckDB
+      graft.graph.Butterflies.census(
+        t(s, d, "lineitem").select(
+          concat(lit("o"), col("l_orderkey")).as("l"),
+          concat(lit("p"), col("l_partkey")).as("r")),
+        "l", "r"))
   )
+
+  /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
+    * μ = 2 core gate, CC over the ε-core subgraph, min-cluster border
+    * attachment, and ≥2-adjacent-clusters hub rule, replayed in DuckDB
+    * over the customer graph + planted K12. */
+  private val scanOracleSql: String =
+    """WITH RECURSIVE edir AS (
+      |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+      |  FROM customer WHERE c_custkey > 1
+      |  UNION ALL
+      |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
+      |  FROM customer WHERE c_custkey > 3
+      |  UNION ALL
+      |  SELECT 'c' || x.c_custkey, 'c' || y.c_custkey
+      |  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+      |  WHERE x.c_custkey <= 12 AND y.c_custkey <= 12),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edir WHERE src <> dst),
+      |sym AS MATERIALIZED (
+      |  SELECT a AS id, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM sym GROUP BY 1),
+      |cn AS MATERIALIZED (
+      |  SELECT x.id AS a, y.id AS b, count(*) AS cn
+      |  FROM sym x JOIN sym y ON x.nb = y.nb AND x.id < y.id
+      |  GROUP BY 1, 2),
+      |eps AS MATERIALIZED (
+      |  SELECT und.a, und.b FROM und
+      |  LEFT JOIN cn ON cn.a = und.a AND cn.b = und.b
+      |  JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b
+      |  WHERE 25 * (coalesce(cn.cn, 0) + 2) * (coalesce(cn.cn, 0) + 2)
+      |     >= 9 * (da.deg + 1) * (db.deg + 1)),
+      |eadj AS MATERIALIZED (
+      |  SELECT a AS id, b AS nb FROM eps UNION ALL SELECT b, a FROM eps),
+      |cores AS MATERIALIZED (
+      |  SELECT id FROM eadj GROUP BY id HAVING count(*) >= 2),
+      |ce AS MATERIALIZED (
+      |  SELECT e.id AS src, e.nb AS dst FROM eadj e
+      |  WHERE e.id IN (SELECT id FROM cores)
+      |    AND e.nb IN (SELECT id FROM cores)),
+      |reach AS (
+      |  SELECT src AS id, dst AS r FROM ce
+      |  UNION
+      |  SELECT reach.id, ce.dst FROM reach JOIN ce ON ce.src = reach.r),
+      |comp AS (SELECT id, least(id, min(r)) AS component
+      |         FROM reach GROUP BY id),
+      |corec AS MATERIALIZED (
+      |  SELECT cores.id, coalesce(comp.component, cores.id) AS cluster
+      |  FROM cores LEFT JOIN comp ON comp.id = cores.id),
+      |border AS MATERIALIZED (
+      |  SELECT e.id, min(corec.cluster) AS cluster
+      |  FROM eadj e JOIN corec ON corec.id = e.nb
+      |  WHERE e.id NOT IN (SELECT id FROM corec)
+      |  GROUP BY 1),
+      |clustered AS MATERIALIZED (
+      |  SELECT id, 'core' AS role, cluster FROM corec
+      |  UNION ALL SELECT id, 'border', cluster FROM border),
+      |rest AS (
+      |  SELECT d.id, count(DISTINCT c.cluster) AS nc
+      |  FROM deg d JOIN sym s ON s.id = d.id
+      |  LEFT JOIN clustered c ON c.id = s.nb
+      |  WHERE d.id NOT IN (SELECT id FROM clustered)
+      |  GROUP BY 1)
+      |SELECT id, role, cluster FROM clustered
+      |UNION ALL
+      |SELECT id, CASE WHEN nc >= 2 THEN 'hub' ELSE 'outlier' END,
+      |  CAST(NULL AS VARCHAR)
+      |FROM rest""".stripMargin
 
   /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
     * plus grandparent shortcuts (k — k div 4), so every interior node sits
@@ -4511,6 +4625,77 @@ object SparkEntry {
          |       THEN (n_inter_sketch * 1000000) // n_union_sketch
          |  END AS jaccard_ppm
          |FROM agg, na, nb""".stripMargin,
+    "q171_scan" -> scanOracleSql,
+    // q172: recursive (id, bottleneck) state enumeration (states are
+    // bounded: one per distinct weight per node) + per-node MAX — the
+    // seed's sentinel never escapes (least() caps at the first hop).
+    "q172_widest_path" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst,
+        |    CAST(c_custkey % 7 + 1 AS BIGINT) AS w
+        |  FROM customer WHERE c_custkey > 1
+        |  UNION ALL
+        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey,
+        |    CAST(c_custkey % 7 + 1 AS BIGINT)
+        |  FROM customer WHERE c_custkey > 3),
+        |st AS (
+        |  SELECT 'c1' AS id, CAST(9223372036854775807 AS BIGINT) AS b
+        |  UNION
+        |  SELECT ed.dst, least(st.b, ed.w) FROM st JOIN ed ON ed.src = st.id)
+        |SELECT id, max(b) AS bottleneck FROM st WHERE id <> 'c1'
+        |GROUP BY 1""".stripMargin,
+    // q173: the same k-gram fingerprints (q151's slicing + the portable
+    // fold), then the RULE replayed as a position-range self-join
+    // (min per window, rightmost position of that min) instead of the
+    // engine's window-frame struct-min — same selections.
+    "q173_winnow" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS MATERIALIZED (
+        |  SELECT id, CAST(i AS INTEGER) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) FOR c IN
+        |        string_split(array_to_string(w[i:i+4], ' '), '')]),
+        |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+        |  WHERE len(w) >= 5),
+        |wmin AS MATERIALIZED (
+        |  SELECT a.id, a.pos AS j, min(b.h) AS mh
+        |  FROM g a JOIN g b ON b.id = a.id
+        |   AND b.pos BETWEEN a.pos AND a.pos + 3
+        |  GROUP BY 1, 2 HAVING count(*) = 4),
+        |sel AS (
+        |  SELECT w.id, max(b.pos) AS pos, w.mh AS h
+        |  FROM wmin w JOIN g b ON b.id = w.id AND b.h = w.mh
+        |   AND b.pos BETWEEN w.j AND w.j + 3
+        |  GROUP BY w.id, w.j, w.mh)
+        |SELECT DISTINCT id, pos, h FROM sel""".stripMargin,
+    // q174: the same exact integer census — right-degree wedges, the
+    // wedge join's per-pair common counts, Σ C(cop, 2).
+    "q174_butterflies" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT 'o' || l_orderkey AS l, 'p' || l_partkey AS r
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ne AS (SELECT count(*) AS n_edges FROM e),
+        |wd AS (
+        |  SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT)
+        |    AS n_wedges
+        |  FROM (SELECT count(*) AS d FROM e GROUP BY r)),
+        |pr AS (
+        |  SELECT a.l AS la, b.l AS lb, count(*) AS cop
+        |  FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+        |  GROUP BY 1, 2),
+        |pa AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(coalesce(sum(CASE WHEN cop >= 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_pairs_ge2,
+        |    CAST(coalesce(sum((cop * (cop - 1)) // 2), 0) AS BIGINT)
+        |      AS n_butterflies
+        |  FROM pr)
+        |SELECT n_edges, n_wedges, n_pairs, n_pairs_ge2, n_butterflies
+        |FROM ne, wd, pa""".stripMargin,
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->
