@@ -1768,7 +1768,37 @@ object SparkEntry {
         t(s, d, "lineitem").select(
           concat(lit("o"), col("l_orderkey")).as("l"),
           concat(lit("p"), col("l_partkey")).as("r")),
-        "l", "r"))
+        "l", "r")),
+    "q175_greedy_cover" -> ((s, d) =>
+      // greedy max-coverage selection of 10 docs by distinct 5-gram
+      // shingles — the (1−1/e) facility-location seed-set pick; oracle =
+      // the 10 rounds unrolled in DuckDB (argmax by gain DESC, id ASC)
+      graft.ops.Coverage.greedySelect(
+        t(s, d, "documents").select(col("doc_id").as("id"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 5)).as("item")),
+        "id", "item", k = 10)),
+    "q176_diversity" -> ((s, d) =>
+      // Gini–Simpson language diversity per source — the no-logarithm
+      // corpus-mix audit, exact integer ppm; oracle = the same closed form
+      graft.ops.Profile.diversity(t(s, d, "documents"), "source", "lang")),
+    "q177_chi2_drift" -> ((s, d) => {
+      // χ² language-mix drift between even- and odd-id documents —
+      // Laplace-smoothed reference, exact integer ppt terms and total;
+      // oracle = the same integer closed forms
+      val docs = t(s, d, "documents")
+      graft.ops.Trend.chiSquareDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("lang").as("cat")),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("lang").as("cat")), "cat")
+    }),
+    "q178_textrank" -> ((s, d) =>
+      // TextRank keywords over the corpus co-occurrence graph — integer
+      // PageRank (uniform restart) on adjacent-token edges, top-30 by
+      // (rank DESC, word ASC); oracle = the word graph + the ppb rounds
+      // unrolled in DuckDB (q152's replay shape)
+      graft.ops.TextRank.keywords(t(s, d, "documents"), "doc_id", "text",
+        rounds = 3, topK = 30))
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -4696,6 +4726,139 @@ object SparkEntry {
         |  FROM pr)
         |SELECT n_edges, n_wedges, n_pairs, n_pairs_ge2, n_butterflies
         |FROM ne, wd, pa""".stripMargin,
+    // q175: the greedy rounds unrolled — per round a NOT-IN-covered count,
+    // the (gain DESC, id ASC string order) argmax, and the covered-set
+    // union; q151's shingle construction.
+    "q175_greedy_cover" -> {
+      val rounds = (2 to 10).map { r =>
+        s""",
+           |g$r AS (
+           |  SELECT id, count(*) AS gain FROM it
+           |  WHERE item NOT IN (SELECT item FROM c${r - 1})
+           |  GROUP BY 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT id, gain FROM g$r WHERE gain > 0
+           |  ORDER BY gain DESC, id ASC LIMIT 1),
+           |c$r AS MATERIALIZED (
+           |  SELECT item FROM c${r - 1}
+           |  UNION
+           |  SELECT item FROM it JOIN w$r USING (id))""".stripMargin
+      }.mkString
+      val sel = (1 to 10)
+        .map(r => s"SELECT $r AS rank, id, gain FROM w$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH words AS (
+         |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |it AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(id AS VARCHAR) AS id, shingle AS item FROM (
+         |    SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+         |    FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+         |    WHERE len(w) >= 5)),
+         |g1 AS (SELECT id, count(*) AS gain FROM it GROUP BY 1),
+         |w1 AS MATERIALIZED (
+         |  SELECT id, gain FROM g1 WHERE gain > 0
+         |  ORDER BY gain DESC, id ASC LIMIT 1),
+         |c1 AS MATERIALIZED (
+         |  SELECT DISTINCT item FROM it JOIN w1 USING (id))$rounds
+         |$sel""".stripMargin
+    },
+    // q176: the same two aggregates and the integer ppm closed form.
+    "q176_diversity" ->
+      """WITH c AS (
+        |  SELECT source AS grp, lang AS cat, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    count(*) AS n_categories,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS same2
+        |  FROM c GROUP BY 1)
+        |SELECT grp, n_rows, n_categories,
+        |  CASE WHEN n_rows >= 2
+        |       THEN 1000000 - (same2 * 1000000) // (n_rows * (n_rows - 1))
+        |  END AS simpson_ppm
+        |FROM a""".stripMargin,
+    // q177: the same union-category smoothing and integer ppt terms.
+    "q177_chi2_drift" ->
+      """WITH o AS (
+        |  SELECT lang AS cat, count(*) AS o_raw FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT lang AS cat, count(*) AS r_raw FROM documents
+        |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+        |cats AS (
+        |  SELECT coalesce(o.cat, r.cat) AS cat,
+        |    CAST(coalesce(o_raw, 0) AS BIGINT) AS o,
+        |    CAST(coalesce(r_raw, 0) + 1 AS BIGINT) AS r_smoothed
+        |  FROM o FULL OUTER JOIN r ON o.cat = r.cat),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n_o,
+        |    CAST(sum(r_smoothed) AS BIGINT) AS n_r
+        |  FROM cats),
+        |terms AS (
+        |  SELECT cat, o, r_smoothed,
+        |    CASE WHEN n_o > 0
+        |         THEN ((o * n_r - n_o * r_smoothed) *
+        |               (o * n_r - n_o * r_smoothed) * 1000)
+        |              // (n_o * r_smoothed * n_r)
+        |         ELSE 0 END AS term_ppt,
+        |    n_o, n_r
+        |  FROM cats, tot),
+        |tt AS (SELECT CAST(sum(term_ppt) AS BIGINT) AS chi2_ppt FROM terms)
+        |SELECT cat, o, r_smoothed, term_ppt, n_o, n_r, chi2_ppt
+        |FROM terms, tt""".stripMargin,
+    // q178: the word graph (doc-windowed adjacency of gated tokens) + the
+    // integer ppb PageRank rounds unrolled (q152's shape, seeds = the
+    // whole vocabulary) + the (r DESC, word ASC) top-30 cut.
+    "q178_textrank" -> {
+      val roundCtes = (1 to 3).map { r =>
+        s""",
+           |p$r AS (
+           |  SELECT e.dst AS id,
+           |    CAST(sum(((r${r - 1}.r * 8) // 10) // o.outd) AS BIGINT) AS r
+           |  FROM r${r - 1} JOIN edir e ON e.src = r${r - 1}.id
+           |  JOIN outd o ON o.src = e.src
+           |  GROUP BY 1),
+           |r$r AS (
+           |  SELECT id, CAST(sum(r) AS BIGINT) AS r
+           |  FROM (SELECT id, r FROM p$r UNION ALL SELECT id, r FROM rst)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""WITH words AS (
+         |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS (
+         |  SELECT id, i, w[i] AS raw
+         |  FROM words, unnest(range(1, len(w) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT id, i, lower(raw) AS t FROM tk
+         |  WHERE regexp_matches(raw, '^[A-Za-z]{3,}$$')),
+         |seq AS MATERIALIZED (
+         |  SELECT id, t, row_number() OVER (PARTITION BY id ORDER BY i)
+         |    AS rn
+         |  FROM kept),
+         |pr AS (
+         |  SELECT a.t AS x, b.t AS y
+         |  FROM seq a JOIN seq b ON b.id = a.id AND b.rn = a.rn + 1),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |  FROM pr WHERE x <> y),
+         |edir AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |outd AS (SELECT src, count(*) AS outd FROM edir GROUP BY 1),
+         |sd AS (SELECT DISTINCT src AS id FROM edir),
+         |ns AS (SELECT count(*) AS ns FROM sd),
+         |r0 AS (SELECT id, 1000000000 // ns AS r FROM sd, ns),
+         |rst AS (SELECT id, ((1000000000 * 2) // 10) // ns AS r
+         |        FROM sd, ns)$roundCtes
+         |SELECT rank, word, ppr_fp FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY r DESC, id ASC)
+         |           AS INTEGER) AS rank,
+         |    id AS word, CAST(r AS BIGINT) AS ppr_fp
+         |  FROM r3 WHERE r > 0)
+         |WHERE rank <= 30""".stripMargin
+    },
     // q156: independent sequential replay fixture (GenFixtures) of the
     // local-min rule — same portable hash, same fixpoint.
     "q156_maximal_matching" ->

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum-coverage data selection (Nemhauser–Wolsey–Fisher 1978:
+  * the greedy picks achieve ≥ (1−1/e) of the optimal coverage — the
+  * guarantee behind facility-location / coverage-based training-data
+  * selection): choose k documents that together cover the most distinct
+  * items (shingles, entities, vocabulary), the "smallest set that still
+  * spans the corpus" curation move for seed sets, eval slices, and
+  * annotation budgets.
+  *
+  * Deterministic greedy, exactly: per round the candidate gain is its
+  * count of NOT-YET-COVERED items; the winner is argmax by
+  * (gain DESC, id ASC) — integer counts, total order, no floats. Selection
+  * stops early when no candidate covers anything new (gain would be 0).
+  *
+  * Scale shape per round: one anti join of the membership table against
+  * the covered set (item-keyed; the covered set starts empty and grows to
+  * ≤ |items|), one id-keyed count, one TakeOrdered(1). k rounds = k
+  * passes — greedy's sequential nature is fundamental (lazy-greedy /
+  * stochastic variants trade the guarantee for fewer passes); k is small
+  * (a seed set, not a corpus). The winner row is the ONLY driver-side
+  * value per round. */
+object Coverage {
+
+  /** df: (idCol, itemCol) membership rows. Returns the selection in pick
+    * order: (rank, id, gain) — gain = newly covered items at pick time. */
+  def greedySelect(df: DataFrame, idCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"coverage: k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = graft.Materialize(df
+      .select(col(idCol).cast("string").as("id"),
+        col(itemCol).cast("string").as("item"))
+      .where(col("id").isNotNull && col("item").isNotNull)
+      .distinct())
+    var covered = graft.Materialize(items.select("item").limit(0))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var done = false
+    var rank = 0
+    while (!done && rank < k) {
+      val winner = items
+        .join(covered, Seq("item"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1)
+        .as[(String, Long)].collect()
+      winner.headOption match {
+        case Some((id, gain)) if gain > 0 =>
+          rank += 1
+          picks += ((rank, id, gain))
+          covered = graft.Materialize(covered.unionByName(
+            items.where(col("id") === id).select("item")).distinct())
+        case _ => done = true
+      }
+    }
+    picks.toSeq.toDF("rank", "id", "gain")
+  }
+}

@@ -293,4 +293,30 @@ object Profile {
         when(col("n_kept") > 0,
           round(col("sum_kept").cast("double") / col("n_kept"), 6)))
   }
+
+  /** Gini–Simpson diversity per group (Simpson, Nature 1948): the
+    * probability two random rows of the group differ in category —
+    * the corpus-mix audit ("is this source one language stamped 10^9
+    * times, or a real mixture?") that needs NO logarithms: with category
+    * counts c_i and n = Σc_i,
+    *   simpson_ppm = 10^6 − (Σ c_i(c_i−1)) · 10^6 div (n(n−1))
+    * — exact integers end to end (the entropy version would put an
+    * order-sensitive float Σ of logs between engines). n < 2 → null (a
+    * one-row group has no pair to disagree). One groupBy(group, category)
+    * + one groupBy(group): two keyed exchanges over the raw table.
+    * 0 = monoculture, → 10^6 = every row its own category. */
+  def diversity(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val idiv = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("div", a, b)
+    df.where(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_categories"),
+        sum(col("c") * (col("c") - 1L)).as("same_pairs_x2"))
+      .select(col("grp"), col("n_rows"), col("n_categories"),
+        when(col("n_rows") >= 2,
+          lit(1000000L) - idiv(col("same_pairs_x2") * 1000000L,
+            col("n_rows") * (col("n_rows") - 1L))).as("simpson_ppm"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
@@ -38,5 +38,51 @@ object Trend {
         coalesce(col("n_ties"), lit(0L)).as("n_ties"),
         when(col("s") > 0, "asc").when(col("s") < 0, "desc")
           .otherwise("none").as("trend"))
+  }
+
+  /** χ² categorical-drift test between an OBSERVED slice and a REFERENCE
+    * slice (Pearson 1900) — "did the language/source/type mix move?", the
+    * categorical complement of Mann–Kendall's numeric drift. With observed
+    * counts o_i (total N_o) and Laplace-smoothed reference counts
+    * r_i = raw_i + 1 (total N_r, smoothing over the UNION of categories so
+    * a class absent from the reference cannot divide by zero), expected
+    * e_i = N_o·r_i/N_r and each term
+    *   (o_i − e_i)²/e_i = (o_i·N_r − N_o·r_i)² / (N_o·r_i·N_r)
+    * is an exact integer ratio. Per term the engine emits
+    * term_ppt = (numerator · 1000) div denominator — a truncating INTEGER
+    * division (numerator ~ counts² · N_r² stays in long while
+    * N_o·N_r < ~3·10⁷; beyond that, pre-aggregate or sample slices) — so
+    * the χ² total in ppt (per-mille) is an exact long Σ, order-independent
+    * and bit-stable across engines (a float Σ would differ in the last
+    * ulp by accumulation order alone).
+    *
+    * Output: one row per union category (cat, o, r_smoothed, term_ppt)
+    * plus the totals repeated (n_o, n_r, chi2_ppt) — the scorecard shape.
+    * Scale: two category-keyed aggregates + one category-scale join. */
+  def chiSquareDrift(observed: DataFrame, reference: DataFrame,
+      catCol: String): DataFrame = {
+    val idiv = (a: Column, b: Column) => call_function("div", a, b)
+    def counts(df: DataFrame, as: String) =
+      df.where(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as(as))
+    val o = counts(observed, "o_raw")
+    val r = counts(reference, "r_raw")
+    val cats = o.join(r, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("o_raw"), lit(0L)).as("o"),
+        (coalesce(col("r_raw"), lit(0L)) + 1L).as("r_smoothed"))
+    val withTotals = cats.crossJoin(broadcast(cats.agg(
+      coalesce(sum("o"), lit(0L)).as("n_o"),
+      coalesce(sum("r_smoothed"), lit(0L)).as("n_r"))))
+    val num = col("o") * col("n_r") - col("n_o") * col("r_smoothed")
+    val terms = withTotals.select(col("cat"), col("o"), col("r_smoothed"),
+      col("n_o"), col("n_r"),
+      when(col("n_o") > 0,
+        idiv(num * num * 1000L, col("n_o") * col("r_smoothed") * col("n_r")))
+        .otherwise(0L).as("term_ppt"))
+    terms.crossJoin(broadcast(
+        terms.agg(coalesce(sum("term_ppt"), lit(0L)).as("chi2_ppt"))))
+      .select(col("cat"), col("o"), col("r_smoothed"), col("term_ppt"),
+        col("n_o"), col("n_r"), col("chi2_ppt"))
   }
 }
