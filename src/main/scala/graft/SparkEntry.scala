@@ -1798,7 +1798,37 @@ object SparkEntry {
       // (rank DESC, word ASC); oracle = the word graph + the ppb rounds
       // unrolled in DuckDB (q152's replay shape)
       graft.ops.TextRank.keywords(t(s, d, "documents"), "doc_id", "text",
-        rounds = 3, topK = 30))
+        rounds = 3, topK = 30)),
+    "q179_ams_f2" -> ((s, d) => {
+      // AMS tug-of-war F2 sketch (5 sign-sum registers over per-row
+      // MINSTD re-mixes of the portable hash): the self-join-size /
+      // skew-mass estimate that sizes a shuffle BEFORE running it; true
+      // F2 joined for the error contract; oracle = the identical signs,
+      // register sums, and exact integer median in DuckDB
+      val li = t(s, d, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("v"))
+      val exact = li.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      graft.ops.Sketch.amsF2(li, "v").crossJoin(exact)
+    }),
+    "q180_cm_join_size" -> ((s, d) => {
+      // equi-join SIZE estimate from two independent Count-Min sketches
+      // (min over rows of the counter inner product — one-sided >= true):
+      // clicks x views per user without ever joining the raw tables; true
+      // join size joined for the contract; oracle = the identical register
+      // builds + product mins in DuckDB
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("v"))
+      val views = ev.where(col("event_type") === "view")
+        .select(concat(lit("u"), col("user_id")).as("v"))
+      val truth = clicks.groupBy("v").agg(count(lit(1)).as("ca"))
+        .join(views.groupBy("v").agg(count(lit(1)).as("cb")), Seq("v"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("true_join_size"))
+      graft.ops.Sketch.cmJoinSize(clicks, "v", views, "v")
+        .crossJoin(truth)
+    })
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -4890,6 +4920,69 @@ object SparkEntry {
          |    TIMESTAMP '2024-01-01 00:00:00' AS arrival
          |  FROM events WHERE user_id <= 5)$roundCtes
          |SELECT id, arrival FROM a4""".stripMargin
+    },
+    // q179: the identical AMS sign fan-out (5 MINSTD re-mixes of the
+    // shared scrambled hash), register sums, and the exact integer
+    // median-of-squares, replayed term for term.
+    "q179_ams_f2" -> {
+      val fan = Seq((0, 16807L, 13L), (1, 48271L, 211L), (2, 69621L, 2003L),
+        (3, 40692L, 20011L), (4, 25173L, 30011L)).map { case (r, a, c) =>
+        s"SELECT $r AS row, 1 - 2 * (((hv * $a + $c) % 2147483647) % 2) AS s FROM h"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT ${kmvHashSql("'p' || l_partkey")} AS hv
+         |  FROM lineitem WHERE l_partkey IS NOT NULL),
+         |fan AS (
+         |  $fan),
+         |reg AS (SELECT row, CAST(sum(s) AS BIGINT) AS z FROM fan GROUP BY 1),
+         |med AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+         |    CAST((list_sort(list(z * z)))[3] AS BIGINT) AS f2_estimate
+         |  FROM reg),
+         |ex AS (
+         |  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+         |  FROM (SELECT count(*) AS c FROM lineitem
+         |        WHERE l_partkey IS NOT NULL GROUP BY l_partkey))
+         |SELECT n_registers, f2_estimate, f2_exact FROM med, ex""".stripMargin
+    },
+    // q180: both Count-Min register builds + the per-row counter inner
+    // products + the spine-kept MIN, replayed register for register.
+    "q180_cm_join_size" -> {
+      def fan(src: String) =
+        Seq((0, 16807L, 11L), (1, 48271L, 101L), (2, 69621L, 1009L),
+          (3, 40692L, 10007L)).map { case (r, a, c) =>
+          s"SELECT $r AS row, ((hv * $a + $c) % 2147483647) % 1024 AS bucket FROM $src"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH ha AS (
+         |  SELECT ${kmvHashSql("'u' || user_id")} AS hv
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |hb AS (
+         |  SELECT ${kmvHashSql("'u' || user_id")} AS hv
+         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |fana AS (
+         |  ${fan("ha")}),
+         |fanb AS (
+         |  ${fan("hb")}),
+         |rega AS (SELECT row, bucket, count(*) AS cnt_a FROM fana GROUP BY 1, 2),
+         |regb AS (SELECT row, bucket, count(*) AS cnt_b FROM fanb GROUP BY 1, 2),
+         |prod AS (
+         |  SELECT row, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS row_est
+         |  FROM rega JOIN regb USING (row, bucket) GROUP BY 1),
+         |spine AS (SELECT DISTINCT row FROM rega),
+         |est AS (
+         |  SELECT CAST(min(coalesce(row_est, 0)) AS BIGINT)
+         |    AS cm_join_estimate
+         |  FROM spine LEFT JOIN prod USING (row)),
+         |tru AS (
+         |  SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT)
+         |    AS true_join_size
+         |  FROM (SELECT user_id, count(*) AS c FROM events
+         |        WHERE event_type = 'click' AND user_id IS NOT NULL
+         |        GROUP BY 1) x
+         |  JOIN (SELECT user_id, count(*) AS c FROM events
+         |        WHERE event_type = 'view' AND user_id IS NOT NULL
+         |        GROUP BY 1) y USING (user_id))
+         |SELECT cm_join_estimate, true_join_size FROM est, tru""".stripMargin
     }
   )
 

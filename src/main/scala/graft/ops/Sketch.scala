@@ -310,4 +310,88 @@ object Sketch {
           call_function("div", col("n_inter_sketch") * 1000000L,
             col("n_union_sketch"))).as("jaccard_ppm"))
   }
+
+  /** AMS "tug-of-war" second-moment sketch (Alon–Matias–Szegedy, STOC'96)
+    * — estimates F2 = Σ_v f_v² (the SELF-JOIN SIZE / skew mass of a key
+    * column) in d counters, without the per-distinct-key combiner rows a
+    * `groupBy(key).count()` shuffles: row r keeps z_r = Σ_rows s_r(v),
+    * s_r(v) ∈ {−1,+1} a 4-wise-ish sign from a per-row MINSTD re-mix of
+    * the shared portable hash; E[z_r²] = F2. F2 is what sizes a self-join
+    * or a skewed shuffle BEFORE running it (the salting decision in
+    * `ops/Skew` wants exactly this number).
+    *
+    * All-integer end to end: signs are ±1 BIGINTs, z_r is an exact sum
+    * (order-free, so any partition layout gives the same registers), the
+    * estimate is the exact MEDIAN of the d squares (d odd ⇒ the middle
+    * element of the sorted list — no interpolation), so DuckDB replays
+    * every term. Registers merge counter-wise (z adds), the mergeability
+    * that lets per-partition/per-source sketches combine.
+    *
+    * Scale: one d-way in-task fan-out + ONE global d-row aggregate — d
+    * rows out regardless of input size. Nulls ignored (they join nothing). */
+  object Ams {
+    // d = 5 distinct MINSTD-family re-mixes (disjoint from CountMin's so
+    // composed pipelines don't correlate rows)
+    val RowMul = Vector(16807L, 48271L, 69621L, 40692L, 25173L)
+    val RowAdd = Vector(13L, 211L, 2003L, 20011L, 30011L)
+    val M = 2147483647L
+  }
+
+  /** The d sign-sum registers of `valueCol`: (row, z). */
+  def amsRegisters(df: DataFrame, valueCol: String, d: Int = 5): DataFrame = {
+    require(d >= 1 && d <= 5, s"ams: d in 1..5, got $d")
+    val h = kmvHash(col(valueCol).cast("string"))
+    val rows = (0 until d).map { r =>
+      val sign = lit(1L) - lit(2L) *
+        pmod(pmod(h * Ams.RowMul(r) + Ams.RowAdd(r), lit(Ams.M)), lit(2L))
+      struct(lit(r).as("row"), sign.as("s"))
+    }
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.row").as("row"))
+      .agg(sum(col("e.s")).as("z"))
+  }
+
+  /** One-row F2 estimate: (n_rows, f2_estimate) with f2_estimate =
+    * median of z_r² (d odd required — the median is then an exact
+    * integer, bit-identical cross-engine). */
+  def amsF2(df: DataFrame, valueCol: String, d: Int = 5): DataFrame = {
+    require(d % 2 == 1, s"amsF2: d must be odd for an exact median, got $d")
+    amsRegisters(df, valueCol, d)
+      .agg(
+        element_at(array_sort(collect_list(col("z") * col("z"))),
+          d / 2 + 1).as("f2_estimate"),
+        count(lit(1)).as("n_registers"))
+      .select(col("n_registers"), col("f2_estimate"))
+  }
+
+  /** Equi-join SIZE estimate from two Count–Min sketches (Cormode &
+    * Muthukrishnan '05 §4.2): |A ⋈_k B| = Σ_k fA(k)·fB(k), estimated as
+    * min over rows r of Σ_b cA[r,b]·cB[r,b] — one-sided (≥ true size,
+    * colliding keys only add), which is the safe direction for deciding
+    * whether a shuffle join fits before LAUNCHING it. Never touches the
+    * raw tables together: each side is sketched independently (d·w
+    * counter rows each), the product is sketch×sketch.
+    *
+    * Exact integers end to end (counter sums of counts, one MIN), so the
+    * oracle replays register-for-register. Overflow horizon: Σ_b cA·cB ≤
+    * |A|·|B| — cast to DECIMAL(38,0) beyond ~3·10^9 rows per side. */
+  def cmJoinSize(dfA: DataFrame, valueColA: String,
+      dfB: DataFrame, valueColB: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val ra = cmRegisters(dfA, valueColA, d, w)
+      .withColumnRenamed("cnt", "cnt_a")
+    val rb = cmRegisters(dfB, valueColB, d, w)
+      .withColumnRenamed("cnt", "cnt_b")
+    // inner join keeps only CO-OCCUPIED buckets (absent counters multiply
+    // to 0 anyway), but a row with NO co-occupied bucket legitimately
+    // estimates 0 — the row spine keeps it alive (dropping it would bias
+    // the MIN upward exactly when the join is emptiest)
+    val prod = ra.join(rb, Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
+    ra.select("row").distinct()
+      .join(prod, Seq("row"), "left")
+      .agg(min(coalesce(col("row_est"), lit(0L))).as("cm_join_estimate"))
+  }
 }

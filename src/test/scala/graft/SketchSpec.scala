@@ -165,4 +165,79 @@ class SketchSpec extends SparkSuite {
       .as[(Long, Int)].collect().toSet
     assert(r1 == r9)
   }
+
+  // ---- AMS F2 (tug-of-war) ----
+
+  test("ams: single-key corpus estimates F2 EXACTLY (z = ±f in every row)") {
+    val df = Seq.fill(7)("only").toDF("v")
+    val Array((n, est)) = Sketch.amsF2(df, "v").as[(Long, Long)].collect()
+    assert(n == 5L && est == 49L)
+  }
+
+  test("ams: registers merge counter-wise and are layout-invariant") {
+    val a = (0 until 400).map(i => s"k${i % 23}")
+    val b = (0 until 300).map(i => s"j${i % 17}")
+    val regOf = (rows: Seq[String], parts: Int) =>
+      Sketch.amsRegisters(rows.toDF("v").repartition(parts), "v")
+        .as[(Int, Long)].collect().toMap
+    val union = regOf(a ++ b, 3)
+    val merged = (regOf(a, 1).toSeq ++ regOf(b, 5).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(union == merged)
+    assert(regOf(a, 1) == regOf(a, 11))
+  }
+
+  test("ams: median-of-5 estimate lands in the right decade on a skewed corpus") {
+    // 1 key x 1000 + 500 keys x 2: F2 = 10^6 + 2000; the heavy key
+    // dominates, and each z_r = ±1000 + noise(|z|<~100), so every
+    // z² ∈ [~0.8e6, ~1.25e6] — assert a generous 2x band
+    val rows = Seq.fill(1000)("heavy") ++
+      (1 to 500).flatMap(i => Seq(s"t$i", s"t$i"))
+    val f2 = 1000L * 1000L + 500L * 4L
+    val Array((_, est)) = Sketch.amsF2(rows.toDF("v"), "v")
+      .as[(Long, Long)].collect()
+    assert(est > f2 / 2 && est < f2 * 2, s"est=$est true=$f2")
+  }
+
+  test("ams: d must be odd (exact median), nulls ignored") {
+    intercept[IllegalArgumentException] {
+      Sketch.amsF2(Seq("x").toDF("v"), "v", d = 4)
+    }
+    val df = Seq(Some("x"), None, Some("x"), None).toDF("v")
+    val Array((_, est)) = Sketch.amsF2(df, "v").as[(Long, Long)].collect()
+    assert(est == 4L) // nulls never reach the registers
+  }
+
+  // ---- Count-Min join-size estimate ----
+
+  test("cmJoinSize: exact on a single shared key, one-sided in general") {
+    val a = Seq.fill(3)("k").toDF("v")
+    val b = Seq.fill(5)("k").toDF("v")
+    assert(Sketch.cmJoinSize(a, "v", b, "v").head().getLong(0) == 15L)
+    // bigger corpus: estimate >= true join size (collisions only ADD)
+    val ca = (0 until 2000).map(i => s"u${i % 90}").toDF("v")
+    val cb = (0 until 1500).map(i => s"u${i % 70}").toDF("v")
+    val est = Sketch.cmJoinSize(ca, "v", cb, "v").head().getLong(0)
+    val truth = ca.groupBy("v").count().withColumnRenamed("count", "ca")
+      .join(cb.groupBy("v").count().withColumnRenamed("count", "cb"), "v")
+      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+    assert(est >= truth, s"est=$est < truth=$truth")
+    assert(est <= truth * 2, s"est=$est way over truth=$truth")
+  }
+
+  test("cmJoinSize: empty side estimates 0 (row spine keeps the MIN honest)") {
+    val a = Seq("x", "y", "z").toDF("v")
+    val b = Seq.empty[String].toDF("v")
+    assert(Sketch.cmJoinSize(a, "v", b, "v").head().getLong(0) == 0L)
+  }
+
+  test("cmJoinSize: layout invariant") {
+    val a = (0 until 800).map(i => s"u${i % 40}")
+    val b = (0 until 600).map(i => s"u${i % 55}")
+    val e1 = Sketch.cmJoinSize(a.toDF("v").repartition(1), "v",
+      b.toDF("v").repartition(1), "v").head().getLong(0)
+    val e9 = Sketch.cmJoinSize(a.toDF("v").repartition(9), "v",
+      b.toDF("v").repartition(4), "v").head().getLong(0)
+    assert(e1 == e9)
+  }
 }
