@@ -1828,7 +1828,26 @@ object SparkEntry {
           .as("true_join_size"))
       graft.ops.Sketch.cmJoinSize(clicks, "v", views, "v")
         .crossJoin(truth)
-    })
+    }),
+    "q181_cusum" -> ((s, d) =>
+      // CUSUM changepoint localization over the daily event counters —
+      // q162's Mann-Kendall says IF the series drifts, this says WHEN:
+      // argmax |n·prefix − i·total| (exact integers), tie → earliest day;
+      // oracle = the same window arithmetic in DuckDB
+      graft.ops.Trend.cusumChangepoint(
+        t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
+    "q182_bcubed" -> ((s, d) =>
+      // B-cubed P/R/F1 between the nation partition and the market-segment
+      // partition (q109's pairwise complement — per-item averages from the
+      // same contingency table, truncating ppm end to end); oracle = the
+      // identical cell arithmetic in DuckDB
+      graft.metrics.ClusterEval.bcubed(
+        t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").cast("string").as("pred"),
+          col("c_mktsegment").as("gold")),
+        "c_custkey", "pred", "gold"))
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -4983,7 +5002,56 @@ object SparkEntry {
          |        WHERE event_type = 'view' AND user_id IS NOT NULL
          |        GROUP BY 1) y USING (user_id))
          |SELECT cm_join_estimate, true_join_size FROM est, tru""".stripMargin
-    }
+    },
+    // q181: the same prefix-window scaling (n·P_i − i·T), the endpoint
+    // exclusion, and the (|S'| DESC, i ASC) argmax, replayed in DuckDB.
+    "q181_cusum" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT)
+        |    AS total
+        |  FROM s),
+        |pre AS (
+        |  SELECT t, CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS i,
+        |    CAST(sum(v) OVER (ORDER BY t) AS BIGINT) AS p
+        |  FROM s),
+        |sc AS (
+        |  SELECT pre.t, pre.i, tot.n, tot.total,
+        |    tot.n * pre.p - pre.i * tot.total AS s_scaled
+        |  FROM pre, tot WHERE pre.i < tot.n),
+        |pk AS (SELECT * FROM sc ORDER BY abs(s_scaled) DESC, i ASC LIMIT 1)
+        |SELECT n, total, CAST(t AS VARCHAR) AS cp_t, i AS cp_index,
+        |  CAST(s_scaled AS BIGINT) AS s_scaled,
+        |  CASE WHEN s_scaled > 0 THEN 'down' WHEN s_scaled < 0 THEN 'up'
+        |       ELSE 'none' END AS shift
+        |FROM pk""".stripMargin,
+    // q182: the identical contingency cells, truncating per-item ppm, and
+    // truncating means/F1 — integer-for-integer.
+    "q182_bcubed" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS p, c_mktsegment AS g,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT p, CAST(sum(n) AS BIGINT) AS sp FROM cells GROUP BY 1),
+        |sg AS (SELECT g, CAST(sum(n) AS BIGINT) AS sg FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        |    CAST(sum(n * ((n * 1000000) // sp)) AS BIGINT) AS tp,
+        |    CAST(sum(n * ((n * 1000000) // sg)) AS BIGINT) AS tr
+        |  FROM cells JOIN sp USING (p) JOIN sg USING (g))
+        |SELECT n_items,
+        |  CAST(tp // n_items AS BIGINT) AS bcubed_precision_ppm,
+        |  CAST(tr // n_items AS BIGINT) AS bcubed_recall_ppm,
+        |  CAST(CASE WHEN (tp // n_items) + (tr // n_items) > 0
+        |    THEN (2 * (tp // n_items) * (tr // n_items))
+        |         // ((tp // n_items) + (tr // n_items)) END AS BIGINT)
+        |    AS bcubed_f1_ppm
+        |FROM t""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -77,4 +77,53 @@ object ClusterEval {
       round(when(abs(maxIdx - expected) > 0,
         (idx - expected) / (maxIdx - expected)), 6).as("ari"))
   }
+
+  /** B-cubed precision/recall/F1 (Bagga & Baldwin 1998; Amigó et al. 2009
+    * showed it is the ER metric satisfying all four clustering-evaluation
+    * constraints) — the PER-ITEM complement of pairwisePR: each item i
+    * scores precision |C(i)∩L(i)|/|C(i)| and recall |C(i)∩L(i)|/|L(i)|,
+    * averaged over items. Unlike pair counting it does not let one
+    * mega-cluster's quadratic pair mass drown every other error — the
+    * metric of record for mention-level entity clustering.
+    *
+    * Same contingency-table trick as pairwisePR: every item in cell
+    * (p, g, n) has the SAME per-item scores n/|p| and n/|g|, so the item
+    * average is Σ_cells n · (n/size) / N — cell-scale arithmetic, zero
+    * item enumeration. Exact-integer contract: per-item scores are
+    * truncating ppm (n·10⁶ div size), summed as exact longs, then one
+    * truncating div by N — bit-stable and oracle-replayable (a float mean
+    * would drift by accumulation order); the systematic truncation bias
+    * is < 1 ppm per stage. F1 = 2PR/(P+R) in the same truncating ppm.
+    *
+    * Output (1 row): n_items, bcubed_precision_ppm, bcubed_recall_ppm,
+    * bcubed_f1_ppm — nulls when there are no items. Null id/pred/gold
+    * rows drop; one row per item is the caller's contract. */
+  def bcubed(assign: DataFrame, idCol: String, predCol: String,
+      goldCol: String): DataFrame = {
+    val idiv = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => call_function("div", a, b)
+    val cells = assign
+      .where(col(idCol).isNotNull && col(predCol).isNotNull &&
+        col(goldCol).isNotNull)
+      .groupBy(col(predCol).as("__p"), col(goldCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val withSizes = cells
+      .join(cells.groupBy("__p").agg(sum("__n").as("__sp")), "__p")
+      .join(cells.groupBy("__g").agg(sum("__n").as("__sg")), "__g")
+    val sums = withSizes.agg(
+      coalesce(sum("__n"), lit(0L)).as("n_items"),
+      sum(col("__n") * idiv(col("__n") * 1000000L, col("__sp"))).as("__tp"),
+      sum(col("__n") * idiv(col("__n") * 1000000L, col("__sg"))).as("__tr"))
+    val p = when(col("n_items") > 0, idiv(col("__tp"), col("n_items")))
+    val r = when(col("n_items") > 0, idiv(col("__tr"), col("n_items")))
+    sums.select(col("n_items"),
+        p.as("bcubed_precision_ppm"), r.as("bcubed_recall_ppm"))
+      .select(col("n_items"), col("bcubed_precision_ppm"),
+        col("bcubed_recall_ppm"),
+        when(col("bcubed_precision_ppm") + col("bcubed_recall_ppm") > 0,
+          idiv(lit(2L) * col("bcubed_precision_ppm") *
+            col("bcubed_recall_ppm"),
+            col("bcubed_precision_ppm") + col("bcubed_recall_ppm")))
+          .as("bcubed_f1_ppm"))
+  }
 }

@@ -85,4 +85,64 @@ object Trend {
       .select(col("cat"), col("o"), col("r_smoothed"), col("term_ppt"),
         col("n_o"), col("n_r"), col("chi2_ppt"))
   }
+
+  /** CUSUM changepoint LOCALIZATION (Page 1954; the Pettitt-style argmax
+    * form) — Mann–Kendall (above) answers "is it drifting?"; this answers
+    * the question ops actually asks next: WHEN did the level shift?
+    * With the series x_1..x_n (total T), the cumulative deviation from
+    * the global mean at prefix i is S_i = Σ_{j≤i} x_j − i·T/n; scaling by
+    * n keeps it integer: S'_i = n·P_i − i·T (P_i the prefix sum). The
+    * changepoint estimate is argmax_i |S'_i| over i < n (S'_n ≡ 0 —
+    * the endpoint carries no signal), ties → earliest bucket; the sign
+    * says which way the level moved (prefix ABOVE the mean ⇒ the later
+    * regime is lower).
+    *
+    * All-integer (counts·n products — exact while n·T < 2⁶³, i.e. any
+    * realistic counter series), so the located bucket is bit-stable and
+    * the oracle replays the window arithmetic exactly.
+    *
+    * Scale shape: like mannKendall, the series is an AGGREGATE of the raw
+    * log (bucket-scale, ≤ days/hours rows); the single global-ordered
+    * window runs on one task by design — the right place for a
+    * sequential scan is the thousand-row counter table, never the log.
+    *
+    * Output (1 row): (n, total, cp_t, cp_index, s_scaled, shift) with
+    * shift ∈ down/up/none (none ⇔ S' ≡ 0, a perfectly flat series);
+    * n < 2 ⇒ null cp columns. */
+  def cusumChangepoint(series: DataFrame, tCol: String,
+      vCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val rows = series.where(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(tCol).as("t"), col(vCol).cast("long").as("v"))
+    val totals = rows.agg(count(lit(1)).as("n"),
+      coalesce(sum("v"), lit(0L)).as("total"))
+    val s = rows
+      .withColumn("i", row_number().over(w))
+      .withColumn("p", sum("v").over(w))
+      .crossJoin(broadcast(totals))
+      .where(col("i") < col("n")) // S'_n ≡ 0 carries no signal
+      .select(col("t"), col("i"), col("n"), col("total"),
+        (col("n") * col("p") - col("i") * col("total")).as("s_scaled"))
+    val peak = s
+      .select(struct(abs(col("s_scaled")).as("a"),
+        (-col("i")).as("negi"), col("t").as("t"), col("i").as("i"),
+        col("s_scaled").as("s"), col("n").as("n"),
+        col("total").as("total")).as("k"))
+      .agg(max("k").as("k")) // max |S'|, tie → earliest i (negated index)
+      .select(col("k.n").as("n"), col("k.total").as("total"),
+        col("k.t").as("cp_t"), col("k.i").as("cp_index"),
+        col("k.s").as("s_scaled"),
+        when(col("k.s") > 0, "down").when(col("k.s") < 0, "up")
+          .otherwise("none").as("shift"))
+    // n < 2 ⇒ the filtered prefix table is empty; emit the degenerate row
+    val degenerate = totals.where(col("n") < 2)
+      .select(col("n"), col("total"), lit(null).cast("string").as("cp_t"),
+        lit(null).cast("int").as("cp_index"),
+        lit(null).cast("long").as("s_scaled"),
+        lit(null).cast("string").as("shift"))
+    peak.where(col("n").isNotNull)
+      .select(col("n"), col("total"), col("cp_t").cast("string").as("cp_t"),
+        col("cp_index"), col("s_scaled"), col("shift"))
+      .unionByName(degenerate)
+  }
 }

@@ -56,4 +56,41 @@ class AgreementSpec extends SparkSuite {
     val (_, s, _, _, trend) = mk(Seq(1L, 3L, 2L, 4L, 3L, 5L))
     assert(s > 0 && trend == "asc") // drift visible through the sawtooth
   }
+
+  // ---- CUSUM changepoint ----
+
+  private def cusum(vals: Seq[Long], parts: Int = 3) =
+    Trend.cusumChangepoint(
+      vals.zipWithIndex.map { case (v, i) => (i + 1, v) }
+        .toDF("t", "v").repartition(parts), "t", "v")
+      .as[(Long, Long, Option[String], Option[Int], Option[Long],
+        Option[String])].collect().head
+
+  test("cusum: locates a hand-computed level shift (argmax |S'| at the " +
+    "last pre-shift bucket)") {
+    // 10,10,10,50,50: T=130, S' = -80,-160,-240,-120 -> peak i=3, 'up'
+    val (n, total, cpT, cpI, s, shift) = cusum(Seq(10L, 10L, 10L, 50L, 50L))
+    assert(n == 5L && total == 130L)
+    assert(cpT.contains("3") && cpI.contains(3))
+    assert(s.contains(-240L) && shift.contains("up"))
+  }
+
+  test("cusum: down-shift sign, tie -> earliest bucket, flat -> none") {
+    val down = cusum(Seq(50L, 50L, 10L, 10L, 10L))
+    assert(down._4.contains(2) && down._6.contains("down"))
+    // 1,2,2,1: |S'| = 2,0,2 -> tie between i=1 and i=3, earliest wins
+    val tie = cusum(Seq(1L, 2L, 2L, 1L))
+    assert(tie._4.contains(1) && tie._5.contains(-2L))
+    val flat = cusum(Seq(5L, 5L, 5L))
+    assert(flat._4.contains(1) && flat._6.contains("none"))
+  }
+
+  test("cusum: n < 2 yields the degenerate null row; layout invariant") {
+    val single = cusum(Seq(7L))
+    assert(single._1 == 1L && single._2 == 7L && single._4.isEmpty &&
+      single._6.isEmpty)
+    val a = cusum(Seq(3L, 9L, 4L, 8L, 2L, 20L, 19L), parts = 1)
+    val b = cusum(Seq(3L, 9L, 4L, 8L, 2L, 20L, 19L), parts = 7)
+    assert(a == b)
+  }
 }

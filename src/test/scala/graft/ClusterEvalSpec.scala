@@ -80,4 +80,54 @@ class ClusterEvalSpec extends SparkSuite {
     assert(r.getAs[Long]("n_items") == 2)
     assert(r.getAs[Long]("agree_pairs") == 1)
   }
+
+  // ---- B-cubed ----
+
+  test("bcubed: hand-computed 3-item example (exact truncating ppm)") {
+    // pred {a,b},{c}; gold {a},{b,c}:
+    // P(a)=1/2 P(b)=1/2 P(c)=1 -> mean 2/3; R(a)=1 R(b)=1/2 R(c)=1/2 -> 2/3
+    val df = Seq((1, "p1", "g1"), (2, "p1", "g2"), (3, "p2", "g2"))
+      .toDF("id", "pred", "gold")
+    val r = one(ClusterEval.bcubed(df, "id", "pred", "gold"))
+    assert(r.getAs[Long]("n_items") == 3)
+    assert(r.getAs[Long]("bcubed_precision_ppm") == 666666L)
+    assert(r.getAs[Long]("bcubed_recall_ppm") == 666666L)
+    assert(r.getAs[Long]("bcubed_f1_ppm") == 666666L)
+  }
+
+  test("bcubed: identity = 10^6; singletons-vs-one-cluster shows the " +
+    "P/R asymmetry pairwise counting hides") {
+    val id = Seq((1, "x", "x"), (2, "x", "x"), (3, "y", "y"))
+      .toDF("id", "pred", "gold")
+    val ri = one(ClusterEval.bcubed(id, "id", "pred", "gold"))
+    assert(ri.getAs[Long]("bcubed_precision_ppm") == 1000000L)
+    assert(ri.getAs[Long]("bcubed_recall_ppm") == 1000000L)
+    assert(ri.getAs[Long]("bcubed_f1_ppm") == 1000000L)
+    // 4 singleton preds vs one gold cluster: P=1, R=1/4
+    val sing = (1 to 4).map(i => (i, s"p$i", "g")).toDF("id", "pred", "gold")
+    val rs = one(ClusterEval.bcubed(sing, "id", "pred", "gold"))
+    assert(rs.getAs[Long]("bcubed_precision_ppm") == 1000000L)
+    assert(rs.getAs[Long]("bcubed_recall_ppm") == 250000L)
+    // F1 = 2*10^6*250000 / 1250000 = 400000
+    assert(rs.getAs[Long]("bcubed_f1_ppm") == 400000L)
+  }
+
+  test("bcubed: a mega-cluster error is bounded per item (vs pairwise's " +
+    "quadratic drowning), nulls drop, empty input -> null metrics") {
+    // gold: 10 singletons; pred: one cluster of 10 -> per-item P = 1/10
+    val mega = (1 to 10).map(i => (i, "p", s"g$i")).toDF("id", "pred", "gold")
+    val rm = one(ClusterEval.bcubed(mega, "id", "pred", "gold"))
+    assert(rm.getAs[Long]("bcubed_precision_ppm") == 100000L)
+    assert(rm.getAs[Long]("bcubed_recall_ppm") == 1000000L)
+    val withNulls = Seq((Some(1), Some("p"), Some("g")),
+      (None, Some("p"), Some("g")), (Some(2), None, Some("g")))
+      .toDF("id", "pred", "gold")
+    assert(one(ClusterEval.bcubed(withNulls, "id", "pred", "gold"))
+      .getAs[Long]("n_items") == 1)
+    val empty = one(ClusterEval.bcubed(
+      Seq.empty[(Int, String, String)].toDF("id", "pred", "gold"),
+      "id", "pred", "gold"))
+    assert(empty.getAs[Long]("n_items") == 0)
+    assert(empty.isNullAt(empty.fieldIndex("bcubed_f1_ppm")))
+  }
 }
