@@ -1847,7 +1847,24 @@ object SparkEntry {
         t(s, d, "customer").select(col("c_custkey"),
           col("c_nationkey").cast("string").as("pred"),
           col("c_mktsegment").as("gold")),
-        "c_custkey", "pred", "gold"))
+        "c_custkey", "pred", "gold")),
+    "q183_repeated_spans" -> ((s, d) =>
+      // exact-substring dedup LOCALIZATION (Lee et al. 2022): maximal
+      // per-doc token spans covered by corpus-repeated 8-windows
+      // (overlap-merged islands, gap <= k); oracle = the same windows,
+      // repeated set, and variable-gap islands in DuckDB
+      graft.ops.Curation.repeatedSpans(t(s, d, "documents"),
+        col("doc_id"), col("text"), k = 8, minDocs = 2)
+        .select(col("id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("n_tokens").cast("long").as("n_tokens"))),
+    "q184_cut_spans" -> ((s, d) =>
+      // the CUT transform: remove every token covered by a repeated span
+      // and re-join the remainder (the ExactSubstr rewrite that keeps
+      // unique prose around boilerplate); oracle = anti join + ordered
+      // string_agg replay in DuckDB
+      graft.ops.Curation.cutRepeatedSpans(t(s, d, "documents"),
+        col("doc_id"), col("text"), k = 8, minDocs = 2))
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -5051,7 +5068,77 @@ object SparkEntry {
         |    THEN (2 * (tp // n_items) * (tr // n_items))
         |         // ((tp // n_items) + (tr // n_items)) END AS BIGINT)
         |    AS bcubed_f1_ppm
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // q183/q184 share the span pipeline: k-windows (DuckDB list slices),
+    // the >=2-distinct-docs repeated set, variable-gap (<= k) islands.
+    "q183_repeated_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT id, i AS pos, array_to_string(w[i:i+7], ' ') AS passage
+        |  FROM d, unnest(range(1, len(w) - 6)) u(i)
+        |  WHERE len(w) >= 8),
+        |rep AS (
+        |  SELECT passage FROM wins GROUP BY 1
+        |  HAVING count(DISTINCT id) >= 2),
+        |mk AS (SELECT id, pos FROM wins JOIN rep USING (passage)),
+        |isl AS (
+        |  SELECT id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+        |              <= 8
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM mk),
+        |isl2 AS (
+        |  SELECT id, pos,
+        |    sum(nw) OVER (PARTITION BY id ORDER BY pos) AS grp
+        |  FROM isl)
+        |SELECT id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY id, grp""".stripMargin,
+    "q184_cut_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |tk AS (
+        |  SELECT id, i AS p, w[i] AS tok
+        |  FROM d, unnest(range(1, len(w) + 1)) u(i)),
+        |wins AS (
+        |  SELECT id, i AS pos, array_to_string(w[i:i+7], ' ') AS passage
+        |  FROM d, unnest(range(1, len(w) - 6)) u(i)
+        |  WHERE len(w) >= 8),
+        |rep AS (
+        |  SELECT passage FROM wins GROUP BY 1
+        |  HAVING count(DISTINCT id) >= 2),
+        |mk AS (SELECT id, pos FROM wins JOIN rep USING (passage)),
+        |isl AS (
+        |  SELECT id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+        |              <= 8
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM mk),
+        |isl2 AS (
+        |  SELECT id, pos,
+        |    sum(nw) OVER (PARTITION BY id ORDER BY pos) AS grp
+        |  FROM isl),
+        |sp AS (
+        |  SELECT id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl2 GROUP BY id, grp),
+        |cov AS (SELECT id, j AS p FROM sp, unnest(range(s, e + 1)) v(j)),
+        |kept AS (
+        |  SELECT tk.id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean
+        |  FROM tk ANTI JOIN cov USING (id, p) GROUP BY 1),
+        |cnt AS (SELECT id, count(*) AS n_tok FROM tk GROUP BY 1),
+        |docs AS (SELECT DISTINCT doc_id AS id FROM documents)
+        |SELECT docs.id,
+        |  CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_tok, 0) - coalesce(n_kept, 0) AS BIGINT)
+        |    AS n_cut,
+        |  coalesce(clean, '') AS text_clean
+        |FROM docs LEFT JOIN cnt ON cnt.id = docs.id
+        |LEFT JOIN kept ON kept.id = docs.id""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

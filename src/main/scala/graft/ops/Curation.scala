@@ -395,6 +395,83 @@ object Curation {
             lit(0.0).as("boilerplate_frac")))
   }
 
+  /** Maximal corpus-repeated SPANS per document — the localization step of
+    * exact-substring dedup (Lee et al. 2022 §4.1 cut the repeated
+    * substrings themselves, not the documents): a token position is
+    * marked when the k-window STARTING there appears in ≥ minDocs
+    * documents (`repeatedPassages`' predicate), and marked starts whose
+    * coverage overlaps (gap ≤ k) merge into one maximal span. Returns
+    * `(id, start_tok, end_tok, n_tokens)` — 1-based inclusive token
+    * coordinates, spans disjoint and maximal per document.
+    *
+    * Scale shape: the q20 positional-shingle expansion feeding one
+    * passage-keyed aggregate (the repeated set — repeated-passage-scale),
+    * a semi join back on the passage key, then ONE doc-partitioned window
+    * pass (lag + running sum — the gaps-and-islands idiom with a
+    * variable gap, since two starts within k tokens cover a contiguous
+    * range). Nothing doc-quadratic anywhere. */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "repeatedSpans: minDocs must be >= 2")
+    val wins = passageWindows(df, id, text, k)
+    val rep = wins.groupBy("passage")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("passage")
+    val marked = wins.join(rep, Seq("passage"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum("__new").over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("pos").as("start_tok"),
+        (max("pos") + lit(k - 1)).as("end_tok"))
+      .select(col("id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"))
+  }
+
+  /** The CUT transform on top of `repeatedSpans`: every token covered by
+    * a corpus-repeated span is removed and the remainder re-joined — the
+    * Lee et al. exact-substring dedup rewrite (cutting the span keeps the
+    * unique prose around boilerplate that whole-document dedup would
+    * either keep duplicated or throw away entirely). Returns one row per
+    * input document: `(id, n_tokens, n_cut, text_clean)`; documents with
+    * null/empty text keep an empty `text_clean` (0, 0).
+    *
+    * Scale: covered positions explode from the span table (≤ corpus token
+    * count), one anti join against the token table on (id, pos), one
+    * doc-keyed re-assembly aggregate (sorted struct collect — per-doc
+    * state is the document itself, the same bound as any reassembly). */
+  def cutRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val toks = when(length(trim(t)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+    val tokens = df.select(id.as("id"), posexplode(toks).as(Seq("p", "tok")))
+      .select(col("id"), (col("p") + 1).as("p"), col("tok"))
+    val covered = repeatedSpans(df, id, text, k, minDocs)
+      .select(col("id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("p"))
+    val kept = tokens.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s("tok")), " ").as("__clean"))
+    val counts = tokens.groupBy("id").agg(count(lit(1)).as("__n_tok"))
+    df.select(id.as("id")).distinct()
+      .join(counts, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__n_tok"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__n_tok"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("__clean"), lit("")).as("text_clean"))
+  }
+
   // --------------------------------------------- domain importance (DSIR) ----
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

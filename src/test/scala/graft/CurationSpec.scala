@@ -345,4 +345,59 @@ class CurationSpec extends SparkSuite {
       .as[(Long, Long, Long, Double, Long)].collect().head
     assert(empty == ((0L, 0L, 0L, 0.0, 0L)))
   }
+
+  // ------------------------------------- repeated spans + the cut ------
+
+  private def spansOf(docs: Seq[(String, String)], k: Int = 3) =
+    Curation.repeatedSpans(docs.toDF("id", "text").repartition(3),
+      col("id"), col("text"), k = k, minDocs = 2)
+      .as[(String, Int, Int, Int)].collect().toSet
+
+  test("repeatedSpans: hand-traced maximal spans (k=3, two shared runs)") {
+    // d1/d2 share "a b c d": windows "a b c"/"b c d" are corpus-repeated,
+    // their starts merge into ONE maximal span covering 4 tokens
+    val spans = spansOf(Seq(
+      ("d1", "a b c d e f"), ("d2", "x a b c d y"), ("d3", "p q r s t u")))
+    assert(spans == Set(("d1", 1, 4, 4), ("d2", 2, 5, 4)))
+  }
+
+  test("repeatedSpans: starts exactly k apart merge; farther apart split") {
+    // merged: marked starts {1, 4}, gap 3 == k -> one span [1,6]
+    val merged = spansOf(Seq(
+      ("a", "m n o r s t"), ("b", "m n o"), ("c", "r s t")))
+    assert(merged.filter(_._1 == "a") == Set(("a", 1, 6, 6)))
+    // split: marked starts {1, 5}, gap 4 > k -> two spans
+    val split = spansOf(Seq(
+      ("a", "m n o Q r s t"), ("b", "m n o"), ("c", "r s t")))
+    assert(split.filter(_._1 == "a") ==
+      Set(("a", 1, 3, 3), ("a", 5, 7, 3)))
+  }
+
+  test("cutRepeatedSpans: removes covered tokens, keeps unique prose, " +
+    "reports every doc incl. null/empty") {
+    val docs = Seq(("d1", "a b c d e f"), ("d2", "x a b c d y"),
+      ("d3", "p q r s t u"), ("d4", null.asInstanceOf[String]), ("d5", " "))
+    val out = Curation.cutRepeatedSpans(docs.toDF("id", "text"),
+        col("id"), col("text"), k = 3, minDocs = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("d1") == ((6L, 4L, "e f")))
+    assert(out("d2") == ((6L, 4L, "x y")))
+    assert(out("d3") == ((6L, 0L, "p q r s t u")))
+    assert(out("d4") == ((0L, 0L, "")))
+    assert(out("d5") == ((0L, 0L, "")))
+  }
+
+  test("repeatedSpans: within-doc repetition alone never marks (minDocs " +
+    "counts DISTINCT docs); layout invariant") {
+    assert(spansOf(Seq(("solo", "a b c a b c a b c"),
+      ("other", "z z z z"))).isEmpty)
+    val docs = Seq(("d1", "a b c d e f g h"), ("d2", "q a b c d e r"),
+      ("d3", "c d e f g h i"))
+    val a = Curation.repeatedSpans(docs.toDF("id", "text").repartition(1),
+      col("id"), col("text"), 3, 2).as[(String, Int, Int, Int)].collect().toSet
+    val b = Curation.repeatedSpans(docs.toDF("id", "text").repartition(7),
+      col("id"), col("text"), 3, 2).as[(String, Int, Int, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
