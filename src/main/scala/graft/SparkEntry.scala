@@ -1864,7 +1864,31 @@ object SparkEntry {
       // unique prose around boilerplate); oracle = anti join + ordered
       // string_agg replay in DuckDB
       graft.ops.Curation.cutRepeatedSpans(t(s, d, "documents"),
-        col("doc_id"), col("text"), k = 8, minDocs = 2))
+        col("doc_id"), col("text"), k = 8, minDocs = 2)),
+    "q185_owl_closure" -> ((s, d) => {
+      // OWL pD* property rules (symmetric adjacentTo, inverse
+      // locatedIn/contains + partOf/hasPart, transitive partOf) over a
+      // customer-derived triple set — image-map expansion + one semi-naive
+      // closure; oracle = the same rules as UNION branches + a recursive
+      // CTE in DuckDB
+      val cust = t(s, d, "customer")
+      val inp = cust.where(col("c_custkey") <= 30 && col("c_custkey") % 2 === 0)
+        .select(concat(lit("n"), col("c_custkey")).as("subj"),
+          lit("adjacentTo").as("pred"),
+          concat(lit("n"), col("c_custkey") + 1).as("obj"))
+        .union(cust.where(col("c_custkey") <= 40)
+          .select(concat(lit("c"), col("c_custkey")).as("subj"),
+            lit("locatedIn").as("pred"),
+            concat(lit("n"), col("c_nationkey")).as("obj")))
+        .union(cust.where(col("c_custkey") > 1 && col("c_custkey") <= 64)
+          .select(concat(lit("c"), col("c_custkey")).as("subj"),
+            lit("partOf").as("pred"),
+            concat(lit("c"), expr("c_custkey div 2")).as("obj")))
+      graft.graph.Inference.owlPropertyClosure(inp,
+        symmetric = Seq("adjacentTo"),
+        inverses = Seq(("locatedIn", "contains"), ("partOf", "hasPart")),
+        transitive = Seq("partOf"))
+    })
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -5138,7 +5162,39 @@ object SparkEntry {
         |    AS n_cut,
         |  coalesce(clean, '') AS text_clean
         |FROM docs LEFT JOIN cnt ON cnt.id = docs.id
-        |LEFT JOIN kept ON kept.id = docs.id""".stripMargin
+        |LEFT JOIN kept ON kept.id = docs.id""".stripMargin,
+    // q185: the pD* rules as explicit UNION branches (symmetric copy,
+    // inverse copies both ways) + a recursive CTE for the transitive pred
+    // + the inverse image of the closure — a structurally different
+    // evaluation (per-rule branches vs the engine's image-map join).
+    "q185_owl_closure" ->
+      """WITH RECURSIVE inp AS (
+        |  SELECT 'n' || c_custkey AS s, 'adjacentTo' AS p,
+        |    'n' || (c_custkey + 1) AS o
+        |  FROM customer WHERE c_custkey <= 30 AND c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'locatedIn', 'n' || c_nationkey
+        |  FROM customer WHERE c_custkey <= 40
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'partOf', 'c' || (c_custkey // 2)
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 64),
+        |exp AS (
+        |  SELECT s, p, o FROM inp
+        |  UNION ALL SELECT o, 'adjacentTo', s FROM inp
+        |    WHERE p = 'adjacentTo'
+        |  UNION ALL SELECT o, 'contains', s FROM inp WHERE p = 'locatedIn'
+        |  UNION ALL SELECT s, 'locatedIn', o FROM inp WHERE p = 'contains'
+        |  UNION ALL SELECT o, 'hasPart', s FROM inp WHERE p = 'partOf'
+        |  UNION ALL SELECT s, 'partOf', o FROM inp WHERE p = 'hasPart'),
+        |po AS (SELECT DISTINCT s, o FROM exp WHERE p = 'partOf'),
+        |cl AS (
+        |  SELECT s, o FROM po
+        |  UNION
+        |  SELECT cl.s, po.o FROM cl JOIN po ON po.s = cl.o)
+        |SELECT DISTINCT subj, pred, obj FROM (
+        |  SELECT s AS subj, p AS pred, o AS obj FROM exp
+        |  UNION ALL SELECT s, 'partOf', o FROM cl
+        |  UNION ALL SELECT o, 'hasPart', s FROM cl)""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -97,4 +97,107 @@ object Inference {
       .union(scTriples).union(spTriples)
       .distinct()
   }
+
+  /** OWL property-rule materialization (the ter Horst pD* property
+    * fragment: owl:SymmetricProperty / owl:inverseOf /
+    * owl:TransitiveProperty — rules rdfp3/rdfp8ax-bx/rdfp4) — the
+    * entailments a KG needs beyond RDFS so that `locatedIn`/`contains`,
+    * `partOf` chains, and symmetric `adjacentTo` links are queryable in
+    * BOTH directions with plain BGPs.
+    *
+    * Evaluation strategy: symmetric/inverse declarations only ever REWRITE
+    * a triple's predicate and orientation, so they form a tiny undirected
+    * automaton over (pred, direction) states — symmetric p links (p,→) to
+    * (p,←); inverseOf(p,q) links (p,→) to (q,←) and (p,←) to (q,→). Its
+    * connected components (computed driver-side: the rule lists are
+    * SCHEMA, not data) give every entailed (pred', flip) image of every
+    * pred; ONE broadcast join expands the data to all images.
+    * TransitiveProperty then closes each declared pred over the EXPANDED
+    * edge set (one semi-naive `GraphQuery.reachable` call, preds kept
+    * apart by a \u0001-composite node key — pred names never contain
+    * \u0001; node ids may, the decode splits at the FIRST separator),
+    * and one final image-expansion of the new closure triples makes the
+    * whole thing a fixpoint: a pred class's edge sets are isomorphic
+    * under reversal/renaming, and transitive closure commutes with both,
+    * so T(class member) = image(T(p)) — nothing can fire again.
+    * (The inverse/symmetric images of a transitive pred are therefore
+    * transitively closed too — the pD* entailment that per-rule engines
+    * only get when every class member is separately declared.)
+    *
+    * Scale shape: two broadcast joins against a schema-sized image map,
+    * one semi-naive closure whose input is the transitive-pred slice
+    * (hierarchy-scale, not corpus-scale), one final distinct — the same
+    * WebPIE shape as rdfsClosure. */
+  def owlPropertyClosure(triples: DataFrame,
+      symmetric: Seq[String] = Seq.empty,
+      inverses: Seq[(String, String)] = Seq.empty,
+      transitive: Seq[String] = Seq.empty): DataFrame = {
+    val t = triples.select(col("subj").cast("string").as("subj"),
+      col("pred").cast("string").as("pred"),
+      col("obj").cast("string").as("obj"))
+      .where(col("subj").isNotNull && col("pred").isNotNull &&
+        col("obj").isNotNull)
+
+    // (pred, dir) automaton closure, driver-side (schema-scale): dir 0 =
+    // as-written, 1 = reversed
+    val adj = scala.collection.mutable.Map
+      .empty[(String, Int), Set[(String, Int)]].withDefaultValue(Set.empty)
+    def link(a: (String, Int), b: (String, Int)): Unit = {
+      adj(a) += b; adj(b) += a
+    }
+    symmetric.foreach(p => link((p, 0), (p, 1)))
+    inverses.foreach { case (p, q) =>
+      link((p, 0), (q, 1)); link((p, 1), (q, 0))
+    }
+    val mentioned = (symmetric.map((_, 0)) ++
+      inverses.flatMap { case (p, q) => Seq((p, 0), (q, 0)) }).distinct
+    def reach(s: (String, Int)): Set[(String, Int)] = {
+      var seen = Set(s); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val images: Seq[(String, String, Int)] = mentioned.flatMap { case (p, _) =>
+      reach((p, 0)).map { case (q, flip) => (p, q, flip) }
+    }.distinct
+
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val imageMap = broadcast(
+      images.toDF("pred", "img_pred", "flip"))
+    def expand(df: DataFrame): DataFrame = {
+      val derived = df.join(imageMap, Seq("pred"))
+        .select(
+          when(col("flip") === 1, col("obj")).otherwise(col("subj")).as("subj"),
+          col("img_pred").as("pred"),
+          when(col("flip") === 1, col("subj")).otherwise(col("obj")).as("obj"))
+      df.select("subj", "pred", "obj").union(derived)
+    }
+
+    val expanded = graft.Materialize(expand(t).distinct(), eager = false)
+      .where(col("subj").isNotNull) // constraint barrier (see rdfsClosure)
+
+    if (transitive.isEmpty) expanded.distinct()
+    else {
+      val sep = "\u0001"
+      val transSet = transitive.toSet
+      val tEdges = expanded
+        .where(col("pred").isin(transSet.toSeq: _*))
+        .select(concat(col("pred"), lit(sep), col("subj")).as("src"),
+          concat(col("pred"), lit(sep), col("obj")).as("dst"))
+      // decode at the FIRST separator (pred names cannot contain it;
+      // node ids may): node = everything past "pred + sep"
+      def nodeOf(c: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column) =
+        c.substr(length(pred) + 2, length(c))
+      val predOf = substring_index(col("src"), sep, 1)
+      val closed = GraphQuery.reachable(tEdges)
+        .select(predOf.as("pred"),
+          nodeOf(col("src"), predOf).as("subj"),
+          nodeOf(col("dst"), substring_index(col("dst"), sep, 1)).as("obj"))
+        .select("subj", "pred", "obj")
+      expanded.union(expand(closed)).distinct()
+    }
+  }
 }

@@ -85,4 +85,58 @@ class InferenceSpec extends SparkSuite {
     val b = set(Inference.rdfsClosure(base.coalesce(1)))
     assert(a == b)
   }
+
+  // ---- OWL property rules (pD* fragment) ----
+
+  test("owl: symmetric and inverse rewrites, both directions") {
+    val out = set(Inference.owlPropertyClosure(
+      triples(("a", "adj", "b"), ("x", "in", "y"), ("q", "of", "r")),
+      symmetric = Seq("adj"), inverses = Seq(("in", "of"))))
+    assert(out == Set(
+      ("a", "adj", "b"), ("b", "adj", "a"),
+      ("x", "in", "y"), ("y", "of", "x"),
+      ("q", "of", "r"), ("r", "in", "q")))
+  }
+
+  test("owl: transitive chain closes; the inverse image of the closure " +
+    "is closed too (pD* without per-member declarations)") {
+    val out = set(Inference.owlPropertyClosure(
+      triples(("a", "partOf", "b"), ("b", "partOf", "c"),
+        ("c", "partOf", "d")),
+      inverses = Seq(("partOf", "hasPart")), transitive = Seq("partOf")))
+    val po = out.filter(_._2 == "partOf").map(t => (t._1, t._3))
+    val hp = out.filter(_._2 == "hasPart").map(t => (t._1, t._3))
+    assert(po == Set(("a", "b"), ("b", "c"), ("c", "d"),
+      ("a", "c"), ("a", "d"), ("b", "d")))
+    assert(hp == po.map(_.swap)) // hasPart closure = reversed closure
+  }
+
+  test("owl: symmetric + transitive pred closes to undirected " +
+    "reachability (incl. the reflexive pairs x→y→x entails)") {
+    val out = set(Inference.owlPropertyClosure(
+      triples(("a", "linked", "b"), ("b", "linked", "c")),
+      symmetric = Seq("linked"), transitive = Seq("linked")))
+    val pairs = out.map(t => (t._1, t._3))
+    val all = for (x <- Seq("a", "b", "c"); y <- Seq("a", "b", "c")) yield (x, y)
+    assert(pairs == all.toSet)
+  }
+
+  test("owl: chained image classes (p inverseOf q, q symmetric ⇒ all " +
+    "four orientations); unrelated preds pass through; null rows drop") {
+    val out = set(Inference.owlPropertyClosure(
+      triples(("a", "p", "b"), ("m", "other", "n"),
+        (null, "p", "z"), ("z", "p", null)),
+      symmetric = Seq("q"), inverses = Seq(("p", "q"))))
+    assert(out == Set(("a", "p", "b"), ("b", "q", "a"),
+      ("a", "q", "b"), ("b", "p", "a"), ("m", "other", "n")))
+  }
+
+  test("owl: layout invariance") {
+    val base = triples(("a", "partOf", "b"), ("b", "partOf", "c"),
+      ("n1", "adj", "n2"), ("c", "in", "n1"))
+    def run(df: DataFrame) = set(Inference.owlPropertyClosure(df,
+      symmetric = Seq("adj"), inverses = Seq(("in", "of")),
+      transitive = Seq("partOf")))
+    assert(run(base.repartition(5)) == run(base.coalesce(1)))
+  }
 }
