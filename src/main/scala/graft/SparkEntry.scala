@@ -1888,6 +1888,23 @@ object SparkEntry {
         symmetric = Seq("adjacentTo"),
         inverses = Seq(("locatedIn", "contains"), ("partOf", "hasPart")),
         transitive = Seq("partOf"))
+    }),
+    "q186_bridges" -> ((s, d) => {
+      // bridge (cut-edge) detection over the 256-node customer tree +
+      // every-8th chord — the ER over-merge audit (a bridge in a sameAs
+      // graph is ONE link fusing two clusters); engine = spanning-forest
+      // + pointer-doubled root-chains + fundamental-cycle covering;
+      // oracle = per-edge-exclusion product-graph BFS in DuckDB (a
+      // structurally different definition: reachability without the edge)
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
+      val tree = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      val chords = cust
+        .where(col("c_custkey") % 8 === 0 && col("c_custkey") > 1)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), col("c_custkey") - 1).as("dst"))
+      graft.graph.Bridges.bridges(tree.union(chords))
     })
   )
 
@@ -5194,7 +5211,34 @@ object SparkEntry {
         |SELECT DISTINCT subj, pred, obj FROM (
         |  SELECT s AS subj, p AS pred, o AS obj FROM exp
         |  UNION ALL SELECT s, 'partOf', o FROM cl
-        |  UNION ALL SELECT o, 'hasPart', s FROM cl)""".stripMargin
+        |  UNION ALL SELECT o, 'hasPart', s FROM cl)""".stripMargin,
+    // q186: the DEFINITION of a bridge, evaluated directly — for every
+    // edge (a,b), BFS from a in the graph WITHOUT that edge (a product-
+    // graph recursion keyed by the excluded edge, q164's trick); bridge
+    // iff b is never reached. No spanning tree anywhere.
+    "q186_bridges" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
+        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
+        |  UNION
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
+        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
+        |  FROM customer
+        |  WHERE c_custkey % 8 = 0 AND c_custkey > 1 AND c_custkey <= 256),
+        |sym AS (SELECT a AS x, b AS y FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |r AS (
+        |  SELECT a AS ea, b AS eb, a AS node FROM und
+        |  UNION
+        |  SELECT r.ea, r.eb, sym.y
+        |  FROM r JOIN sym ON sym.x = r.node
+        |  WHERE NOT (least(sym.x, sym.y) = r.ea
+        |             AND greatest(sym.x, sym.y) = r.eb))
+        |SELECT u.a, u.b FROM und u
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM r
+        |  WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

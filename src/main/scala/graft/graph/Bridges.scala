@@ -1,0 +1,135 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+
+/** Bridge (cut-edge) detection — the edges whose removal disconnects
+  * their component. In a KG this is the merge-audit primitive SCAN's hub
+  * roles (q171) cannot give: a bridge in the sameAs/co-mention graph is
+  * a SINGLE link holding two entity clusters together — exactly the
+  * place where one bad gazetteer hit or OCR misread silently fuses two
+  * vendors, and the first edge a curator should re-score. (Tarjan's
+  * classic solution is a sequential DFS; this is the data-parallel
+  * spanning-forest formulation.)
+  *
+  * Algorithm (the spanning-tree covering argument): build ANY rooted
+  * spanning forest; a tree edge is a bridge iff NO non-tree edge's
+  * fundamental cycle covers it, and the fundamental cycle of non-tree
+  * edge (u,v) is exactly the SYMMETRIC DIFFERENCE of u's and v's
+  * root-chains (edges above the LCA appear in both chains and cancel).
+  * Non-tree edges are never bridges (the tree already connects their
+  * endpoints without them).
+  *
+  *  1. components via the audited hybrid `ConnectedComponents` (labels
+  *     are component minima — the roots)
+  *  2. BFS forest from the roots: per round one frontier⋈edges join +
+  *     a dst-keyed MIN(parent) (deterministic tree) + an anti join
+  *     against visited; rounds = diameter
+  *  3. root-chains by POINTER DOUBLING: ceil(log2(depth)) self-joins,
+  *     each concatenating a node's chain with its 2^k-ancestor's chain
+  *  4. covered = explode(symdiff(chain_u, chain_v)) over non-tree edges,
+  *     distinct; bridges = tree edges ∖ covered
+  *
+  * Scale shape: BFS rounds are the standard frontier joins (the q114
+  * multi-source BFS cost); chains hold one struct per ancestor — state
+  * is O(V·depth) and covering work O(E_nontree·depth), the right trade
+  * for the small-world graphs entity linking produces (depth ≈ log V).
+  * For pathological deep paths (depth ~ V) the chain state degrades to
+  * quadratic — `maxDepth` fails fast instead of letting the job die
+  * slowly; raise it deliberately for genuinely deep graphs.
+  *
+  * Input: (src, dst) in any orientation; self-loops, duplicates, and
+  * reversed duplicates are cleaned (SIMPLE-graph semantics — a caller
+  * with true parallel edges should pre-collapse them and treat any
+  * multi-edge pair as unbridgeable). Output: (a, b) normalized
+  * least/greatest, one row per bridge. Deterministic in the data. */
+object Bridges {
+
+  def bridges(edges: DataFrame, maxDepth: Int = 64,
+      ccSmallThreshold: Long = 100000L): DataFrame = {
+    require(maxDepth >= 1, "bridges: maxDepth must be >= 1")
+    val s = col("src").cast("string")
+    val d = col("dst").cast("string")
+    val und = graft.Materialize(edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct())
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+
+    // roots = component minima (the CC label convention)
+    val comp = ConnectedComponents.run(
+      und.select(col("a").as("src"), col("b").as("dst")),
+      smallThreshold = ccSmallThreshold)
+    var visited = graft.Materialize(
+      comp.where(col("id") === col("component"))
+        .select(col("id"), lit(null).cast("string").as("parent"),
+          lit(0).as("level")), eager = false)
+      .where(col("id").isNotNull) // constraint barrier (GraphQuery.reachable)
+    var frontier = visited.select("id")
+    var level = 0
+    var done = false
+    while (!done) {
+      level += 1
+      require(level <= maxDepth,
+        s"bridges: BFS exceeded maxDepth=$maxDepth — deep-path graph; " +
+          "raise maxDepth deliberately (chain state is O(V·depth))")
+      val cand = sym
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("src").as("parent"))
+      val newly = graft.Materialize(
+        cand.join(visited.select("id"), Seq("id"), "left_anti")
+          .groupBy("id").agg(min("parent").as("parent"))
+          .withColumn("level", lit(level)), eager = false)
+        .where(col("id").isNotNull) // constraint barrier
+      if (newly.count() == 0) done = true
+      else {
+        visited = graft.Materialize(visited.union(newly), eager = false)
+          .where(col("id").isNotNull)
+        frontier = newly.select("id")
+      }
+    }
+
+    val emptyChain = array().cast("array<struct<c:string,p:string>>")
+    var state = visited.select(col("id"),
+      coalesce(col("parent"), col("id")).as("top"),
+      when(col("parent").isNotNull,
+        array(struct(col("id").as("c"), col("parent").as("p"))))
+        .otherwise(emptyChain).as("chain"))
+    val maxLevel = level - 1 // last round added nothing
+    var span = 1
+    while (span < maxLevel) {
+      val s2 = state.select(col("id").as("__jid"), col("top").as("__top2"),
+        col("chain").as("__chain2"))
+      state = graft.Materialize(
+        state.join(s2, col("top") === col("__jid"))
+          .select(col("id"), col("__top2").as("top"),
+            concat(col("chain"), col("__chain2")).as("chain")),
+        eager = false)
+        .where(col("id").isNotNull) // constraint barrier
+      span *= 2
+    }
+
+    val treeEdges = visited.where(col("parent").isNotNull)
+      .select(col("id").as("c"), col("parent").as("p"))
+    val treeNorm = treeEdges.select(
+      least(col("c"), col("p")).as("a"), greatest(col("c"), col("p")).as("b"))
+    val nonTree = und.join(treeNorm, Seq("a", "b"), "left_anti")
+
+    val su = state.select(col("id").as("a"), col("chain").as("__cu"))
+    val sv = state.select(col("id").as("b"), col("chain").as("__cv"))
+    val covered = nonTree.join(su, Seq("a")).join(sv, Seq("b"))
+      .select(explode(concat(
+        array_except(col("__cu"), col("__cv")),
+        array_except(col("__cv"), col("__cu")))).as("e"))
+      .select(col("e.c").as("c"), col("e.p").as("p"))
+      .distinct()
+
+    treeEdges.join(covered, Seq("c", "p"), "left_anti")
+      .select(least(col("c"), col("p")).as("a"),
+        greatest(col("c"), col("p")).as("b"))
+  }
+}
