@@ -1905,6 +1905,22 @@ object SparkEntry {
         .select(concat(lit("c"), col("c_custkey")).as("src"),
           concat(lit("c"), col("c_custkey") - 1).as("dst"))
       graft.graph.Bridges.bridges(tree.union(chords))
+    }),
+    "q187_phrase_spot" -> ((s, d) => {
+      // leftmost-longest dictionary phrase spotting over running text —
+      // multi-word gazetteer mention detection with the Aho-Corasick /
+      // FlashText tie rule (nested "sort merge join" beats "merge join";
+      // a match consumes its tokens). Engine = broadcast dict + declarative
+      // l-gram candidates + per-doc aggregate-HOF greedy fold; oracle = a
+      // recursive-CTE scan replaying the greedy pick-by-pick with a
+      // NOT-EXISTS argmin (structurally different: sequential recursion vs
+      // a sorted fold).
+      import s.implicits._
+      val dict = Seq("sort merge join", "merge join", "hash join",
+        "table scan", "scan merge", "batch batch batch", "batch batch",
+        "window window", "key order sort", "order sort").toDF("phrase")
+      graft.link.PhraseSpot.spot(t(s, d, "documents"),
+        col("doc_id"), col("text"), dict)
     })
   )
 
@@ -5238,7 +5254,42 @@ object SparkEntry {
         |SELECT u.a, u.b FROM und u
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM r
-        |  WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)""".stripMargin
+        |  WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)""".stripMargin,
+    // q187: the greedy leftmost-longest scan replayed PICK BY PICK — a
+    // recursive CTE whose state is the scan cursor, advancing to the
+    // NOT-EXISTS-argmin candidate (min start >= cursor, max length) each
+    // step. No sorted fold, no HOFs — sequential recursion vs the
+    // engine's per-doc aggregate fold.
+    "q187_phrase_spot" ->
+      """WITH RECURSIVE dict(phrase, l) AS (
+        |  VALUES ('sort merge join', 3), ('merge join', 2),
+        |         ('hash join', 2), ('table scan', 2), ('scan merge', 2),
+        |         ('batch batch batch', 3), ('batch batch', 2),
+        |         ('window window', 2), ('key order sort', 3),
+        |         ('order sort', 2)),
+        |d AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |cand AS MATERIALIZED (
+        |  SELECT d.id, u.i AS start, dict.l AS len, dict.phrase
+        |  FROM d, unnest(range(1, len(d.w) + 1)) u(i), dict
+        |  WHERE u.i + dict.l - 1 <= len(d.w)
+        |    AND array_to_string(d.w[u.i:u.i+dict.l-1], ' ') = dict.phrase),
+        |pick AS (
+        |  SELECT id, 0 AS start, 0 AS len, '' AS phrase, 1 AS cur
+        |  FROM (SELECT DISTINCT id FROM cand)
+        |  UNION ALL
+        |  SELECT c.id, c.start, c.len, c.phrase, c.start + c.len
+        |  FROM pick p JOIN cand c ON c.id = p.id AND c.start >= p.cur
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand c2
+        |    WHERE c2.id = c.id AND c2.start >= p.cur
+        |      AND (c2.start < c.start
+        |           OR (c2.start = c.start AND c2.len > c.len))))
+        |SELECT id AS doc_id, CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len AS BIGINT) AS n_tokens, phrase
+        |FROM pick WHERE len > 0""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
