@@ -1921,6 +1921,24 @@ object SparkEntry {
         "window window", "key order sort", "order sort").toDF("phrase")
       graft.link.PhraseSpot.spot(t(s, d, "documents"),
         col("doc_id"), col("text"), dict)
+    }),
+    "q188_interval_sched" -> ((s, d) => {
+      // maximum-weight non-overlapping interval selection per supplier
+      // (shipments as [shipday, shipday + qty%20] with weight qty) — the
+      // OPTIMAL span-selection DP (q187's greedy is provably suboptimal
+      // here). Engine = per-key typed O(n log n) DP (sort by end +
+      // binary-searched predecessor); oracle = an index-recursion whose
+      // state is the whole dp VECTOR carried as a list through a
+      // recursive CTE (no binary search, predecessor by correlated count).
+      val li = t(s, d, "lineitem")
+        .where(col("l_suppkey") <= 20 && col("l_partkey") % 10 === 0)
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("sday"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ops.Scheduling.weightedIntervalBest(li,
+        col("l_suppkey"), col("sday"),
+        col("sday") + col("qty") % 20, col("qty"))
     })
   )
 
@@ -5289,7 +5307,39 @@ object SparkEntry {
         |           OR (c2.start = c.start AND c2.len > c.len))))
         |SELECT id AS doc_id, CAST(start AS BIGINT) AS start_tok,
         |  CAST(len AS BIGINT) AS n_tokens, phrase
-        |FROM pick WHERE len > 0""".stripMargin
+        |FROM pick WHERE len > 0""".stripMargin,
+    // q188: the same DP evaluated as an INDEX RECURSION — one recursive-CTE
+    // row per (key, prefix length), carrying the full dp vector as a list;
+    // the predecessor index is a correlated count (no sort-order binary
+    // search anywhere).
+    "q188_interval_sched" ->
+      """WITH RECURSIVE iv AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) % 20 AS BIGINT) AS e,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE l_suppkey <= 20 AND l_partkey % 10 = 0),
+        |ivx AS MATERIALIZED (
+        |  SELECT key, s, e, w,
+        |    row_number() OVER (PARTITION BY key ORDER BY e, s, w) AS idx
+        |  FROM iv),
+        |pred AS MATERIALIZED (
+        |  SELECT a.key, a.idx, a.w,
+        |    (SELECT count(*) FROM ivx b
+        |     WHERE b.key = a.key AND b.e < a.s) AS p
+        |  FROM ivx a),
+        |n AS (SELECT key, count(*) AS n FROM ivx GROUP BY 1),
+        |dp AS (
+        |  SELECT key, 0 AS i, [CAST(0 AS BIGINT)] AS v FROM n
+        |  UNION ALL
+        |  SELECT dp.key, dp.i + 1,
+        |    list_append(dp.v, greatest(dp.v[dp.i + 1], pr.w + dp.v[pr.p + 1]))
+        |  FROM dp JOIN pred pr ON pr.key = dp.key AND pr.idx = dp.i + 1)
+        |SELECT dp.key, v[n.n + 1] AS best_weight, n.n AS n_intervals
+        |FROM dp JOIN n ON n.key = dp.key WHERE dp.i = n.n""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
