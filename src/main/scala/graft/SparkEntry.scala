@@ -1939,6 +1939,24 @@ object SparkEntry {
       graft.ops.Scheduling.weightedIntervalBest(li,
         col("l_suppkey"), col("sday"),
         col("sday") + col("qty") % 20, col("qty"))
+    }),
+    "q189_articulation" -> ((s, d) => {
+      // articulation (cut-vertex) detection over q186's 256-node customer
+      // tree + every-8th chord — the vertex form of the ER over-merge
+      // audit (an articulation vertex in a sameAs graph is ONE entity
+      // holding two clusters together). Engine = Tarjan–Vishkin block CC
+      // over fundamental-cycle covers (shared Bridges machinery); oracle =
+      // the DEFINITION, per-vertex-exclusion BFS: v cuts iff some
+      // neighbor pair is disconnected without v.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
+      val tree = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      val chords = cust
+        .where(col("c_custkey") % 8 === 0 && col("c_custkey") > 1)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), col("c_custkey") - 1).as("dst"))
+      graft.graph.Articulation.articulationPoints(tree.union(chords))
     })
   )
 
@@ -5339,7 +5357,34 @@ object SparkEntry {
         |    list_append(dp.v, greatest(dp.v[dp.i + 1], pr.w + dp.v[pr.p + 1]))
         |  FROM dp JOIN pred pr ON pr.key = dp.key AND pr.idx = dp.i + 1)
         |SELECT dp.key, v[n.n + 1] AS best_weight, n.n AS n_intervals
-        |FROM dp JOIN n ON n.key = dp.key WHERE dp.i = n.n""".stripMargin
+        |FROM dp JOIN n ON n.key = dp.key WHERE dp.i = n.n""".stripMargin,
+    // q189: the DEFINITION of a cut vertex, evaluated directly — for every
+    // vertex v, BFS from v's minimum neighbor in the graph WITHOUT v (a
+    // product-graph recursion keyed by the excluded vertex, q186's trick
+    // vertex-wise); v cuts iff some neighbor is never reached. No spanning
+    // forest, no blocks.
+    "q189_articulation" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
+        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
+        |  UNION
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
+        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
+        |  FROM customer
+        |  WHERE c_custkey % 8 = 0 AND c_custkey > 1 AND c_custkey <= 256),
+        |sym AS (SELECT a AS x, b AS y FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |nb AS (SELECT x AS v, y AS nb FROM sym),
+        |seed AS (SELECT v, min(nb) AS s FROM nb GROUP BY 1),
+        |r AS (
+        |  SELECT v, s AS node FROM seed
+        |  UNION
+        |  SELECT r.v, sym.y FROM r JOIN sym ON sym.x = r.node
+        |  WHERE sym.y <> r.v)
+        |SELECT DISTINCT nb.v AS v FROM nb
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM r WHERE r.v = nb.v AND r.node = nb.nb)""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -47,16 +47,37 @@ import graft.canon.ConnectedComponents
   * least/greatest, one row per bridge. Deterministic in the data. */
 object Bridges {
 
-  def bridges(edges: DataFrame, maxDepth: Int = 64,
-      ccSmallThreshold: Long = 100000L): DataFrame = {
-    require(maxDepth >= 1, "bridges: maxDepth must be >= 1")
+  /** Normalized simple undirected edge list `(a, b)`, a < b. */
+  private[graph] def normalize(edges: DataFrame): DataFrame = {
     val s = col("src").cast("string")
     val d = col("dst").cast("string")
-    val und = graft.Materialize(edges
+    graft.Materialize(edges
       .select(least(s, d).as("a"), greatest(s, d).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
       .distinct())
+  }
+
+  def bridges(edges: DataFrame, maxDepth: Int = 64,
+      ccSmallThreshold: Long = 100000L): DataFrame = {
+    val und = normalize(edges)
+    val (treeEdges, _, cover) = cycleCover(und, maxDepth, ccSmallThreshold)
+    val covered = cover.select("c", "p").distinct()
+    treeEdges.join(covered, Seq("c", "p"), "left_anti")
+      .select(least(col("c"), col("p")).as("a"),
+        greatest(col("c"), col("p")).as("b"))
+  }
+
+  /** Shared spanning-forest machinery (steps 1–4 of the algorithm above),
+    * over a NORMALIZED edge list: returns
+    * `(treeEdges (c=child, p=parent), nonTree (a, b), cover)` where
+    * `cover` has one row per (non-tree edge, tree edge on its fundamental
+    * cycle): `(na, nb, c, p)`. Bridges = tree edges absent from `cover`;
+    * biconnected blocks = connected components over edges linked by
+    * `cover` rows (Articulation). */
+  private[graph] def cycleCover(und: DataFrame, maxDepth: Int,
+      ccSmallThreshold: Long): (DataFrame, DataFrame, DataFrame) = {
+    require(maxDepth >= 1, "bridges: maxDepth must be >= 1")
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
 
@@ -121,15 +142,14 @@ object Bridges {
 
     val su = state.select(col("id").as("a"), col("chain").as("__cu"))
     val sv = state.select(col("id").as("b"), col("chain").as("__cv"))
-    val covered = nonTree.join(su, Seq("a")).join(sv, Seq("b"))
-      .select(explode(concat(
-        array_except(col("__cu"), col("__cv")),
-        array_except(col("__cv"), col("__cu")))).as("e"))
-      .select(col("e.c").as("c"), col("e.p").as("p"))
-      .distinct()
+    val cover = nonTree.join(su, Seq("a")).join(sv, Seq("b"))
+      .select(col("a").as("na"), col("b").as("nb"),
+        explode(concat(
+          array_except(col("__cu"), col("__cv")),
+          array_except(col("__cv"), col("__cu")))).as("e"))
+      .select(col("na"), col("nb"),
+        col("e.c").as("c"), col("e.p").as("p"))
 
-    treeEdges.join(covered, Seq("c", "p"), "left_anti")
-      .select(least(col("c"), col("p")).as("a"),
-        greatest(col("c"), col("p")).as("b"))
+    (treeEdges, nonTree, cover)
   }
 }
