@@ -1957,6 +1957,24 @@ object SparkEntry {
         .select(concat(lit("c"), col("c_custkey")).as("src"),
           concat(lit("c"), col("c_custkey") - 1).as("dst"))
       graft.graph.Articulation.articulationPoints(tree.union(chords))
+    }),
+    "q190_lcs_align" -> ((s, d) => {
+      // token-level LCS alignment summary for consecutive document pairs
+      // (first 40 tokens each): shared-in-order tokens + per-side
+      // drop/add counts — the diff-style evaluation numerators. Engine =
+      // narrow typed two-rolling-row DP per pair (no shuffle); oracle =
+      // a recursive-CTE row-by-row DP whose state is the dp VECTOR as a
+      // list, the in-row scan replayed with list_reduce.
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 80 && col("text").isNotNull)
+        .select(col("doc_id"), array_join(slice(filter(
+          split(trim(col("text")), "\\s+"), w => w =!= ""),
+          1, 40), " ").as("t40"))
+      val pairs = docs.select(col("doc_id").as("pair_id"), col("t40").as("lt"))
+        .join(docs.select((col("doc_id") - 1).as("pair_id"),
+          col("t40").as("rt")), Seq("pair_id"))
+      graft.ops.Align.lcsTokens(pairs, col("pair_id"),
+        col("lt"), col("rt"))
     })
   )
 
@@ -5384,7 +5402,44 @@ object SparkEntry {
         |  WHERE sym.y <> r.v)
         |SELECT DISTINCT nb.v AS v FROM nb
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM r WHERE r.v = nb.v AND r.node = nb.nb)""".stripMargin
+        |  SELECT 1 FROM r WHERE r.v = nb.v AND r.node = nb.nb)""".stripMargin,
+    // q190: the same LCS recurrence evaluated ROW BY ROW in a recursive
+    // CTE — state is the full dp row carried as a list, the sequential
+    // in-row dependency (new[j-1]) replayed by a list_reduce whose
+    // accumulator IS the row being built. No rolling arrays, no typed map.
+    "q190_lcs_align" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(x.doc_id AS VARCHAR) AS key,
+        |    list_filter(string_split_regex(trim(x.text), '\s+'),
+        |      w -> w <> '')[1:40] AS lt,
+        |    list_filter(string_split_regex(trim(y.text), '\s+'),
+        |      w -> w <> '')[1:40] AS rt
+        |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+        |  WHERE x.doc_id < 80 AND y.doc_id < 80
+        |    AND x.text IS NOT NULL AND y.text IS NOT NULL),
+        |dims AS MATERIALIZED (
+        |  SELECT key, lt, rt, len(lt) AS n, len(rt) AS m FROM t),
+        |dp AS (
+        |  SELECT key, 0 AS i,
+        |    list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)) AS v
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT d.key, dp.i + 1,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, d.m + 1), j ->
+        |          [dp.v[j], dp.v[j + 1],
+        |           CASE WHEN d.lt[dp.i + 1] = d.rt[j]
+        |                THEN CAST(1 AS BIGINT)
+        |                ELSE CAST(0 AS BIGINT) END])),
+        |      (acc, x) -> list_append(acc,
+        |        greatest(x[2], acc[-1], x[1] + x[3])))
+        |  FROM dp JOIN dims d ON d.key = dp.key AND dp.i < d.n)
+        |SELECT dp.key, CAST(d.n AS BIGINT) AS n_left,
+        |  CAST(d.m AS BIGINT) AS n_right, v[d.m + 1] AS lcs_len,
+        |  CAST(d.n AS BIGINT) - v[d.m + 1] AS n_del,
+        |  CAST(d.m AS BIGINT) - v[d.m + 1] AS n_ins
+        |FROM dp JOIN dims d ON d.key = dp.key WHERE dp.i = d.n""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
