@@ -1975,6 +1975,21 @@ object SparkEntry {
           col("t40").as("rt")), Seq("pair_id"))
       graft.ops.Align.lcsTokens(pairs, col("pair_id"),
         col("lt"), col("rt"))
+    }),
+    "q191_isotonic" -> ((s, d) => {
+      // isotonic (monotone non-decreasing) least-squares fit of monthly
+      // order volumes per priority — the PAVA calibration primitive, in
+      // exact integer ppm. Engine = per-series pool-adjacent-violators
+      // stack fold (cross-multiplied rational compares, no floats);
+      // oracle = the minimax closed form max_{j<=i} min_{k>=i}
+      // avg(y[j..k]) evaluated as an O(n^3) integer triple join (floor
+      // commutes with max/min, so the ppm floors agree exactly).
+      val pts = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mon"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Isotonic.fit(pts, col("prio"), col("mon"), col("y"))
     })
   )
 
@@ -5439,7 +5454,42 @@ object SparkEntry {
         |  CAST(d.m AS BIGINT) AS n_right, v[d.m + 1] AS lcs_len,
         |  CAST(d.n AS BIGINT) - v[d.m + 1] AS n_del,
         |  CAST(d.m AS BIGINT) - v[d.m + 1] AS n_ins
-        |FROM dp JOIN dims d ON d.key = dp.key WHERE dp.i = d.n""".stripMargin
+        |FROM dp JOIN dims d ON d.key = dp.key WHERE dp.i = d.n""".stripMargin,
+    // q191: the MINIMAX closed form of isotonic regression — no pooling,
+    // no stacks: f_i = max_{j<=i} min_{k>=i} avg(y[j..k]) over prefix
+    // sums, all in BIGINT (values are non-negative counts, so DuckDB's
+    // truncating // equals the engine's floorDiv).
+    "q191_isotonic" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS series,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS x,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT series, x, y,
+        |    row_number() OVER (PARTITION BY series ORDER BY x) AS i,
+        |    CAST(sum(y) OVER (PARTITION BY series ORDER BY x)
+        |      AS BIGINT) AS pre
+        |  FROM pts),
+        |pre0 AS MATERIALIZED (
+        |  SELECT series, 0 AS i, CAST(0 AS BIGINT) AS pre
+        |  FROM (SELECT DISTINCT series FROM idx)
+        |  UNION ALL SELECT series, i, pre FROM idx),
+        |inner_mn AS (
+        |  SELECT x.series, x.i, j.i AS j,
+        |    min((1000000 * (k.pre - jm.pre)) // (k.i - j.i + 1)) AS v
+        |  FROM idx x
+        |  JOIN idx j ON j.series = x.series AND j.i <= x.i
+        |  JOIN idx k ON k.series = x.series AND k.i >= x.i
+        |  JOIN pre0 jm ON jm.series = x.series AND jm.i = j.i - 1
+        |  GROUP BY 1, 2, 3),
+        |fit AS (
+        |  SELECT series, i, CAST(max(v) AS BIGINT) AS fitted_ppm
+        |  FROM inner_mn GROUP BY 1, 2)
+        |SELECT idx.series, idx.x, idx.y, fit.fitted_ppm
+        |FROM idx JOIN fit ON fit.series = idx.series AND fit.i = idx.i"""
+        .stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
