@@ -1990,7 +1990,16 @@ object SparkEntry {
             .cast("long").as("mon"))
         .agg(count(lit(1)).as("y"))
       graft.ops.Isotonic.fit(pts, col("prio"), col("mon"), col("y"))
-    })
+    }),
+    "q192_suffix_array" -> ((s, d) =>
+      // distributed suffix array of the concatenated 12-document corpus —
+      // prefix doubling as joins + Enumerate dense re-ranks (the
+      // ExactSubstr index structure; no suffix string ever materialized).
+      // Oracle = the O(n^2) DEFINITION: materialize every suffix of the
+      // same concatenation and row_number it.
+      graft.ops.SuffixArray.build(
+        t(s, d, "documents").where(col("doc_id") < 12),
+        col("doc_id"), col("text")))
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -5489,7 +5498,21 @@ object SparkEntry {
         |  FROM inner_mn GROUP BY 1, 2)
         |SELECT idx.series, idx.x, idx.y, fit.fitted_ppm
         |FROM idx JOIN fit ON fit.series = idx.series AND fit.i = idx.i"""
-        .stripMargin
+        .stripMargin,
+    // q192: the DEFINITION of a suffix array — materialize every suffix
+    // of the identical concatenation (id order, chr(1) separators) and
+    // sort the strings. No doubling, no ranks-of-ranks.
+    "q192_suffix_array" ->
+      """WITH s AS (
+        |  SELECT string_agg(text, chr(1) ORDER BY doc_id) || chr(1) AS str
+        |  FROM documents WHERE doc_id < 12),
+        |sa AS (
+        |  SELECT u.i - 1 AS pos,
+        |    row_number() OVER (ORDER BY substr(s.str, CAST(u.i AS INT)))
+        |      - 1 AS rank
+        |  FROM s, unnest(range(1, length(s.str) + 1)) u(i))
+        |SELECT CAST(pos AS BIGINT) AS pos, CAST(rank AS BIGINT) AS rank
+        |FROM sa""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
