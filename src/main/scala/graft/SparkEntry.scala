@@ -1999,7 +1999,25 @@ object SparkEntry {
       // same concatenation and row_number it.
       graft.ops.SuffixArray.build(
         t(s, d, "documents").where(col("doc_id") < 12),
-        col("doc_id"), col("text")))
+        col("doc_id"), col("text"))),
+    "q193_taxonomy_lca" -> ((s, d) => {
+      // lowest common ancestor + Wu–Palmer taxonomy similarity over the
+      // 255-node customer parent tree for 99 query pairs (k, 201-k) —
+      // the class-generalization primitive for type-aware blocking.
+      // Engine = pointer-doubled depth-annotated ancestor chains (log d
+      // rounds) + one chain-intersection join; oracle = a step-at-a-time
+      // recursive ancestor walk with arg_max over common ancestors.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 255)
+      val parents = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("id"),
+        concat(lit("c"), expr("c_custkey div 2")).as("parent"))
+      val pairs = cust
+        .where(col("c_custkey") >= 2 && col("c_custkey") <= 100)
+        .select(concat(lit("c"), col("c_custkey")).as("a"),
+          concat(lit("c"), lit(201) - col("c_custkey")).as("b"))
+      graft.graph.Taxonomy.lcaPairs(parents, col("id"), col("parent"),
+        pairs, col("a"), col("b"))
+    })
   )
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
@@ -5512,7 +5530,44 @@ object SparkEntry {
         |      - 1 AS rank
         |  FROM s, unnest(range(1, length(s.str) + 1)) u(i))
         |SELECT CAST(pos AS BIGINT) AS pos, CAST(rank AS BIGINT) AS rank
-        |FROM sa""".stripMargin
+        |FROM sa""".stripMargin,
+    // q193: LCA by step-at-a-time ancestor recursion — each node's full
+    // ancestor closure grown one parent per recursion round, the pair's
+    // deepest common ancestor picked by arg_max. No doubling, no chains.
+    "q193_taxonomy_lca" ->
+      """WITH RECURSIVE par AS (
+        |  SELECT 'c' || c_custkey AS id, 'c' || (c_custkey // 2) AS parent
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 255),
+        |nodes AS (SELECT id FROM par UNION SELECT parent FROM par),
+        |anc AS (
+        |  SELECT id, id AS anc, 0 AS up FROM nodes
+        |  UNION ALL
+        |  SELECT anc.id, par.parent, anc.up + 1
+        |  FROM anc JOIN par ON par.id = anc.anc),
+        |dep AS (SELECT id, max(up) AS depth FROM anc GROUP BY 1),
+        |pairs AS (
+        |  SELECT 'c' || c_custkey AS a, 'c' || (201 - c_custkey) AS b
+        |  FROM customer WHERE c_custkey BETWEEN 2 AND 100),
+        |com AS (
+        |  SELECT p.a, p.b, x.anc, da.depth AS depth_a, db.depth AS depth_b,
+        |         dl.depth AS anc_depth
+        |  FROM pairs p
+        |  JOIN anc x ON x.id = p.a
+        |  JOIN anc y ON y.id = p.b AND y.anc = x.anc
+        |  JOIN dep da ON da.id = p.a
+        |  JOIN dep db ON db.id = p.b
+        |  JOIN dep dl ON dl.id = x.anc),
+        |best AS (
+        |  SELECT a, b, arg_max(anc, anc_depth) AS lca,
+        |    CAST(max(depth_a) AS BIGINT) AS depth_a,
+        |    CAST(max(depth_b) AS BIGINT) AS depth_b,
+        |    CAST(max(anc_depth) AS BIGINT) AS depth_lca
+        |  FROM com GROUP BY a, b)
+        |SELECT a, b, lca, depth_a, depth_b, depth_lca,
+        |  CAST(CASE WHEN depth_a + depth_b = 0 THEN 1000000
+        |       ELSE (2000000 * depth_lca) // (depth_a + depth_b) END
+        |    AS BIGINT) AS wu_palmer_ppm
+        |FROM best""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
