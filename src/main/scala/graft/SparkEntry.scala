@@ -2017,6 +2017,24 @@ object SparkEntry {
           concat(lit("c"), lit(201) - col("c_custkey")).as("b"))
       graft.graph.Taxonomy.lcaPairs(parents, col("id"), col("parent"),
         pairs, col("a"), col("b"))
+    }),
+    "q194_lis" -> ((s, d) => {
+      // longest strictly-increasing price subsequence per supplier in
+      // ship order — the order-consistency audit (n - lis_len = minimum
+      // rows to delete for a monotone series). Engine = secondary-sort
+      // partition walk + patience tails with binary search; oracle = the
+      // O(n^2) textbook DP as a dp-vector recursive CTE (no tails
+      // anywhere).
+      val li = t(s, d, "lineitem")
+        .where(col("l_suppkey") <= 30 && col("l_partkey") % 7 === 0)
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .as("sday"),
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.ops.Lis.longestRun(li, col("l_suppkey"),
+        Seq(col("sday"), col("l_orderkey"), col("l_linenumber")),
+        col("cents"))
     })
   )
 
@@ -5567,7 +5585,35 @@ object SparkEntry {
         |  CAST(CASE WHEN depth_a + depth_b = 0 THEN 1000000
         |       ELSE (2000000 * depth_lca) // (depth_a + depth_b) END
         |    AS BIGINT) AS wu_palmer_ppm
-        |FROM best""".stripMargin
+        |FROM best""".stripMargin,
+    // q194: the O(n^2) textbook LIS DP — dp[i] = 1 + max(dp[j] : j < i,
+    // v[j] < v[i]) — carried as a dp-vector list through a recursive CTE,
+    // the inner max replayed by list_transform over all previous indices.
+    // No patience tails, no binary search.
+    "q194_lis" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS sday,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_suppkey <= 30 AND l_partkey % 7 = 0),
+        |seq AS MATERIALIZED (
+        |  SELECT k, list(v ORDER BY sday, l_orderkey, l_linenumber) AS vs,
+        |    count(*) AS n
+        |  FROM li GROUP BY 1),
+        |dp AS (
+        |  SELECT k, 0 AS i, CAST([] AS BIGINT[]) AS d FROM seq
+        |  UNION ALL
+        |  SELECT s.k, dp.i + 1,
+        |    list_append(dp.d,
+        |      1 + coalesce(list_max(list_transform(range(1, dp.i + 1),
+        |        j -> CASE WHEN s.vs[j] < s.vs[dp.i + 1]
+        |             THEN dp.d[j] ELSE CAST(0 AS BIGINT) END)), 0))
+        |  FROM dp JOIN seq s ON s.k = dp.k AND dp.i < s.n)
+        |SELECT dp.k AS key, CAST(s.n AS BIGINT) AS n,
+        |  CAST(coalesce(list_max(dp.d), 0) AS BIGINT) AS lis_len
+        |FROM dp JOIN seq s ON s.k = dp.k WHERE dp.i = s.n""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
