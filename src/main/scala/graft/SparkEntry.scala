@@ -2035,6 +2035,23 @@ object SparkEntry {
       graft.ops.Lis.longestRun(li, col("l_suppkey"),
         Seq(col("sday"), col("l_orderkey"), col("l_linenumber")),
         col("cents"))
+    }),
+    "q195_mmr_select" -> ((s, d) => {
+      // maximal-marginal-relevance diverse top-12 of docs 1..60 against
+      // doc 0's tokens as the query — integer MMR (score = rel − max sim
+      // to picked). Engine = k driver rounds, each a distributed
+      // TakeOrdered(1) argmax + one broadcast fold of the picked doc's
+      // tokens; oracle = a recursive CTE whose state is the FULL
+      // candidate max-sim VECTOR plus the chosen list, pick replayed by
+      // list argmax over a prebuilt similarity matrix.
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val tok = docs.where(col("doc_id").between(1, 60))
+        .select(col("doc_id"), explode(filter(
+          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+      val q = docs.where(col("doc_id") === 0)
+        .select(explode(filter(
+          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+      graft.ops.Mmr.select(tok, col("doc_id"), col("w"), q, col("w"), 12)
     })
   )
 
@@ -5613,7 +5630,65 @@ object SparkEntry {
         |  FROM dp JOIN seq s ON s.k = dp.k AND dp.i < s.n)
         |SELECT dp.k AS key, CAST(s.n AS BIGINT) AS n,
         |  CAST(coalesce(list_max(dp.d), 0) AS BIGINT) AS lis_len
-        |FROM dp JOIN seq s ON s.k = dp.k WHERE dp.i = s.n""".stripMargin
+        |FROM dp JOIN seq s ON s.k = dp.k WHERE dp.i = s.n""".stripMargin,
+    // q195: the greedy replayed as a recursive CTE whose state is ONE ROW
+    // per round carrying the chosen list and the full candidate max-sim
+    // vector; the pick is a pure list argmax (tie = min index = min id,
+    // ids sorted ascending) against a prebuilt integer similarity matrix.
+    "q195_mmr_select" ->
+      """WITH RECURSIVE tok AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS id, t.w AS w
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) t(w)
+        |  WHERE doc_id BETWEEN 1 AND 60 AND text IS NOT NULL),
+        |q AS (
+        |  SELECT DISTINCT t.w AS w
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) t(w)
+        |  WHERE doc_id = 0),
+        |ids AS MATERIALIZED (
+        |  SELECT id, row_number() OVER (ORDER BY id) AS i
+        |  FROM (SELECT DISTINCT id FROM tok)),
+        |dims AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ids),
+        |relt AS (
+        |  SELECT ids.i, CAST(count(q.w) AS BIGINT) AS rel
+        |  FROM ids JOIN tok ON tok.id = ids.id
+        |  LEFT JOIN q ON q.w = tok.w GROUP BY 1),
+        |relv AS (SELECT list(coalesce(relt.rel, 0) ORDER BY gi.i) AS rel
+        |  FROM (SELECT i AS i FROM ids) gi LEFT JOIN relt ON relt.i = gi.i),
+        |simt AS MATERIALIZED (
+        |  SELECT a0.i AS x, b0.i AS y, CAST(count(*) AS BIGINT) AS s
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.id <> b.id
+        |  JOIN ids a0 ON a0.id = a.id JOIN ids b0 ON b0.id = b.id
+        |  GROUP BY 1, 2),
+        |simmat AS (
+        |  SELECT list(row ORDER BY x) AS mat FROM (
+        |    SELECT gx.i AS x,
+        |      list(coalesce(simt.s, 0) ORDER BY gy.i) AS row
+        |    FROM ids gx JOIN ids gy ON true
+        |    LEFT JOIN simt ON simt.x = gx.i AND simt.y = gy.i
+        |    GROUP BY 1)),
+        |r AS (
+        |  SELECT 0 AS round, CAST([] AS BIGINT[]) AS chosen,
+        |    list_transform(range(1, m + 1), z -> CAST(0 AS BIGINT)) AS ms,
+        |    CAST(NULL AS BIGINT) AS pick_made, CAST(NULL AS BIGINT) AS ms_at_pick
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT r.round + 1,
+        |    list_append(r.chosen, list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))),
+        |    list_transform(range(1, dims.m + 1), j ->
+        |      CASE WHEN list_contains(r.chosen, j) OR j = list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END)))) THEN r.ms[j]
+        |           ELSE greatest(r.ms[j], simmat.mat[list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))][j]) END),
+        |    list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END)))),
+        |    r.ms[list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))]
+        |  FROM r, dims, relv, simmat
+        |  WHERE r.round < 12)
+        |SELECT CAST(r.round AS BIGINT) AS rank,
+        |  CAST(ids.id AS VARCHAR) AS doc_id,
+        |  relv.rel[r.pick_made] AS rel, r.ms_at_pick AS max_sim,
+        |  relv.rel[r.pick_made] - r.ms_at_pick AS score
+        |FROM r, relv JOIN ids ON ids.i = r.pick_made
+        |WHERE r.round >= 1""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
