@@ -2052,6 +2052,26 @@ object SparkEntry {
         .select(explode(filter(
           split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
       graft.ops.Mmr.select(tok, col("doc_id"), col("w"), q, col("w"), 12)
+    }),
+    "q196_stable_match" -> ((s, d) => {
+      // proposer-optimal stable matching of 16 customers to 16 suppliers
+      // under tie-free modular preference scores (5mw mod 251 / 7mw mod
+      // 251) — the 1:1 ER assignment with no blocking pairs. Engine =
+      // round-PARALLEL Gale–Shapley (all free proposers per round, argmax
+      // holds, standing rejections); oracle = the SEQUENTIAL McVitie
+      // replay, one proposal per recursion step with pointer/fiancé
+      // vectors as list state — identical output by the McVitie–Wilson
+      // proposal-order-independence theorem.
+      val men = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 16)).select(col("c_custkey").as("mk"))
+      val women = t(s, d, "supplier")
+        .where(col("s_suppkey").between(1, 16)).select(col("s_suppkey").as("wk"))
+      val prefs = men.crossJoin(women).select(
+        concat(lit("c"), col("mk")).as("m"),
+        concat(lit("s"), col("wk")).as("w"),
+        (col("mk") * col("wk") * 5 % 251).as("m_score"),
+        (col("mk") * col("wk") * 7 % 251).as("w_score"))
+      graft.link.StableMatch.matchPairs(prefs)
     })
   )
 
@@ -5688,7 +5708,40 @@ object SparkEntry {
         |  relv.rel[r.pick_made] AS rel, r.ms_at_pick AS max_sim,
         |  relv.rel[r.pick_made] - r.ms_at_pick AS score
         |FROM r, relv JOIN ids ON ids.i = r.pick_made
-        |WHERE r.round >= 1""".stripMargin
+        |WHERE r.round >= 1""".stripMargin,
+    // q196: the SEQUENTIAL McVitie replay — one proposal per recursion
+    // step, the smallest free proposer inlined as a list argmin, pointer
+    // and fiancé vectors carried as list state. No rounds, no argmax
+    // aggregates.
+    "q196_stable_match" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c.c_custkey AS mk, s.s_suppkey AS wk,
+        |    (c.c_custkey * s.s_suppkey * 5) % 251 AS msc,
+        |    (c.c_custkey * s.s_suppkey * 7) % 251 AS wsc
+        |  FROM customer c, supplier s
+        |  WHERE c.c_custkey BETWEEN 1 AND 16 AND s.s_suppkey BETWEEN 1 AND 16),
+        |mp AS (SELECT mk, list(wk ORDER BY msc DESC) AS ws FROM base GROUP BY 1),
+        |mpref AS (SELECT list(ws ORDER BY mk) AS mat FROM mp),
+        |wv AS (SELECT wk, list(wsc ORDER BY mk) AS ms FROM base GROUP BY 1),
+        |wmat AS (SELECT list(ms ORDER BY wk) AS mat FROM wv),
+        |r AS (
+        |  SELECT 0 AS step,
+        |    list_transform(range(1, 17), z -> CAST(1 AS BIGINT)) AS nextv,
+        |    list_transform(range(1, 17), z -> CAST(0 AS BIGINT)) AS fiance
+        |  UNION ALL
+        |  SELECT r.step + 1,
+        |    list_transform(range(1, 17), i ->
+        |      CASE WHEN i = list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) THEN r.nextv[i] + 1 ELSE r.nextv[i] END),
+        |    CASE WHEN (r.fiance[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]] = 0 OR wmat.mat[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]][list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))] > wmat.mat[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]][r.fiance[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]]])
+        |      THEN list_transform(range(1, 17), j ->
+        |        CASE WHEN j = mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]] THEN CAST(list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) AS BIGINT) ELSE r.fiance[j] END)
+        |      ELSE r.fiance END
+        |  FROM r, mpref, wmat
+        |  WHERE list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) IS NOT NULL),
+        |fin AS (SELECT fiance FROM r ORDER BY step DESC LIMIT 1)
+        |SELECT 'c' || fiance[j] AS m, 's' || j AS w
+        |FROM fin, unnest(range(1, 17)) u(j)
+        |WHERE fiance[j] <> 0""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
