@@ -2072,6 +2072,23 @@ object SparkEntry {
         (col("mk") * col("wk") * 5 % 251).as("m_score"),
         (col("mk") * col("wk") * 7 % 251).as("w_score"))
       graft.link.StableMatch.matchPairs(prefs)
+    }),
+    "q197_containment" -> ((s, d) => {
+      // asymmetric shingle-containment near-dup over the corpus plus 15
+      // planted 12-token excerpts (doc_id + 10000) — the quote/subset
+      // duplication mode symmetric Jaccard cannot see (excerpt→source
+      // containment 1.0, Jaccard ~0.05). Engine = df-capped shared-shingle
+      // blocking + candidate-bounded intersection, both directions scored
+      // in exact integer ppm; oracle = the same corpus scored by direct
+      // all-candidate SQL (blocking replayed declaratively).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") < 15)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(filter(
+            split(trim(col("text")), "\\s+"), w => w =!= ""),
+            1, 12), " ").as("text"))
+      graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
+        k = 5, thresholdPpm = 500000L, maxDf = 50)
     })
   )
 
@@ -5741,7 +5758,55 @@ object SparkEntry {
         |fin AS (SELECT fiance FROM r ORDER BY step DESC LIMIT 1)
         |SELECT 'c' || fiance[j] AS m, 's' || j AS w
         |FROM fin, unnest(range(1, 17)) u(j)
-        |WHERE fiance[j] <> 0""".stripMargin
+        |WHERE fiance[j] <> 0""".stripMargin,
+    // q197: the same corpus (+ planted excerpts), blocking and directed
+    // ppm scoring replayed declaratively in SQL — q20's shingle shapes
+    // with an asymmetric denominator.
+    "q197_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_filter(
+        |      string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')[1:12], ' ')
+        |  FROM documents WHERE doc_id < 15),
+        |words AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT id, shingle FROM (
+        |    SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
+        |    FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1))
+        |      AS t(i)
+        |    WHERE len(w) >= 5)),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |kept AS (SELECT id, shingle FROM sh
+        |         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+        |                           HAVING COUNT(*) <= 50)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+        |    AND a.id < b.id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS common, sa.sz AS sz_a,
+        |    sb.sz AS sz_b
+        |  FROM cand c
+        |  JOIN sh a ON a.id = c.id_a
+        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+        |  GROUP BY 1, 2, 4, 5),
+        |dir AS (
+        |  SELECT id_a AS id, id_b AS other_id, common, sz_a AS n_shingles
+        |  FROM inter
+        |  UNION ALL
+        |  SELECT id_b, id_a, common, sz_b FROM inter)
+        |SELECT id, other_id, common,
+        |  CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST((1000000 * common) // n_shingles AS BIGINT)
+        |    AS containment_ppm
+        |FROM dir
+        |WHERE (1000000 * common) // n_shingles >= 500000""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -421,4 +421,47 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Asymmetric CONTAINMENT near-dup — `c(a→b) = |S(a)∩S(b)| / |S(a)|`
+    * over DISTINCT k-shingle sets: the subset/quote detector. A 100-token
+    * excerpt inside a 10k-token page has Jaccard ≈ 0.01 (invisible to
+    * `ngramJaccardPairs`) but containment 1.0 — exactly the duplication
+    * mode that inflates training data when pages quote each other.
+    *
+    * Same scale shape as the Jaccard operator: df-capped shared-shingle
+    * blocking (the cap bounds the block quadratic and drops boilerplate),
+    * one candidate-bounded intersection count, then BOTH directions of
+    * each unordered candidate are scored against their OWN set size.
+    * Score is exact integer ppm (`floor(1e6·common / |S(id)|)`).
+    * Returns directed rows `(id, other_id, common, n_shingles,
+    * containment_ppm)` with containment ≥ thresholdPpm, id ≠ other_id. */
+  def containmentPairs(df: DataFrame, k: Int = 5, thresholdPpm: Long = 500000L,
+      maxDf: Int = 50, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = graft.Materialize(df
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), k)).as("shingle"))
+      .where(col("shingle").isNotNull))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val kept = sh.join(dfCap, "shingle").select("id", "shingle")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    val dirA = inter.select(col("id_a").as("id"), col("id_b").as("other_id"),
+      col("common"), col("sz_a").as("n_shingles"))
+    val dirB = inter.select(col("id_b").as("id"), col("id_a").as("other_id"),
+      col("common"), col("sz_b").as("n_shingles"))
+    dirA.union(dirB)
+      .withColumn("containment_ppm",
+        expr("1000000 * common div n_shingles").cast("long"))
+      .where(col("containment_ppm") >= thresholdPpm)
+  }
 }
