@@ -2089,6 +2089,63 @@ object SparkEntry {
             1, 12), " ").as("text"))
       graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
         k = 5, thresholdPpm = 500000L, maxDf = 50)
+    }),
+    "q198_freq_itemsets" -> ((s, d) => {
+      // frequent itemsets (sizes 1-3) over orders as baskets and part
+      // categories (l_partkey mod 37) as items — the co-purchase mining
+      // step of the product graph. Engine = level-wise Apriori (each
+      // level counts only candidates whose sub-level survived, per-basket
+      // streams projected to frequent items first); oracle = DIRECT
+      // enumeration of every itemset by unpruned self-joins (downward
+      // closure is what makes the two agree).
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey").as("bk"),
+        concat(lit("p"), (col("l_partkey") % 37).cast("string")).as("it"))
+      graft.ops.Itemsets.frequentItemsets(li, col("bk"), col("it"),
+        minSupport = 30L)
+    }),
+    "q199_assoc_rules" -> ((s, d) => {
+      // association rules x->y from the frequent category pairs with
+      // integer-ppm confidence and lift (decimal-exact floor — int64
+      // would wrap at corpus scale). Oracle = the definitional SQL with
+      // HUGEINT-safe integer division.
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey").as("bk"),
+        concat(lit("p"), (col("l_partkey") % 37).cast("string")).as("it"))
+      graft.ops.Itemsets.associationRules(li, col("bk"), col("it"),
+        minSupport = 60L, minConfPpm = 0L)
+    }),
+    "q200_corr_clustering" -> ((s, d) => {
+      // pivot correlation clustering over the 256-node customer tree +
+      // every-5th chord — the ER hairball repair (a cluster only holds
+      // DIRECT neighbors of its pivot). Engine = lex-first MIS w.r.t.
+      // the portable kmvHash priority (parallel local-min rounds) + one
+      // min-pivot assignment join; oracle = the SEQUENTIAL pivot scan
+      // replayed pivot-by-pivot in a list-state recursive CTE with the
+      // same priority recomputed in SQL.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
+      val tree = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      val chords = cust
+        .where(col("c_custkey") % 5 === 0 && col("c_custkey") > 1)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), col("c_custkey") - 1).as("dst"))
+      graft.canon.CorrCluster.pivotClusters(tree.union(chords))
+    }),
+    "q201_meta_blocking" -> ((s, d) => {
+      // meta-blocking (CBS weights + weighted-node pruning) over a
+      // redundancy-positive blocking: three modular keys per customer,
+      // so co-residual pairs share up to 3 blocks. Engine = block
+      // purge + pair-count + integer-exact mean pruning; oracle = the
+      // definitional SQL over the same keys.
+      val c = t(s, d, "customer").where(col("c_custkey") <= 120)
+      val asg = Seq(11, 13, 17).map { m =>
+        c.select(concat(lit("c"), col("c_custkey")).as("rec"),
+          concat(lit(s"k${m}_"), (col("c_custkey") % m).cast("string"))
+            .as("blk"))
+      }.reduce(_ unionByName _)
+      graft.link.MetaBlocking.wnpPairs(asg, col("rec"), col("blk"))
     })
   )
 
@@ -5806,7 +5863,135 @@ object SparkEntry {
         |  CAST((1000000 * common) // n_shingles AS BIGINT)
         |    AS containment_ppm
         |FROM dir
-        |WHERE (1000000 * common) // n_shingles >= 500000""".stripMargin
+        |WHERE (1000000 * common) // n_shingles >= 500000""".stripMargin,
+    // q198: every itemset of size 1-3 enumerated DIRECTLY by unpruned
+    // self-joins and counted — no level-wise candidate generation, no
+    // Apriori projection anywhere; downward closure is the theorem that
+    // makes this agree with the engine's pruned level-wise walk.
+    "q198_freq_itemsets" ->
+      """WITH b AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS bk,
+        |    'p' || CAST(l_partkey % 37 AS VARCHAR) AS it
+        |  FROM lineitem),
+        |f1 AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
+        |p2 AS (SELECT x.it AS i1, y.it AS i2, count(*) AS c
+        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |       GROUP BY 1, 2),
+        |p3 AS (SELECT x.it AS i1, y.it AS i2, z.it AS i3, count(*) AS c
+        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |            JOIN b z ON x.bk = z.bk AND y.it < z.it
+        |       GROUP BY 1, 2, 3)
+        |SELECT it AS itemset, CAST(1 AS INTEGER) AS size, c AS support
+        |FROM f1 WHERE c >= 30
+        |UNION ALL
+        |SELECT i1 || '|' || i2, CAST(2 AS INTEGER), c FROM p2 WHERE c >= 30
+        |UNION ALL
+        |SELECT i1 || '|' || i2 || '|' || i3, CAST(3 AS INTEGER), c
+        |FROM p3 WHERE c >= 30""".stripMargin,
+    // q199: the rule scores computed definitionally — supports by direct
+    // counting, conf/lift by HUGEINT-promoted integer floor division.
+    "q199_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS bk,
+        |    'p' || CAST(l_partkey % 37 AS VARCHAR) AS it
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT bk) AS n FROM b),
+        |f1 AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
+        |p2 AS (SELECT x.it AS i1, y.it AS i2, count(*) AS c
+        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 60),
+        |dir AS (SELECT i1 AS x, i2 AS y, c FROM p2
+        |        UNION ALL SELECT i2, i1, c FROM p2)
+        |SELECT dir.x AS antecedent, dir.y AS consequent, dir.c AS support,
+        |  CAST((CAST(1000000 AS HUGEINT) * dir.c) // sx.c AS BIGINT)
+        |    AS conf_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * dir.c * n.n) // (sx.c * sy.c)
+        |    AS BIGINT) AS lift_ppm
+        |FROM dir, n
+        |JOIN f1 sx ON sx.it = dir.x
+        |JOIN f1 sy ON sy.it = dir.y""".stripMargin,
+    // q200: the SEQUENTIAL pivot scan, literally — vertices indexed once,
+    // priorities and adjacency carried as lists, one recursion step per
+    // pivot: the unassigned vertex with the minimum (hash, id) priority
+    // pivots and its unassigned neighbors take its label. No MIS, no
+    // rounds — the other side of the Blelloch–Fineman–Shun equivalence.
+    "q200_corr_clustering" ->
+      s"""WITH RECURSIVE edir AS (
+        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey - 1)
+        |  FROM customer
+        |  WHERE c_custkey % 5 = 0 AND c_custkey > 1 AND c_custkey <= 256),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM edir WHERE src <> dst),
+        |v AS (SELECT DISTINCT id FROM
+        |        (SELECT x AS id FROM und UNION ALL SELECT y FROM und)),
+        |vid AS (SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT)
+        |          AS ix FROM v),
+        |nn AS (SELECT count(*) AS n FROM vid),
+        |pr AS (SELECT list(${kmvHashSql("id")} ORDER BY ix) AS h,
+        |              list(id ORDER BY ix) AS id FROM vid),
+        |sym AS (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und),
+        |adj0 AS (SELECT va.ix AS ai, list(vb.ix) AS nbs
+        |         FROM sym JOIN vid va ON va.id = sym.a
+        |              JOIN vid vb ON vb.id = sym.b
+        |         GROUP BY 1),
+        |am AS (SELECT list(nbs ORDER BY ai) AS nb FROM adj0),
+        |r AS (
+        |  SELECT 0 AS step,
+        |    list_transform(range(1, nn.n + 1), z -> CAST(0 AS BIGINT)) AS cl
+        |  FROM nn
+        |  UNION ALL
+        |  SELECT r.step + 1,
+        |    list_transform(range(1, nn.n + 1), j ->
+        |      CASE WHEN r.cl[j] <> 0 THEN r.cl[j]
+        |           WHEN j = list_reduce(
+        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
+        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
+        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
+        |                 THEN y ELSE x END)
+        |             OR list_contains(am.nb[list_reduce(
+        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
+        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
+        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
+        |                 THEN y ELSE x END)], j)
+        |           THEN list_reduce(
+        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
+        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
+        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
+        |                 THEN y ELSE x END)
+        |           ELSE CAST(0 AS BIGINT) END)
+        |  FROM r, nn, pr, am
+        |  WHERE len(list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0)) > 0),
+        |fin AS (SELECT cl FROM r ORDER BY step DESC LIMIT 1)
+        |SELECT pr.id[j] AS id, pr.id[fin.cl[j]] AS cluster
+        |FROM fin, pr, nn, unnest(range(1, nn.n + 1)) u(j)""".stripMargin,
+    // q201: the definitional meta-blocking SQL — distinct assignments,
+    // block-size purge, pair CBS count, symmetric incidence aggregates,
+    // the same integer-exact mean test.
+    "q201_meta_blocking" ->
+      """WITH a AS (
+        |  SELECT 'c' || c_custkey AS rec,
+        |    'k11_' || CAST(c_custkey % 11 AS VARCHAR) AS blk
+        |  FROM customer WHERE c_custkey <= 120
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'k13_' || CAST(c_custkey % 13 AS VARCHAR)
+        |  FROM customer WHERE c_custkey <= 120
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'k17_' || CAST(c_custkey % 17 AS VARCHAR)
+        |  FROM customer WHERE c_custkey <= 120),
+        |b AS (SELECT DISTINCT blk, rec FROM a),
+        |keptb AS (SELECT blk FROM b GROUP BY 1 HAVING count(*) <= 1000),
+        |k AS (SELECT b.blk, b.rec FROM b JOIN keptb USING (blk)),
+        |w AS (SELECT x.rec AS ra, y.rec AS rb, count(*) AS w
+        |      FROM k x JOIN k y ON x.blk = y.blk AND x.rec < y.rec
+        |      GROUP BY 1, 2),
+        |inc AS (SELECT ra AS rec, w FROM w UNION ALL SELECT rb, w FROM w),
+        |nd AS (SELECT rec, count(*) AS deg, sum(w) AS s FROM inc GROUP BY 1)
+        |SELECT w.ra AS rec_a, w.rb AS rec_b, w.w AS weight
+        |FROM w JOIN nd na ON na.rec = w.ra JOIN nd nb ON nb.rec = w.rb
+        |WHERE w.w * na.deg >= na.s OR w.w * nb.deg >= nb.s""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Maximal independent set by Luby's algorithm (Luby, SIAM J. Comput.
@@ -28,9 +28,19 @@ object Mis {
     * returns (id, round) for selected nodes — round = the wave that
     * selected them (audit of the geometric shrink). Every node of `edges`
     * appears in NO or exactly one row; adding any absent node would break
-    * independence (maximality). */
+    * independence (maximality).
+    *
+    * `prioOf` builds the total-order priority struct from an id column —
+    * the default is the engine-standard (xxhash64, id). [[graft.canon
+    * .CorrCluster]] swaps in the PORTABLE fingerprint so its sequential
+    * oracle can replay the identical order in another engine; the
+    * selected set is the lexicographically-first MIS w.r.t. whatever
+    * order is passed (local-min rounds == the sequential greedy scan —
+    * Blelloch, Fineman & Shun, SPAA 2012). */
   def maximalIndependentSet(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxRounds: Int = 200): DataFrame = {
+      dstCol: String = "dst", maxRounds: Int = 200,
+      prioOf: Column => Column =
+        c => struct(xxhash64(c).as("h"), c.as("i"))): DataFrame = {
     require(maxRounds >= 1, "maximalIndependentSet: maxRounds must be >= 1")
     val und = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
@@ -48,8 +58,8 @@ object Mis {
       round += 1
       // a node wins iff its (hash, id) priority is strictly below every
       // surviving neighbor's — computed as one neighbor-min aggregate
-      val prio = struct(xxhash64(col("a")).as("h"), col("a").as("i"))
-      val nbrPrio = struct(xxhash64(col("b")).as("h"), col("b").as("i"))
+      val prio = prioOf(col("a"))
+      val nbrPrio = prioOf(col("b"))
       val winners = graft.Materialize(
         live.groupBy(col("a").as("id"))
           .agg(min(nbrPrio).as("minNbr"), first(prio).as("own"))
