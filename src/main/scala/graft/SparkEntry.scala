@@ -2146,6 +2146,76 @@ object SparkEntry {
             .as("blk"))
       }.reduce(_ unionByName _)
       graft.link.MetaBlocking.wnpPairs(asg, col("rec"), col("blk"))
+    }),
+    "q202_sw_local" -> ((s, d) => {
+      // Smith–Waterman local alignment over doc pairs with a PLANTED
+      // 7-token fragment of the left doc spliced into the right — the
+      // embedded-copy detector global LCS/edit distance dilutes. Engine
+      // = per-pair rolling-row DP, narrow typed map, row-major
+      // first-tie argmax; oracle = row-by-row recursive-CTE DP carrying
+      // the H row as a list (in-row dependency via list_reduce) + an
+      // explicit (h DESC, i, j) rank over all cells.
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 80 && col("text").isNotNull)
+        .select(col("doc_id"), filter(
+          split(trim(col("text")), "\\s+"), w => w =!= "").as("tok"))
+      val pairs = docs.select(col("doc_id").as("pair_id"), col("tok").as("xt"))
+        .join(docs.select((col("doc_id") - 1).as("pair_id"),
+          col("tok").as("yt")), Seq("pair_id"))
+        .select(col("pair_id"),
+          array_join(slice(col("xt"), 1, 30), " ").as("lt"),
+          array_join(concat(slice(col("yt"), 1, 10), slice(col("xt"), 12, 7),
+            slice(col("yt"), 11, 5)), " ").as("rt"))
+      graft.ops.Align.swLocal(pairs, col("pair_id"), col("lt"), col("rt"))
+    }),
+    "q204_two_edge_cc" -> ((s, d) => {
+      // 2-edge-connected components over the 256-node customer tree +
+      // every-6th chord — the evidence-redundancy classes of a sameAs
+      // graph (split a merge along its bridges, keep redundantly
+      // supported clusters). Engine = Bridges (spanning forest +
+      // pointer-doubled chain covers) → anti join → ConnectedComponents
+      // → singleton backfill; oracle = bridges BY DEFINITION (per-edge
+      // exclusion BFS) + recursive-CTE reachability CC, min labels.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
+      val tree = cust.where(col("c_custkey") > 1).select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      val chords = cust
+        .where(col("c_custkey") % 6 === 0 && col("c_custkey") > 1)
+        .select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("c"), col("c_custkey") - 1).as("dst"))
+      graft.graph.TwoEdgeCC.components(tree.union(chords))
+    }),
+    "q203_spell_correct" -> ((s, d) => {
+      // SymSpell correction of corrupted ENTITY IDS — every 11th
+      // customer name with its last two digits transposed (the classic
+      // swapped-digits invoice-id error) corrected against the full
+      // 1500-id dictionary WITHOUT the tokens×dict cross join. Engine =
+      // symmetric ≤2-deletion neighborhoods equi-joined + native
+      // full-Damerau verify + (dist, freq DESC, term) argmin; oracle =
+      // the brute cross join scored by DuckDB's OWN damerau_levenshtein
+      // (the q159-proven cross-engine pair), same total order. A swap
+      // like …10→…01 lands EXACTLY on another valid id (dist 0 beats
+      // the dist-1 original) — both sides agree because the order is
+      // total.
+      val cust = t(s, d, "customer")
+      val dict = cust.groupBy(col("c_name").as("w")).count()
+      val toks = cust.where(col("c_custkey") % 11 === 0)
+        .select(concat(substring(col("c_name"), 1, 16),
+          substring(col("c_name"), 18, 1),
+          substring(col("c_name"), 17, 1)).as("tok"))
+      graft.link.SpellCorrect.symspell(toks, col("tok"),
+        dict, col("w"), col("count"))
+    }),
+    "q205_kneser_ney" -> ((s, d) => {
+      // interpolated Kneser–Ney smoothed bigram table over the documents
+      // corpus, D = 3/4 — every probability the exact integer rational
+      // (max(4c₁₂−3,0)·NB + 3·T₁·R₂)/(4·c₁·NB) floored to ppm in
+      // decimal(38,0) (int64 wraps at corpus scale). Oracle = the
+      // definitional SQL: the same four count aggregates + HUGEINT
+      // arithmetic. The spec proves Σ_w₂ P(w₂|w₁) = 1 exactly.
+      graft.ops.LangModel.knBigrams(t(s, d, "documents"),
+        "doc_id", "text")
     })
   )
 
@@ -5991,7 +6061,154 @@ object SparkEntry {
         |nd AS (SELECT rec, count(*) AS deg, sum(w) AS s FROM inc GROUP BY 1)
         |SELECT w.ra AS rec_a, w.rb AS rec_b, w.w AS weight
         |FROM w JOIN nd na ON na.rec = w.ra JOIN nd nb ON nb.rec = w.rb
-        |WHERE w.w * na.deg >= na.s OR w.w * nb.deg >= nb.s""".stripMargin
+        |WHERE w.w * na.deg >= na.s OR w.w * nb.deg >= nb.s""".stripMargin,
+    // q202: the same H recurrence evaluated ROW BY ROW in a recursive CTE
+    // — one CTE row per DP row, the row carried as a list, the in-row
+    // left-dependency replayed by a list_reduce whose accumulator IS the
+    // row being built (q190's scaffold with the zero floor, gap arms and
+    // an explicit all-cells (h DESC, i, j) rank for the argmax).
+    "q202_sw_local" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(x.doc_id AS VARCHAR) AS key,
+        |    list_filter(string_split_regex(trim(x.text), '\s+'),
+        |      w -> w <> '') AS xt,
+        |    list_filter(string_split_regex(trim(y.text), '\s+'),
+        |      w -> w <> '') AS yt
+        |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+        |  WHERE x.doc_id < 80 AND y.doc_id < 80
+        |    AND x.text IS NOT NULL AND y.text IS NOT NULL),
+        |dims AS MATERIALIZED (
+        |  SELECT key, xt[1:30] AS lt,
+        |    yt[1:10] || xt[12:18] || yt[11:15] AS rt,
+        |    len(xt[1:30]) AS n,
+        |    len(yt[1:10] || xt[12:18] || yt[11:15]) AS m
+        |  FROM t),
+        |dp AS (
+        |  SELECT key, 0 AS i,
+        |    list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)) AS v
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT d.key, dp.i + 1,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, d.m + 1), j ->
+        |          [dp.v[j], dp.v[j + 1],
+        |           CASE WHEN d.lt[dp.i + 1] = d.rt[j]
+        |                THEN CAST(2 AS BIGINT)
+        |                ELSE CAST(-1 AS BIGINT) END])),
+        |      (acc, x) -> list_append(acc,
+        |        greatest(CAST(0 AS BIGINT), x[1] + x[3], x[2] - 1,
+        |          acc[-1] - 1)))
+        |  FROM dp JOIN dims d ON d.key = dp.key AND dp.i < d.n),
+        |cells AS (
+        |  SELECT dp.key, dp.i, j, dp.v[j + 1] AS h
+        |  FROM dp JOIN dims d ON d.key = dp.key,
+        |       unnest(range(1, d.m + 1)) u(j)
+        |  WHERE dp.i >= 1),
+        |best AS (
+        |  SELECT key, i, j, h,
+        |    row_number() OVER (PARTITION BY key
+        |                       ORDER BY h DESC, i ASC, j ASC) AS rn
+        |  FROM cells)
+        |SELECT d.key, coalesce(CASE WHEN b.h > 0 THEN b.h END, 0)
+        |    AS best_score,
+        |  coalesce(CASE WHEN b.h > 0 THEN b.i END, 0) AS end_left,
+        |  coalesce(CASE WHEN b.h > 0 THEN CAST(b.j AS BIGINT) END, 0)
+        |    AS end_right,
+        |  CAST(d.n AS BIGINT) AS n_left, CAST(d.m AS BIGINT) AS n_right
+        |FROM dims d LEFT JOIN best b ON b.key = d.key AND b.rn = 1""".stripMargin,
+    // q204: bridges evaluated BY DEFINITION (q186's per-edge-exclusion
+    // product-graph BFS), deleted, then components by a plain
+    // reachability recursion with min labels — no spanning forest, no
+    // large/small stars anywhere.
+    "q204_two_edge_cc" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
+        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
+        |  UNION
+        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
+        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
+        |  FROM customer
+        |  WHERE c_custkey % 6 = 0 AND c_custkey > 1 AND c_custkey <= 256),
+        |sym AS (SELECT a AS x, b AS y FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |r AS (
+        |  SELECT a AS ea, b AS eb, a AS node FROM und
+        |  UNION
+        |  SELECT r.ea, r.eb, sym.y
+        |  FROM r JOIN sym ON sym.x = r.node
+        |  WHERE NOT (least(sym.x, sym.y) = r.ea
+        |             AND greatest(sym.x, sym.y) = r.eb)),
+        |br AS (
+        |  SELECT u.a, u.b FROM und u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r
+        |    WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)),
+        |rest AS (
+        |  SELECT u.a, u.b FROM und u
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM br WHERE br.a = u.a AND br.b = u.b)),
+        |rsym AS (SELECT a AS x, b AS y FROM rest
+        |         UNION ALL SELECT b, a FROM rest),
+        |reach AS (
+        |  SELECT x AS id, x AS node FROM rsym
+        |  UNION
+        |  SELECT reach.id, rsym.y FROM reach JOIN rsym ON rsym.x = reach.node),
+        |comp AS (SELECT id, min(node) AS component FROM reach GROUP BY 1),
+        |verts AS (SELECT DISTINCT id FROM
+        |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und))
+        |SELECT v.id, coalesce(comp.component, v.id) AS component
+        |FROM verts v LEFT JOIN comp ON comp.id = v.id""".stripMargin,
+    // q203: the BRUTE cross join — every (token, term) pair scored by
+    // DuckDB's independent damerau_levenshtein implementation, no
+    // deletion neighborhood anywhere; the same (dist, freq DESC, term)
+    // total order picks the correction.
+    "q203_spell_correct" ->
+      """WITH dict AS (
+        |  SELECT c_name AS w, count(*) AS f FROM customer GROUP BY 1),
+        |tok AS (
+        |  SELECT DISTINCT substr(c_name, 1, 16) || substr(c_name, 18, 1)
+        |      || substr(c_name, 17, 1) AS token
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |cand AS (
+        |  SELECT t.token, d.w AS term,
+        |    CAST(damerau_levenshtein(t.token, d.w) AS INTEGER) AS dist,
+        |    d.f
+        |  FROM tok t CROSS JOIN dict d
+        |  WHERE damerau_levenshtein(t.token, d.w) <= 2),
+        |best AS (
+        |  SELECT token, term, dist, f,
+        |    row_number() OVER (PARTITION BY token
+        |                       ORDER BY dist, f DESC, term) AS rn
+        |  FROM cand)
+        |SELECT token, term AS correction, dist, f AS freq
+        |FROM best WHERE rn = 1""".stripMargin,
+    // q205: the Kneser–Ney table computed definitionally — token lists,
+    // positional bigram pairs, the four count aggregates, and the exact
+    // rational floored in HUGEINT. Same tokenization as the engine
+    // (lowercased whitespace split, ≥ 2 tokens).
+    "q205_kneser_ney" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |pairs AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) u(i)
+        |  WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |t1 AS (SELECT w1, count(*) AS t1 FROM c12 GROUP BY 1),
+        |r2 AS (SELECT w2, count(*) AS r2 FROM c12 GROUP BY 1),
+        |nb AS (SELECT count(*) AS nb FROM c12)
+        |SELECT c12.w1, c12.w2, c12.n,
+        |  CAST((CAST(1000000 AS HUGEINT) *
+        |        (greatest(4 * c12.n - 3, 0) * nb.nb
+        |         + CAST(3 AS HUGEINT) * t1.t1 * r2.r2))
+        |    // (CAST(4 AS HUGEINT) * c1.c1 * nb.nb) AS BIGINT) AS p_ppm
+        |FROM c12
+        |JOIN c1 USING (w1) JOIN t1 USING (w1) JOIN r2 USING (w2)
+        |CROSS JOIN nb""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

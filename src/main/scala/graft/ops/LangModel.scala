@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus bigram language model + per-document average log-probability —
@@ -70,5 +70,56 @@ object LangModel {
       .select(col(idCol), col("n_bigrams"),
         round(col("__s").cast("double") / lit(1e6) / col("n_bigrams"), 6)
           .as("avg_logprob"))
+  }
+
+  /** Interpolated Kneser–Ney smoothed bigram table (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1998 — the n-gram smoothing of record, and the
+    * reason "san francisco" does not make bare "francisco" a likely
+    * continuation everywhere: the lower-order weight is CONTINUATION
+    * count, how many distinct contexts a word follows, not raw
+    * frequency):
+    *
+    *   P(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁,·)·Pcont(w₂)) / c(w₁·)
+    *   Pcont(w₂) = N₁₊(·,w₂) / N₁₊(··),  D = 3/4
+    *
+    * Exactness: with D = 3/4 every probability is the rational
+    *   (max(4c₁₂−3,0)·NB + 3·T₁·R₂) / (4·c₁·NB)
+    * over integer counts (NB = distinct bigram types, T₁ = distinct
+    * continuations of w₁, R₂ = distinct left-contexts of w₂); `p_ppm` is
+    * its exact floor in parts-per-million via decimal(38,0) — at corpus
+    * scale 10⁶·c·NB wraps int64, and a float evaluation would disagree
+    * across engines in the last ulp. The observed-only table is what a
+    * scorer joins; unseen mass is reconstructible from the same counts
+    * (the spec proves Σ_w₂∈V P(w₂|w₁) = 1 exactly).
+    *
+    * Shuffles: one exploded pair pass feeding four map-side-combined
+    * aggregates (bigram, context, continuation, left-context) + a 1-row
+    * type count; the result is vocabulary²-bounded, never corpus-scale.
+    * Tokenization is bigramScore's (lowercased whitespace split).
+    * Output: (w1, w2, n, p_ppm). */
+  def knBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val pairs = graft.Materialize(base.select(
+      explode(expr("transform(sequence(0, size(__t) - 2), " +
+        "i -> struct(__t[i] AS w1, __t[i + 1] AS w2))")).as("__b"))
+      .select(col("__b.w1"), col("__b.w2")), eager = false)
+    val c12 = graft.Materialize(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n")), eager = false)
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val t1 = c12.groupBy("w1").agg(count(lit(1)).as("__t1"))
+    val r2 = c12.groupBy("w2").agg(count(lit(1)).as("__r2"))
+    val nb = c12.agg(count(lit(1)).as("__nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    c12.join(c1, Seq("w1")).join(t1, Seq("w1")).join(r2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n"),
+        floor(lit(1000000L).cast("decimal(38,0)") *
+          (dec(greatest(lit(4) * col("n") - 3, lit(0))) * dec(col("__nb")) +
+            dec(lit(3)) * dec(col("__t1")) * dec(col("__r2"))) /
+          (dec(lit(4)) * dec(col("__c1")) * dec(col("__nb"))))
+          .cast("long").as("p_ppm"))
   }
 }

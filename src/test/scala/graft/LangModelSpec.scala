@@ -60,4 +60,86 @@ class LangModelSpec extends SparkSuite {
       .collect().toSet
     assert(x == y)
   }
+
+  // ---- Kneser–Ney smoothed bigram table ---------------------------------
+
+  private def kn(rows: Seq[(Long, String)], parts: Int = 3)
+      : Map[(String, String), (Long, Long)] =
+    LangModel.knBigrams(rows.toDF("id", "text").repartition(parts),
+        "id", "text")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  /** Independent reference: loops + exact BigInt rationals, returning
+    * (count, exact ppm floor) per observed bigram plus the full
+    * conditional distribution as fractions for the sum law. */
+  private def knRef(rows: Seq[(Long, String)]) = {
+    val toks = rows.map(_._2.trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_.length >= 2)
+    val bigrams = toks.flatMap(t => t.zip(t.tail))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val t1 = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r2 = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = c12.size.toLong
+    def frac(w1: String, w2: String): (BigInt, BigInt) = {
+      val c = c12.getOrElse((w1, w2), 0L)
+      val num = BigInt((4 * c - 3).max(0)) * BigInt(nb) +
+        BigInt(3) * BigInt(t1(w1)) * BigInt(r2.getOrElse(w2, 0L))
+      (num, BigInt(4) * c1(w1) * nb)
+    }
+    val table = c12.map { case ((w1, w2), c) =>
+      val (n0, d0) = frac(w1, w2)
+      (w1, w2) -> ((c, (BigInt(1000000) * n0 / d0).toLong))
+    }
+    (table, frac _, c1.keySet,
+      (c12.keySet.map(_._1) ++ c12.keySet.map(_._2)).toSeq.distinct)
+  }
+
+  test("kn: exact ppm parity with a BigInt-rational reference") {
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rows = (0 until 80).map(i => (i.toLong,
+      Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(5))).mkString(" ")))
+    val (table, _, _, _) = knRef(rows)
+    assert(kn(rows) === table)
+  }
+
+  test("kn: conditional distribution sums to exactly 1 over the vocab") {
+    val rows = Seq((1L, "san francisco san diego"), (2L, "new york new jersey"),
+      (3L, "san francisco is far from new york"))
+    val (_, frac, contexts, vocab) = knRef(rows)
+    for (w1 <- contexts) {
+      val (n, d) = vocab.map(frac(w1, _))
+        .reduce((a, b) => (a._1 * b._2 + b._1 * a._2, a._2 * b._2))
+      assert(n == d, s"context $w1 sums to $n/$d")
+    }
+    // and the engine agrees with the reference on the observed slice
+    assert(kn(rows) === knRef(rows)._1)
+  }
+
+  test("kn: continuation weighting — frequent-but-captive word ranks low") {
+    // "francisco" appears often but ONLY after "san"; "york" after both
+    // "new" and "to". Pcont(francisco) < Pcont(york) even with equal raw
+    // counts — the Kneser–Ney discriminator.
+    val rows = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "new york to york a york"))
+    val got = kn(rows)
+    val (tbl, frac, _, _) = knRef(rows)
+    assert(got === tbl)
+    // R2(francisco)=1, R2(york)=3: the unseen-context continuation mass
+    // differs accordingly under the same context
+    val (nf, df) = frac("a", "francisco")
+    val (ny, dy) = frac("a", "york")
+    assert(nf * dy < ny * df)
+  }
+
+  test("kn: layout invariance and degenerate inputs") {
+    val rows = (0 until 50).map(i =>
+      (i.toLong, s"t${i % 4} t${i % 3} t${i % 5}"))
+    assert(kn(rows, parts = 2) === kn(rows, parts = 17))
+    assert(kn(Seq((1L, "solo"))).isEmpty) // no bigram
+    assert(kn(Seq((1L, "   "))).isEmpty)
+  }
 }
