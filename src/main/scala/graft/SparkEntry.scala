@@ -2216,6 +2216,64 @@ object SparkEntry {
       // arithmetic. The spec proves Σ_w₂ P(w₂|w₁) = 1 exactly.
       graft.ops.LangModel.knBigrams(t(s, d, "documents"),
         "doc_id", "text")
+    }),
+    "q206_soft_tfidf" -> ((s, d) => {
+      // SoftTFIDF scoring of original-vs-corrupted part-name pairs
+      // (2nd char of every word dropped — the OCR-mangled vendor-name
+      // case): per-token best Jaro–Winkler ≥ 0.85 soft matches,
+      // idf-damped by exact rational weights, every term an exact
+      // integer floor (only jw is float — the q128-proven bit-identical
+      // cross-engine computation). Oracle = the definitional SQL with
+      // DuckDB's OWN jaro_winkler_similarity and HUGEINT floors.
+      val part = t(s, d, "part")
+      val originals = part.select(
+        concat(lit("p"), col("p_partkey")).as("id"), col("p_name").as("text"))
+      val mutated = part.where(col("p_partkey") % 3 === 0).select(
+        concat(lit("m"), col("p_partkey")).as("id"),
+        array_join(expr("transform(split(p_name, ' '), " +
+          "w -> concat(substring(w, 1, 1), substring(w, 3)))"), " ")
+          .as("text"))
+      val recs = originals.unionByName(mutated)
+      val pairs = part.where(col("p_partkey") % 3 === 0).select(
+        concat(lit("p"), col("p_partkey")).as("a"),
+        concat(lit("m"), col("p_partkey")).as("b"))
+      graft.link.SoftTfIdf.score(pairs, col("a"), col("b"),
+        recs, col("id"), col("text"), thetaPpm = 850000L)
+    }),
+    "q207_rule_mining" -> ((s, d) => {
+      // AMIE composition-rule mining r1(x,z) ∧ r2(z,y) ⇒ p(x,y) over a
+      // TPC-H-derived KG with two PLANTED soft rules: orderNation holds
+      // for 9/10 orders (hasCustomer ∧ inNation ⇒ orderNation, conf
+      // 900000 ppm) and custRegion for 4/5 customers (inNation ∧
+      // inRegion ⇒ custRegion, 800000 ppm) — the rules a constructor
+      // materializes and whose violations it audits. Engine = hub-gated
+      // entity self-join + distinct-pair aggregates + exact ppm floors;
+      // oracle = the definitional SQL over the same triple union.
+      val ord = t(s, d, "orders"); val cust = t(s, d, "customer")
+      val nat = t(s, d, "nation")
+      val triples = ord.select(
+          concat(lit("o"), col("o_orderkey")).as("s"),
+          lit("hasCustomer").as("p"),
+          concat(lit("c"), col("o_custkey")).as("o"))
+        .unionAll(cust.select(concat(lit("c"), col("c_custkey")).as("s"),
+          lit("inNation").as("p"),
+          concat(lit("n"), col("c_nationkey")).as("o")))
+        .unionAll(nat.select(concat(lit("n"), col("n_nationkey")).as("s"),
+          lit("inRegion").as("p"),
+          concat(lit("r"), col("n_regionkey")).as("o")))
+        .unionAll(ord.where(col("o_orderkey") % 10 =!= 0)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(concat(lit("o"), col("o_orderkey")).as("s"),
+            lit("orderNation").as("p"),
+            concat(lit("n"), col("c_nationkey")).as("o")))
+        .unionAll(cust.where(col("c_custkey") % 5 =!= 0)
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(concat(lit("c"), col("c_custkey")).as("s"),
+            lit("custRegion").as("p"),
+            concat(lit("r"), col("n_regionkey")).as("o")))
+      graft.graph.RuleMiner.pathRules(triples,
+        col("s"), col("p"), col("o"), minSupport = 50L,
+        minConfPpm = 100000L)
     })
   )
 
@@ -6208,7 +6266,90 @@ object SparkEntry {
         |    // (CAST(4 AS HUGEINT) * c1.c1 * nb.nb) AS BIGINT) AS p_ppm
         |FROM c12
         |JOIN c1 USING (w1) JOIN t1 USING (w1) JOIN r2 USING (w2)
-        |CROSS JOIN nb""".stripMargin
+        |CROSS JOIN nb""".stripMargin,
+    // q206: the definitional SoftTFIDF computation — token/df counts,
+    // the jw_ppm gate and (jw DESC, token ASC) per-token argmax as a
+    // window rank, HUGEINT term floors, plain integer sums; DuckDB's
+    // own jaro_winkler_similarity supplies the float (bit-identical to
+    // the engine's expression on ASCII, q128-proven).
+    "q206_soft_tfidf" ->
+      """WITH recs AS (
+        |  SELECT 'p' || p_partkey AS id, p_name AS text FROM part
+        |  UNION ALL
+        |  SELECT 'm' || p_partkey,
+        |    array_to_string(list_transform(string_split(p_name, ' '),
+        |      w -> substr(w, 1, 1) || substr(w, 3)), ' ')
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |toks AS (
+        |  SELECT id, tok, count(*) AS tf FROM (
+        |    SELECT id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS tok FROM recs)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |dfx AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |prs AS (
+        |  SELECT 'p' || p_partkey AS id_a, 'm' || p_partkey AS id_b
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |ab AS (
+        |  SELECT p.id_a, p.id_b, a.tok AS ta, a.tf AS tfa, da.df AS dfa,
+        |    b.tok AS tb, b.tf AS tfb, db.df AS dfb,
+        |    CAST(floor(jaro_winkler_similarity(a.tok, b.tok) * 1000000)
+        |      AS BIGINT) AS jw
+        |  FROM prs p
+        |  JOIN toks a ON a.id = p.id_a JOIN dfx da ON da.tok = a.tok
+        |  JOIN toks b ON b.id = p.id_b JOIN dfx db ON db.tok = b.tok),
+        |gated AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b, ta
+        |      ORDER BY jw DESC, tb ASC) AS rn
+        |  FROM ab WHERE jw >= 850000),
+        |terms AS (
+        |  SELECT id_a, id_b,
+        |    CAST((CAST(tfa AS HUGEINT) * tfb * jw * 1000000 * 1000000)
+        |      // (CAST(dfa AS HUGEINT) * dfb) AS BIGINT) AS term
+        |  FROM gated WHERE rn = 1)
+        |SELECT id_a, id_b, CAST(sum(term) AS BIGINT) AS score,
+        |  count(*) AS n_matched
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+    // q207: the rule definitions evaluated directly — distinct triples,
+    // z-join body pairs, pair-set intersections with every head, exact
+    // HUGEINT ppm floors, same gates. No hub machinery (nothing exceeds
+    // the engine's default cap on this KG, so the gate is identity).
+    "q207_rule_mining" ->
+      """WITH tr AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT 'o' || o_orderkey AS s, 'hasCustomer' AS p,
+        |      'c' || o_custkey AS o FROM orders
+        |    UNION ALL
+        |    SELECT 'c' || c_custkey, 'inNation', 'n' || c_nationkey
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT 'n' || n_nationkey, 'inRegion', 'r' || n_regionkey
+        |    FROM nation
+        |    UNION ALL
+        |    SELECT 'o' || o_orderkey, 'orderNation', 'n' || c_nationkey
+        |    FROM orders JOIN customer ON c_custkey = o_custkey
+        |    WHERE o_orderkey % 10 <> 0
+        |    UNION ALL
+        |    SELECT 'c' || c_custkey, 'custRegion', 'r' || n_regionkey
+        |    FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |    WHERE c_custkey % 5 <> 0)),
+        |body AS (
+        |  SELECT DISTINCT t1.p AS r1, t2.p AS r2, t1.s AS x, t2.o AS y
+        |  FROM tr t1 JOIN tr t2 ON t2.s = t1.o),
+        |bn AS (SELECT r1, r2, count(*) AS body_pairs FROM body GROUP BY 1, 2),
+        |hn AS (SELECT p AS head, count(*) AS head_pairs FROM tr GROUP BY 1),
+        |sup AS (
+        |  SELECT b.r1, b.r2, h.p AS head, count(*) AS support
+        |  FROM body b JOIN tr h ON h.s = b.x AND h.o = b.y
+        |  GROUP BY 1, 2, 3)
+        |SELECT sup.r1, sup.r2, sup.head, sup.support, bn.body_pairs,
+        |  CAST((CAST(1000000 AS HUGEINT) * sup.support) // bn.body_pairs
+        |    AS BIGINT) AS conf_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * sup.support) // hn.head_pairs
+        |    AS BIGINT) AS hc_ppm
+        |FROM sup JOIN bn USING (r1, r2) JOIN hn USING (head)
+        |WHERE sup.support >= 50
+        |  AND (CAST(1000000 AS HUGEINT) * sup.support) // bn.body_pairs
+        |      >= 100000""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
