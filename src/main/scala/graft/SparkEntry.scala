@@ -2274,6 +2274,46 @@ object SparkEntry {
       graft.graph.RuleMiner.pathRules(triples,
         col("s"), col("p"), col("o"), minSupport = 50L,
         minConfPpm = 100000L)
+    }),
+    "q208_incremental_cc" -> ((s, d) => {
+      // incremental CC maintenance: a 4-tree customer forest labeled
+      // once, then ONE batch (cross-tree chords + 30 brand-new vertices)
+      // folded in via label contraction — the old edge set is never
+      // re-read, the inner CC runs on the batch-bounded LABEL graph.
+      // Oracle = one full reachability CC over the UNION (the
+      // incremental == rebuild law, checked cross-engine).
+      val cust = t(s, d, "customer")
+      val k = col("c_custkey")
+      val base = cust.where(k > 7 && k <= 200).select(
+        concat(lit("c"), k).as("src"),
+        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
+      val batch = cust.where(k % 9 === 0 && k > 7 && k <= 200)
+        .select(concat(lit("c"), k).as("src"),
+          concat(lit("c"), k - 2).as("dst"))
+        .union(cust.where(k > 200 && k <= 230).select(
+          concat(lit("c"), k).as("src"),
+          concat(lit("c"), expr("c_custkey div 2")).as("dst")))
+      val labels = graft.canon.ConnectedComponents.run(base)
+      graft.canon.ConnectedComponents.incrementalUpdate(labels, batch)
+    }),
+    "q209_consensus_clusters" -> ((s, d) => {
+      // 2-of-3 consensus over three independent customer clusterings
+      // (nation, market segment, id-bucket) — the co-association
+      // majority that outvotes any single near-dup signal's false
+      // merges before destructive keep-one. Engine = per-method capped
+      // cluster self-joins → pair vote count → majority filter → CC →
+      // singleton backfill; oracle = the definitional vote SQL + a
+      // reachability recursion, min labels.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 600)
+      val id = concat(lit("c"), col("c_custkey"))
+      val rows = cust.select(lit("nat").as("m"), id.as("i"),
+          concat(lit("n"), col("c_nationkey")).as("g"))
+        .unionAll(cust.select(lit("seg").as("m"), id.as("i"),
+          col("c_mktsegment").cast("string").as("g")))
+        .unionAll(cust.select(lit("bkt").as("m"), id.as("i"),
+          (col("c_custkey") % 40).cast("string").as("g")))
+      graft.canon.Consensus.majorityClusters(rows,
+        col("m"), col("i"), col("g"), minVotes = 2L)
     })
   )
 
@@ -6349,7 +6389,56 @@ object SparkEntry {
         |FROM sup JOIN bn USING (r1, r2) JOIN hn USING (head)
         |WHERE sup.support >= 50
         |  AND (CAST(1000000 AS HUGEINT) * sup.support) // bn.body_pairs
-        |      >= 100000""".stripMargin
+        |      >= 100000""".stripMargin,
+    // q208: NO incrementality anywhere — one flat reachability recursion
+    // over the union of base and batch edges, min labels; agreement IS
+    // the incremental == full-rebuild law.
+    "q208_incremental_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c' || c_custkey AS a, 'c' || (c_custkey // 2) AS b
+        |  FROM customer WHERE c_custkey > 7 AND c_custkey <= 200
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey - 2)
+        |  FROM customer
+        |  WHERE c_custkey % 9 = 0 AND c_custkey > 7 AND c_custkey <= 200
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 2)
+        |  FROM customer WHERE c_custkey > 200 AND c_custkey <= 230),
+        |sym AS (SELECT a AS x, b AS y FROM e WHERE a <> b
+        |        UNION ALL SELECT b, a FROM e WHERE a <> b),
+        |reach AS (
+        |  SELECT x AS id, x AS node FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node)
+        |SELECT id, min(node) AS component FROM reach GROUP BY 1""".stripMargin,
+    // q209: votes computed definitionally (per-method self-join + count),
+    // the majority edge set closed by a reachability recursion, and
+    // never-paired customers backfilled as singletons.
+    "q209_consensus_clusters" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT 'nat' AS m, 'c' || c_custkey AS i,
+        |    'n' || c_nationkey AS g
+        |  FROM customer WHERE c_custkey <= 600
+        |  UNION ALL
+        |  SELECT 'seg', 'c' || c_custkey, CAST(c_mktsegment AS VARCHAR)
+        |  FROM customer WHERE c_custkey <= 600
+        |  UNION ALL
+        |  SELECT 'bkt', 'c' || c_custkey, CAST(c_custkey % 40 AS VARCHAR)
+        |  FROM customer WHERE c_custkey <= 600),
+        |votes AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS v
+        |  FROM l x JOIN l y ON x.m = y.m AND x.g = y.g AND x.i < y.i
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM votes WHERE v >= 2),
+        |sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+        |reach AS (
+        |  SELECT x AS id, x AS node FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node),
+        |comp AS (SELECT id, min(node) AS c FROM reach GROUP BY 1),
+        |items AS (SELECT DISTINCT i FROM l)
+        |SELECT items.i AS item, coalesce(comp.c, items.i) AS consensus
+        |FROM items LEFT JOIN comp ON comp.id = items.i""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -152,6 +152,59 @@ object ConnectedComponents {
     * @return (id, canonical) for EVERY id in `counts` (singletons map to
     *         themselves)
     */
+  /** Incremental label maintenance — fold a batch of NEW edges into an
+    * existing (id, component) labeling WITHOUT re-reading the old edge
+    * set: contract every new edge to its endpoints' current labels (new
+    * vertices label themselves), run CC over that LABEL graph — its
+    * size is bounded by the BATCH, not the corpus — and remap. Sound
+    * because contraction preserves connectivity: old-graph paths are
+    * within-label by construction, so any union-graph path factors
+    * through label vertices. The canonicalizer's streaming ingest does
+    * exactly this at the pipeline level; this is the graph-level
+    * primitive (old labels = 10¹²-scale table touched by ONE join; the
+    * CC itself runs on ≤ 2·|batch| edges).
+    *
+    * `labels`: (id, component) — must be a valid CC labeling (component
+    * = min member id, every member present). `newEdges`: (src, dst).
+    * Returns the updated complete labeling, again min-id-labeled.
+    * Label-graph CC labels are min over LABELS, and each label is the
+    * min of its old members, so min-of-mins = min of the merged
+    * component — the invariant is preserved, which is what makes
+    * incremental == full rebuild (the spec law). */
+  def incrementalUpdate(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, smallThreshold: Long = 100000L): DataFrame = {
+    val lab = labels.select(col("id").cast("string").as("id"),
+      col("component").cast("string").as("component"))
+    val e = newEdges
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // endpoints' current labels; unknown vertices are their own label
+    def resolve(c: String) = {
+      val side = e.select(col(c).as("id"))
+      side.join(lab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as(s"l$c"))
+        .distinct()
+    }
+    val ls = resolve("src"); val ld = resolve("dst")
+    val labelEdges = e
+      .join(ls.withColumnRenamed("id", "src"), Seq("src"))
+      .join(ld.withColumnRenamed("id", "dst"), Seq("dst"))
+      .select(col("lsrc").as("src"), col("ldst").as("dst"))
+    val merged = run(labelEdges, maxIter, smallThreshold) // label-scale
+    // remap: old members via their label, batch vertices via theirs;
+    // labels untouched by the batch pass through
+    val all = lab
+      .union(ls.select(col("id"), col("lsrc").as("component")))
+      .union(ld.select(col("id"), col("ldst").as("component")))
+      .distinct()
+    // 1:≤1 join (merged ids are unique labels) — rows stay unique
+    all.join(merged.select(col("id").as("component"),
+        col("component").as("__new")), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   def canonicalMap(components: DataFrame, counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labeled = counts
