@@ -2314,6 +2314,19 @@ object SparkEntry {
           (col("c_custkey") % 40).cast("string").as("g")))
       graft.canon.Consensus.majorityClusters(rows,
         col("m"), col("i"), col("g"), minVotes = 2L)
+    }),
+    "q210_voptimal_hist" -> ((s, d) => {
+      // v-optimal 4-bucket histograms of customer balances per nation —
+      // the optimizer-statistics sketch (minimum-SSE bucketing beats
+      // equi-width/equi-depth for selectivity error). Engine = per-key
+      // typed O(n²B) DP over exact BigInt fractions (earliest-argmin
+      // ties); oracle = the SAME DP unrolled as four join stages with
+      // HUGEINT fraction arithmetic and NOT-EXISTS (cost, cut) argmins,
+      // then a back-pointer walk. No floats on either side.
+      graft.ops.Histogram.voptimal(
+        t(s, d, "customer").where(col("c_custkey") <= 1000),
+        concat(lit("n"), col("c_nationkey")), col("c_custkey"),
+        floor(col("c_acctbal")), nBuckets = 4)
     })
   )
 
@@ -6438,7 +6451,86 @@ object SparkEntry {
         |comp AS (SELECT id, min(node) AS c FROM reach GROUP BY 1),
         |items AS (SELECT DISTINCT i FROM l)
         |SELECT items.i AS item, coalesce(comp.c, items.i) AS consensus
-        |FROM items LEFT JOIN comp ON comp.id = items.i""".stripMargin
+        |FROM items LEFT JOIN comp ON comp.id = items.i""".stripMargin,
+    // q210: the identical DP evaluated as four UNROLLED join stages —
+    // segment costs as HUGEINT fractions (num, den), each stage's
+    // argmin the NOT-EXISTS cross-multiplied (cost, cut) rule (the
+    // engine's earliest-argmin), boundaries recovered by a back-pointer
+    // walk. Every key here has ≥ 4 points (≈40 customers per nation).
+    "q210_voptimal_hist" ->
+      """WITH pts AS (
+        |  SELECT 'n' || c_nationkey AS k, CAST(c_custkey AS BIGINT) AS p,
+        |    CAST(floor(c_acctbal) AS BIGINT) AS v
+        |  FROM customer WHERE c_custkey <= 1000),
+        |ord AS (SELECT k, p, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p, v)
+        |      AS BIGINT) AS i
+        |  FROM pts),
+        |cnt AS (SELECT k, count(*) AS nn FROM ord GROUP BY 1),
+        |pre AS (SELECT k, i,
+        |    sum(v) OVER w AS s1, sum(v * v) OVER w AS s2
+        |  FROM ord
+        |  WINDOW w AS (PARTITION BY k ORDER BY i
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pre0 AS (SELECT k, i, s1, s2 FROM pre
+        |         UNION ALL
+        |         SELECT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |           CAST(0 AS BIGINT) FROM cnt),
+        |seg AS (
+        |  SELECT a.k, a.i AS lo, b.i AS hi,
+        |    CAST(b.i - a.i AS HUGEINT) * (b.s2 - a.s2)
+        |      - CAST(b.s1 - a.s1 AS HUGEINT) * (b.s1 - a.s1) AS num,
+        |    CAST(b.i - a.i AS HUGEINT) AS den
+        |  FROM pre0 a JOIN pre0 b ON b.k = a.k AND b.i > a.i),
+        |dp1 AS (SELECT k, hi AS j, num, den FROM seg WHERE lo = 0),
+        |c2 AS (SELECT d.k, s.hi AS j,
+        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
+        |    d.j AS bk
+        |  FROM dp1 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
+        |dp2 AS (SELECT * FROM c2 d WHERE NOT EXISTS (
+        |  SELECT 1 FROM c2 e WHERE e.k = d.k AND e.j = d.j
+        |    AND (e.num * d.den < d.num * e.den
+        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
+        |c3 AS (SELECT d.k, s.hi AS j,
+        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
+        |    d.j AS bk
+        |  FROM dp2 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
+        |dp3 AS (SELECT * FROM c3 d WHERE NOT EXISTS (
+        |  SELECT 1 FROM c3 e WHERE e.k = d.k AND e.j = d.j
+        |    AND (e.num * d.den < d.num * e.den
+        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
+        |c4 AS (SELECT d.k, s.hi AS j,
+        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
+        |    d.j AS bk
+        |  FROM dp3 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
+        |dp4 AS (SELECT * FROM c4 d WHERE NOT EXISTS (
+        |  SELECT 1 FROM c4 e WHERE e.k = d.k AND e.j = d.j
+        |    AND (e.num * d.den < d.num * e.den
+        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
+        |walk AS (
+        |  SELECT d4.k, d2.bk AS c1v, d3.bk AS c2v, d4.bk AS c3v
+        |  FROM dp4 d4
+        |  JOIN cnt ON cnt.k = d4.k AND d4.j = cnt.nn
+        |  JOIN dp3 d3 ON d3.k = d4.k AND d3.j = d4.bk
+        |  JOIN dp2 d2 ON d2.k = d3.k AND d2.j = d3.bk),
+        |cuts AS (
+        |  SELECT k, 1 AS bucket, CAST(0 AS BIGINT) AS lo, c1v AS hi
+        |  FROM walk
+        |  UNION ALL SELECT k, 2, c1v, c2v FROM walk
+        |  UNION ALL SELECT k, 3, c2v, c3v FROM walk
+        |  UNION ALL SELECT walk.k, 4, c3v, cnt.nn
+        |  FROM walk JOIN cnt ON cnt.k = walk.k)
+        |SELECT c.k AS key, CAST(c.bucket AS INTEGER) AS bucket,
+        |  plo.p AS start_pos, phi.p AS end_pos,
+        |  CAST(c.hi - c.lo AS BIGINT) AS n,
+        |  CAST(shi.s1 - slo.s1 AS BIGINT) AS vsum,
+        |  CAST((1000000 * s.num) // s.den AS BIGINT) AS sse_ppm
+        |FROM cuts c
+        |JOIN seg s ON s.k = c.k AND s.lo = c.lo AND s.hi = c.hi
+        |JOIN ord plo ON plo.k = c.k AND plo.i = c.lo + 1
+        |JOIN ord phi ON phi.k = c.k AND phi.i = c.hi
+        |JOIN pre0 slo ON slo.k = c.k AND slo.i = c.lo
+        |JOIN pre0 shi ON shi.k = c.k AND shi.i = c.hi""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
