@@ -2327,6 +2327,35 @@ object SparkEntry {
         t(s, d, "customer").where(col("c_custkey") <= 1000),
         concat(lit("n"), col("c_nationkey")), col("c_custkey"),
         floor(col("c_acctbal")), nBuckets = 4)
+    }),
+    "q211_retrieval_eval" -> ((s, d) => {
+      // ranked-retrieval scorecard (MAP/MRR/P@3/R@3) in EXACT ppm over
+      // order line rankings (rank = l_linenumber, relevant = partkey
+      // divisible by 3) — the grading harness for this engine's own
+      // bm25/ANN/rrf surfaces; zero-relevant queries report null
+      // metrics, not silence. Engine = per-query BigInt-rational fold;
+      // oracle = the same fractions accumulated by an associative
+      // list_reduce fraction-add in HUGEINT.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val ranked = t(s, d, "lineitem").where(col("l_orderkey") <= 300)
+        .withColumn("rk", row_number().over(w))
+      graft.ops.Retrieval.evalRanking(ranked,
+        col("l_orderkey"), col("rk"), col("l_partkey") % 3 === 0, k = 3)
+    }),
+    "q212_merge_plan" -> ((s, d) => {
+      // compaction planning: optimal binary merge cost (Huffman) per
+      // supplier over its line quantities as file sizes — the floor no
+      // merge order beats for an LSM-ish sink; the COST is unique
+      // across optimal tie-breaks, so no tie rules leak into the
+      // result. Engine = per-key two-queue greedy fold; oracle = the
+      // greedy replayed one merge per recursion step with a sorted
+      // list-state.
+      graft.ops.Scheduling.huffmanMergeCost(
+        t(s, d, "lineitem").where(col("l_suppkey") <= 24),
+        concat(lit("s"), col("l_suppkey")), col("l_quantity"))
     })
   )
 
@@ -6530,7 +6559,63 @@ object SparkEntry {
         |JOIN ord plo ON plo.k = c.k AND plo.i = c.lo + 1
         |JOIN ord phi ON phi.k = c.k AND phi.i = c.hi
         |JOIN pre0 slo ON slo.k = c.k AND slo.i = c.lo
-        |JOIN pre0 shi ON shi.k = c.k AND shi.i = c.hi""".stripMargin
+        |JOIN pre0 shi ON shi.k = c.k AND shi.i = c.hi""".stripMargin,
+    // q211: the same rationals, accumulated differently — hit fractions
+    // i/rank summed by an ASSOCIATIVE list_reduce fraction-add (engine:
+    // a sequential BigInt fold), HUGEINT floors, LEFT JOIN nulls for
+    // zero-relevant queries.
+    "q211_retrieval_eval" ->
+      """WITH li AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS q,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity)
+        |      AS INTEGER) AS r,
+        |    (l_partkey % 3 = 0) AS rel
+        |  FROM lineitem WHERE l_orderkey <= 300),
+        |agg AS (SELECT q, count(*) AS n_ranked FROM li GROUP BY 1),
+        |hits AS (
+        |  SELECT q, r, row_number() OVER (PARTITION BY q ORDER BY r) AS i
+        |  FROM li WHERE rel),
+        |hl AS (
+        |  SELECT q, count(*) AS n_rel, min(r) AS first_hit,
+        |    count(*) FILTER (WHERE r <= 3) AS hk,
+        |    list({'n': CAST(i AS HUGEINT), 'd': CAST(r AS HUGEINT)}
+        |      ORDER BY r) AS terms
+        |  FROM hits GROUP BY 1),
+        |apx AS (
+        |  SELECT q, n_rel, first_hit, hk,
+        |    list_reduce(
+        |      list_prepend({'n': CAST(0 AS HUGEINT), 'd': CAST(1 AS HUGEINT)},
+        |        terms),
+        |      (a, b) -> {'n': a.n * b.d + b.n * a.d, 'd': a.d * b.d}) AS f
+        |  FROM hl)
+        |SELECT agg.q AS query, CAST(agg.n_ranked AS BIGINT) AS n_ranked,
+        |  CAST(coalesce(apx.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(1000000 // apx.first_hit AS BIGINT) AS mrr_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * (apx.f).n)
+        |    // ((apx.f).d * apx.n_rel) AS BIGINT) AS ap_ppm,
+        |  CAST(1000000 * apx.hk // 3 AS BIGINT) AS p_at_k_ppm,
+        |  CAST(1000000 * apx.hk // apx.n_rel AS BIGINT) AS r_at_k_ppm
+        |FROM agg LEFT JOIN apx USING (q)""".stripMargin,
+    // q212: the greedy replayed LITERALLY — one merge per recursion
+    // step over a sorted size-list state; cost uniqueness across
+    // optimal tie-breaks is what makes the replay an oracle.
+    "q212_merge_plan" ->
+      """WITH RECURSIVE files AS (
+        |  SELECT 's' || l_suppkey AS k, CAST(l_quantity AS BIGINT) AS sz
+        |  FROM lineitem WHERE l_suppkey <= 24 AND l_quantity >= 0),
+        |f AS (
+        |  SELECT k, count(*) AS n_files, CAST(sum(sz) AS BIGINT)
+        |      AS total_size, list(sz ORDER BY sz) AS l
+        |  FROM files GROUP BY 1),
+        |r AS (
+        |  SELECT k, l, CAST(0 AS BIGINT) AS cost FROM f
+        |  UNION ALL
+        |  SELECT k, list_sort(list_append(l[3:], l[1] + l[2])),
+        |    cost + l[1] + l[2]
+        |  FROM r WHERE len(l) >= 2)
+        |SELECT f.k AS key, f.n_files, f.total_size, r.cost AS merge_cost
+        |FROM f JOIN r ON r.k = f.k AND len(r.l) = 1""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -153,6 +153,72 @@ object Retrieval {
         array_join(slice(col("__t"), col("pos") + 2, lit(w)), " ").as("right_ctx"))
   }
 
+  /** Ranked-retrieval evaluation — MAP / MRR / P@k / R@k per query in
+    * EXACT integer ppm: the numbers that grade this engine's own
+    * retrieval surfaces (bm25TopK, the ANN family, rrfFuse) against
+    * relevance labels. All four metrics are RATIONALS in the hit ranks
+    * (AP = (1/R)·Σ_{hits} precision@rank — a sum of fractions), so the
+    * per-query fold runs in BigInt rationals and floors to ppm — no
+    * float Σ whose accumulation order could flicker, which is what lets
+    * an oracle replay the numbers fraction-for-fraction. NDCG is
+    * deliberately absent: its log₂ discount has no cross-engine bit
+    * guarantee (same reason LangModel.knBigrams avoids ln).
+    *
+    * Input: one row per (query, item) with the item's rank (1-based;
+    * duplicate ranks rejected) and a relevance flag. Queries with zero
+    * relevant items emit null metrics (reported, not dropped — a
+    * benchmark that silently skips unanswerable queries overstates
+    * itself). Per-query lists are bounded by `maxRank` fail-fast.
+    * Output: (query, n_ranked, n_rel, mrr_ppm, ap_ppm, p_at_k_ppm,
+    * r_at_k_ppm). Shape: one shuffle to co-locate a query's rows, a
+    * typed in-group fold — queries embarrassingly parallel. */
+  def evalRanking(df: DataFrame, query: Column, rank: Column,
+      relevant: Column, k: Int = 5, maxRank: Int = 100000): DataFrame = {
+    require(k >= 1, "evalRanking: k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(query.cast("string").as("q"), rank.cast("int").as("r"),
+        relevant.cast("boolean").as("rel"))
+      .where(col("q").isNotNull && col("r").isNotNull && col("rel").isNotNull)
+      .as[(String, Int, Boolean)]
+      .groupByKey(_._1)
+      .mapGroups { (q, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        require(rows.length <= maxRank,
+          s"evalRanking: query $q has ${rows.length} rows (> $maxRank)")
+        require(rows.map(_._1).distinct.length == rows.length,
+          s"evalRanking: query $q has duplicate ranks")
+        val nRel = rows.count(_._2).toLong
+        if (nRel == 0L)
+          (q, rows.length.toLong, 0L, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+        else {
+          var hits = 0L
+          var apNum = BigInt(0); var apDen = BigInt(1)
+          var firstHit = 0L
+          var hitsAtK = 0L
+          rows.foreach { case (r, rel) =>
+            if (rel) {
+              hits += 1
+              if (firstHit == 0L) firstHit = r
+              // ap += hits / r  (exact fraction accumulation)
+              apNum = apNum * BigInt(r) + BigInt(hits) * apDen
+              apDen = apDen * BigInt(r)
+              if (r <= k) hitsAtK += 1
+            }
+          }
+          val mrr = (BigInt(1000000) / BigInt(firstHit)).toLong
+          val ap = (BigInt(1000000) * apNum / (apDen * BigInt(nRel))).toLong
+          val pAtK = 1000000L * hitsAtK / k
+          val rAtK = 1000000L * hitsAtK / nRel
+          (q, rows.length.toLong, nRel, Some(mrr), Some(ap), Some(pAtK),
+            Some(rAtK))
+        }
+      }
+      .toDF("query", "n_ranked", "n_rel", "mrr_ppm", "ap_ppm",
+        "p_at_k_ppm", "r_at_k_ppm")
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10,
       idCol: String = "id", rankCol: String = "rank"): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking")

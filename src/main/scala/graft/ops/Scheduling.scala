@@ -59,4 +59,54 @@ object Scheduling {
       (k, dp(n), n.toLong)
     }.toDF("key", "best_weight", "n_intervals")
   }
+
+  /** Optimal binary merge-schedule cost (Huffman, 1952) — per key, the
+    * minimum total bytes moved when merging that key's files pairwise
+    * down to one: each merge costs the sum of its inputs, and the
+    * greedy "always merge the two smallest" is provably optimal. This
+    * is compaction PLANNING for the triple store's (pred, sbucket)
+    * partitions and any LSM-ish sink: merge_cost is the floor no merge
+    * order beats, Σ size·depth in the Huffman tree. The COST is unique
+    * across all optimal tie-breaks (only the tree shape can vary), so
+    * the output needs no tie rules at all — any faithful greedy replay
+    * agrees, which is what makes it oracle-able.
+    *
+    * Shape: one shuffle to co-locate a key's file sizes, then the
+    * O(n log n) two-queue fold per key (sorted leaves + FIFO of merged
+    * nodes — both queues are nondecreasing, so heads suffice);
+    * `maxFiles` fails fast on absurd inputs. Sizes < 0 or null drop;
+    * a single-file key reports cost 0.
+    * Output: (key, n_files, total_size, merge_cost). */
+  def huffmanMergeCost(df: DataFrame, key: Column, size: Column,
+      maxFiles: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string").as("k"), size.cast("long").as("sz"))
+      .where(col("k").isNotNull && col("sz").isNotNull && col("sz") >= 0)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val a = it.map(_._2).toArray
+        require(a.length <= maxFiles,
+          s"huffmanMergeCost: key $k has ${a.length} files (> $maxFiles)")
+        java.util.Arrays.sort(a)
+        val merged = new java.util.ArrayDeque[Long]()
+        var li = 0
+        var cost = 0L
+        def takeMin(): Long = {
+          val fromLeaves = li < a.length &&
+            (merged.isEmpty || a(li) <= merged.peekFirst())
+          if (fromLeaves) { li += 1; a(li - 1) } else merged.pollFirst()
+        }
+        var remaining = a.length
+        while (remaining >= 2) {
+          val m = takeMin() + takeMin()
+          cost += m
+          merged.addLast(m)
+          remaining -= 1
+        }
+        (k, a.length.toLong, a.sum, cost)
+      }
+      .toDF("key", "n_files", "total_size", "merge_cost")
+  }
 }

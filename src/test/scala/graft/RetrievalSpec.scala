@@ -114,4 +114,67 @@ class RetrievalSpec extends SparkSuite {
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
     assert(re.toSeq == base)
   }
+
+  // ---- ranked-retrieval evaluation (MAP/MRR/P@k/R@k, exact ppm) ---------
+
+  private def evalR(rows: Seq[(String, Int, Boolean)], k: Int = 5) =
+    Retrieval.evalRanking(rows.toDF("q", "r", "rel").repartition(3),
+        col("q"), col("r"), col("rel"), k)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6, t._7))).toMap
+
+  test("eval: hand-computed AP/MRR on the textbook example") {
+    // hits at ranks 1, 3, 5 of 6; R=3: AP = (1/1 + 2/3 + 3/5)/3 = 34/45
+    val rows = Seq(("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q1", 4, false), ("q1", 5, true), ("q1", 6, false))
+    val got = evalR(rows)
+    val ap = BigInt(1000000) * 34 / 45
+    // all three hits (ranks 1,3,5) fall inside k=5: P@5 = 3/5, R@5 = 3/3
+    assert(got("q1") === ((6L, 3L, Some(1000000L), Some(ap.toLong),
+      Some(600000L), Some(1000000L))))
+  }
+
+  test("eval: MRR floor, late first hit, zero-relevant nulls") {
+    val rows = Seq(("a", 1, false), ("a", 2, false), ("a", 3, true),
+      ("b", 1, false), ("b", 2, false))
+    val got = evalR(rows)
+    assert(got("a") === ((3L, 1L, Some(333333L), Some(333333L), Some(200000L),
+      Some(1000000L))))
+    assert(got("b") === ((2L, 0L, None, None, None, None)))
+  }
+
+  test("eval: BigInt-rational parity on random rankings") {
+    val rnd = new scala.util.Random(47)
+    val rows = for {
+      q <- (0 until 12).map(i => s"q$i")
+      n = 3 + rnd.nextInt(10)
+      r <- 1 to n
+    } yield (q, r, rnd.nextBoolean())
+    val got = evalR(rows, k = 4)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val hits = sorted.filter(_._3).map(_._2)
+      if (hits.isEmpty)
+        assert(got(q) === ((sorted.length.toLong, 0L, None, None, None, None)))
+      else {
+        val r = hits.length
+        val apFrac = hits.zipWithIndex
+          .map { case (rk, i) => (BigInt(i + 1), BigInt(rk)) }
+          .reduce((a, b) => (a._1 * b._2 + b._1 * a._2, a._2 * b._2))
+        val ap = BigInt(1000000) * apFrac._1 / (apFrac._2 * r)
+        val mrr = BigInt(1000000) / hits.head
+        val hk = hits.count(_ <= 4).toLong
+        assert(got(q) === ((sorted.length.toLong, r.toLong,
+          Some(mrr.toLong), Some(ap.toLong), Some(1000000L * hk / 4),
+          Some(1000000L * hk / r))), s"query $q")
+      }
+    }
+  }
+
+  test("eval: duplicate ranks rejected loudly") {
+    intercept[org.apache.spark.SparkException] {
+      evalR(Seq(("d", 1, true), ("d", 1, false)))
+    }
+  }
 }

@@ -48,6 +48,45 @@ class SchedulingSpec extends SparkSuite {
     assert(got === Map("a" -> ((5L, 1L)), "b" -> ((7L, 1L))))
   }
 
+  // ---- Huffman merge-schedule cost --------------------------------------
+
+  private def huff(rows: Seq[(String, Long)]) =
+    Scheduling.huffmanMergeCost(rows.toDF("k", "sz").repartition(3),
+        col("k"), col("sz"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  /** Independent reference: exhaustive merge-order search (any pair each
+    * step, not just the two smallest) — the true optimum. */
+  private def bruteMerge(sizes: Seq[Long]): Long =
+    if (sizes.length < 2) 0L
+    else (for {
+      i <- sizes.indices; j <- (i + 1) until sizes.length
+    } yield {
+      val m = sizes(i) + sizes(j)
+      val rest = sizes.zipWithIndex
+        .collect { case (v, x) if x != i && x != j => v }
+      m + bruteMerge(rest :+ m)
+    }).min
+
+  test("huffman: greedy cost == exhaustive optimal merge order") {
+    val rnd = new scala.util.Random(53)
+    for (seed <- 1 to 3) {
+      val sizes = Seq.fill(6)(rnd.nextInt(40).toLong + 1)
+      val got = huff(sizes.map(("k", _)))("k")
+      assert(got === ((6L, sizes.sum, bruteMerge(sizes))), s"seed=$seed")
+    }
+  }
+
+  test("huffman: classic anchor, singleton, zero sizes") {
+    // {1,2,3,4}: merges 1+2=3, 3+3=6, 6+4=10 -> cost 19
+    assert(huff(Seq(("c", 1L), ("c", 2L), ("c", 3L), ("c", 4L)))("c") ===
+      ((4L, 10L, 19L)))
+    assert(huff(Seq(("s", 42L)))("s") === ((1L, 42L, 0L)))
+    // zero-size files merge for free first
+    assert(huff(Seq(("z", 0L), ("z", 0L), ("z", 5L)))("z") === ((3L, 5L, 5L)))
+  }
+
   test("duplicates stack only if disjoint") {
     assert(run(Seq(("a", 1, 2, 5), ("a", 1, 2, 5)))("a") === ((5L, 2L)))
   }
