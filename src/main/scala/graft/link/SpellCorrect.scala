@@ -82,7 +82,12 @@ object SpellCorrect {
       .toDF("variant", "term")
     val cand = tokVar.join(dictVar, Seq("variant"))
       .select("token", "term").distinct()
+    // cheap guards BEFORE the quadratic scorer: length difference bounds
+    // DL from below, so out-of-band pairs never reach the DP (in a dense
+    // key space — sequential ids — the deletion blocking is weak and the
+    // verify dominates; every skipped DP is ~|a|·|b| cells saved)
     val verified = cand
+      .where(abs(length(col("token")) - length(col("term"))) <= d)
       .withColumn("dist",
         graft.functions.Damerau.distCol(col("token"), col("term")))
       .where(col("dist") <= d)
