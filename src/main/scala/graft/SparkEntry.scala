@@ -2362,6 +2362,33 @@ object SparkEntry {
       graft.ops.Scheduling.huffmanMergeCost(
         t(s, d, "lineitem").where(col("l_suppkey") <= 24),
         concat(lit("s"), col("l_suppkey")), col("l_quantity"))
+    }),
+    "q213_constraint_check" -> ((s, d) => {
+      // owl:differentFrom consistency audit over a sameAs clustering:
+      // chains of customers broken at multiples of 7 (the components),
+      // differentFrom assertions (c, c-3) for every 5th customer — the
+      // ones landing INSIDE a run are the violations a canonicalizer
+      // must repair before materialization. Engine = CC + two
+      // label-resolve joins + equality filter; oracle = recursive
+      // reachability CC + the definitional join.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 400)
+      val k = col("c_custkey")
+      val same = cust.where(k % 7 =!= 0 && k > 0).select(
+        concat(lit("c"), k).as("src"), concat(lit("c"), k - 1).as("dst"))
+      val diff = cust.where(k % 5 === 0 && k >= 3).select(
+        concat(lit("c"), k).as("src"), concat(lit("c"), k - 3).as("dst"))
+      graft.canon.Constraints.differentFromViolations(same, diff)
+    }),
+    "q214_topic_boundaries" -> ((s, d) => {
+      // integer TextTiling over the documents corpus (w=8): lexical-dip
+      // topic boundaries scored by exact set-Jaccard ppm (Hearst's
+      // cosine needs a sqrt with no cross-engine bit guarantee) with
+      // the strict-left/lax-right local-minimum rule and one-step
+      // depth gate — RAG chunking at topic seams instead of through
+      // them. Engine = per-doc typed scan, zero shuffle; oracle = the
+      // same windows via DuckDB list slices + lag/lead.
+      graft.ops.Chunker.topicBoundaries(t(s, d, "documents"),
+        col("doc_id"), col("text"), w = 8, minDepthPpm = 100000L)
     })
   )
 
@@ -6622,7 +6649,61 @@ object SparkEntry {
         |    cost + l[1] + l[2]
         |  FROM r WHERE len(l) >= 2)
         |SELECT f.k AS key, f.n_files, f.total_size, r.cost AS merge_cost
-        |FROM f JOIN r ON r.k = f.k AND len(r.l) = 1""".stripMargin
+        |FROM f JOIN r ON r.k = f.k AND len(r.l) = 1""".stripMargin,
+    // q213: components by plain reachability recursion over the sameAs
+    // chains, then the definitional join — a differentFrom pair is
+    // violated iff both endpoints resolve to the same min-label (unseen
+    // endpoints resolve to themselves).
+    "q213_constraint_check" ->
+      """WITH RECURSIVE same AS (
+        |  SELECT 'c' || c_custkey AS a, 'c' || (c_custkey - 1) AS b
+        |  FROM customer
+        |  WHERE c_custkey % 7 <> 0 AND c_custkey > 0 AND c_custkey <= 400),
+        |sym AS (SELECT a AS x, b AS y FROM same
+        |        UNION ALL SELECT b, a FROM same),
+        |reach AS (
+        |  SELECT x AS id, x AS node FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node),
+        |comp AS (SELECT id, min(node) AS c FROM reach GROUP BY 1),
+        |d AS (
+        |  SELECT DISTINCT
+        |    least('c' || c_custkey, 'c' || (c_custkey - 3)) AS entity_a,
+        |    greatest('c' || c_custkey, 'c' || (c_custkey - 3)) AS entity_b
+        |  FROM customer
+        |  WHERE c_custkey % 5 = 0 AND c_custkey >= 3 AND c_custkey <= 400)
+        |SELECT d.entity_a, d.entity_b,
+        |  coalesce(ca.c, d.entity_a) AS component
+        |FROM d
+        |LEFT JOIN comp ca ON ca.id = d.entity_a
+        |LEFT JOIN comp cb ON cb.id = d.entity_b
+        |WHERE coalesce(ca.c, d.entity_a) = coalesce(cb.c, d.entity_b)""".stripMargin,
+    // q214: the same gap scores from DuckDB list slices
+    // (list_distinct / list_intersect / concat-union), the local-min +
+    // depth rule via lag/lead — no typed scan anywhere.
+    "q214_topic_boundaries" ->
+      """WITH tk AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT id, t, len(t) AS n FROM tk WHERE len(t) >= 18),
+        |sims AS (
+        |  SELECT id, gi,
+        |    CAST(1000000 * len(list_intersect(
+        |        list_distinct(t[gi - 7:gi]), list_distinct(t[gi + 1:gi + 8])))
+        |      // len(list_distinct(t[gi - 7:gi] || t[gi + 1:gi + 8]))
+        |      AS BIGINT) AS sim
+        |  FROM g, unnest(range(8, n - 8 + 1)) u(gi)),
+        |scan AS (
+        |  SELECT id, gi, sim, lag(sim) OVER w AS pv, lead(sim) OVER w AS nx
+        |  FROM sims WINDOW w AS (PARTITION BY id ORDER BY gi))
+        |SELECT id, CAST(gi AS BIGINT) AS boundary_pos, sim AS sim_ppm,
+        |  (pv - sim) + (nx - sim) AS depth_ppm
+        |FROM scan
+        |WHERE pv IS NOT NULL AND nx IS NOT NULL
+        |  AND pv > sim AND sim <= nx
+        |  AND (pv - sim) + (nx - sim) >= 100000""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB

@@ -66,4 +66,62 @@ object Chunker {
         concat_ws(" ", slice(col("__w"), col("__s") * stride + 1, lit(window)))
           .as("chunk_text")): _*)
   }
+
+  /** Topic-boundary detection — the TextTiling idea (Hearst, CL 1997)
+    * made integer-exact: at every token gap g (full windows on both
+    * sides), score the lexical cohesion of the w-token windows left and
+    * right of g as SET-Jaccard in exact ppm — Hearst's count-vector
+    * cosine needs a sqrt with no cross-engine bit guarantee, Jaccard is
+    * a pure integer ratio with the same monotone "topic shift = lexical
+    * dip" signal. A gap is a BOUNDARY iff its score is a strict-left /
+    * lax-right local minimum (sim(g-1) > sim(g) ≤ sim(g+1) — the
+    * asymmetry makes plateau minima resolve to their FIRST gap, a total
+    * rule) and the one-step depth (sim(g-1)−sim(g)) + (sim(g+1)−sim(g))
+    * clears `minDepthPpm`. Interior gaps only (g−1 and g+1 must exist).
+    * The curation use: chunking for RAG at topic boundaries instead of
+    * the fixed-stride [[chunk]] — splits land between template sections
+    * instead of through them.
+    *
+    * Shape: per-doc typed map, zero shuffle; docs embarrassingly
+    * parallel; `maxTokens` fail-fast (the gap scan is O(n·w)).
+    * Output: (id, boundary_pos — the 1-based token index the boundary
+    * FOLLOWS, sim_ppm, depth_ppm). */
+  def topicBoundaries(df: DataFrame, idCol: Column, textCol: Column,
+      w: Int = 10, minDepthPpm: Long = 100000L,
+      maxTokens: Int = 65536): DataFrame = {
+    require(w >= 1, "topicBoundaries: w must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("string").as("id"),
+        coalesce(textCol, lit("")).as("t"))
+      .where(col("id").isNotNull)
+      .as[(String, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        require(toks.length <= maxTokens,
+          s"topicBoundaries: doc $id has ${toks.length} tokens " +
+            s"(> $maxTokens); segment at a coarser unit first")
+        val n = toks.length
+        if (n < 2 * w + 2) Iterator.empty
+        else {
+          // sim(g) for g in w .. n-w (boundary after token g, 1-based)
+          val gaps = (w to (n - w)).toArray
+          val sim = gaps.map { g =>
+            val l = toks.slice(g - w, g).toSet
+            val r = toks.slice(g, g + w).toSet
+            val inter = (l & r).size.toLong
+            val union = (l | r).size.toLong
+            1000000L * inter / union // union >= 1 (w >= 1)
+          }
+          (1 until gaps.length - 1).iterator.flatMap { i =>
+            val depth = (sim(i - 1) - sim(i)) + (sim(i + 1) - sim(i))
+            if (sim(i - 1) > sim(i) && sim(i) <= sim(i + 1) &&
+                depth >= minDepthPpm)
+              Iterator((id, gaps(i).toLong, sim(i), depth))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("id", "boundary_pos", "sim_ppm", "depth_ppm")
+  }
 }
