@@ -2389,6 +2389,34 @@ object SparkEntry {
       // same windows via DuckDB list slices + lag/lead.
       graft.ops.Chunker.topicBoundaries(t(s, d, "documents"),
         col("doc_id"), col("text"), w = 8, minDepthPpm = 100000L)
+    }),
+    "q215_threshold_sweep" -> ((s, d) => {
+      // the ER tuning curve: P/R/F1 at EVERY distinct match score in
+      // one pass, against a gold set that deliberately disagrees with
+      // the score order (so the curve has a real knee) and includes
+      // never-scored gold pairs (permanent FN — the recall trap).
+      // Engine = pair-keyed label join + score-keyed counts + ONE
+      // cumulative window over the distinct-score table; oracle = the
+      // definitional per-threshold computation via the same window in
+      // SQL.
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 300)
+      val k = col("c_custkey")
+      val right = cust.select(k.as("j"))
+      val scored = cust.select(k.as("i")).join(right,
+          col("j") > col("i") && col("j") - col("i") <= 4)
+        .select(concat(lit("c"), col("i")).as("a"),
+          concat(lit("c"), col("j")).as("b"),
+          (lit(1000) - lit(7) * (col("j") - col("i")) * (col("j") - col("i"))
+            + col("i") % 13).as("score"))
+      val gold = cust.select(k.as("i")).join(right,
+          col("j") > col("i") &&
+          (col("j") - col("i") <= 2 ||
+            (col("j") - col("i") === 3 && col("i") % 3 === 0) ||
+            col("j") - col("i") === 6))
+        .select(concat(lit("c"), col("i")).as("x"),
+          concat(lit("c"), col("j")).as("y"))
+      graft.metrics.Sweep.thresholdSweep(scored, col("a"), col("b"),
+        col("score"), gold, col("x"), col("y"))
     })
   )
 
@@ -6703,7 +6731,48 @@ object SparkEntry {
         |FROM scan
         |WHERE pv IS NOT NULL AND nx IS NOT NULL
         |  AND pv > sim AND sim <= nx
-        |  AND (pv - sim) + (nx - sim) >= 100000""".stripMargin
+        |  AND (pv - sim) + (nx - sim) >= 100000""".stripMargin,
+    // q215: the same curve computed definitionally — normalized pairs,
+    // max-score dedup, gold flag join, per-score counts, one cumulative
+    // window ordered by score DESC, HUGEINT ppm floors; never-scored
+    // gold pairs enter only through the total-gold constant.
+    "q215_threshold_sweep" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_custkey <= 300),
+        |scored0 AS (
+        |  SELECT 'c' || i.k AS a, 'c' || j.k AS b,
+        |    CAST(1000 - 7 * (j.k - i.k) * (j.k - i.k) + i.k % 13
+        |      AS BIGINT) AS sc
+        |  FROM c i JOIN c j ON j.k > i.k AND j.k - i.k <= 4),
+        |scored AS (
+        |  SELECT least(a, b) AS pa, greatest(a, b) AS pb, max(sc) AS sc
+        |  FROM scored0 GROUP BY 1, 2),
+        |gold AS (
+        |  SELECT DISTINCT least('c' || i.k, 'c' || j.k) AS pa,
+        |    greatest('c' || i.k, 'c' || j.k) AS pb
+        |  FROM c i JOIN c j ON j.k > i.k
+        |    AND (j.k - i.k <= 2 OR (j.k - i.k = 3 AND i.k % 3 = 0)
+        |         OR j.k - i.k = 6)),
+        |ng AS (SELECT count(*) AS n FROM gold),
+        |lab AS (
+        |  SELECT s.sc, CASE WHEN g.pa IS NULL THEN 0 ELSE 1 END AS g
+        |  FROM scored s LEFT JOIN gold g ON g.pa = s.pa AND g.pb = s.pb),
+        |per AS (SELECT sc, count(*) AS n, sum(g) AS ngs FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT sc, sum(ngs) OVER w AS tp, sum(n) OVER w - sum(ngs) OVER w
+        |      AS fp
+        |  FROM per WINDOW w AS (ORDER BY sc DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cum.sc AS threshold, CAST(cum.tp AS BIGINT) AS tp,
+        |  CAST(cum.fp AS BIGINT) AS fp,
+        |  CAST(ng.n - cum.tp AS BIGINT) AS fn,
+        |  CAST((CAST(1000000 AS HUGEINT) * cum.tp) // (cum.tp + cum.fp)
+        |    AS BIGINT) AS p_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) * cum.tp) // ng.n AS BIGINT)
+        |    AS r_ppm,
+        |  CAST((CAST(2000000 AS HUGEINT) * cum.tp)
+        |    // (2 * cum.tp + cum.fp + (ng.n - cum.tp)) AS BIGINT) AS f1_ppm
+        |FROM cum CROSS JOIN ng""".stripMargin
   )
 
   /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
