@@ -2277,9 +2277,13 @@ object SparkEntry {
           .select(concat(lit("c"), col("c_custkey")).as("s"),
             lit("custRegion").as("p"),
             concat(lit("r"), col("n_regionkey")).as("o")))
+      // maxFanout is explicitly unbounded: the oracle SQL has no hub
+      // gate, and nation entities carry ~SF·54k orderNation in-edges, so
+      // the default 1e6 cap would silently diverge around SF≥20
+      // (r4 ADVICE). The gate itself is exercised by RuleMinerSpec.
       graft.graph.RuleMiner.pathRules(triples,
         col("s"), col("p"), col("o"), minSupport = 50L,
-        minConfPpm = 100000L)
+        minConfPpm = 100000L, maxFanout = Long.MaxValue)
     }),
     "q208_incremental_cc" -> ((s, d) => {
       // incremental CC maintenance: a 4-tree customer forest labeled
@@ -6447,8 +6451,8 @@ object SparkEntry {
         |  FROM ab WHERE jw >= 850000),
         |terms AS (
         |  SELECT id_a, id_b,
-        |    CAST((CAST(tfa AS HUGEINT) * tfb * jw * 1000000 * 1000000)
-        |      // (CAST(dfa AS HUGEINT) * dfb) AS BIGINT) AS term
+        |    (CAST(tfa AS HUGEINT) * tfb * jw * 1000000)
+        |      // (CAST(dfa AS HUGEINT) * dfb) AS term
         |  FROM gated WHERE rn = 1)
         |SELECT id_a, id_b, CAST(sum(term) AS BIGINT) AS score,
         |  count(*) AS n_matched
@@ -6530,7 +6534,7 @@ object SparkEntry {
         |  SELECT 'bkt', 'c' || c_custkey, CAST(c_custkey % 40 AS VARCHAR)
         |  FROM customer WHERE c_custkey <= 600),
         |votes AS (
-        |  SELECT x.i AS a, y.i AS b, count(*) AS v
+        |  SELECT x.i AS a, y.i AS b, count(DISTINCT x.m) AS v
         |  FROM l x JOIN l y ON x.m = y.m AND x.g = y.g AND x.i < y.i
         |  GROUP BY 1, 2),
         |e AS (SELECT a, b FROM votes WHERE v >= 2),

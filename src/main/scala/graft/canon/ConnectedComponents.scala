@@ -179,11 +179,14 @@ object ConnectedComponents {
       .select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    // endpoints' current labels; unknown vertices are their own label
+    // endpoints' current labels; unknown vertices are their own label.
+    // The isnew flag rides the SAME lookup join, so brand-new vertices
+    // are known without a second corpus-scale pass.
     def resolve(c: String) = {
       val side = e.select(col(c).as("id"))
       side.join(lab, Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as(s"l$c"))
+        .select(col("id"), coalesce(col("component"), col("id")).as(s"l$c"),
+          col("component").isNull.as("isnew"))
         .distinct()
     }
     val ls = resolve("src"); val ld = resolve("dst")
@@ -192,12 +195,17 @@ object ConnectedComponents {
       .join(ld.withColumnRenamed("id", "dst"), Seq("dst"))
       .select(col("lsrc").as("src"), col("ldst").as("dst"))
     val merged = run(labelEdges, maxIter, smallThreshold) // label-scale
-    // remap: old members via their label, batch vertices via theirs;
-    // labels untouched by the batch pass through
-    val all = lab
-      .union(ls.select(col("id"), col("lsrc").as("component")))
-      .union(ld.select(col("id"), col("ldst").as("component")))
+    // remap: old members via their label, brand-new batch vertices via
+    // theirs. Endpoints already IN lab duplicate lab rows exactly, so
+    // only the isnew rows union in — the distinct stays BATCH-scale and
+    // lab itself is never deduplicated (r4 ADVICE: the old version ran
+    // .distinct() over the full corpus labeling).
+    val newV = ls.where(col("isnew"))
+      .select(col("id"), col("lsrc").as("component"))
+      .union(ld.where(col("isnew"))
+        .select(col("id"), col("ldst").as("component")))
       .distinct()
+    val all = lab.union(newV)
     // 1:≤1 join (merged ids are unique labels) — rows stay unique
     all.join(merged.select(col("id").as("component"),
         col("component").as("__new")), Seq("component"), "left")

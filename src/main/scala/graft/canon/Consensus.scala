@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * 2005, the co-association majority vote: given K independent
   * clusterings of the same items (minhash groups, simhash groups,
   * embedding semdedup groups — each with its own failure mode), keep
-  * the pairs co-clustered by at least `minVotes` of them and take
+  * the pairs co-clustered by at least `minVotes` DISTINCT methods and take
   * connected components. One method's false merge is outvoted; a true
   * duplicate pair missed by one signal survives on the other two. This
   * is the robust combiner a curation pipeline puts ABOVE its individual
@@ -40,10 +40,14 @@ object Consensus {
     }
     val kept = l.join(sizes.where(col("count") <= maxCluster)
       .select("m", "g"), Seq("m", "g"), "left_semi")
+    // countDistinct, not count: a method with OVERLAPPING groups (e.g.
+    // minhash band buckets — one pair co-bucketed in 3 bands) casts ONE
+    // vote, so no single method can clear minVotes=2 alone and defeat
+    // the cross-method majority (r4 ADVICE).
     val votes = kept.select(col("m"), col("g"), col("i").as("a"))
       .join(kept.select(col("m"), col("g"), col("i").as("b")), Seq("m", "g"))
       .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("votes"))
+      .groupBy("a", "b").agg(countDistinct("m").as("votes"))
     val edges = votes.where(col("votes") >= minVotes)
       .select(col("a").as("src"), col("b").as("dst"))
     val cc = ConnectedComponents.run(edges)

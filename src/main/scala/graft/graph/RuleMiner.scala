@@ -41,9 +41,16 @@ object RuleMiner {
     // hub gate: in(z) × out(z) bounds the path rows z generates
     val zin = t.groupBy(col("o").as("z")).agg(count(lit(1)).as("zi"))
     val zout = t.groupBy(col("s").as("z")).agg(count(lit(1)).as("zo"))
+    // the in×out product is exact in decimal then saturated to long:
+    // zi·zo wraps int64 once both sides pass ~3e9 (real at 10^12
+    // triples), and a wrapped-negative product would silently pass the
+    // gate on exactly the hubs it exists to exclude
+    val prod = col("zi").cast("decimal(38,0)") * col("zo").cast("decimal(38,0)")
     val sizes = graft.Materialize(
       zin.join(zout, Seq("z"))
-        .select(col("z"), (col("zi") * col("zo")).as("count")),
+        .select(col("z"),
+          when(prod > lit(Long.MaxValue).cast("decimal(38,0)"),
+            lit(Long.MaxValue)).otherwise(prod.cast("long")).as("count")),
       eager = false)
     graft.Audit.capAccounting(sizes, maxFanout, "pathRules") { (n, rows) =>
       s"pathRules: excluding $n hub entities generating $rows potential " +

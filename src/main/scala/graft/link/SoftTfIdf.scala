@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * calls with NO cross-engine bit guarantee. Here the weight of token w
   * is the exact rational tf·(1/df) and each matched-token term is
   *
-  *   floor( tf_A(w) · tf_B(w') · jw_ppm(w,w') · 10¹² / (df(w)·df(w')) )
+  *   floor( tf_A(w) · tf_B(w') · jw_ppm(w,w') · 10⁶ / (df(w)·df(w')) )
   *
-  * summed as exact longs — order-free, bit-stable across engines. Only
+  * summed in decimal(38,0) and cast to long ONCE at the end — order-free,
+  * bit-stable across engines, and overflow-proof for any realistic
+  * corpus: with the single 10⁶ scale a term needs tf_A·tf_B/df² ≥ 9·10⁶
+  * (a token repeated ~3000× in BOTH records with df=1) before even the
+  * final cast saturates, and no intermediate ever leaves decimal. Only
   * jw itself is a double, and Jaro–Winkler is pure +,·,/ on small
   * rationals — IEEE-exact operations that DuckDB's implementation
   * reproduces bit-for-bit on ASCII (the q128-proven pair), so
@@ -74,9 +78,10 @@ object SoftTfIdf {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val terms = best.select(col("id_a"), col("id_b"),
       floor(dec(col("tfa")) * dec(col("m.tfb")) * dec(-col("m.njw")) *
-        dec(lit(1000000L)) * dec(lit(1000000L)) /
-        (dec(col("dfa")) * dec(col("m.dfb")))).cast("long").as("term"))
+        dec(lit(1000000L)) /
+        (dec(col("dfa")) * dec(col("m.dfb")))).as("term"))
     terms.groupBy("id_a", "id_b")
-      .agg(sum("term").as("score"), count(lit(1)).as("n_matched"))
+      .agg(sum("term").cast("long").as("score"),
+        count(lit(1)).as("n_matched"))
   }
 }

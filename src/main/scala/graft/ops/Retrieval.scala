@@ -188,6 +188,11 @@ object Retrieval {
           s"evalRanking: query $q has ${rows.length} rows (> $maxRank)")
         require(rows.map(_._1).distinct.length == rows.length,
           s"evalRanking: query $q has duplicate ranks")
+        // ranks are 1-based: a 0 rank would divide by zero in MRR and a
+        // negative one silently yields nonsense ppm (r4 ADVICE)
+        require(rows.isEmpty || rows.head._1 >= 1,
+          s"evalRanking: query $q has rank ${rows.head._1} < 1 " +
+            "(ranks are 1-based)")
         val nRel = rows.count(_._2).toLong
         if (nRel == 0L)
           (q, rows.length.toLong, 0L, None: Option[Long], None: Option[Long],

@@ -254,26 +254,31 @@ object Similarity {
     * embeddings (a 16–1024-centroid codebook does not need 10^9 rows —
     * k-means iterates maxIter times over its input, so at scale the fit
     * must see a bounded sample, not the corpus). `fitSampleRows` caps the
-    * expected training size: one count job sizes the fraction, then a
-    * seeded uniform sample feeds the fit. ≤ 0 disables sampling (fit on
+    * expected training size via the SAME id-hash-selected, id-sorted
+    * sample the deterministic quantizer uses (deterministicFitSample —
+    * layout-independent, so the training SET never changes with
+    * partition layout; the MLlib fit itself remains the documented
+    * non-deterministic step, its treeAggregate combine order injecting
+    * fp noise into the centers). ≤ 0 disables sampling (fit on
     * everything). Returns the centers (small — they ride to executors in
     * closures). */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int,
-      vecCol: String = "embedding", seed: Long = 42L,
-      fitSampleRows: Int = 100000): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, fitSampleRows: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val sampled =
-      if (fitSampleRows <= 0) feats
-      else {
-        val n = feats.count()
-        if (n <= fitSampleRows) feats
-        else feats.sample(withReplacement = false,
-          fraction = math.min(1.0, fitSampleRows.toDouble / n * 1.1), seed)
-      }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats =
+      if (fitSampleRows <= 0)
+        corpus.select(
+          array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      else
+        deterministicFitSample(corpus, idCol, vecCol, seed, fitSampleRows)
+          .toSeq.toDF("arr")
+          .select(array_to_vector(col("arr")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .fit(sampled)
+      .fit(feats)
     model.clusterCenters.map(_.toArray)
   }
 
@@ -411,7 +416,8 @@ object Similarity {
       if (deterministicQuantizer)
         ivfCentroidsDeterministic(corpus, nCentroids, idCol, vecCol,
           fitSampleRows = fitSampleRows)
-      else ivfCentroids(corpus, nCentroids, vecCol, fitSampleRows = fitSampleRows)
+      else ivfCentroids(corpus, nCentroids, idCol, vecCol,
+        fitSampleRows = fitSampleRows)
 
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .where(col("v").isNotNull)

@@ -20,19 +20,19 @@ class ConsensusSpec extends SparkSuite {
     val items = r.map(_._2).distinct
     val clusters = r.groupBy(x => (x._1, x._3)).values
       .filter(_.size <= maxCluster)
-    val votes = scala.collection.mutable.Map.empty[(String, String), Int]
-      .withDefaultValue(0)
+    val votes = scala.collection.mutable
+      .Map.empty[(String, String), Set[String]].withDefaultValue(Set.empty)
     clusters.foreach { c =>
-      val s = c.map(_._2).sorted
+      val s = c.map(_._2).distinct.sorted
       for (i <- s.indices; j <- (i + 1) until s.length)
-        votes((s(i), s(j))) += 1
+        votes((s(i), s(j))) += c.head._1
     }
     val parent = scala.collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
       val p = parent.getOrElse(x, x)
       if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
     }
-    votes.collect { case ((a, b), v) if v >= minVotes =>
+    votes.collect { case ((a, b), ms) if ms.size >= minVotes =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
     }
@@ -74,6 +74,22 @@ class ConsensusSpec extends SparkSuite {
       ("C", "y", "k"), ("C", "z", "k"), ("C", "x", "k2"))
     val got = engine(rows, 2L)
     assert(got === Map("x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("overlapping groups in ONE method cast one vote, not two") {
+    // r4 ADVICE regression: method A co-buckets (x,y) in TWO band
+    // buckets (the minhash-bands shape). With per-(m,g) row counting
+    // that was 2 votes and cleared minVotes=2 alone; distinct-method
+    // counting keeps it at 1 and the pair needs a second METHOD.
+    val rows = Seq(
+      ("A", "x", "band1"), ("A", "y", "band1"),
+      ("A", "x", "band2"), ("A", "y", "band2"),
+      ("B", "x", "h1"), ("B", "y", "h2"))
+    assert(engine(rows, 2L) === Map("x" -> "x", "y" -> "y"))
+    assert(engine(rows, 2L) === brute(rows, 2L, 10000))
+    // a genuine second method's agreement still merges
+    val agree = rows.dropRight(2) ++ Seq(("B", "x", "h"), ("B", "y", "h"))
+    assert(engine(agree, 2L) === Map("x" -> "x", "y" -> "x"))
   }
 
   test("over-cap cluster casts no votes, WITH accounting; singletons backfill") {

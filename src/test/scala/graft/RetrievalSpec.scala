@@ -177,4 +177,15 @@ class RetrievalSpec extends SparkSuite {
       evalR(Seq(("d", 1, true), ("d", 1, false)))
     }
   }
+
+  test("eval: 0-based and negative ranks rejected loudly") {
+    // r4 ADVICE regression: rank 0 used to throw BigInt div-by-zero in
+    // MRR; negative ranks silently produced negative ppm metrics.
+    intercept[org.apache.spark.SparkException] {
+      evalR(Seq(("d", 0, true), ("d", 1, false)))
+    }
+    intercept[org.apache.spark.SparkException] {
+      evalR(Seq(("d", -3, false), ("d", 2, true)))
+    }
+  }
 }

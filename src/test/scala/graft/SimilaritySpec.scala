@@ -126,6 +126,14 @@ class SimilaritySpec extends SparkSuite {
     val s2 = Similarity.ivfCentroidsDeterministic(corpus.repartition(11), 4,
       fitSampleRows = 60)
     assert(s1.length == 4 && s1.zip(s2).forall { case (a, b) => a.sameElements(b) })
+    // The MLlib path's sampled fit (n > fitSampleRows) now selects its
+    // training set by id hash too (r4 verdict #3): the sample — and with
+    // it the driver-reparallelized fit input — is identical across corpus
+    // layouts, so even the MLlib centers stop drifting with partitioning.
+    val m1 = Similarity.ivfCentroids(corpus, 4, fitSampleRows = 60)
+    val m2 = Similarity.ivfCentroids(corpus.repartition(11), 4,
+      fitSampleRows = 60)
+    assert(m1.length == 4 && m1.zip(m2).forall { case (a, b) => a.sameElements(b) })
   }
 
   test("LshParity: typed fast buckets == Column hyperplane buckets (exact xxhash64 chain)") {

@@ -36,11 +36,11 @@ class SoftTfIdfSpec extends SparkSuite {
         if cands.nonEmpty
       } yield {
         val (jw, tb, tfb) = cands.minBy(c => (-c._1, c._2))
-        (BigInt(tfa) * BigInt(tfb) * BigInt(jw) * BigInt(1000000L) *
-          BigInt(1000000L) / (BigInt(df(ta)) * BigInt(df(tb)))).toLong
+        BigInt(tfa) * BigInt(tfb) * BigInt(jw) * BigInt(1000000L) /
+          (BigInt(df(ta)) * BigInt(df(tb)))
       }
       if (terms.isEmpty) None
-      else Some((a, b) -> ((terms.sum, terms.size.toLong)))
+      else Some((a, b) -> ((terms.sum.toLong, terms.size.toLong)))
     }.toMap
   }
 
@@ -77,8 +77,22 @@ class SoftTfIdfSpec extends SparkSuite {
   test("no-match pairs emit nothing; identical tokens score by 1/df^2") {
     val recs = Seq(("x", "unique"), ("y", "unique"), ("z", "qqqq"))
     val got = engine(Seq(("x", "y"), ("x", "z")), recs)
-    // df(unique)=2: term = 1*1*1e6*1e12/(2*2)
+    // df(unique)=2: term = 1*1*1e6*1e6/(2*2)
     assert(got === Map(("x", "y") ->
-      ((BigInt(1000000L) * BigInt(1000000000000L) / 4).toLong, 1L)))
+      ((BigInt(1000000L) * BigInt(1000000L) / 4).toLong, 1L)))
+  }
+
+  test("high-tf rare tokens do not overflow: term stays exact in decimal") {
+    // r4 ADVICE regression: with the old 10^12 scale and a per-term long
+    // cast, tf_a·tf_b ≥ 10 at df=2 cast to null and was silently dropped.
+    // 100 repetitions of a df=2 token → term = 100·100·10^6·10^6/4
+    // = 2.5e15 per token — exact, present, and the sum of 30 such rare
+    // tokens (7.5e16) is nowhere near the final long cast.
+    val rare = (0 until 30).map(i => f"zqx$i%02d")
+    val text = rare.flatMap(w => Seq.fill(100)(w)).mkString(" ")
+    val recs = Seq(("a", text), ("b", text))
+    val got = engine(Seq(("a", "b")), recs)
+    val perTerm = BigInt(100) * 100 * 1000000L * 1000000L / 4
+    assert(got === Map(("a", "b") -> (((perTerm * 30).toLong, 30L))))
   }
 }
