@@ -164,13 +164,17 @@ object ConnectedComponents {
     * primitive (old labels = 10¹²-scale table touched by ONE join; the
     * CC itself runs on ≤ 2·|batch| edges).
     *
-    * `labels`: (id, component) — must be a valid CC labeling (component
-    * = min member id, every member present). `newEdges`: (src, dst).
-    * Returns the updated complete labeling, again min-id-labeled.
-    * Label-graph CC labels are min over LABELS, and each label is the
-    * min of its old members, so min-of-mins = min of the merged
-    * component — the invariant is preserved, which is what makes
-    * incremental == full rebuild (the spec law). */
+    * `labels`: (id, component) — a consistent labeling where each
+    * component's label is ONE OF ITS MEMBER IDS (so labels are injective
+    * across components and can't collide with brand-new vertex ids) and
+    * every member is present. Min-member-id labeling (this object's
+    * output) is the canonical case; any representative labeling — e.g.
+    * the count-weighted canonicals `Pipeline.runIncremental` feeds in —
+    * is equally valid. `newEdges`: (src, dst). Returns the updated
+    * complete labeling; merged groups get the min over the LABELS
+    * involved. Under min-id labels, min-of-mins = min of the merged
+    * component, so the min-id invariant is preserved — which is what
+    * makes incremental == full rebuild (the spec law). */
   def incrementalUpdate(labels: DataFrame, newEdges: DataFrame,
       maxIter: Int = 20, smallThreshold: Long = 100000L): DataFrame = {
     val lab = labels.select(col("id").cast("string").as("id"),

@@ -91,6 +91,75 @@ object EntityLinker {
           .toDF("src", "dst")
       }
     }
+    distributedEdges(ents, None, numHashes, jaccardMin, editSimMin, useIce,
+      maxBucket)
+  }
+
+  /** Incremental-maintenance variant: the subset of
+    * `candidateEdgesFromEntities(ents)` edges with at least one endpoint in
+    * `touched` (a column `entity_key` — brand-new entities plus existing
+    * entities whose registry attributes the increment changed). Blocking
+    * still hashes EVERY entity (one narrow linear pass — touched entities
+    * must find their old co-bucketed neighbours), but only buckets holding
+    * a touched entity reach the quadratic verify, and only touched-incident
+    * pairs are verified — so verify work scales with the INCREMENT, not the
+    * entity corpus.
+    *
+    * Soundness (why dropping old–old pairs is exact, given the store was
+    * built by this pipeline with the same config): an untouched entity's
+    * attributes (surface/tokens/ice) are bit-identical to the prior run,
+    * its band hashes are per-entity deterministic, and buckets only GROW,
+    * so any old–old pair surviving today's cap survived the prior run's
+    * and verified identically — its edge is already inside the prior
+    * labeling that [[graft.canon.ConnectedComponents.incrementalUpdate]]
+    * contracts over. ICE star edges are restricted the same way: star
+    * groups without a touched member are fully within one prior component.
+    */
+  def candidateEdgesTouched(
+      ents: DataFrame,
+      touched: DataFrame,
+      numHashes: Int = 8,
+      jaccardMin: Double = 0.6,
+      editSimMin: Double = 0.85,
+      useIce: Boolean = true,
+      maxBucket: Int = 1000,
+      smallThreshold: Long = 50000L): DataFrame = {
+
+    if (smallThreshold > 0) {
+      val head = ents.select("entity_key", "surface", "tokens", "ice")
+        .take(math.min(smallThreshold, Int.MaxValue - 1).toInt + 1)
+      if (head.length <= smallThreshold) {
+        val spark = ents.sparkSession
+        import spark.implicits._
+        val rows = head.map(r => LocalEnt(r.getString(0), r.getString(1),
+          r.getSeq[String](2), if (r.isNullAt(3)) null else r.getString(3)))
+        val tset = touched.select(col("entity_key").cast("string"))
+          .collect().map(_.getString(0)).toSet
+        // exact parity with the distributed restriction: the full local
+        // edge set filtered to touched-incident pairs
+        return spark.createDataset(
+          edgesLocal(rows, numHashes, jaccardMin, editSimMin, useIce, maxBucket)
+            .filter(e => tset(e._1) || tset(e._2)))
+          .toDF("src", "dst")
+      }
+    }
+    distributedEdges(ents, Some(touched), numHashes, jaccardMin, editSimMin,
+      useIce, maxBucket)
+  }
+
+  /** The distributed LSH→verify chain, optionally restricted to pairs with
+    * a `touched` endpoint (None = the full edge set). */
+  private def distributedEdges(
+      ents: DataFrame,
+      touched: Option[DataFrame],
+      numHashes: Int,
+      jaccardMin: Double,
+      editSimMin: Double,
+      useIce: Boolean,
+      maxBucket: Int): DataFrame = {
+    val tkeys = touched.map(t => graft.Materialize(
+      t.select(col("entity_key").cast("string").as("entity_key")).distinct(),
+      eager = false))
 
     // MinHash signature: sig_i = min over tokens of xxhash64(token, seed=i)
     val sigs = (0 until numHashes).map { i =>
@@ -121,16 +190,33 @@ object EntityLinker {
     } else graft.Audit.warn("EntityLinker: materialize=none — in-operator " +
       "cap accounting skipped (it would double-compute the bucket " +
       "aggregate); audit caps via blockStats")
-    val keptBlocks = blocks
+    val keptBlocks0 = blocks
       .join(bucketSizes.where(col("count") <= maxBucket), Seq("band", "h"))
       .drop("count")
 
+    // touched restriction: flag rides the block rows; only buckets with a
+    // touched member can yield a touched-incident pair, so the rest never
+    // reach the self-join. For the full (None) chain the flag is a literal
+    // true that constant-folds out of the plan.
+    val keptBlocks = tkeys match {
+      case Some(t) =>
+        val flagged = keptBlocks0
+          .join(t.withColumn("is_t", lit(true)), Seq("entity_key"), "left")
+          .withColumn("is_t", coalesce(col("is_t"), lit(false)))
+        flagged.join(
+          flagged.where(col("is_t")).select("band", "h").distinct(),
+          Seq("band", "h"), "left_semi")
+      case None => keptBlocks0.withColumn("is_t", lit(true))
+    }
+
     val l = keptBlocks.select(
       col("band"), col("h"), col("entity_key").as("src"),
-      col("surface").as("s_surface"), col("tokens").as("s_tokens"), col("ice").as("s_ice"))
+      col("surface").as("s_surface"), col("tokens").as("s_tokens"),
+      col("ice").as("s_ice"), col("is_t").as("s_t"))
     val r = keptBlocks.select(
       col("band"), col("h"), col("entity_key").as("dst"),
-      col("surface").as("d_surface"), col("tokens").as("d_tokens"), col("ice").as("d_ice"))
+      col("surface").as("d_surface"), col("tokens").as("d_tokens"),
+      col("ice").as("d_ice"), col("is_t").as("d_t"))
 
     val jaccard =
       size(array_intersect(col("s_tokens"), col("d_tokens"))).cast("double") /
@@ -144,6 +230,7 @@ object EntityLinker {
 
     val lshEdges = l.join(r, Seq("band", "h"))
       .where(col("src") < col("dst"))
+      .where(col("s_t") || col("d_t")) // cheap gate BEFORE the verify work
       .where(!iceConflict)
       .where(jaccard >= jaccardMin ||
         Taggers.editSimilarity(col("s_surface"), col("d_surface")) >= editSimMin)
@@ -157,12 +244,37 @@ object EntityLinker {
       // exact same components as all-pairs — but a degenerate shared ICE
       // (OCR noise, placeholder '000000000' on 10^5 entities) costs
       // group-size rows instead of a quadratic self-join bucket
-      val withIce = ents.where(col("ice").isNotNull)
+      val withIce0 = ents.where(col("ice").isNotNull)
+      // touched restriction: only groups holding a touched member need new
+      // edges (an untouched group is fully inside one prior component); the
+      // hub is still the min over the FULL group, matching the rebuild
+      val withIce = tkeys match {
+        case Some(t) =>
+          withIce0.join(
+            withIce0.join(t, Seq("entity_key"), "left_semi")
+              .select("ice").distinct(),
+            Seq("ice"), "left_semi")
+        case None => withIce0
+      }
       val iceMin = withIce.groupBy("ice").agg(min(col("entity_key")).as("src"))
-      val iceEdges = withIce.select(col("ice"), col("entity_key").as("dst"))
+      val iceEdges0 = withIce.select(col("ice"), col("entity_key").as("dst"))
         .join(iceMin, "ice")
         .where(col("src") < col("dst")) // src IS the group min; drops self
         .select("src", "dst")
+      val iceEdges = tkeys match {
+        case Some(t) =>
+          // keep only touched-incident star edges: old–old members of a
+          // touched group are already co-labeled in the prior map
+          val ts = t.withColumn("t1", lit(true))
+          iceEdges0
+            .join(ts.withColumnRenamed("entity_key", "src"), Seq("src"), "left")
+            .join(ts.withColumnRenamed("entity_key", "dst")
+              .withColumnRenamed("t1", "t2"), Seq("dst"), "left")
+            .where(coalesce(col("t1"), lit(false)) ||
+              coalesce(col("t2"), lit(false)))
+            .select("src", "dst")
+        case None => iceEdges0
+      }
       lshEdges.union(iceEdges).distinct()
     }
   }

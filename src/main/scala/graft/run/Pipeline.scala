@@ -427,15 +427,22 @@ object Pipeline {
     *
     * How: the stored entity REGISTRY (decomposable per-entity aggregates)
     * re-aggregates with the new docs' mentions into exactly the entity
-    * table a full extract over old ∪ new would produce; entity linking +
-    * CC + canonical selection then run over that merged, ENTITY-scale
-    * table. Old doc-scoped triples are re-pointed through the (old
+    * table a full extract over old ∪ new would produce. Entity linking is
+    * INCREMENTAL ([[EntityLinker.candidateEdgesTouched]]): blocking hashes
+    * the merged table once (narrow), but the quadratic verify runs only on
+    * pairs incident to a touched entity, and canonicalization is label
+    * CONTRACTION ([[ConnectedComponents.incrementalUpdate]]) — the inner
+    * CC runs on the batch-bounded label graph, never the corpus edge set
+    * (the committed snapshot's `inc_el_edges` counter records that bound).
+    * Canonical-representative selection re-runs over the merged counts
+    * (one entity-scale window — the registry rewrite is entity-scale
+    * regardless). Old doc-scoped triples are re-pointed through the (old
     * canonical → new canonical) delta — entity-scale, broadcast — and
     * vendor-scoped triples (sameAs, hasICE) are regenerated from the
     * merged table, so the result equals a full rebuild (IncrementalSpec)
     * while touching old DOCUMENTS zero times.
     *
-    * Prior sameAs components are seeded into the new edge set, so a
+    * Prior components enter through the contraction's labels, so a
     * learned merge is never un-learned (monotone) even if new entities
     * push an LSH bucket past its cap.
     *
@@ -492,7 +499,7 @@ object Pipeline {
     val vm = (
       if (cfg.fast) FastExtract.vendorMentions(asOcrDocs(newDocs)).toDF()
       else Extract.vendorMentions(newDocs)).persist()
-    val (merged, newMap, mapRows) = try {
+    val (merged, newMap, mapRows, incEdges) = try {
       val newEnts = EntityLinker.entities(vm)
         .select("entity_key", "surface", "n_mentions", "ice")
       val mergedEnts = graft.Materialize(
@@ -503,16 +510,32 @@ object Pipeline {
             min("ice").as("ice"))
           .withColumn("tokens", array_distinct(split(col("entity_key"), "_"))),
         eager = false)
-      val edges = EntityLinker.candidateEdgesFromEntities(
-          mergedEnts, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin,
-          cfg.useIce, smallThreshold = cfg.elSmallThreshold)
-        .unionByName(priorMap.where(col("id") =!= col("canonical"))
-          .select(col("id").as("src"), col("canonical").as("dst")))
-      val comps = ConnectedComponents.run(edges)
+      // INCREMENTAL entity resolution (r4 verdict #1): blocking hashes the
+      // merged entity table once (narrow, linear), but the quadratic
+      // verify runs only on pairs incident to a TOUCHED entity (new key,
+      // or an existing key whose registry attributes this batch changed —
+      // exactly the keys present in newEnts), and CC is label contraction
+      // over the prior map: the inner CC input is bounded by the batch's
+      // edge set, never the corpus's. Old–old edges are subsumed by the
+      // prior labeling (see candidateEdgesTouched's soundness note), which
+      // also preserves the documented monotonicity (a learned merge is
+      // never un-learned).
+      val touched = newEnts.select("entity_key")
+      val edges = graft.Materialize(
+        EntityLinker.candidateEdgesTouched(
+          mergedEnts, touched, cfg.numHashes, cfg.jaccardMin, cfg.editSimMin,
+          cfg.useIce, smallThreshold = cfg.elSmallThreshold),
+        eager = false)
+      // batch-bounded count: materializes the edge set AND becomes the
+      // snapshot's inc_el_edges lineage counter (the auditable evidence
+      // that the increment's CC input stayed batch-scale)
+      val nEdges = edges.count()
+      val comps = ConnectedComponents.incrementalUpdate(
+        priorMap.select(col("id"), col("canonical").as("component")), edges)
       val counts = mergedEnts.select(col("entity_key").as("id"), col("n_mentions").as("n"))
       val nm = graft.Materialize(
         ConnectedComponents.canonicalMap(comps, counts), eager = false)
-      (mergedEnts, nm, nm.count())
+      (mergedEnts, nm, nm.count(), nEdges)
     } finally vm.unpersist()
 
     // entity-scale delta: old canonical → its new canonical (where changed)
@@ -578,7 +601,8 @@ object Pipeline {
     val newId = TripleStore.committedBatches(storeRoot).max + 1
     val nDocs = newDocs.select("doc_id").distinct().count()
     TripleStore.commitBatch(combined, storeRoot, newId,
-      Map("docs_added" -> nDocs) ++ extraCounters, replaces = visible)
+      Map("docs_added" -> nDocs, "inc_el_edges" -> incEdges) ++ extraCounters,
+      replaces = visible)
     newId
   }
 }

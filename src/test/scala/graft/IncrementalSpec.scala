@@ -43,6 +43,19 @@ class IncrementalSpec extends SparkSuite {
     assert((full diff incr).isEmpty,
       s"full-only triples (${(full diff incr).size}): ${(full diff incr).take(5)}")
 
+    // the increment's CC input stayed batch-bounded (r4 verdict #1): the
+    // snapshot's inc_el_edges counter records the touched-incident edge
+    // set the label contraction consumed — strictly below the full corpus
+    // edge set a rebuild's CC reads
+    val incEdges = TripleStore.counterValue(incrRoot, snapId, "inc_el_edges")
+    assert(incEdges.nonEmpty, "increment snapshot must record inc_el_edges")
+    val fullEdges = graft.link.EntityLinker.candidateEdgesFromEntities(
+      graft.link.EntityLinker.entities(
+        graft.run.FastExtract.vendorMentions(
+          graft.fixtures.InvoiceCorpus.docs(spark, 200)).toDF())).count()
+    assert(incEdges.get < fullEdges,
+      s"inc_el_edges=${incEdges.get} should be < full corpus edges=$fullEdges")
+
     // the P/R gate holds on the maintained store too
     val pr = Evaluation.triplePR(
       Pipeline.readGraph(spark, incrRoot),

@@ -43,6 +43,34 @@ class LocalElParitySpec extends SparkSuite {
     } finally vm.unpersist()
   }
 
+  test("candidateEdgesTouched == full edges filtered to touched-incident (both paths, both ICE modes)") {
+    val vm = FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 250)).toDF().cache()
+    try {
+      val ents = EntityLinker.entities(vm)
+      // a deterministic "touched" subset: every 3rd entity key
+      val touched = ents.select("entity_key")
+        .where(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("entity_key")),
+            org.apache.spark.sql.functions.lit(3)) === 0)
+        .cache()
+      val tset = touched.as[String].collect().toSet
+      assert(tset.nonEmpty && tset.size < ents.count())
+      for (useIce <- Seq(true, false); threshold <- Seq(Long.MaxValue, 0L)) {
+        val full = EntityLinker.candidateEdgesFromEntities(ents,
+            useIce = useIce, smallThreshold = threshold)
+          .as[(String, String)].collect().toSet
+        val expected = full.filter(e => tset(e._1) || tset(e._2))
+        val got = EntityLinker.candidateEdgesTouched(ents, touched,
+            useIce = useIce, smallThreshold = threshold)
+          .as[(String, String)].collect().toSet
+        assert(got == expected, s"useIce=$useIce threshold=$threshold " +
+          s"gotOnly=${got -- expected} expOnly=${expected -- got}")
+        assert(got.size < full.size, "restriction should be proper here")
+      }
+    } finally vm.unpersist()
+  }
+
   test("bucket-cap drops are WARNED in-operator on both paths, silent when uncapped") {
     val vm = FastExtract.vendorMentions(InvoiceCorpus.docs(spark, 150, 7L, 0.9)).toDF().cache()
     try {
