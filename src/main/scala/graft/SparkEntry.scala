@@ -25,12 +25,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def sumd(c: Column): Column = sum(dec2(c)).cast("double")
-
   /** Flagship: KG triples from a small fixture corpus (driver smoke-checks
     * rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
@@ -40,6827 +34,9 @@ object SparkEntry {
   // queries
   // ======================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- relational core (SURVEY.md §2.2/2.3/2.4/2.5/2.6/2.7) ----
-    "q01_pricing_summary" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base"),
-          sum(dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
-            .cast("double").as("sum_disc"),
-          count(lit(1)).as("n"))
-    }),
-    "q02_join_revenue" -> ((s, d) => {
-      t(s, d, "orders").join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .where(col("r_name").isin("AFRICA", "ASIA"))
-        .groupBy("n_name")
-        .agg(sumd(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-    }),
-    "q03_topk_orders" -> ((s, d) =>
-      t(s, d, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")),
-    "q04_filter_pushdown" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") && col("l_quantity") > 25)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-          (dec2(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
-            .cast("double").as("disc_price"))),
-    "q05_semi_anti" -> ((s, d) => {
-      val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
-      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
-      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
-      withO.join(withoutO, Seq("c_mktsegment"), "full")
-        .na.fill(0L, Seq("n_with", "n_without"))
-    }),
-    "q06_distinct_union" -> ((s, d) => {
-      val a = t(s, d, "lineitem").select(lit("lineitem").as("src"), col("l_returnflag").as("k"))
-      val b = t(s, d, "orders").select(lit("orders").as("src"), col("o_orderstatus").as("k"))
-      a.unionByName(b).distinct()
-    }),
-    "q07_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 2)
-        .select("n_name", "c_custkey", "c_acctbal", "rk")
-    }),
-    "q08_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
-        .withColumn("prev_ts", lag("ts", 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
-    }),
-    "q09_rollup_counters" -> ((s, d) =>
-      t(s, d, "events")
-        .rollup("event_type")
-        .agg(count(lit(1)).as("n"), grouping(col("event_type")).cast("int").as("gid"))
-        .withColumn("event_type", coalesce(col("event_type"), lit("ALL")))
-        .select("event_type", "gid", "n")),
-    "q10_percentiles" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy("event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("median_v"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90_v"))),
-    "q11_decimal_key_join" -> ((s, d) => {
-      // J2 tolerance join: <0.01 tolerance at 2-decimal money reduces to an
-      // exact equi-join on the DECIMAL(18,2) key (SURVEY.md §2.3 J2)
-      val l = t(s, d, "lineitem").select(col("l_orderkey"), dec2(col("l_extendedprice")).as("amt"))
-      val o = t(s, d, "orders").select(col("o_orderkey"), dec2(col("o_totalprice")).as("amt"))
-      l.join(o, "amt").select("l_orderkey", "o_orderkey").distinct()
-    }),
-    "q12_date_ops" -> ((s, d) =>
-      t(s, d, "orders").select(
-        col("o_orderkey"),
-        date_format(col("o_orderdate"), "dd/MM/yyyy").as("fr_date"),
-        date_add(col("o_orderdate"), 30).as("due"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("mo"))),
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.entry.Pack1.queries ++ graft.entry.Pack2.queries ++ graft.entry.Pack3.queries ++ graft.entry.Pack4.queries ++ graft.entry.Pack5.queries
 
-    // ---- KG taggers on driver tables (F5/F6/F2/A3/W1/F13 parity) ----
-    "q13_classify_text" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Taggers.classifyTextType(col("text")).as("field_type"))),
-    "q14_number_extract" -> ((s, d) =>
-      t(s, d, "customer").select(col("c_custkey"),
-        explode(regexp_extract_all(col("c_name"), lit("(\\d+)"), lit(1))).as("num"))),
-    "q15_zone_band" -> ((s, d) => {
-      val w = Window.partitionBy("l_orderkey")
-      t(s, d, "lineitem")
-        .withColumn("relpos",
-          col("l_linenumber").cast("double") / max("l_linenumber").over(w).cast("double"))
-        .withColumn("band", Taggers.zoneOfRelPos(col("relpos")))
-        .groupBy("band").agg(count(lit(1)).as("n"))
-    }),
-    "q16_enhanced_tagger" -> ((s, d) => {
-      val zone = element_at(
-        array(lit("header"), lit("company_info"), lit("client_info"),
-          lit("items"), lit("total"), lit("footer")),
-        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
-      t(s, d, "documents").select(col("doc_id"), zone.as("zone"),
-        Taggers.enhanceTextType(col("text"), zone).as("enhanced_type"))
-    }),
-    "q17_edit_similarity" -> ((s, d) => {
-      val c = t(s, d, "customer").where(col("c_custkey") < 100).select("c_name")
-      val sup = t(s, d, "supplier").select("s_name")
-      c.crossJoin(sup).select(col("c_name"), col("s_name"),
-        round(Taggers.editSimilarity(col("c_name"), col("s_name")), 4).as("sim"))
-    }),
-    "q18_reading_order" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events").select(col("event_id"), col("user_id"),
-        (row_number().over(w) - 1).as("offset"))
-    }),
-
-    // ---- corpus curation: dedup / similarity / text analysis ----
-    "q19_dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents"))),
-    "q20_ngram_jaccard_neardup" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), k = 5, threshold = 0.2, maxDf = 50)),
-    "q21_minhash_neardup" -> ((s, d) =>
-      // ORACLED (r2): candidates are verified by exact shingle Jaccard, so
-      // the output equals the exact-Jaccard pair set whenever LSH recall is
-      // 1.0 — which is deterministically checkable, not a coin flip: the
-      // planted duplicates in `documents` all sit at jaccard ≥ 0.875
-      // (measured), where missing all 8 bands has p < 3e-5 per pair and the
-      // xxhash64 band hashes are a fixed function of the data. DedupSpec
-      // asserts the pair-set equality as a property on the planted corpus.
-      Dedup.minhashNearDup(t(s, d, "documents"), k = 5, numHashes = 16, bands = 8,
-        threshold = 0.2)),
-    "q22_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDup(t(s, d, "documents"), maxHamming = 3)),
-    "q23_cosine_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
-    }),
-    "q24_lsh_ann" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5, planes = 4)
-    }),
-    "q53_pq_ann" -> ((s, d) => {
-      // product-quantization ANN: deterministic per-subspace codebooks,
-      // 8-byte codes + stored exact norms on the scan side, per-query ADC
-      // lookup tables, top-15 shortlist, exact-cosine rerank to top-5
-      val emb = t(s, d, "embeddings")
-      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-        m = 8, codebookSize = 16, rerankFactor = 3)
-    }),
-    "q57_graph_bgp" -> ((s, d) => {
-      // SPARQL-style basic graph pattern over a triple-ized TPC-H star:
-      // bindings for { ?c in_nation ?n . ?s supplies_nation ?n .
-      // ?n in_region r0 } — each pattern is a filtered scan (constant
-      // pred/obj push down; over the pred-partitioned store the pred
-      // constant prunes whole directories), the conjunction folds into
-      // equi joins on the shared variables. Oracle = the equivalent
-      // relational join in DuckDB.
-      val cust = t(s, d, "customer").select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("in_nation").as("pred"),
-        concat(lit("n"), col("c_nationkey")).as("obj"))
-      val supp = t(s, d, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("subj"),
-        lit("supplies_nation").as("pred"),
-        concat(lit("n"), col("s_nationkey")).as("obj"))
-      val nat = t(s, d, "nation").select(
-        concat(lit("n"), col("n_nationkey")).as("subj"),
-        lit("in_region").as("pred"),
-        concat(lit("r"), col("n_regionkey")).as("obj"))
-      graft.graph.GraphQuery.bgp(cust.union(supp).union(nat), Seq(
-        ("?c", "in_nation", "?n"),
-        ("?s", "supplies_nation", "?n"),
-        ("?n", "in_region", "r0")))
-    }),
-    "q56_pagerank" -> ((s, d) => {
-      // fixed-point PageRank over the part co-order graph (parts sharing a
-      // lineitem order; per-order quadratic is bounded by order size).
-      // Long arithmetic end to end → bit-stable across layouts, which is
-      // what makes a hash oracle possible; the oracle fixture is an
-      // independent sequential adjacency-loop replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      graft.graph.PageRank.run(edges, iters = 5)
-        .select(col("id").as("part_id"), col("rank_fp"))
-    }),
-    "q66_bgp_optional" -> ((s, d) => {
-      // SPARQL OPTIONAL + FILTER over a triple-ized orders graph: urgent
-      // orders with their customer and priority, OPTIONALly the big-order
-      // marker (only totalprice > 250000 orders carry one → ~half the
-      // solutions keep a null-bound ?b). Oracle = the equivalent
-      // relational LEFT-JOIN-shaped CASE on the BASE table — independent
-      // of the triple-ization and the compiler.
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
-        col("o_orderpriority").as("obj"))
-      val big = ord.where(col("o_totalprice") > 250000).select(
-        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
-      graft.graph.GraphQuery.bgpOpt(
-        placedBy.union(prio).union(big),
-        Seq(("?o", "placed_by", "?c"), ("?o", "priority", "?p")),
-        optionals = Seq(Seq(("?o", "size_class", "?b"))),
-        filters = Seq(col("p") === "1-URGENT"))
-    }),
-    "q67_characteristic_sets" -> ((s, d) => {
-      // characteristic-sets summary (Neumann & Moerkotte) over a
-      // triple-ized orders graph whose entity shapes vary by two planted
-      // conditional predicates; oracle = DuckDB's list_sort(list(DISTINCT
-      // pred)) re-implementation over the same construction
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
-        col("o_orderpriority").as("obj"))
-      val big = ord.where(col("o_totalprice") > 250000).select(
-        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
-      val fin = ord.where(col("o_orderstatus") === "F").select(
-        subj.as("subj"), lit("finished").as("pred"), lit("y").as("obj"))
-      graft.graph.GraphStats.characteristicSets(
-        placedBy.union(prio).union(big).union(fin))
-    }),
-    "q68_kcore" -> ((s, d) => {
-      // core decomposition of the part co-order graph via synchronous
-      // h-index iteration (converges exactly to coreness); the oracle
-      // fixture is an INDEPENDENT Batagelj–Žaveršnik peeling replay in
-      // tools.GenFixtures — a different algorithm, same fixpoint
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      graft.graph.KCore.coreness(e)
-        .select(col("id").as("part_id"), col("coreness"))
-    }),
-    "q58_path_reachable" -> ((s, d) => {
-      // SPARQL property path `reports_to+`: transitive closure over the
-      // customer parent tree (c_custkey → c_custkey div 2 — depth ~log₂ n,
-      // so the semi-naive loop runs a realistic number of rounds). Oracle
-      // = DuckDB's recursive CTE, the sequential definition.
-      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      graft.graph.GraphQuery.reachable(e)
-    }),
-    "q59_triangles" -> ((s, d) => {
-      // per-node triangle counts over the part co-order graph via
-      // degree-ordered orientation (compact-forward); the oracle is
-      // DuckDB's id-ordered 3-way join — a genuinely different
-      // orientation scheme that must find the same triangles
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      graft.graph.Triangles.perNode(e)
-        .select(col("id").cast("long").as("part_id"), col("n_tri"))
-    }),
-    "q60_shape_validation" -> ((s, d) => {
-      // SHACL-style shape validation over an order-triple graph with
-      // violations PLANTED deterministically (missing placed_by at
-      // key%97=0, a second status at %89=0, a malformed ref at %83=0, a
-      // dangling vendor at %101=0); both engines build the same triples,
-      // the oracle re-implements the checks as GROUP BY/HAVING + regex +
-      // NOT IN in DuckDB
-      import graft.graph.Validate, graft.graph.Validate.Shape
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val placedBy = ord.where(col("o_orderkey") % 97 =!= 0).select(
-        subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"),
-          when(col("o_orderkey") % 101 === 0, lit(0)).otherwise(col("o_custkey"))).as("obj"))
-      val status = ord.select(subj.as("subj"), lit("status").as("pred"),
-        col("o_orderstatus").as("obj"))
-      val statusDup = ord.where(col("o_orderkey") % 89 === 0).select(
-        subj.as("subj"), lit("status").as("pred"),
-        concat(col("o_orderstatus"), lit("?")).as("obj"))
-      val ref = ord.select(subj.as("subj"), lit("ref").as("pred"),
-        when(col("o_orderkey") % 83 === 0, col("o_orderkey").cast("string"))
-          .otherwise(concat(lit("R"), col("o_orderkey"))).as("obj"))
-      val triples = placedBy.union(status).union(statusDup).union(ref)
-      val customers = t(s, d, "customer")
-        .select(concat(lit("c"), col("c_custkey")).as("member"))
-      Validate.validate(
-        ord.select(subj.as("subj")), triples,
-        Seq(
-          Shape("placed_by", minCount = 1, maxCount = 1, objIn = Some(customers)),
-          Shape("status", minCount = 1, maxCount = 1),
-          Shape("ref", minCount = 1, maxCount = 1,
-            objPattern = Some("^R[0-9]+$"))))
-    }),
-    "q61_random_walks" -> ((s, d) => {
-      // deterministic DeepWalk walks over the (undirected) part co-order
-      // graph: neighbor arrays sorted, step choice =
-      // xxhash64(seed, walk_id, step) mod degree — bit-stable across
-      // layouts, which is what makes a hash oracle possible; the fixture
-      // is an independent sequential replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
-        .select(col("p_partkey").as("id"))
-      graft.graph.RandomWalks.walkSteps(e, startsDf, length = 8, seed = 7L)
-    }),
-    "q62_skipgram" -> ((s, d) => {
-      // skip-gram (center, context) training pairs from the q61 walks —
-      // engine expands the window per row with array HOFs (no self-join);
-      // the oracle expands it RELATIONALLY in DuckDB (walk-id self-join
-      // over the independently-replayed committed walk fixture)
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
-        .select(col("p_partkey").as("id"))
-      val w = graft.graph.RandomWalks.walks(e, startsDf, length = 8, seed = 7L)
-      graft.graph.RandomWalks.skipGramPairs(w, window = 2)
-    }),
-    "q63_bfs_distances" -> ((s, d) => {
-      // multi-source BFS over the customer parent tree, edges parent→child
-      // so the roots fan out; landmark set {c1 (root), c5 (a subtree)} —
-      // one BFS advances both. Oracle = DuckDB's recursive CTE with
-      // min(dist), the sequential definition, independent of the engine's
-      // first-seen semi-naive frontier.
-      import s.implicits._
-      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
-        concat(lit("c"), expr("c_custkey div 2")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"))
-      graft.graph.Distances.fromLandmarks(e, Seq("c1", "c5").toDF("id"))
-    }),
-    "q65_node2vec_walks" -> ((s, d) => {
-      // node2vec second-order biased walks (p=4 return-averse, q=0.25
-      // outward-keen) over the part co-order graph; deterministic
-      // Efraimidis–Spirakis choice keyed by xxhash64 — the fixture is an
-      // independent sequential replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
-        .select(col("p_partkey").as("id"))
-      graft.graph.RandomWalks.walksBiased(e, startsDf, length = 8,
-        p = 4.0, q = 0.25, seed = 7L)
-        .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "node")))
-    }),
-    "q64_communities" -> ((s, d) => {
-      // deterministic synchronous label propagation over the part co-order
-      // graph; the oracle fixture is an independent sequential replay
-      // (driver adjacency maps, 4 rounds) in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      graft.graph.Communities.labelPropagation(e, iters = 4)
-        .select(col("id").as("part_id"), col("community"))
-    }),
-    "q55_semdedup" -> ((s, d) =>
-      // SemDeDup semantic dedup: deterministic-quantizer clustering →
-      // within-cluster cosine pairs → CC groups → keep the member LEAST
-      // similar to its centroid; the oracle fixture is an independent
-      // naive transcription (all-pairs + union-find) in tools.GenFixtures
-      Similarity.semdedup(t(s, d, "embeddings"), threshold = 0.2, nCentroids = 8)
-        .select(col("vec_id"), col("cluster_id"), col("centroid_sim"),
-          col("group_id"), col("keep").cast("int").as("keep"))),
-    "q25_lang_id" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
-    "q26_quality_score" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))),
-    "q27_token_counts" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        TextOps.tokenCountWs(col("text")).as("n_ws"),
-        TextOps.tokenCountBpe(col("text")).as("n_bpe"))),
-    "q28_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
-    "q48_bpe_tokens" -> ((s, d) =>
-      // REAL vocab-driven BPE counts from the committed merge table
-      // (ops.Bpe, iterative lowest-rank merging); the oracle fixture is the
-      // independent sequential-replay implementation in tools.GenFixtures
-      graft.ops.Bpe.tokenCounts(t(s, d, "documents"))),
-    "q49_decontamination" -> ((s, d) => {
-      // training-data decontamination: verbatim word-8-gram overlap vs an
-      // "eval set" (every 20th document) — broadcast eval grams, narrow
-      // corpus explode; oracle is the independent DuckDB list-slice SQL
-      val docs = t(s, d, "documents")
-      Dedup.contamination(docs, docs.where(col("doc_id") % 20 === 0), k = 8)
-        .select(col("doc_id"), col("hits"), col("contaminated").cast("int").as("contaminated"))
-    }),
-    "q50_pii_redact" -> ((s, d) => {
-      // PII detect/redact over a deterministic contact blob synthesized from
-      // the customer table (both engines build the SAME text; the regex
-      // detection + Luhn card validation + redaction are what's under test)
-      import graft.ops.Curation
-      val phone = format_string("%02d-%03d-%03d-%04d",
-        lit(10L) + col("c_custkey") % 90, (col("c_custkey") * 7) % 1000,
-        (col("c_custkey") * 13) % 1000, (col("c_custkey") * 37) % 10000)
-      val handle = regexp_replace(lower(col("c_name")), "[^a-z0-9]", "")
-      val card = lpad(
-        ((col("c_custkey") * 1234567890123L + 4532015112830366L) % 10000000000000000L)
-          .cast("string"), 16, "0")
-      val text = concat_ws(" ", col("c_name"), lit("contact"), phone, lit("mail"),
-        concat(handle, lit("@corp.example.com")), lit("ref"), card)
-      Curation.piiScan(
-        t(s, d, "customer").select(col("c_custkey"), text.as("pii_text")),
-        col("pii_text"), col("c_custkey"))
-    }),
-    "q51_repetition" -> ((s, d) =>
-      // Gopher-style repetition metrics: a single narrow projection (the
-      // top-bigram count is a sorted-run fold per row, NOT an explode +
-      // corpus-wide groupBy); the oracle is an independent unnest+GROUP BY
-      graft.ops.Curation.repetitionMetrics(t(s, d, "documents"), col("text"), col("doc_id"))),
-    "q52_stratified_sample" -> ((s, d) =>
-      // deterministic per-language hash sampling: keep iff the q28-proven
-      // rolling fingerprint of ('s:' || doc_id) mod 100 < the stratum rate —
-      // seed-free, partition-layout-independent, idempotent across reruns
-      graft.ops.Curation.stratifiedSample(
-        t(s, d, "documents").select("doc_id", "lang"), col("doc_id"), col("lang"),
-        Map("en" -> 30, "fr" -> 60, "de" -> 80, "es" -> 45, "zh" -> 15), defaultRate = 5)
-        .select("doc_id", "lang", "bucket")),
-    "q54_seq_packing" -> ((s, d) =>
-      // concat-and-chunk sequence packing (GPT-style training layout): a
-      // distributed prefix sum over id order — range exchange + within-
-      // bucket window + bucket-count-bounded offset window; the oracle is
-      // DuckDB's global window (the sequential definition)
-      graft.ops.Curation.packSequences(
-        t(s, d, "documents").select(col("doc_id"),
-          TextOps.tokenCountWs(col("text")).as("n")),
-        col("doc_id"), col("n"), budget = 512L)),
-    "q29_salted_agg" -> ((s, d) => {
-      // skew-safe two-phase aggregation (SURVEY.md §4): partial agg on
-      // (key, salt), final agg on key — result identical to plain GROUP BY
-      val salted = t(s, d, "events")
-        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
-        .groupBy("event_type", "salt")
-        .agg(sum(dec2(col("value"))).as("pv"), count(lit(1)).as("pn"))
-      salted.groupBy("event_type")
-        .agg(sum("pv").cast("double").as("total_value"), sum("pn").as("n"))
-    }),
-    "q30_entity_cc" -> ((s, d) => {
-      // connected components on a deterministic star graph: nation→region
-      val edges = t(s, d, "nation").select(
-        format_string("n%03d", col("n_nationkey")).as("src"),
-        format_string("r%03d", col("n_regionkey")).as("dst"))
-      graft.canon.ConnectedComponents.run(edges)
-    }),
-    "q31_stream_window" -> ((s, d) =>
-      // batch form of the streaming tumbling-window aggregation
-      t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("total_value"))),
-
-    // ---- KG pipeline on the fixture corpus ----
-    "q32_kg_triples" -> ((s, d) => {
-      // production extraction path (typed FastExtract — the one Pipeline
-      // uses); declarative-vs-fast parity is locked by ExtractParitySpec and
-      // the declarative path stays driver-exercised via entry(). r1 ran the
-      // interpreted-HOF path here: 32.7 s of the bench for 200 docs.
-      import s.implicits._
-      graft.run.FastExtract.triples(
-        InvoiceCorpus.docs(s, 200).toDF()
-          .selectExpr("doc_id", "page_w", "page_h", "spans")
-          .as[graft.model.OcrDoc]).toDF()
-    }),
-    "q33_kg_entity_resolution" -> ((s, d) =>
-      Pipeline.run(InvoiceCorpus.docs(s, 200).toDF())
-        .where(col("pred") === "sameAs")),
-    "q34_media_decode" -> ((s, d) =>
-      Multimodal.decodeAndFeaturize(
-        graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
-        .select("media_ref", "kind", "width", "height", "n_frames")),
-    "q35_fieldtag_expr" -> ((s, d) =>
-      // the fused custom Catalyst expression (doGenCode path) — same oracle
-      // CASE as q13, so the driver gate itself proves expression parity
-      t(s, d, "documents").select(col("doc_id"),
-        call_function("invoice_field_tag", col("text")).as("field_type"))),
-    "q36_embedding_neardup" -> ((s, d) => {
-      // exact all-pairs cosine near-dup on a bounded id range (oracle-able);
-      // the LSH-blocked scale path is q37
-      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-        Similarity.norm(col("embedding")).as("n_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-        Similarity.norm(col("embedding")).as("n_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim_raw",
-          when(col("n_a") * col("n_b") === 0, 0.0)
-            .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
-        .where(col("sim_raw") >= 0.2) // filter on the unrounded value (= oracle)
-        .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
-    }),
-    "q37_embedding_neardup_lsh" -> ((s, d) =>
-      // banded multi-table defaults (planes=2, tables=12): recall ≈ 0.99 at
-      // the 0.2 threshold (SimilaritySpec gates ≥ 0.95); r1's single
-      // 4-plane AND-bucket measured 72%
-      Similarity.neardupPairs(t(s, d, "embeddings"), threshold = 0.2)),
-
-    // ---- r2 operators: cross-validation, zone eval, F18, layout, W6 ----
-    "q38_ocr_amount_validation" -> ((s, d) => {
-      // OCR⋈VLM amount cross-validation (ocr_integration.py:185-210,
-      // 281-310): orders play the VLM amounts, lineitem rows play the OCR
-      // span texts of the same doc; banded decimal-key join inside
-      val vlm = t(s, d, "orders").select(col("o_orderkey").as("doc_id"),
-        dec2(col("o_totalprice")).as("amount"), lit(0.9).as("confidence"))
-      val ocr = t(s, d, "lineitem").select(col("l_orderkey").as("doc_id"),
-        concat(lit("Montant: "), dec2(col("l_extendedprice")).cast("string"),
-          lit(" DH")).as("text"))
-      graft.link.CrossValidate.validateAmounts(vlm, ocr)
-        .select(col("doc_id"), col("amount").cast("double").as("amount"),
-          round(col("confidence"), 4).as("confidence"), col("validated_by_ocr"))
-    }),
-    "q39_zone_eval" -> ((s, d) => {
-      // zone-level evaluation formulas (evaluation.py:346-396) over
-      // deterministic pseudo-detections — the formulas are the operator
-      import graft.metrics.Evaluation
-      val doc = t(s, d, "documents")
-      val det = length(col("text")) % 2 === 0
-      val exp_ = col("doc_id") % 3 === 0
-      val detCnt = (col("doc_id") % 4).cast("int")
-      val expCnt = (length(col("text")) % 3).cast("int")
-      doc.select(col("doc_id"),
-          Evaluation.zoneDetectionEval(det, exp_).as("z"),
-          Evaluation.tableCountEval(detCnt, expCnt).as("tbl"))
-        .select(col("doc_id"),
-          col("z.precision").as("zp"), col("z.recall").as("zr"),
-          round(col("z.f1_score"), 4).as("zf1"),
-          round(col("tbl.precision"), 4).as("cp"),
-          round(col("tbl.recall"), 4).as("cr"),
-          round(col("tbl.f1_score"), 4).as("cf1"))
-    }),
-    "q40_qa_map_explode" -> ((s, d) => {
-      // F18: Q→A MapType iteration (vlm_processor.py:193-196) — map built
-      // from per-doc analysis columns, exploded entry-by-entry in order
-      val doc = t(s, d, "documents")
-      val m = map(
-        lit("lang?"), TextOps.langId(col("text")),
-        lit("len?"), length(col("text")).cast("string"),
-        lit("tokens?"), TextOps.tokenCountWs(col("text")).cast("string"))
-      graft.tag.LayoutAnalyzer.qaEntries(
-        doc.select(col("doc_id"), m.as("detailed_analysis")))
-    }),
-    "q41_layout_sections" -> ((s, d) => {
-      // layout-analyzer sections (layout_analyzer.py:38-64) over the
-      // documents table: text plays the basic description, a constructed
-      // Q→A map exercises the column-count path incl. the >10 fallback
-      import graft.tag.LayoutAnalyzer
-      val doc = t(s, d, "documents")
-      val m = map(
-        lit("Y a-t-il des tableaux ou listes d'articles?"),
-        concat(lit("tableau avec "), (col("doc_id") % 12).cast("string"),
-          lit(" colonnes")))
-      doc.select(col("doc_id"),
-          LayoutAnalyzer.documentStructure(col("text"), m).as("ds"),
-          LayoutAnalyzer.estimateColumnCount(m).as("column_count"),
-          round(LayoutAnalyzer.readabilityScore(col("text")), 4).as("readability"),
-          LayoutAnalyzer.alignmentAnalysis(col("text")).as("al"))
-        .select(col("doc_id"), col("ds.type").as("doc_type"),
-          col("ds.complexity").as("complexity"),
-          array_join(col("ds.sections"), ",").as("sections"),
-          col("column_count"), col("readability"),
-          col("al.main_alignment").as("main_alignment"),
-          col("al.consistency").as("consistency"))
-    }),
-    "q42_proximity_groups" -> ((s, d) => {
-      import s.implicits._
-      graft.tag.Proximity.proximityGroups(
-        InvoiceCorpus.docs(s, 200).toDF()
-          .selectExpr("doc_id", "page_w", "page_h", "spans")
-          .as[graft.model.OcrDoc], threshold = 50.0)
-    }),
-    "q43_ivf_ann" -> ((s, d) => {
-      // deterministic quantizer (driver Lloyd's over the id-sorted sample)
-      // makes the inverted lists — and so the probe results — bit-stable,
-      // which lets this be hash-oracled against an independent driver scan
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-        nCentroids = 16, nprobe = 4, deterministicQuantizer = true)
-    }),
-    "q44_validation_score" -> ((s, d) => {
-      // integration/validation scoring (ocr_integration.py:250-318) over
-      // deterministic pseudo-inputs — the scoring formulas are the operator
-      import graft.link.CrossValidate
-      val doc = t(s, d, "documents")
-      val score = CrossValidate.integrationScore(
-        col("doc_id") % 2 === 0, col("doc_id") % 3 === 0,
-        length(col("text")) % 2 === 0, col("doc_id") % 5 === 0,
-        (col("doc_id") % 100).cast("double") / 100.0)
-      val vlmConf = (length(col("text")) % 10).cast("double") / 10.0
-      doc.select(col("doc_id"),
-        round(score, 4).as("integration_score"),
-        round(CrossValidate.overallConfidence(vlmConf, score), 4).as("overall_confidence"),
-        CrossValidate.reliability(score).as("reliability"))
-    }),
-    "q45_image_quality" -> ((s, d) => {
-      // P8 — quality metrics + gated enhancement + rollback on REAL decoded
-      // pixels (image_enhancement.py:99-128, :291-358); metrics are a pure
-      // function of media_ref (its PNG payload is) → committed fixture
-      // oracle, drift-guarded in ImageQualitySpec
-      graft.ops.ImageQuality.enhance(
-          graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF())).toDF()
-        .select(col("media_ref"),
-          round(col("sharpness"), 4).as("sharpness"),
-          round(col("contrast"), 4).as("contrast"),
-          round(col("brightness"), 4).as("brightness"),
-          round(col("noise"), 4).as("noise"),
-          round(col("quality_score"), 4).as("quality_score"),
-          col("needs_contrast"), col("needs_denoise"), col("needs_sharpen"),
-          col("conservative"), col("rolled_back"))
-    }),
-    "q47_dedup_groups" -> ((s, d) => {
-      // pair mining → duplicate GROUPS (transitive closure over q21's
-      // minhash pair graph). dupGroups handles the integral doc ids
-      // internally (numeric-min group labels, long output — no caller-side
-      // zero-padding shim); the DuckDB oracle recomputes the components
-      // INDEPENDENTLY via a recursive CTE — a second, SQL-implemented
-      // connected-components algorithm.
-      Dedup.dupGroups(Dedup.minhashNearDup(t(s, d, "documents"), k = 5,
-        numHashes = 16, bands = 8, threshold = 0.2))
-    }),
-    "q46_av_decode" -> ((s, d) => {
-      // the REAL audio (WAV/AudioSystem) and video (MJPEG-AVI demux +
-      // per-frame JPEG) decode paths in the driver gate; output is a pure
-      // function of media_ref → committed fixture oracle (q34/q45's
-      // justification), drift-guarded in MultimodalSpec
-      Multimodal.decodeAndFeaturize(
-          graft.fixtures.MediaFixtures.mediaTable(InvoiceCorpus.docs(s, 200).toDF()))
-        .filter(r => r.kind != "image").toDF()
-        .select(col("media_ref"), col("kind"), col("width"), col("height"),
-          col("n_frames"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f_rms_or_r"),
-          round(element_at(col("feature"), 3).cast("double"), 4).as("f_zcr_or_b"))
-    }),
-    "q69_rdfs_closure" -> ((s, d) => {
-      // RDFS materialization (rdfs2/3/5/7/9/11, WebPIE rule order) over a
-      // planted ontology: a subClassOf chain k2..k63 → k(c div 2), a
-      // 2-deep subPropertyOf chain ordered ⊑ related ⊑ linked with
-      // domain/range on `ordered`, type assertions on sampled customers,
-      // `ordered` assertions on sampled orders. Oracle = an independent
-      // relational re-derivation in DuckDB (recursive CTEs for the
-      // hierarchies, plain joins for the rules).
-      import s.implicits._
-      val schemaSc = t(s, d, "customer")
-        .where(col("c_custkey").between(2, 63))
-        .select(concat(lit("k"), col("c_custkey")).as("subj"),
-          lit("rdfs:subClassOf").as("pred"),
-          concat(lit("k"), expr("c_custkey div 2")).as("obj"))
-      val schemaRest = Seq(
-        ("p:ordered", "rdfs:subPropertyOf", "p:related"),
-        ("p:related", "rdfs:subPropertyOf", "p:linked"),
-        ("p:ordered", "rdfs:domain", "k3"),
-        ("p:ordered", "rdfs:range", "k5")).toDF("subj", "pred", "obj")
-      val dataOrdered = t(s, d, "orders").where(col("o_orderkey") % 20 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("subj"),
-          lit("p:ordered").as("pred"),
-          concat(lit("o"), col("o_orderkey")).as("obj"))
-      val dataTypes = t(s, d, "customer").where(col("c_custkey") % 30 === 0)
-        .select(concat(lit("c"), col("c_custkey")).as("subj"),
-          lit("rdf:type").as("pred"),
-          concat(lit("k"), col("c_custkey") % 62 + 2).as("obj"))
-      graft.graph.Inference.rdfsClosure(
-        schemaSc.unionByName(schemaRest).unionByName(dataOrdered).unionByName(dataTypes))
-    }),
-    "q70_bgp_union" -> ((s, d) => {
-      // SPARQL UNION over the q66 triple-ized orders graph: big orders
-      // with their customer, unioned with 5-LOW orders (no ?c binding →
-      // null, as SPARQL leaves branch-absent variables unbound). Bag
-      // semantics. Oracle = the relational UNION ALL on the base table.
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
-        col("o_orderpriority").as("obj"))
-      val big = ord.where(col("o_totalprice") > 250000).select(
-        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
-      graft.graph.GraphQuery.bgpUnion(
-        placedBy.union(prio).union(big),
-        Seq(
-          Seq(("?o", "placed_by", "?c"), ("?o", "size_class", "big")),
-          Seq(("?o", "priority", "5-LOW"))))
-    }),
-    "q71_bgp_minus" -> ((s, d) => {
-      // SPARQL MINUS on the same graph: every (order, customer, priority)
-      // solution minus those with the big-order marker — a shared-?o anti
-      // join (the spec's compatible-solution semantics; the no-shared-var
-      // quirk and the NOT EXISTS divergence are spec-pinned). Oracle =
-      // the relational anti condition on the base table.
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val placedBy = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val prio = ord.select(subj.as("subj"), lit("priority").as("pred"),
-        col("o_orderpriority").as("obj"))
-      val big = ord.where(col("o_totalprice") > 250000).select(
-        subj.as("subj"), lit("size_class").as("pred"), lit("big").as("obj"))
-      graft.graph.GraphQuery.bgpMinus(
-        placedBy.union(prio).union(big),
-        Seq(("?o", "placed_by", "?c"), ("?o", "priority", "?p")),
-        Seq(("?o", "size_class", "big")))
-    }),
-    "q72_ntriples" -> ((s, d) => {
-      // N-Triples serialization — one canonical line per triple across
-      // all three object forms: a typed literal with every ECHAR special
-      // injected (backslash/quote/newline/tab), an IRI object, and a
-      // lang-tagged literal. Oracle = DuckDB rebuilds the lines with its
-      // own replace() chain — an independent implementation of the
-      // escaping and layout.
-      val cust = t(s, d, "customer")
-      val lines = graft.sources.NTriples.line(
-          concat(lit("urn:c"), col("c_custkey")),
-          lit("urn:p:comment"),
-          concat(col("c_mktsegment"), lit("\"q\\\n\tz")),
-          lit(false), lit(null), lit("urn:dt:s")).as("nt_line")
-      val iriLines = graft.sources.NTriples.line(
-          concat(lit("urn:c"), col("c_custkey")),
-          lit("urn:p:nation"),
-          concat(lit("urn:n"), col("c_nationkey")),
-          lit(true)).as("nt_line")
-      val langLines = graft.sources.NTriples.line(
-          concat(lit("urn:c"), col("c_custkey")),
-          lit("urn:p:name"),
-          col("c_name"),
-          lit(false), lit("en-GB")).as("nt_line")
-      cust.select(lines).union(cust.select(iriLines)).union(cust.select(langLines))
-    }),
-    "q73_weighted_sssp" -> ((s, d) => {
-      // weighted shortest paths (semi-naive Bellman-Ford, exact long
-      // arithmetic) over the customer DAG: parent edges (c div 2 → c,
-      // weight c%7+1) plus grandparent shortcuts (c div 4 → c, weight
-      // c%5+1), so min-relaxation genuinely arbitrates path choices.
-      // Oracle = DuckDB's recursive CTE enumerating all path sums with
-      // min() at the end — the sequential definition.
-      import s.implicits._
-      val cust = t(s, d, "customer").select(col("c_custkey"))
-      val parent = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), expr("c_custkey div 2")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"),
-        (col("c_custkey") % 7 + 1).cast("long").as("w"))
-      val shortcut = cust.where(col("c_custkey") > 3).select(
-        concat(lit("c"), expr("c_custkey div 4")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"),
-        (col("c_custkey") % 5 + 1).cast("long").as("w"))
-      graft.graph.Distances.weighted(parent.union(shortcut), Seq("c1").toDF("id"))
-    }),
-    "q74_construct" -> ((s, d) => {
-      // SPARQL CONSTRUCT over the q57 triple view: materialize the
-      // derived customer→region relation (plus a type stamp) as new
-      // triples — the vocabulary-mapping/reshape primitive. Oracle = the
-      // relational join in DuckDB building the same triple set.
-      val cust = t(s, d, "customer").select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("in_nation").as("pred"),
-        concat(lit("n"), col("c_nationkey")).as("obj"))
-      val nat = t(s, d, "nation").select(
-        concat(lit("n"), col("n_nationkey")).as("subj"),
-        lit("in_region").as("pred"),
-        concat(lit("r"), col("n_regionkey")).as("obj"))
-      graft.graph.GraphQuery.construct(cust.union(nat),
-        patterns = Seq(("?c", "in_nation", "?n"), ("?n", "in_region", "?r")),
-        template = Seq(("?c", "co_region", "?r"), ("?c", "rdf:type", "RegionalCustomer")))
-    }),
-    "q75_graph_diff" -> ((s, d) => {
-      // graph diff between two derived snapshot versions: v1 = the order
-      // graph before urgent orders got size markers, v2 = after a predicate
-      // rename (placed_by → ordered_by for F-status orders) plus the new
-      // markers — added/removed rows only. Oracle = DuckDB's FULL OUTER
-      // re-derivation of the same two versions.
-      val ord = t(s, d, "orders")
-      val subj = concat(lit("o"), col("o_orderkey"))
-      val v1 = ord.select(subj.as("subj"), lit("placed_by").as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val renamed = ord.select(subj.as("subj"),
-        when(col("o_orderstatus") === "F", lit("ordered_by"))
-          .otherwise(lit("placed_by")).as("pred"),
-        concat(lit("c"), col("o_custkey")).as("obj"))
-      val markers = ord.where(col("o_orderpriority") === "1-URGENT").select(
-        subj.as("subj"), lit("urgency").as("pred"), lit("high").as("obj"))
-      graft.graph.GraphQuery.diff(v1, renamed.union(markers))
-    }),
-    "q76_property_path" -> ((s, d) => {
-      // SPARQL 1.1 property-path algebra: `child_of+/in_seg` — every
-      // customer paired with each ANCESTOR's market segment (transitive
-      // closure composed into a sequence step, set semantics). Oracle =
-      // DuckDB's recursive CTE + join, the sequential definition.
-      import graft.graph.PropertyPath._
-      val cust = t(s, d, "customer")
-      val childOf = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("child_of").as("pred"),
-        concat(lit("c"), expr("c_custkey div 2")).as("obj"))
-      val inSeg = cust.select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("in_seg").as("pred"),
-        col("c_mktsegment").as("obj"))
-      graft.graph.PropertyPath.pairs(childOf.union(inSeg),
-        Seq2(Plus(Pred("child_of")), Pred("in_seg")))
-    }),
-    "q77_bgp_agg" -> ((s, d) => {
-      // SPARQL GROUP BY over a BGP: per market segment, how many
-      // child→parent links land on a parent of that segment and how many
-      // distinct parents — aggregation over the solution BAG.
-      val cust = t(s, d, "customer")
-      val childOf = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("child_of").as("pred"),
-        concat(lit("c"), expr("c_custkey div 2")).as("obj"))
-      val inSeg = cust.select(
-        concat(lit("c"), col("c_custkey")).as("subj"),
-        lit("in_seg").as("pred"),
-        col("c_mktsegment").as("obj"))
-      graft.graph.GraphQuery.bgpAgg(childOf.union(inSeg),
-        Seq(("?a", "child_of", "?p"), ("?p", "in_seg", "?seg")),
-        groupVars = Seq("seg"),
-        aggs = Seq(count(lit(1)).as("n_links"),
-          countDistinct(col("p")).as("n_parents")))
-    }),
-    "q78_link_prediction" -> ((s, d) => {
-      // neighborhood-overlap link prediction over the customer tree with
-      // grandparent shortcuts (bounded degree ≤ 8, so the wedge set is
-      // linear in nodes); minCommon = 2 keeps multi-witness pairs only
-      graft.graph.LinkPrediction.scores(custGraph(s, d), minCommon = 2)
-    }),
-    "q79_clustering_coefficient" -> ((s, d) =>
-      // local clustering coefficient on the same graph — the grandparent
-      // shortcut makes (k, k div 2, k div 4) triangles everywhere
-      graft.graph.Triangles.clusteringCoefficient(custGraph(s, d))),
-    "q80_repeated_passages" -> ((s, d) =>
-      // cross-document repeated 8-token passages (boilerplate mining)
-      graft.ops.Curation.repeatedPassages(
-        t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2)),
-    "q81_boilerplate_fraction" -> ((s, d) =>
-      // per-doc share of corpus-repeated 8-token windows
-      graft.ops.Curation.boilerplateFraction(
-        t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2)),
-    "q82_importance_weights" -> ((s, d) =>
-      // DSIR hashed-unigram importance weights, target = English docs
-      graft.ops.Curation.importanceWeights(
-        t(s, d, "documents"), col("doc_id"), col("text"),
-        col("lang") === "en", buckets = 64)),
-    "q83_asof_join" -> ((s, d) => {
-      // "which gauge reading was in force when this click happened": clicks
-      // as-of-joined to an hourly per-user max-value gauge built from view
-      // events. One shuffle (union sort-merge), no row expansion; DuckDB's
-      // native ASOF JOIN is the independent oracle.
-      val ev = t(s, d, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val gauge = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("rts"))
-        .agg(max("value").as("gauge"))
-      graft.ops.TemporalJoin.asofJoin(clicks, gauge, Seq("user_id"),
-        leftTs = "ts", rightTs = "rts", rightPayload = Seq("gauge"),
-        asofTsCol = "asof_ts")
-    }),
-    "q84_interval_join" -> ((s, d) => {
-      // point-in-interval: clicks that fall inside a 10-minute error window
-      // [error ts, +10min). Bucketized equi join (width = window length), so
-      // the plan never degenerates to a nested-loop theta join.
-      val ev = t(s, d, "events")
-      val windows = ev.where(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("ts").as("lo"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      graft.ops.TemporalJoin.intervalJoin(clicks, windows, point = "ts",
-        lo = "lo", hi = "hi", rightCols = Seq("error_id"), width = 600.0)
-    }),
-    "q85_scc" -> ((s, d) => {
-      // strongly connected components over a directed customer graph:
-      // up-edges k -> k div 2 plus back-edges k div 2 -> k where k % 3 = 0
-      // plant chains of mutually-reachable nodes (SCCs up to size ~10)
-      // inside an otherwise DAG-shaped tree — the condensation-before-
-      // scheduling / cycle-detection pass of a dependency KG
-      val cust = t(s, d, "customer")
-      val up = cust.where(col("c_custkey") > 1).select(
-        col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
-      val back = cust.where(col("c_custkey") > 1 && col("c_custkey") % 3 === 0)
-        .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
-      graft.graph.Scc.components(up.union(back))
-    }),
-    "q86_bm25" -> ((s, d) =>
-      // BM25 top-25 lexical retrieval over the documents corpus — the
-      // decontamination/curation lookup; rank cast long for oracle parity
-      graft.ops.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
-        Seq("spark", "join", "window"), topK = 25)
-        .withColumn("rank", col("rank").cast("long")))
-    ,
-    "q87_condensation_levels" -> ((s, d) => {
-      // SCC condensation of the q85 graph + Kahn topological leveling —
-      // "collapse the cycles, then schedule": (scc, level) with level =
-      // longest path from the source frontier of the condensed DAG
-      val cust = t(s, d, "customer")
-      val up = cust.where(col("c_custkey") > 1).select(
-        col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
-      val back = cust.where(col("c_custkey") > 1 && col("c_custkey") % 3 === 0)
-        .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
-      val g = up.union(back)
-      val dag = graft.graph.Topo.condense(g, graft.graph.Scc.components(g))
-      graft.graph.Topo.levels(dag)
-        .select(col("id").cast("long").as("scc"),
-          col("level").cast("long").as("level"))
-    }),
-    "q88_editdist_join" -> ((s, d) =>
-      // surface-form variant mining: all customer-name pairs within edit
-      // distance 1 via FastSS deletion-neighborhood blocking + exact verify
-      graft.ops.StringSim.editDistanceJoin(
-        t(s, d, "customer"), "c_custkey", "c_name", maxDist = 1)),
-    "q89_funnel" -> ((s, d) =>
-      // strict-order earliest-completion funnel view -> click -> purchase
-      graft.ops.Funnel.stages(t(s, d, "events"), "user_id", "ts",
-        "event_type", Seq("view", "click", "purchase"))
-        .withColumnRenamed("user", "user_id")),
-    "q90_interval_merge" -> ((s, d) => {
-      // per-user error-state uptime: coalesce overlapping 10-minute error
-      // windows into maximal disjoint outage periods
-      val ev = t(s, d, "events")
-      val iv = ev.where(col("event_type") === "error")
-        .select(col("user_id"), col("ts").as("lo"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
-      graft.ops.TemporalJoin.mergeIntervals(iv, Seq("user_id"), "lo", "hi")
-    }),
-    "q91_priority_sample" -> ((s, d) =>
-      // weighted sample-without-replacement ∝ n_chars (priority sampling:
-      // k smallest u/w, u from the portable rolling fingerprint)
-      graft.ops.Curation.prioritySample(
-        t(s, d, "documents"), col("doc_id"), col("n_chars"), k = 50)
-        .select("doc_id", "n_chars", "u", "priority")),
-    "q92_neighbor_mean" -> ((s, d) => {
-      // one round of mean message passing (GraphSAGE aggregation) over the
-      // vec_id tree+shortcut graph; flattened to (id, dim, mean@6dp) rows
-      val emb = t(s, d, "embeddings")
-      val e1 = emb.where(col("vec_id") > 1)
-        .select(col("vec_id").as("src"), expr("vec_id div 2").as("dst"))
-      val e2 = emb.where(col("vec_id") > 3)
-        .select(col("vec_id").as("src"), expr("vec_id div 4").as("dst"))
-      graft.graph.Propagate.neighborMean(e1.union(e2), emb)
-        .select(col("id"), posexplode(col("mean")).as(Seq("i", "v")))
-        .select(col("id"), col("i").cast("long").as("i"),
-          round(col("v"), 6).as("mean"))
-    }),
-    "q93_cooccurrence" -> ((s, d) =>
-      // bipartite projection: parts co-ordered in >= 2 distinct orders
-      // (the entities-co-mentioned edge builder), capped + audit-counted
-      graft.graph.Cooccur.project(t(s, d, "lineitem"),
-        "l_orderkey", "l_partkey", minCount = 2L)),
-    "q94_validity_intervals" -> ((s, d) =>
-      // temporal-KG SCD2: collapse each user's event-type assertion stream
-      // into half-open validity intervals (open tail = current belief)
-      graft.graph.History.validityIntervals(
-        t(s, d, "events").select(col("user_id").as("subj"),
-          lit("status").as("pred"), col("event_type").as("obj"), col("ts")))
-        .withColumnRenamed("subj", "user_id")),
-    "q95_entity_pivot" -> ((s, d) => {
-      // triples -> wide entity table by conditional aggregation (no pivot
-      // distinct-scan); ordered_part is multi-valued and resolves to
-      // max(obj) with the collapse counted in n_vals
-      val o = t(s, d, "orders")
-      def subj(c: org.apache.spark.sql.Column) = concat(lit("o"), c)
-      val tr = o.select(subj(col("o_orderkey")).as("subj"),
-          lit("placed_by").as("pred"),
-          concat(lit("c"), col("o_custkey")).as("obj"))
-        .union(o.select(subj(col("o_orderkey")), lit("has_priority"),
-          col("o_orderpriority")))
-        .union(t(s, d, "lineitem").select(subj(col("l_orderkey")),
-          lit("ordered_part"), concat(lit("p"), col("l_partkey"))))
-      graft.graph.EntityTable.entityTable(tr,
-        Seq("placed_by", "has_priority", "ordered_part"),
-        nValsCol = Some("n_vals"))
-    }),
-    "q96_setsim_join" -> ((s, d) =>
-      // EXACT jaccard >= 0.9 over distinct-word sets via prefix filtering
-      // (AllPairs/PPJoin) — the zero-recall-loss twin of q21's minhash
-      graft.ops.SetSim.jaccardJoin(
-        t(s, d, "documents").select(col("doc_id"),
-          array_distinct(split(trim(col("text")), "\\s+")).as("toks")),
-        "doc_id", "toks", threshold = 0.9)),
-    "q97_profile" -> ((s, d) =>
-      // one-pass data-quality report (count/null/distinct/min/max per
-      // column, single Expand aggregate — no per-column jobs)
-      graft.ops.Profile.columns(t(s, d, "documents"),
-        Seq("doc_id", "text", "lang", "source", "n_chars"))),
-    "q98_kmv_distinct" -> ((s, d) =>
-      // per-language distinct-text cardinality via the deterministic KMV
-      // sketch (exact below k; (k-1)*M/h_k above)
-      graft.ops.Sketch.kmvDistinct(t(s, d, "documents"),
-        Seq("lang"), "text", k = 64)),
-    "q99_golden_record" -> ((s, d) =>
-      // survivorship: one canonical record per customer entity by
-      // majority vote over its order records (ties to the largest value)
-      graft.canon.Survivorship.goldenRecord(t(s, d, "orders"),
-        "o_custkey", Seq("o_orderpriority", "o_orderstatus"))),
-    "q100_event_patterns" -> ((s, d) =>
-      // frequent consecutive event-type trigrams across users (behavior
-      // motifs; per-user sequence is ONE wide row, ordered by (ts, id))
-      graft.ops.Sequences.frequentPatterns(t(s, d, "events"),
-        "user_id", Seq("ts", "event_id"), "event_type", k = 3, minKeys = 5L)),
-    "q101_resample_locf" -> ((s, d) =>
-      // per-user hourly gauge grid with last-observation-carried-forward
-      graft.ops.Resample.locf(t(s, d, "events"),
-        Seq("user_id"), "ts", "value")),
-    "q102_cooccur_pmi" -> ((s, d) =>
-      // q93's co-order projection scored by association strength (lift +
-      // PMI over margins from the same kept membership)
-      graft.graph.Cooccur.pmi(t(s, d, "lineitem"),
-        "l_orderkey", "l_partkey", minCount = 2L)),
-    "q103_outliers" -> ((s, d) =>
-      // per-language length outliers (|z| > 1.5) with exact integer moments
-      graft.ops.Profile.outliers(t(s, d, "documents"),
-        Seq("lang"), "n_chars", threshold = 1.5)),
-    "q104_histogram" -> ((s, d) =>
-      // integer-exact equi-width length histogram, holes emitted as 0
-      graft.ops.Profile.histogram(t(s, d, "documents"), "n_chars", nBins = 20)),
-    "q105_cdc_apply" -> ((s, d) => {
-      // CDC mirror maintenance: earliest event seeds the base snapshot,
-      // the rest replay as a typed feed (view→U, click→I, error→D);
-      // time axis = exact integer microseconds (unix_micros)
-      val ev = t(s, d, "events").where(col("user_id").isNotNull)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("event_id")
-      val first = ev.withColumn("__r", row_number().over(w))
-      val base = first.where(col("__r") === 1).select(col("user_id"), col("value"))
-      val feed = first.where(col("__r") > 1)
-        .where(col("event_type").isin("view", "click", "error"))
-        .select(col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          when(col("event_type") === "view", "U")
-            .when(col("event_type") === "click", "I")
-            .otherwise("D").as("op"),
-          col("value"))
-      graft.ops.Cdc.applyChanges(base, feed, Seq("user_id"), "ts_us", "op",
-        Seq("value"))
-    }),
-    "q106_group_sample" -> ((s, d) =>
-      // deterministic fixed-size per-language eval sample (k smallest
-      // scrambled hashes — consistent under corpus growth)
-      graft.ops.Curation.groupSample(t(s, d, "documents"),
-        Seq("lang"), col("doc_id"), k = 10)),
-    "q107_quantiles" -> ((s, d) =>
-      // exact per-language p50/p90/p99 length profile (percentile_disc;
-      // heavy machinery at value-scale, not row-scale)
-      graft.ops.Profile.quantiles(t(s, d, "documents"),
-        Seq("lang"), "n_chars", Seq(0.5, 0.9, 0.99))),
-    "q108_skyline" -> ((s, d) =>
-      // Pareto frontier of parts by (size, retail price), both maximized
-      graft.ops.Curation.skyline(t(s, d, "part"), "p_size", "p_retailprice")),
-    "q109_cluster_agreement" -> ((s, d) =>
-      // pairwise P/R/F1 + ARI between the nation partition and the
-      // market-segment partition of customers — all from the contingency
-      // table, zero pair enumeration
-      graft.metrics.ClusterEval.pairwisePR(
-        t(s, d, "customer").select(col("c_custkey"),
-          col("c_nationkey").cast("string").as("pred"),
-          col("c_mktsegment").as("gold")),
-        "c_custkey", "pred", "gold")),
-    "q110_inclusion" -> ((s, d) => {
-      // FK-candidate discovery across the corpus star schema: forward
-      // FKs (expect 1.0) plus reverse/heterogeneous probes (expect < 1)
-      val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
-      val pt = t(s, d, "part"); val cu = t(s, d, "customer")
-      val na = t(s, d, "nation"); val ev = t(s, d, "events")
-      graft.ops.Profile.inclusion(Seq(
-        ("lineitem", li, "l_orderkey", "orders", ord, "o_orderkey"),
-        ("lineitem", li, "l_partkey", "part", pt, "p_partkey"),
-        ("orders", ord, "o_custkey", "customer", cu, "c_custkey"),
-        ("customer", cu, "c_nationkey", "nation", na, "n_nationkey"),
-        ("part", pt, "p_partkey", "lineitem", li, "l_partkey"),
-        ("events", ev, "user_id", "customer", cu, "c_custkey")))
-    }),
-    "q111_cdc_diff" -> ((s, d) => {
-      // net-change computation between two deterministic snapshots of
-      // the customer mirror: %5-keys deleted, %7-keys inserted, %3-keys
-      // updated (+100.0 acctbal) — the feed applyChanges consumes
-      val cu = t(s, d, "customer").where(col("c_custkey").isNotNull)
-      val oldSnap = cu.where(col("c_custkey") % 5 =!= 0)
-        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      val newSnap = cu.where(col("c_custkey") % 7 =!= 0)
-        .select(col("c_custkey"),
-          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
-            .otherwise(col("c_acctbal")).as("c_acctbal"),
-          col("c_mktsegment"))
-      graft.ops.Cdc.diff(oldSnap, newSnap, Seq("c_custkey"),
-        Seq("c_acctbal", "c_mktsegment"))
-    }),
-    "q112_bigram_lm" -> ((s, d) =>
-      // corpus bigram LM self-scoring: per-doc mean log-probability in
-      // exact integer micro-nats (the perplexity-proxy quality score)
-      graft.ops.LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
-    "q113_alias_table" -> ((s, d) =>
-      // top-3 surface forms per brand with counts + frequency share —
-      // the linker-facing alias dictionary
-      graft.canon.AliasTable.build(t(s, d, "part"), "p_brand", "p_type", k = 3)),
-
-    // ---- r4 continuation: centrality / MST / KG-training / chunking ----
-    "q114_harmonic" -> ((s, d) => {
-      // inbound harmonic centrality over the customer parent tree with ALL
-      // nodes as landmarks (exact scores; a landmark SAMPLE is the 10^12
-      // path). Fixed-point Σ floor(SCALE/d) — replayable integer division;
-      // oracle = DuckDB recursive-CTE BFS, the sequential definition.
-      val e = t(s, d, "customer").where(col("c_custkey") > 1).select(
-        concat(lit("c"), expr("c_custkey div 2")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"))
-      val lm = t(s, d, "customer")
-        .select(concat(lit("c"), col("c_custkey")).as("id"))
-      graft.graph.Centrality.harmonic(e, lm)
-    }),
-    "q115_mst" -> ((s, d) => {
-      // minimum spanning forest (Borůvka rounds) of the weighted customer
-      // graph — tree edges (w = k%7+1) compete against grandparent
-      // shortcuts (w = k%5+1), so min-edge selection genuinely arbitrates.
-      // Oracle = an independent sequential KRUSKAL under the same
-      // (w, src, dst) total order in tools.GenFixtures (unique forest).
-      val cust = t(s, d, "customer").select(col("c_custkey"))
-      val parent = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), expr("c_custkey div 2")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"),
-        (col("c_custkey") % 7 + 1).cast("long").as("w"))
-      val shortcut = cust.where(col("c_custkey") > 3).select(
-        concat(lit("c"), expr("c_custkey div 4")).as("src"),
-        concat(lit("c"), col("c_custkey")).as("dst"),
-        (col("c_custkey") % 5 + 1).cast("long").as("w"))
-      graft.graph.Mst.spanningForest(parent.union(shortcut))
-        .select("src", "dst", "w")
-    }),
-    "q116_hits" -> ((s, d) =>
-      // HITS hubs/authorities, 4 exact-integer rounds over the directed
-      // customer graph (child→parent + grandparent shortcuts): interior
-      // nodes accumulate authority, deep leaves act as hubs. Oracle = an
-      // independent sequential adjacency-map replay in tools.GenFixtures
-      // (bit-equality — integer HITS has exactly one correct answer).
-      graft.graph.Centrality.hits(custGraph(s, d), iters = 4)),
-    "q117_neg_sampling" -> ((s, d) =>
-      // filtered negative sampling for KG-embedding training: 2 tail
-      // corruptions per (order, hasCustomer, customer) triple, drawn by
-      // the engine-wide fingerprint PRNG from the indexed entity pool,
-      // true triples filtered. Oracle = DuckDB replaying the draw
-      // term-for-term (list_reduce rolling hash + row_number pool).
-      graft.graph.NegativeSampler.corruptTail(
-        t(s, d, "orders").select(
-          concat(lit("o"), col("o_orderkey")).as("subj"),
-          lit("hasCustomer").as("pred"),
-          concat(lit("c"), col("o_custkey")).as("obj")), k = 2)),
-    "q118_transitive_reduction" -> ((s, d) =>
-      // taxonomy hygiene: every grandparent shortcut is implied by two
-      // tree hops, so the reduction returns exactly the tree edges.
-      // Oracle = DuckDB recursive closure + NOT EXISTS — independent of
-      // the engine's semi-naive fixpoint.
-      graft.graph.TransitiveReduction.reduce(custGraph(s, d))),
-    "q119_rag_chunks" -> ((s, d) =>
-      // sliding-window retrieval chunking (window 32, stride 24) over the
-      // documents corpus — overlapping windows, provenance offsets, pure
-      // per-row HOFs (zero shuffles). Oracle = DuckDB list slicing over
-      // the same whitespace tokenization.
-      graft.ops.Chunker.chunk(t(s, d, "documents"), "text", Seq("doc_id"),
-        window = 32, stride = 24)),
-    "q120_heavy_hitters" -> ((s, d) =>
-      // exact heavy hitters (count·k > n, k=10) with Misra–Gries-bounded
-      // shuffle over a planted-skew key (25% 'megacorp' + uniform tail).
-      // Oracle = DuckDB GROUP BY + HAVING, the exact definition.
-      graft.ops.Sketch.heavyHitters(
-        t(s, d, "orders").select(
-          when(col("o_orderkey") % 4 === 0, lit("megacorp"))
-            .otherwise(concat(lit("c"), col("o_custkey"))).as("hh_key")),
-        "hh_key", k = 10)),
-    "q121_betweenness" -> ((s, d) =>
-      // broker-entity ranking: Brandes dependency accumulation from a
-      // hashed source sample over the customer graph (tree + shortcuts,
-      // so shortest-path counts genuinely compound); fixed-point integer
-      // arithmetic — oracle = independent sequential Brandes replay in
-      // tools.GenFixtures (bit-equality)
-      graft.graph.Betweenness.fromSources(custGraph(s, d),
-        t(s, d, "customer").where(col("c_custkey") % 80 === 0)
-          .select(concat(lit("c"), col("c_custkey")).as("id")))),
-    "q122_mis" -> ((s, d) =>
-      // conflict-free merge batching: Luby MIS over the customer conflict
-      // graph with the keyed-hash total order; oracle = sequential Luby
-      // replay in tools.GenFixtures sharing only the hash values
-      graft.graph.Mis.maximalIndependentSet(custGraph(s, d))),
-    "q123_ktruss" -> ((s, d) =>
-      // triangle-backed cohesion filter before canonicalization: the
-      // 3-truss of the customer graph (every (k, k/2, k/4) closes a
-      // triangle, but chain-only edges peel); oracle = independent
-      // sequential peel replay in tools.GenFixtures
-      graft.graph.Truss.kTruss(custGraph(s, d), k = 3)),
-    "q124_text_normalize" -> ((s, d) =>
-      // accent-insensitive dedup keys through the native text_norm
-      // Catalyst expression (codegen, §2.10): accents synthesized
-      // deterministically via translate, normalized, grouped; oracle =
-      // DuckDB's lower(strip_accents(...)) over the same translate
-      t(s, d, "part")
-        .select(col("p_partkey"),
-          translate(col("p_name"), "aeiou", "àéîöü").as("accented"))
-        .select(col("p_partkey"),
-          graft.functions.TextNorm.normCol(col("accented")).as("norm_key"))
-        .groupBy("norm_key")
-        .agg(count(lit(1)).as("n"), min("p_partkey").as("first_key"))),
-    "q125_time_decay" -> ((s, d) =>
-      // freshness-weighted activity: exponentially decayed event value per
-      // type (half-life 7 days, as-of 2024-04-01) in exact micro-unit
-      // integer sums; oracle = DuckDB replaying the per-row term
-      graft.ops.Decay.decayedSum(t(s, d, "events"), Seq("event_type"),
-        "ts", "value", halfLifeSec = 604800L, asOfEpochSec = 1711929600L)),
-    "q126_rendezvous" -> ((s, d) =>
-      // rendezvous (HRW) sharding of the entity space over 5 stores —
-      // minimal-movement ownership; oracle = DuckDB replaying the
-      // fingerprint argmax term-for-term
-      graft.ops.Shard.assign(
-        t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("k")),
-        "k", Seq("shard-00", "shard-01", "shard-02", "shard-03", "shard-04"))),
-    "q127_blocking_eval" -> ((s, d) => {
-      // blocking-strategy scorecard (RR / PC / PQ) for a nation-keyed
-      // blocking against a deterministic gold pair set; oracle = the
-      // DEFINITIONAL computation in DuckDB (block self-join + gold joins)
-      val blocks = t(s, d, "customer").select(
-        concat(lit("c"), col("c_custkey")).as("id"),
-        concat(lit("n"), col("c_nationkey")).as("block"))
-      val gold = t(s, d, "customer").where(col("c_custkey") % 2 === 0).select(
-        concat(lit("c"), col("c_custkey")).as("a"),
-        concat(lit("c"), col("c_custkey") + 1).as("b"))
-      graft.metrics.BlockingEval.evaluate(blocks, gold)
-    }),
-    "q128_jaro_winkler" -> ((s, d) =>
-      // native codegen Jaro–Winkler (§2.10) scoring names against a
-      // deterministic mutation; oracle = DuckDB's independent
-      // jaro_winkler_similarity (identical on this query's ASCII input —
-      // probe-verified incl. the 0.7 boost threshold; on non-ASCII the
-      // engine scores codepoints where DuckDB scores UTF-8 bytes, the
-      // divergence documented in functions/JaroWinkler)
-      t(s, d, "customer").select(
-        col("c_custkey"),
-        round(graft.functions.JaroWinkler.jwCol(
-          lower(col("c_name")),
-          translate(lower(col("c_name")), "aeiou#", "eaoiu-")), 6).as("jw"))),
-    "q129_snm_blocking" -> ((s, d) =>
-      // sorted-neighborhood candidate pairs (window 4 over the name sort
-      // order) — the hash-blocking complement; oracle = DuckDB's direct
-      // rank self-join definition (no buckets)
-      graft.link.SortedNeighborhood.pairs(
-        t(s, d, "customer").select(concat(lit("c"), col("c_custkey")).as("id"),
-          col("c_name").as("key")),
-        "id", "key", w = 4)),
-    "q130_bpe_encode" -> ((s, d) =>
-      // the full BPE token SEQUENCE with the committed vocab (q48 is its
-      // length projection); oracle = the independent merge-order
-      // sequential replay in tools.GenFixtures, position for position
-      graft.ops.Bpe.encode(t(s, d, "documents"))),
-    "q131_inverted_index" -> ((s, d) =>
-      // materialized positional postings over the documents corpus
-      // (minDf 2 prunes hapax terms); oracle = DuckDB's unnest WITH
-      // ORDINALITY definition
-      graft.ops.Retrieval.invertedIndex(
-        t(s, d, "documents"), "doc_id", "text", minDf = 2)),
-    "q132_rrf_fusion" -> ((s, d) => {
-      // reciprocal-rank fusion of two heterogeneous top-100 rankings
-      // (price-desc and date-asc) — exact integer 10⁹ div (60+rank)
-      // terms; oracle = DuckDB row_number + the same truncating division
-      val o = t(s, d, "orders")
-      def top100(order: Column*) = o
-        .orderBy(order: _*).limit(100)
-        .select(col("o_orderkey").as("id"),
-          row_number().over(Window.orderBy(order: _*)).as("rank"))
-      val byPrice = top100(col("o_totalprice").desc, col("o_orderkey").asc)
-      val byDate = top100(col("o_orderdate").asc, col("o_orderkey").asc)
-      graft.ops.Retrieval.rrfFuse(Seq(byPrice, byDate), k = 60, topK = 20)
-    }),
-    "q133_calibration" -> ((s, d) =>
-      // reliability diagram of a deliberately miscalibrated synthetic
-      // confidence (conf = keyed hash / 1000, accuracy = 1/3 everywhere)
-      // — integer-exact bins; oracle = DuckDB replaying the micro-unit
-      // quantization and truncating divisions
-      graft.metrics.Calibration.reliability(
-        t(s, d, "orders").select(
-          (pmod(col("o_orderkey") * 37, lit(1000)) / 1000.0).as("conf"),
-          (col("o_orderkey") % 3 === 0).as("ok")),
-        "conf", "ok", bins = 10)),
-    "q134_sentence_lid" -> ((s, d) =>
-      // sentence segmentation + per-sentence language ID (the curation
-      // unit below the document — mixed-language docs become visible);
-      // RE2-compatible split rule, q25's oracle-proven language scorer;
-      // oracle = DuckDB replaying split, trim, ranks, and the score CASE
-      graft.ops.Segmenter.sentenceTable(t(s, d, "documents"), "text",
-        Seq("doc_id"))),
-    "q135_trimmed_mean" -> ((s, d) =>
-      // robust per-group center: 10%-trimmed mean of quantities (exact
-      // long kept-sum, one IEEE division); oracle = DuckDB replaying
-      // rank-trim + integer sum
-      graft.ops.Profile.trimmedMean(
-        t(s, d, "lineitem").select(col("l_returnflag").as("g"),
-          col("l_quantity").cast("long").as("v")),
-        Seq("g"), "v", trim = 0.1)),
-    "q136_kwic" -> ((s, d) =>
-      // keyword-in-context concordance for a corpus term (±4 tokens) —
-      // zero-shuffle per-row HOFs; oracle = DuckDB slice arithmetic over
-      // the same tokenization
-      graft.ops.Retrieval.kwic(t(s, d, "documents"), "doc_id", "text",
-        term = "hash", w = 4)),
-    "q137_zorder" -> ((s, d) =>
-      // Z-order (Morton) clustering key — the multi-column file-pruning
-      // layout (native codegen expression; locality + interleave2 parity
-      // in ZOrderSpec); oracle = DuckDB replaying the bit interleave with
-      // plain shift/mask arithmetic
-      t(s, d, "part").select(col("p_partkey"), col("p_size"),
-        graft.ops.Layout.zorderKey(col("p_partkey"), col("p_size"))
-          .as("zkey"))),
-    "q138_fellegi_sunter" -> ((s, d) => {
-      // Fellegi–Sunter record-linkage scoring: nation-blocked candidate
-      // pairs (key distance ≤ 30 bounds the block quadratic), three
-      // agreement fields, chained log2-weight sum, two-threshold decision;
-      // oracle = DuckDB replaying the identical CASE arithmetic
-      val c = t(s, d, "customer")
-      val a = c.select(col("c_custkey").as("a"), col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
-        col("c_name").as("name_a"))
-      val b = c.select(col("c_custkey").as("b"), col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg_b"), col("c_acctbal").as("bal_b"),
-        col("c_name").as("name_b"))
-      val pairs = a.join(b, Seq("nk"))
-        .where(col("a") < col("b") && col("b") - col("a") <= 30)
-        .select(col("a"), col("b"),
-          (col("seg_a") === col("seg_b")).as("agr_seg"),
-          (floor(col("bal_a") / 1000.0) === floor(col("bal_b") / 1000.0))
-            .as("agr_bal"),
-          (substring(col("name_a"), -3, 3) === substring(col("name_b"), -3, 3))
-            .as("agr_sfx"))
-      graft.link.FellegiSunter.score(pairs,
-        Seq(("agr_seg", 1.5, -0.7), ("agr_bal", 2.25, -0.2),
-          ("agr_sfx", 4.5, -0.05)),
-        upper = 3.1, lower = -0.5)
-    }),
-    "q139_soundex_blocking" -> ((s, d) =>
-      // phonetic blocking: collision classes of the corpus vocabulary under
-      // American Soundex (Spark's BUILT-IN expression; the oracle joins the
-      // same DuckDB-tokenized vocabulary to a committed map computed by an
-      // independent sequential Odell–Russell implementation)
-      t(s, d, "documents").where(col("text").isNotNull)
-        .select(explode(expr(
-          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
-        .where(length(col("token")) >= 3)
-        .distinct()
-        .select(col("token"), soundex(col("token")).as("skey"))
-        .withColumn("class_size",
-          count(lit(1)).over(Window.partitionBy("skey")))),
-    "q140_katz" -> ((s, d) =>
-      // bounded-horizon Katz centrality, exact integer fixed-point
-      // (α = 1/4, L = 4): L vertex-keyed matvec shuffles + one final
-      // aggregate; oracle = DuckDB recursive-CTE walk enumeration with the
-      // same invAlpha^(L−l) weights
-      graft.graph.Katz.boundedKatz(custGraph(s, d), L = 4, invAlpha = 4)),
-    "q141_wl_refine" -> ((s, d) =>
-      // 1-WL color refinement (3 rounds) with a commutative modular
-      // multiset fingerprint — structural-role keys; oracle = the same
-      // integer arithmetic unrolled as 3 join+GROUP BY rounds in DuckDB
-      graft.graph.WlRefine.refine(custGraph(s, d), rounds = 3)),
-    "q142_subword_segment" -> ((s, d) =>
-      // unigram-LM Viterbi subword segmentation (committed integer-cost
-      // vocab, smallest-j tie rule) over the corpus vocabulary — narrow
-      // mapPartitions, zero shuffle; oracle = committed fixture from the
-      // independent forward-DP sequential replay (tools.GenFixtures)
-      graft.ops.Subword.segmentTokens(
-        t(s, d, "documents").where(col("text").isNotNull)
-          .select(explode(expr(
-            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
-          .where(length(col("token")) >= 3).distinct())),
-    "q143_functional_deps" -> ((s, d) => {
-      // exact FD discovery: all rhs candidates per lhs in ONE keyed
-      // aggregation pass + unpivot (KG schema induction: which predicates
-      // are single-valued); a key lhs (holds) and a low-card lhs
-      // (violated) in the same report; oracle = DuckDB per-candidate
-      // count(DISTINCT) replays
-      val c = t(s, d, "customer")
-      graft.ops.Profile.functionalDeps(c, "c_custkey",
-          Seq("c_name", "c_mktsegment"))
-        .unionByName(graft.ops.Profile.functionalDeps(c, "c_nationkey",
-          Seq("c_mktsegment", "c_acctbal")))
-    }),
-    "q144_truth_discovery" -> ((s, d) =>
-      // source-reliability truth discovery (Sums fixpoint, 5 rounds,
-      // exact ppm integer arithmetic) over synthetic conflicting claims:
-      // 7 sources each assert an order-priority per customer; oracle =
-      // the SAME integer fixpoint unrolled as 5 CTE rounds in DuckDB
-      graft.ops.TruthDiscovery.resolve(
-        t(s, d, "orders").select(
-          concat(lit("src"), col("o_orderkey") % 7).as("src"),
-          concat(lit("c"), col("o_custkey")).as("obj"),
-          col("o_orderpriority").as("val")),
-        rounds = 5)),
-    "q145_er_pipeline" -> ((s, d) => {
-      // the end-to-end ER composition: blocking → Fellegi–Sunter scoring →
-      // match threshold → connected-components clustering (oracle-proven
-      // large/small-star) → per-entity cluster + size; zero-padded ids make
-      // CC's lexicographic min == numeric min; oracle = the same scoring
-      // arithmetic + q47's recursive-CTE reachability
-      val c = t(s, d, "customer")
-      val a = c.select(format_string("c%06d", col("c_custkey")).as("a"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg_a"),
-        col("c_acctbal").as("bal_a"))
-      val b = c.select(format_string("c%06d", col("c_custkey")).as("b"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg_b"),
-        col("c_acctbal").as("bal_b"))
-      val pairs = a.join(b, Seq("nk"))
-        .where(col("a") < col("b"))
-        .where(substring(col("b"), 2, 6).cast("long") -
-          substring(col("a"), 2, 6).cast("long") <= 30)
-        .select(col("a"), col("b"),
-          (col("seg_a") === col("seg_b")).as("agr_seg"),
-          (floor(col("bal_a") / 1000.0) === floor(col("bal_b") / 1000.0))
-            .as("agr_bal"))
-      val matches = graft.link.FellegiSunter.score(pairs,
-          Seq(("agr_seg", 1.5, -0.7), ("agr_bal", 2.25, -0.2)),
-          upper = 3.1, lower = -0.5)
-        .where(col("decision") === "match")
-        .select(col("a").as("src"), col("b").as("dst"))
-      graft.canon.ConnectedComponents.run(matches)
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("component")))
-    }),
-    "q146_wl_quotient" -> ((s, d) =>
-      // role-level KG summary: collapse nodes into 2-round WL color classes
-      // and count directed edges between classes; oracle = the q141 WL
-      // replay at 2 rounds + two label joins over the directed edges
-      graft.graph.WlRefine.quotient(custGraph(s, d), rounds = 2)),
-    "q147_hll" -> ((s, d) =>
-      // HyperLogLog over the portable KMV hash: integer registers, exact
-      // S_fp, one float step; oracle = DuckDB replaying hash → bucket/rank
-      // (bin() bitlength) → max registers → the identical estimate
-      // arithmetic
-      graft.ops.Sketch.hllEstimate(
-        t(s, d, "orders").select(concat(lit("c"), col("o_custkey")).as("v")),
-        "v", b = 8)),
-    "q148_temporal_reach" -> ((s, d) => {
-      // earliest-arrival reachability over a deterministic temporal edge
-      // stream derived from events (4 time-respecting hops from 5 seeds);
-      // pure timestamp MINs — oracle = the same rounds unrolled in DuckDB
-      val ev = t(s, d, "events")
-      val edges = ev.select(
-        concat(lit("u"), col("user_id")).as("src"),
-        concat(lit("u"), (col("user_id") * 31 + col("event_id")) % 150)
-          .as("dst"),
-        col("ts").as("t"))
-      val seeds = ev.where(col("user_id") <= 5)
-        .select(concat(lit("u"), col("user_id")).as("id"),
-          lit("2024-01-01 00:00:00").cast("timestamp").as("t0"))
-        .distinct()
-      graft.graph.TemporalReach.earliestArrival(edges, seeds, hops = 4)
-    }),
-    "q149_count_min" -> ((s, d) => {
-      // Count-Min frequency sketch (4x1024 integer counters over the
-      // portable hash) probed for 10 keys, true counts joined for the
-      // one-sided-error contract; oracle = the identical register build +
-      // probe mins in DuckDB
-      val li = t(s, d, "lineitem")
-        .select(concat(lit("p"), col("l_partkey")).as("v"))
-      val probes = t(s, d, "part").where(col("p_partkey") <= 10)
-        .select(concat(lit("p"), col("p_partkey")).as("key"))
-      val truth = li.groupBy(col("v").as("key"))
-        .agg(count(lit(1)).as("true_count"))
-      graft.ops.Sketch.cmEstimate(li, "v", probes, "key")
-        .join(truth, Seq("key"), "left")
-        .select(col("key"),
-          coalesce(col("true_count"), lit(0L)).as("true_count"),
-          col("cm_estimate"))
-    }),
-    "q150_assortativity" -> ((s, d) =>
-      // Newman degree assortativity of the customer graph from exact
-      // integer moment sums (one float division at the very end); oracle =
-      // the same moments + the same closed form in DuckDB
-      graft.graph.GraphStats.assortativity(custGraph(s, d))),
-    "q151_leakage_split" -> ((s, d) => {
-      // leakage-safe splits: near-dup GROUPS (q20's exact-jaccard pairs →
-      // q47's components) share a train/val/test assignment, singletons
-      // hash on their own id; oracle = q20's pair SQL + the recursive-CTE
-      // components + the same hash-bucket CASE
-      val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.2,
-        maxDf = 50)
-      graft.ops.Curation.leakageSafeSplit(docs, "doc_id",
-        Dedup.dupGroups(pairs))
-    }),
-    "q152_ppr" -> ((s, d) =>
-      // personalized PageRank from 5 seed customers (α = 0.2, 5 rounds,
-      // exact ppb integer mass); oracle = the same truncating-div rounds
-      // unrolled in DuckDB
-      graft.graph.Ppr.personalized(custGraph(s, d),
-        t(s, d, "customer").where(col("c_custkey") <= 5)
-          .select(concat(lit("c"), col("c_custkey")).as("id")),
-        rounds = 5, alphaTenths = 2)),
-    "q153_mutual_align" -> ((s, d) => {
-      // mutual-nearest-neighbor alignment of the even-id vs odd-id
-      // embedding halves (one scored cross product feeds BOTH direction
-      // ranks); oracle = committed fixture from an independent naive
-      // double-loop replay (tools.GenFixtures)
-      val emb = t(s, d, "embeddings")
-      graft.ops.Similarity.mutualTopMatch(
-        emb.where(col("vec_id") % 2 === 0),
-        emb.where(col("vec_id") % 2 === 1))
-    }),
-    "q154_null_model" -> ((s, d) =>
-      // configuration-model rewiring of the customer graph (deterministic
-      // stub pairing by portable hash; self-loops/multi-edges kept — that
-      // IS the null model); oracle = the identical stub windows in DuckDB
-      graft.graph.NullModel.rewire(custGraph(s, d))),
-    "q155_keyphrases" -> ((s, d) =>
-      // RAKE corpus keyphrases: gaps-and-islands phrase assembly, integer
-      // deg·10^6 div freq word scores, order-free phrase sums; oracle =
-      // the same islands + stats replayed in DuckDB
-      graft.ops.Keyphrases.rake(t(s, d, "documents"), "doc_id", "text",
-        k = 20)),
-    "q156_maximal_matching" -> ((s, d) =>
-      // maximal matching by local-min edge rounds (ER merge-planning: a
-      // disjoint pair set with no live edge left); oracle = committed
-      // fixture from the independent sequential replay (tools.GenFixtures)
-      graft.graph.Matching.maximal(custGraph(s, d))),
-    "q157_quantile_norm" -> ((s, d) =>
-      // cross-source score calibration: within-source rank quantiles on
-      // the shared ppm grid (one window, integer div); oracle = the same
-      // rank/count window arithmetic in DuckDB
-      graft.metrics.Calibration.quantileNormalize(t(s, d, "orders"),
-        "o_orderpriority", "o_orderkey", "o_totalprice")),
-    "q158_benford" -> ((s, d) =>
-      // Benford first-digit audit of order totals — string-derived digits
-      // (no float logs), integer ppm shares vs committed expectations;
-      // oracle = the identical digit/ppm arithmetic in DuckDB
-      graft.ops.Profile.benford(t(s, d, "orders"), "o_totalprice")),
-    "q159_damerau" -> ((s, d) => {
-      // full Damerau–Levenshtein (native codegen expression, Lowrance–
-      // Wagner unrestricted transpositions) over corpus-vocabulary pairs;
-      // oracle = DuckDB's INDEPENDENT damerau_levenshtein implementation
-      val toks = t(s, d, "documents").where(col("text").isNotNull)
-        .select(explode(expr(
-          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
-        .where(length(col("tok")) >= 3).distinct()
-      val a = toks.select(col("tok").as("tok_a"))
-      val b = toks.select(col("tok").as("tok_b"))
-      a.join(b, col("tok_a") < col("tok_b"))
-        .select(col("tok_a"), col("tok_b"),
-          graft.functions.Damerau.distCol(col("tok_a"), col("tok_b"))
-            .as("dl"))
-        .where(col("dl") <= 3)
-    }),
-    "q160_eccentricity" -> ((s, d) => {
-      // landmark eccentricities over the downward customer tree (the
-      // diameter lower bound max-ecc estimates at 10^12 nodes via a
-      // landmark sample); oracle = q114's recursive-CTE BFS + max
-      val down = custGraph(s, d)
-        .select(col("dst").as("src"), col("src").as("dst"))
-      val lm = t(s, d, "customer").where(col("c_custkey") <= 3)
-        .select(concat(lit("c"), col("c_custkey")).as("id"))
-      graft.graph.Distances.fromLandmarks(down, lm)
-        .groupBy("landmark")
-        .agg(max("dist").as("eccentricity"), count(lit(1)).as("n_reached"))
-    }),
-    "q161_kappa" -> ((s, d) =>
-      // Cohen's κ between the labeled lang column and the q25 language-ID
-      // predictor — chance-corrected agreement from exact confusion
-      // marginals, ONE float division; oracle = the same integer closed
-      // form over DuckDB's replay of the predictor
-      graft.metrics.Agreement.cohensKappa(
-        t(s, d, "documents").select(col("lang").as("gold"),
-          graft.ops.TextOps.langId(col("text")).as("pred")),
-        "gold", "pred")),
-    "q162_mann_kendall" -> ((s, d) =>
-      // Mann–Kendall drift test over daily event counts — pure integer
-      // sign sums on a bucket-scale self-join; oracle = the same pairwise
-      // definition in DuckDB
-      graft.ops.Trend.mannKendall(
-        t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n_events")),
-        "day", "n_events")),
-    "q163_partition_quality" -> ((s, d) =>
-      // modularity + conductance scorecard of the nation partition over
-      // the customer graph — exact integer vol/cut/ppm, one float Q;
-      // oracle = the same joins and closed form in DuckDB
-      graft.graph.PartitionQuality.scorecard(
-        custGraph(s, d),
-        t(s, d, "customer").select(
-          concat(lit("c"), col("c_custkey")).as("id"),
-          concat(lit("n"), col("c_nationkey")).as("community")))),
-    "q164_simrank" -> ((s, d) => {
-      // bounded-subgraph SimRank (custkey ≤ 150 — the candidate-block
-      // deployment shape), 3 exact ppm rounds; oracle = the rounds
-      // unrolled in DuckDB over the same G×G product walk
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 150)
-      val e = cust.where(col("c_custkey") > 1).select(
-          concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-        .union(cust.where(col("c_custkey") > 3).select(
-          concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), expr("c_custkey div 4")).as("dst")))
-      graft.graph.SimRank.similarity(e, rounds = 3)
-    }),
-    "q165_coloring" -> ((s, d) =>
-      // Jones–Plassmann vertex coloring of the customer graph (conflict
-      // schedule: color classes = parallel-safe merge waves); oracle =
-      // committed fixture from the independent sequential greedy in
-      // decreasing (priority, id) order — the JP equivalence
-      graft.graph.Coloring.jonesPlassmann(custGraph(s, d))),
-    "q166_densest" -> ((s, d) => {
-      // densest-subgraph peeling (Charikar greedy, BKV parallel waves,
-      // ε = 1/2) over the customer graph with a planted K20 — the best
-      // wave recovers the dense core; oracle = the waves unrolled in
-      // DuckDB with the same integer threshold and cross-multiplied argmax
-      val small = t(s, d, "customer").where(col("c_custkey") <= 20)
-        .select(col("c_custkey").as("k"))
-      val clique = small.as("x").join(small.as("y"),
-          col("x.k") < col("y.k"))
-        .select(concat(lit("c"), col("x.k")).as("src"),
-          concat(lit("c"), col("y.k")).as("dst"))
-      graft.graph.Densest.peel(custGraph(s, d).unionByName(clique))
-    }),
-    "q167_bloom" -> ((s, d) => {
-      // Bloom membership gate over the portable hash family: build on the
-      // custkeys that HAVE orders, probe custkeys ≤ 50 — no false
-      // negatives, designed-rate false positives; oracle = the same hash
-      // fan-out, bit set, and all-k-hits probe in DuckDB
-      val present = t(s, d, "orders")
-        .select(concat(lit("c"), col("o_custkey")).as("v"))
-      val probes = t(s, d, "customer").where(col("c_custkey") <= 50)
-        .select(concat(lit("c"), col("c_custkey")).as("v"))
-      val bits = graft.ops.Bloom.bits(present, "v", k = 4, mBits = 1 << 14)
-      graft.ops.Bloom.probe(bits, probes, "v", k = 4, mBits = 1 << 14)
-        .join(t(s, d, "orders")
-          .select(concat(lit("c"), col("o_custkey")).as("key"))
-          .distinct()
-          .select(col("key"), lit(true).as("hit")), Seq("key"), "left")
-        .select(col("key"), col("maybe_present"),
-          coalesce(col("hit"), lit(false)).as("true_present"))
-    }),
-    "q168_critical_path" -> ((s, d) => {
-      // DAG longest paths (critical-path/PERT bound) over the downward
-      // customer tree with per-child integer weights; oracle = a recursive
-      // path-enumeration CTE (structurally different computation)
-      val cust = t(s, d, "customer")
-      val down = cust.where(col("c_custkey") > 1).select(
-          concat(lit("c"), expr("c_custkey div 2")).as("src"),
-          concat(lit("c"), col("c_custkey")).as("dst"),
-          (col("c_custkey") % 7 + 1).as("w"))
-        .union(cust.where(col("c_custkey") > 3).select(
-          concat(lit("c"), expr("c_custkey div 4")).as("src"),
-          concat(lit("c"), col("c_custkey")).as("dst"),
-          (col("c_custkey") % 7 + 1).as("w")))
-      graft.graph.Dag.longestPaths(down)
-    }),
-    "q169_grid_density" -> ((s, d) =>
-      // cell-histogram density clustering over the embedding projection —
-      // ONE cell-keyed aggregate touches the points, everything after is
-      // cell-scale (the no-pairwise-join DBSCAN); oracle = the same
-      // IEEE floor-snap + recursive-CTE CC over Chebyshev-adjacent dense
-      // cells in DuckDB
-      graft.ops.Density.gridClusters(
-        t(s, d, "embeddings").select(
-          element_at(col("embedding"), 1).as("x"),
-          element_at(col("embedding"), 2).as("y")),
-        "x", "y", eps = 0.05, minPts = 3L)),
-    "q170_kmv_setops" -> ((s, d) =>
-      // θ-style union/intersection/Jaccard estimates between the open- and
-      // finished-order customer populations from merged KMV sketches —
-      // the two-corpus overlap estimator with no raw join; oracle = the
-      // same k-min merge, membership flags, and fixed-order IEEE estimate
-      graft.ops.Sketch.kmvSetOps(
-        t(s, d, "orders").where(col("o_orderstatus") === "O")
-          .select(concat(lit("c"), col("o_custkey")).as("v")),
-        t(s, d, "orders").where(col("o_orderstatus") === "F")
-          .select(concat(lit("c"), col("o_custkey")).as("v")),
-        "v", k = 256)),
-    "q171_scan" -> ((s, d) => {
-      // SCAN structural clustering over the customer graph with a planted
-      // K12 — cores/borders cluster by neighborhood agreement, HUBS (the
-      // CC-merge bridges) and outliers are named explicitly; oracle = the
-      // same integer ε-test, core gate, CC, and role rules in DuckDB
-      val small = t(s, d, "customer").where(col("c_custkey") <= 12)
-        .select(col("c_custkey").as("k"))
-      val clique = small.as("x").join(small.as("y"),
-          col("x.k") < col("y.k"))
-        .select(concat(lit("c"), col("x.k")).as("src"),
-          concat(lit("c"), col("y.k")).as("dst"))
-      graft.graph.Scan.cluster(custGraph(s, d).unionByName(clique))
-    }),
-    "q172_widest_path" -> ((s, d) => {
-      // maximin bottleneck paths from the root over the downward customer
-      // tree — the best-derivation-chain confidence (max-min, not Σ);
-      // oracle = recursive (id, bottleneck) state enumeration + MAX
-      val cust = t(s, d, "customer")
-      val down = cust.where(col("c_custkey") > 1).select(
-          concat(lit("c"), expr("c_custkey div 2")).as("src"),
-          concat(lit("c"), col("c_custkey")).as("dst"),
-          (col("c_custkey") % 7 + 1).as("w"))
-        .union(cust.where(col("c_custkey") > 3).select(
-          concat(lit("c"), expr("c_custkey div 4")).as("src"),
-          concat(lit("c"), col("c_custkey")).as("dst"),
-          (col("c_custkey") % 7 + 1).as("w")))
-      graft.graph.Widest.paths(down,
-        cust.where(col("c_custkey") === 1)
-          .select(concat(lit("c"), col("c_custkey")).as("id")))
-    }),
-    "q173_winnow" -> ((s, d) =>
-      // winnowing (MOSS) fingerprints over the documents table — the
-      // guaranteed-recall copy-detection index at ~2/(w+1) density; the
-      // engine's one-window-pass rightmost-min vs the oracle's
-      // position-range self-join replay of the same rule
-      graft.ops.Winnow.fingerprints(
-        t(s, d, "documents"), "doc_id", "text", k = 5, w = 4)),
-    "q174_butterflies" -> ((s, d) =>
-      // butterfly census of the order–part bipartite graph — the (2,2)-
-      // biclique motif count behind the bipartite clustering coefficient;
-      // oracle = the same exact integer census in DuckDB
-      graft.graph.Butterflies.census(
-        t(s, d, "lineitem").select(
-          concat(lit("o"), col("l_orderkey")).as("l"),
-          concat(lit("p"), col("l_partkey")).as("r")),
-        "l", "r")),
-    "q175_greedy_cover" -> ((s, d) =>
-      // greedy max-coverage selection of 10 docs by distinct 5-gram
-      // shingles — the (1−1/e) facility-location seed-set pick; oracle =
-      // the 10 rounds unrolled in DuckDB (argmax by gain DESC, id ASC)
-      graft.ops.Coverage.greedySelect(
-        t(s, d, "documents").select(col("doc_id").as("id"),
-          explode(graft.ops.Dedup.wordShingles(col("text"), 5)).as("item")),
-        "id", "item", k = 10)),
-    "q176_diversity" -> ((s, d) =>
-      // Gini–Simpson language diversity per source — the no-logarithm
-      // corpus-mix audit, exact integer ppm; oracle = the same closed form
-      graft.ops.Profile.diversity(t(s, d, "documents"), "source", "lang")),
-    "q177_chi2_drift" -> ((s, d) => {
-      // χ² language-mix drift between even- and odd-id documents —
-      // Laplace-smoothed reference, exact integer ppt terms and total;
-      // oracle = the same integer closed forms
-      val docs = t(s, d, "documents")
-      graft.ops.Trend.chiSquareDrift(
-        docs.where(pmod(col("doc_id"), lit(2)) === 0)
-          .select(col("lang").as("cat")),
-        docs.where(pmod(col("doc_id"), lit(2)) === 1)
-          .select(col("lang").as("cat")), "cat")
-    }),
-    "q178_textrank" -> ((s, d) =>
-      // TextRank keywords over the corpus co-occurrence graph — integer
-      // PageRank (uniform restart) on adjacent-token edges, top-30 by
-      // (rank DESC, word ASC); oracle = the word graph + the ppb rounds
-      // unrolled in DuckDB (q152's replay shape)
-      graft.ops.TextRank.keywords(t(s, d, "documents"), "doc_id", "text",
-        rounds = 3, topK = 30)),
-    "q179_ams_f2" -> ((s, d) => {
-      // AMS tug-of-war F2 sketch (5 sign-sum registers over per-row
-      // MINSTD re-mixes of the portable hash): the self-join-size /
-      // skew-mass estimate that sizes a shuffle BEFORE running it; true
-      // F2 joined for the error contract; oracle = the identical signs,
-      // register sums, and exact integer median in DuckDB
-      val li = t(s, d, "lineitem")
-        .select(concat(lit("p"), col("l_partkey")).as("v"))
-      val exact = li.groupBy("v").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).as("f2_exact"))
-      graft.ops.Sketch.amsF2(li, "v").crossJoin(exact)
-    }),
-    "q180_cm_join_size" -> ((s, d) => {
-      // equi-join SIZE estimate from two independent Count-Min sketches
-      // (min over rows of the counter inner product — one-sided >= true):
-      // clicks x views per user without ever joining the raw tables; true
-      // join size joined for the contract; oracle = the identical register
-      // builds + product mins in DuckDB
-      val ev = t(s, d, "events")
-      val clicks = ev.where(col("event_type") === "click")
-        .select(concat(lit("u"), col("user_id")).as("v"))
-      val views = ev.where(col("event_type") === "view")
-        .select(concat(lit("u"), col("user_id")).as("v"))
-      val truth = clicks.groupBy("v").agg(count(lit(1)).as("ca"))
-        .join(views.groupBy("v").agg(count(lit(1)).as("cb")), Seq("v"))
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
-          .as("true_join_size"))
-      graft.ops.Sketch.cmJoinSize(clicks, "v", views, "v")
-        .crossJoin(truth)
-    }),
-    "q181_cusum" -> ((s, d) =>
-      // CUSUM changepoint localization over the daily event counters —
-      // q162's Mann-Kendall says IF the series drifts, this says WHEN:
-      // argmax |n·prefix − i·total| (exact integers), tie → earliest day;
-      // oracle = the same window arithmetic in DuckDB
-      graft.ops.Trend.cusumChangepoint(
-        t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n_events")),
-        "day", "n_events")),
-    "q182_bcubed" -> ((s, d) =>
-      // B-cubed P/R/F1 between the nation partition and the market-segment
-      // partition (q109's pairwise complement — per-item averages from the
-      // same contingency table, truncating ppm end to end); oracle = the
-      // identical cell arithmetic in DuckDB
-      graft.metrics.ClusterEval.bcubed(
-        t(s, d, "customer").select(col("c_custkey"),
-          col("c_nationkey").cast("string").as("pred"),
-          col("c_mktsegment").as("gold")),
-        "c_custkey", "pred", "gold")),
-    "q183_repeated_spans" -> ((s, d) =>
-      // exact-substring dedup LOCALIZATION (Lee et al. 2022): maximal
-      // per-doc token spans covered by corpus-repeated 8-windows
-      // (overlap-merged islands, gap <= k); oracle = the same windows,
-      // repeated set, and variable-gap islands in DuckDB
-      graft.ops.Curation.repeatedSpans(t(s, d, "documents"),
-        col("doc_id"), col("text"), k = 8, minDocs = 2)
-        .select(col("id"), col("start_tok").cast("long").as("start_tok"),
-          col("end_tok").cast("long").as("end_tok"),
-          col("n_tokens").cast("long").as("n_tokens"))),
-    "q184_cut_spans" -> ((s, d) =>
-      // the CUT transform: remove every token covered by a repeated span
-      // and re-join the remainder (the ExactSubstr rewrite that keeps
-      // unique prose around boilerplate); oracle = anti join + ordered
-      // string_agg replay in DuckDB
-      graft.ops.Curation.cutRepeatedSpans(t(s, d, "documents"),
-        col("doc_id"), col("text"), k = 8, minDocs = 2)),
-    "q185_owl_closure" -> ((s, d) => {
-      // OWL pD* property rules (symmetric adjacentTo, inverse
-      // locatedIn/contains + partOf/hasPart, transitive partOf) over a
-      // customer-derived triple set — image-map expansion + one semi-naive
-      // closure; oracle = the same rules as UNION branches + a recursive
-      // CTE in DuckDB
-      val cust = t(s, d, "customer")
-      val inp = cust.where(col("c_custkey") <= 30 && col("c_custkey") % 2 === 0)
-        .select(concat(lit("n"), col("c_custkey")).as("subj"),
-          lit("adjacentTo").as("pred"),
-          concat(lit("n"), col("c_custkey") + 1).as("obj"))
-        .union(cust.where(col("c_custkey") <= 40)
-          .select(concat(lit("c"), col("c_custkey")).as("subj"),
-            lit("locatedIn").as("pred"),
-            concat(lit("n"), col("c_nationkey")).as("obj")))
-        .union(cust.where(col("c_custkey") > 1 && col("c_custkey") <= 64)
-          .select(concat(lit("c"), col("c_custkey")).as("subj"),
-            lit("partOf").as("pred"),
-            concat(lit("c"), expr("c_custkey div 2")).as("obj")))
-      graft.graph.Inference.owlPropertyClosure(inp,
-        symmetric = Seq("adjacentTo"),
-        inverses = Seq(("locatedIn", "contains"), ("partOf", "hasPart")),
-        transitive = Seq("partOf"))
-    }),
-    "q186_bridges" -> ((s, d) => {
-      // bridge (cut-edge) detection over the 256-node customer tree +
-      // every-8th chord — the ER over-merge audit (a bridge in a sameAs
-      // graph is ONE link fusing two clusters); engine = spanning-forest
-      // + pointer-doubled root-chains + fundamental-cycle covering;
-      // oracle = per-edge-exclusion product-graph BFS in DuckDB (a
-      // structurally different definition: reachability without the edge)
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
-      val tree = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      val chords = cust
-        .where(col("c_custkey") % 8 === 0 && col("c_custkey") > 1)
-        .select(concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), col("c_custkey") - 1).as("dst"))
-      graft.graph.Bridges.bridges(tree.union(chords))
-    }),
-    "q187_phrase_spot" -> ((s, d) => {
-      // leftmost-longest dictionary phrase spotting over running text —
-      // multi-word gazetteer mention detection with the Aho-Corasick /
-      // FlashText tie rule (nested "sort merge join" beats "merge join";
-      // a match consumes its tokens). Engine = broadcast dict + declarative
-      // l-gram candidates + per-doc aggregate-HOF greedy fold; oracle = a
-      // recursive-CTE scan replaying the greedy pick-by-pick with a
-      // NOT-EXISTS argmin (structurally different: sequential recursion vs
-      // a sorted fold).
-      import s.implicits._
-      val dict = Seq("sort merge join", "merge join", "hash join",
-        "table scan", "scan merge", "batch batch batch", "batch batch",
-        "window window", "key order sort", "order sort").toDF("phrase")
-      graft.link.PhraseSpot.spot(t(s, d, "documents"),
-        col("doc_id"), col("text"), dict)
-    }),
-    "q188_interval_sched" -> ((s, d) => {
-      // maximum-weight non-overlapping interval selection per supplier
-      // (shipments as [shipday, shipday + qty%20] with weight qty) — the
-      // OPTIMAL span-selection DP (q187's greedy is provably suboptimal
-      // here). Engine = per-key typed O(n log n) DP (sort by end +
-      // binary-searched predecessor); oracle = an index-recursion whose
-      // state is the whole dp VECTOR carried as a list through a
-      // recursive CTE (no binary search, predecessor by correlated count).
-      val li = t(s, d, "lineitem")
-        .where(col("l_suppkey") <= 20 && col("l_partkey") % 10 === 0)
-        .select(col("l_suppkey"),
-          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
-            .cast("long").as("sday"),
-          col("l_quantity").cast("long").as("qty"))
-      graft.ops.Scheduling.weightedIntervalBest(li,
-        col("l_suppkey"), col("sday"),
-        col("sday") + col("qty") % 20, col("qty"))
-    }),
-    "q189_articulation" -> ((s, d) => {
-      // articulation (cut-vertex) detection over q186's 256-node customer
-      // tree + every-8th chord — the vertex form of the ER over-merge
-      // audit (an articulation vertex in a sameAs graph is ONE entity
-      // holding two clusters together). Engine = Tarjan–Vishkin block CC
-      // over fundamental-cycle covers (shared Bridges machinery); oracle =
-      // the DEFINITION, per-vertex-exclusion BFS: v cuts iff some
-      // neighbor pair is disconnected without v.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
-      val tree = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      val chords = cust
-        .where(col("c_custkey") % 8 === 0 && col("c_custkey") > 1)
-        .select(concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), col("c_custkey") - 1).as("dst"))
-      graft.graph.Articulation.articulationPoints(tree.union(chords))
-    }),
-    "q190_lcs_align" -> ((s, d) => {
-      // token-level LCS alignment summary for consecutive document pairs
-      // (first 40 tokens each): shared-in-order tokens + per-side
-      // drop/add counts — the diff-style evaluation numerators. Engine =
-      // narrow typed two-rolling-row DP per pair (no shuffle); oracle =
-      // a recursive-CTE row-by-row DP whose state is the dp VECTOR as a
-      // list, the in-row scan replayed with list_reduce.
-      val docs = t(s, d, "documents")
-        .where(col("doc_id") < 80 && col("text").isNotNull)
-        .select(col("doc_id"), array_join(slice(filter(
-          split(trim(col("text")), "\\s+"), w => w =!= ""),
-          1, 40), " ").as("t40"))
-      val pairs = docs.select(col("doc_id").as("pair_id"), col("t40").as("lt"))
-        .join(docs.select((col("doc_id") - 1).as("pair_id"),
-          col("t40").as("rt")), Seq("pair_id"))
-      graft.ops.Align.lcsTokens(pairs, col("pair_id"),
-        col("lt"), col("rt"))
-    }),
-    "q191_isotonic" -> ((s, d) => {
-      // isotonic (monotone non-decreasing) least-squares fit of monthly
-      // order volumes per priority — the PAVA calibration primitive, in
-      // exact integer ppm. Engine = per-series pool-adjacent-violators
-      // stack fold (cross-multiplied rational compares, no floats);
-      // oracle = the minimax closed form max_{j<=i} min_{k>=i}
-      // avg(y[j..k]) evaluated as an O(n^3) integer triple join (floor
-      // commutes with max/min, so the ppm floors agree exactly).
-      val pts = t(s, d, "orders")
-        .groupBy(col("o_orderpriority").as("prio"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .cast("long").as("mon"))
-        .agg(count(lit(1)).as("y"))
-      graft.ops.Isotonic.fit(pts, col("prio"), col("mon"), col("y"))
-    }),
-    "q192_suffix_array" -> ((s, d) =>
-      // distributed suffix array of the concatenated 12-document corpus —
-      // prefix doubling as joins + Enumerate dense re-ranks (the
-      // ExactSubstr index structure; no suffix string ever materialized).
-      // Oracle = the O(n^2) DEFINITION: materialize every suffix of the
-      // same concatenation and row_number it.
-      graft.ops.SuffixArray.build(
-        t(s, d, "documents").where(col("doc_id") < 12),
-        col("doc_id"), col("text"))),
-    "q193_taxonomy_lca" -> ((s, d) => {
-      // lowest common ancestor + Wu–Palmer taxonomy similarity over the
-      // 255-node customer parent tree for 99 query pairs (k, 201-k) —
-      // the class-generalization primitive for type-aware blocking.
-      // Engine = pointer-doubled depth-annotated ancestor chains (log d
-      // rounds) + one chain-intersection join; oracle = a step-at-a-time
-      // recursive ancestor walk with arg_max over common ancestors.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 255)
-      val parents = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("id"),
-        concat(lit("c"), expr("c_custkey div 2")).as("parent"))
-      val pairs = cust
-        .where(col("c_custkey") >= 2 && col("c_custkey") <= 100)
-        .select(concat(lit("c"), col("c_custkey")).as("a"),
-          concat(lit("c"), lit(201) - col("c_custkey")).as("b"))
-      graft.graph.Taxonomy.lcaPairs(parents, col("id"), col("parent"),
-        pairs, col("a"), col("b"))
-    }),
-    "q194_lis" -> ((s, d) => {
-      // longest strictly-increasing price subsequence per supplier in
-      // ship order — the order-consistency audit (n - lis_len = minimum
-      // rows to delete for a monotone series). Engine = secondary-sort
-      // partition walk + patience tails with binary search; oracle = the
-      // O(n^2) textbook DP as a dp-vector recursive CTE (no tails
-      // anywhere).
-      val li = t(s, d, "lineitem")
-        .where(col("l_suppkey") <= 30 && col("l_partkey") % 7 === 0)
-        .select(col("l_suppkey"),
-          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
-            .as("sday"),
-          col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      graft.ops.Lis.longestRun(li, col("l_suppkey"),
-        Seq(col("sday"), col("l_orderkey"), col("l_linenumber")),
-        col("cents"))
-    }),
-    "q195_mmr_select" -> ((s, d) => {
-      // maximal-marginal-relevance diverse top-12 of docs 1..60 against
-      // doc 0's tokens as the query — integer MMR (score = rel − max sim
-      // to picked). Engine = k driver rounds, each a distributed
-      // TakeOrdered(1) argmax + one broadcast fold of the picked doc's
-      // tokens; oracle = a recursive CTE whose state is the FULL
-      // candidate max-sim VECTOR plus the chosen list, pick replayed by
-      // list argmax over a prebuilt similarity matrix.
-      val docs = t(s, d, "documents").where(col("text").isNotNull)
-      val tok = docs.where(col("doc_id").between(1, 60))
-        .select(col("doc_id"), explode(filter(
-          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
-      val q = docs.where(col("doc_id") === 0)
-        .select(explode(filter(
-          split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
-      graft.ops.Mmr.select(tok, col("doc_id"), col("w"), q, col("w"), 12)
-    }),
-    "q196_stable_match" -> ((s, d) => {
-      // proposer-optimal stable matching of 16 customers to 16 suppliers
-      // under tie-free modular preference scores (5mw mod 251 / 7mw mod
-      // 251) — the 1:1 ER assignment with no blocking pairs. Engine =
-      // round-PARALLEL Gale–Shapley (all free proposers per round, argmax
-      // holds, standing rejections); oracle = the SEQUENTIAL McVitie
-      // replay, one proposal per recursion step with pointer/fiancé
-      // vectors as list state — identical output by the McVitie–Wilson
-      // proposal-order-independence theorem.
-      val men = t(s, d, "customer")
-        .where(col("c_custkey").between(1, 16)).select(col("c_custkey").as("mk"))
-      val women = t(s, d, "supplier")
-        .where(col("s_suppkey").between(1, 16)).select(col("s_suppkey").as("wk"))
-      val prefs = men.crossJoin(women).select(
-        concat(lit("c"), col("mk")).as("m"),
-        concat(lit("s"), col("wk")).as("w"),
-        (col("mk") * col("wk") * 5 % 251).as("m_score"),
-        (col("mk") * col("wk") * 7 % 251).as("w_score"))
-      graft.link.StableMatch.matchPairs(prefs)
-    }),
-    "q197_containment" -> ((s, d) => {
-      // asymmetric shingle-containment near-dup over the corpus plus 15
-      // planted 12-token excerpts (doc_id + 10000) — the quote/subset
-      // duplication mode symmetric Jaccard cannot see (excerpt→source
-      // containment 1.0, Jaccard ~0.05). Engine = df-capped shared-shingle
-      // blocking + candidate-bounded intersection, both directions scored
-      // in exact integer ppm; oracle = the same corpus scored by direct
-      // all-candidate SQL (blocking replayed declaratively).
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val excerpts = docs.where(col("doc_id") < 15)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          array_join(slice(filter(
-            split(trim(col("text")), "\\s+"), w => w =!= ""),
-            1, 12), " ").as("text"))
-      graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
-        k = 5, thresholdPpm = 500000L, maxDf = 50)
-    }),
-    "q198_freq_itemsets" -> ((s, d) => {
-      // frequent itemsets (sizes 1-3) over orders as baskets and part
-      // categories (l_partkey mod 37) as items — the co-purchase mining
-      // step of the product graph. Engine = level-wise Apriori (each
-      // level counts only candidates whose sub-level survived, per-basket
-      // streams projected to frequent items first); oracle = DIRECT
-      // enumeration of every itemset by unpruned self-joins (downward
-      // closure is what makes the two agree).
-      val li = t(s, d, "lineitem").select(
-        col("l_orderkey").as("bk"),
-        concat(lit("p"), (col("l_partkey") % 37).cast("string")).as("it"))
-      graft.ops.Itemsets.frequentItemsets(li, col("bk"), col("it"),
-        minSupport = 30L)
-    }),
-    "q199_assoc_rules" -> ((s, d) => {
-      // association rules x->y from the frequent category pairs with
-      // integer-ppm confidence and lift (decimal-exact floor — int64
-      // would wrap at corpus scale). Oracle = the definitional SQL with
-      // HUGEINT-safe integer division.
-      val li = t(s, d, "lineitem").select(
-        col("l_orderkey").as("bk"),
-        concat(lit("p"), (col("l_partkey") % 37).cast("string")).as("it"))
-      graft.ops.Itemsets.associationRules(li, col("bk"), col("it"),
-        minSupport = 60L, minConfPpm = 0L)
-    }),
-    "q200_corr_clustering" -> ((s, d) => {
-      // pivot correlation clustering over the 256-node customer tree +
-      // every-5th chord — the ER hairball repair (a cluster only holds
-      // DIRECT neighbors of its pivot). Engine = lex-first MIS w.r.t.
-      // the portable kmvHash priority (parallel local-min rounds) + one
-      // min-pivot assignment join; oracle = the SEQUENTIAL pivot scan
-      // replayed pivot-by-pivot in a list-state recursive CTE with the
-      // same priority recomputed in SQL.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
-      val tree = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      val chords = cust
-        .where(col("c_custkey") % 5 === 0 && col("c_custkey") > 1)
-        .select(concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), col("c_custkey") - 1).as("dst"))
-      graft.canon.CorrCluster.pivotClusters(tree.union(chords))
-    }),
-    "q201_meta_blocking" -> ((s, d) => {
-      // meta-blocking (CBS weights + weighted-node pruning) over a
-      // redundancy-positive blocking: three modular keys per customer,
-      // so co-residual pairs share up to 3 blocks. Engine = block
-      // purge + pair-count + integer-exact mean pruning; oracle = the
-      // definitional SQL over the same keys.
-      val c = t(s, d, "customer").where(col("c_custkey") <= 120)
-      val asg = Seq(11, 13, 17).map { m =>
-        c.select(concat(lit("c"), col("c_custkey")).as("rec"),
-          concat(lit(s"k${m}_"), (col("c_custkey") % m).cast("string"))
-            .as("blk"))
-      }.reduce(_ unionByName _)
-      graft.link.MetaBlocking.wnpPairs(asg, col("rec"), col("blk"))
-    }),
-    "q202_sw_local" -> ((s, d) => {
-      // Smith–Waterman local alignment over doc pairs with a PLANTED
-      // 7-token fragment of the left doc spliced into the right — the
-      // embedded-copy detector global LCS/edit distance dilutes. Engine
-      // = per-pair rolling-row DP, narrow typed map, row-major
-      // first-tie argmax; oracle = row-by-row recursive-CTE DP carrying
-      // the H row as a list (in-row dependency via list_reduce) + an
-      // explicit (h DESC, i, j) rank over all cells.
-      val docs = t(s, d, "documents")
-        .where(col("doc_id") < 80 && col("text").isNotNull)
-        .select(col("doc_id"), filter(
-          split(trim(col("text")), "\\s+"), w => w =!= "").as("tok"))
-      val pairs = docs.select(col("doc_id").as("pair_id"), col("tok").as("xt"))
-        .join(docs.select((col("doc_id") - 1).as("pair_id"),
-          col("tok").as("yt")), Seq("pair_id"))
-        .select(col("pair_id"),
-          array_join(slice(col("xt"), 1, 30), " ").as("lt"),
-          array_join(concat(slice(col("yt"), 1, 10), slice(col("xt"), 12, 7),
-            slice(col("yt"), 11, 5)), " ").as("rt"))
-      graft.ops.Align.swLocal(pairs, col("pair_id"), col("lt"), col("rt"))
-    }),
-    "q204_two_edge_cc" -> ((s, d) => {
-      // 2-edge-connected components over the 256-node customer tree +
-      // every-6th chord — the evidence-redundancy classes of a sameAs
-      // graph (split a merge along its bridges, keep redundantly
-      // supported clusters). Engine = Bridges (spanning forest +
-      // pointer-doubled chain covers) → anti join → ConnectedComponents
-      // → singleton backfill; oracle = bridges BY DEFINITION (per-edge
-      // exclusion BFS) + recursive-CTE reachability CC, min labels.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 256)
-      val tree = cust.where(col("c_custkey") > 1).select(
-        concat(lit("c"), col("c_custkey")).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      val chords = cust
-        .where(col("c_custkey") % 6 === 0 && col("c_custkey") > 1)
-        .select(concat(lit("c"), col("c_custkey")).as("src"),
-          concat(lit("c"), col("c_custkey") - 1).as("dst"))
-      graft.graph.TwoEdgeCC.components(tree.union(chords))
-    }),
-    "q203_spell_correct" -> ((s, d) => {
-      // SymSpell correction of corrupted ENTITY IDS — every 11th
-      // customer name with its last two digits transposed (the classic
-      // swapped-digits invoice-id error) corrected against the full
-      // 1500-id dictionary WITHOUT the tokens×dict cross join. Engine =
-      // symmetric ≤2-deletion neighborhoods equi-joined + native
-      // full-Damerau verify + (dist, freq DESC, term) argmin; oracle =
-      // the brute cross join scored by DuckDB's OWN damerau_levenshtein
-      // (the q159-proven cross-engine pair), same total order. A swap
-      // like …10→…01 lands EXACTLY on another valid id (dist 0 beats
-      // the dist-1 original) — both sides agree because the order is
-      // total.
-      // fixture capped at 2000 ids (constant across SF, the house rule
-      // for fixture queries): sequential ids make a DENSE key space
-      // where ~2300 dict entries share a deletion variant with every
-      // token — at 15k ids the exact verify is 3M+ Damerau DPs. The
-      // operator is the scale story (vocabulary-bounded); the fixture
-      // need not be the worst case of its own blocking.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 2000)
-      val dict = cust.groupBy(col("c_name").as("w")).count()
-      val toks = cust.where(col("c_custkey") % 11 === 0)
-        .select(concat(substring(col("c_name"), 1, 16),
-          substring(col("c_name"), 18, 1),
-          substring(col("c_name"), 17, 1)).as("tok"))
-      graft.link.SpellCorrect.symspell(toks, col("tok"),
-        dict, col("w"), col("count"))
-    }),
-    "q205_kneser_ney" -> ((s, d) => {
-      // interpolated Kneser–Ney smoothed bigram table over the documents
-      // corpus, D = 3/4 — every probability the exact integer rational
-      // (max(4c₁₂−3,0)·NB + 3·T₁·R₂)/(4·c₁·NB) floored to ppm in
-      // decimal(38,0) (int64 wraps at corpus scale). Oracle = the
-      // definitional SQL: the same four count aggregates + HUGEINT
-      // arithmetic. The spec proves Σ_w₂ P(w₂|w₁) = 1 exactly.
-      graft.ops.LangModel.knBigrams(t(s, d, "documents"),
-        "doc_id", "text")
-    }),
-    "q206_soft_tfidf" -> ((s, d) => {
-      // SoftTFIDF scoring of original-vs-corrupted part-name pairs
-      // (2nd char of every word dropped — the OCR-mangled vendor-name
-      // case): per-token best Jaro–Winkler ≥ 0.85 soft matches,
-      // idf-damped by exact rational weights, every term an exact
-      // integer floor (only jw is float — the q128-proven bit-identical
-      // cross-engine computation). Oracle = the definitional SQL with
-      // DuckDB's OWN jaro_winkler_similarity and HUGEINT floors.
-      val part = t(s, d, "part")
-      val originals = part.select(
-        concat(lit("p"), col("p_partkey")).as("id"), col("p_name").as("text"))
-      val mutated = part.where(col("p_partkey") % 3 === 0).select(
-        concat(lit("m"), col("p_partkey")).as("id"),
-        array_join(expr("transform(split(p_name, ' '), " +
-          "w -> concat(substring(w, 1, 1), substring(w, 3)))"), " ")
-          .as("text"))
-      val recs = originals.unionByName(mutated)
-      val pairs = part.where(col("p_partkey") % 3 === 0).select(
-        concat(lit("p"), col("p_partkey")).as("a"),
-        concat(lit("m"), col("p_partkey")).as("b"))
-      graft.link.SoftTfIdf.score(pairs, col("a"), col("b"),
-        recs, col("id"), col("text"), thetaPpm = 850000L)
-    }),
-    "q207_rule_mining" -> ((s, d) => {
-      // AMIE composition-rule mining r1(x,z) ∧ r2(z,y) ⇒ p(x,y) over a
-      // TPC-H-derived KG with two PLANTED soft rules: orderNation holds
-      // for 9/10 orders (hasCustomer ∧ inNation ⇒ orderNation, conf
-      // 900000 ppm) and custRegion for 4/5 customers (inNation ∧
-      // inRegion ⇒ custRegion, 800000 ppm) — the rules a constructor
-      // materializes and whose violations it audits. Engine = hub-gated
-      // entity self-join + distinct-pair aggregates + exact ppm floors;
-      // oracle = the definitional SQL over the same triple union.
-      val ord = t(s, d, "orders"); val cust = t(s, d, "customer")
-      val nat = t(s, d, "nation")
-      val triples = ord.select(
-          concat(lit("o"), col("o_orderkey")).as("s"),
-          lit("hasCustomer").as("p"),
-          concat(lit("c"), col("o_custkey")).as("o"))
-        .unionAll(cust.select(concat(lit("c"), col("c_custkey")).as("s"),
-          lit("inNation").as("p"),
-          concat(lit("n"), col("c_nationkey")).as("o")))
-        .unionAll(nat.select(concat(lit("n"), col("n_nationkey")).as("s"),
-          lit("inRegion").as("p"),
-          concat(lit("r"), col("n_regionkey")).as("o")))
-        .unionAll(ord.where(col("o_orderkey") % 10 =!= 0)
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .select(concat(lit("o"), col("o_orderkey")).as("s"),
-            lit("orderNation").as("p"),
-            concat(lit("n"), col("c_nationkey")).as("o")))
-        .unionAll(cust.where(col("c_custkey") % 5 =!= 0)
-          .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(concat(lit("c"), col("c_custkey")).as("s"),
-            lit("custRegion").as("p"),
-            concat(lit("r"), col("n_regionkey")).as("o")))
-      // maxFanout is explicitly unbounded: the oracle SQL has no hub
-      // gate, and nation entities carry ~SF·54k orderNation in-edges, so
-      // the default 1e6 cap would silently diverge around SF≥20
-      // (r4 ADVICE). The gate itself is exercised by RuleMinerSpec.
-      graft.graph.RuleMiner.pathRules(triples,
-        col("s"), col("p"), col("o"), minSupport = 50L,
-        minConfPpm = 100000L, maxFanout = Long.MaxValue)
-    }),
-    "q208_incremental_cc" -> ((s, d) => {
-      // incremental CC maintenance: a 4-tree customer forest labeled
-      // once, then ONE batch (cross-tree chords + 30 brand-new vertices)
-      // folded in via label contraction — the old edge set is never
-      // re-read, the inner CC runs on the batch-bounded LABEL graph.
-      // Oracle = one full reachability CC over the UNION (the
-      // incremental == rebuild law, checked cross-engine).
-      val cust = t(s, d, "customer")
-      val k = col("c_custkey")
-      val base = cust.where(k > 7 && k <= 200).select(
-        concat(lit("c"), k).as("src"),
-        concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-      val batch = cust.where(k % 9 === 0 && k > 7 && k <= 200)
-        .select(concat(lit("c"), k).as("src"),
-          concat(lit("c"), k - 2).as("dst"))
-        .union(cust.where(k > 200 && k <= 230).select(
-          concat(lit("c"), k).as("src"),
-          concat(lit("c"), expr("c_custkey div 2")).as("dst")))
-      val labels = graft.canon.ConnectedComponents.run(base)
-      graft.canon.ConnectedComponents.incrementalUpdate(labels, batch)
-    }),
-    "q209_consensus_clusters" -> ((s, d) => {
-      // 2-of-3 consensus over three independent customer clusterings
-      // (nation, market segment, id-bucket) — the co-association
-      // majority that outvotes any single near-dup signal's false
-      // merges before destructive keep-one. Engine = per-method capped
-      // cluster self-joins → pair vote count → majority filter → CC →
-      // singleton backfill; oracle = the definitional vote SQL + a
-      // reachability recursion, min labels.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 600)
-      val id = concat(lit("c"), col("c_custkey"))
-      val rows = cust.select(lit("nat").as("m"), id.as("i"),
-          concat(lit("n"), col("c_nationkey")).as("g"))
-        .unionAll(cust.select(lit("seg").as("m"), id.as("i"),
-          col("c_mktsegment").cast("string").as("g")))
-        .unionAll(cust.select(lit("bkt").as("m"), id.as("i"),
-          (col("c_custkey") % 40).cast("string").as("g")))
-      graft.canon.Consensus.majorityClusters(rows,
-        col("m"), col("i"), col("g"), minVotes = 2L)
-    }),
-    "q210_voptimal_hist" -> ((s, d) => {
-      // v-optimal 4-bucket histograms of customer balances per nation —
-      // the optimizer-statistics sketch (minimum-SSE bucketing beats
-      // equi-width/equi-depth for selectivity error). Engine = per-key
-      // typed O(n²B) DP over exact BigInt fractions (earliest-argmin
-      // ties); oracle = the SAME DP unrolled as four join stages with
-      // HUGEINT fraction arithmetic and NOT-EXISTS (cost, cut) argmins,
-      // then a back-pointer walk. No floats on either side.
-      graft.ops.Histogram.voptimal(
-        t(s, d, "customer").where(col("c_custkey") <= 1000),
-        concat(lit("n"), col("c_nationkey")), col("c_custkey"),
-        floor(col("c_acctbal")), nBuckets = 4)
-    }),
-    "q211_retrieval_eval" -> ((s, d) => {
-      // ranked-retrieval scorecard (MAP/MRR/P@3/R@3) in EXACT ppm over
-      // order line rankings (rank = l_linenumber, relevant = partkey
-      // divisible by 3) — the grading harness for this engine's own
-      // bm25/ANN/rrf surfaces; zero-relevant queries report null
-      // metrics, not silence. Engine = per-query BigInt-rational fold;
-      // oracle = the same fractions accumulated by an associative
-      // list_reduce fraction-add in HUGEINT.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey")
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"))
-      val ranked = t(s, d, "lineitem").where(col("l_orderkey") <= 300)
-        .withColumn("rk", row_number().over(w))
-      graft.ops.Retrieval.evalRanking(ranked,
-        col("l_orderkey"), col("rk"), col("l_partkey") % 3 === 0, k = 3)
-    }),
-    "q212_merge_plan" -> ((s, d) => {
-      // compaction planning: optimal binary merge cost (Huffman) per
-      // supplier over its line quantities as file sizes — the floor no
-      // merge order beats for an LSM-ish sink; the COST is unique
-      // across optimal tie-breaks, so no tie rules leak into the
-      // result. Engine = per-key two-queue greedy fold; oracle = the
-      // greedy replayed one merge per recursion step with a sorted
-      // list-state.
-      graft.ops.Scheduling.huffmanMergeCost(
-        t(s, d, "lineitem").where(col("l_suppkey") <= 24),
-        concat(lit("s"), col("l_suppkey")), col("l_quantity"))
-    }),
-    "q213_constraint_check" -> ((s, d) => {
-      // owl:differentFrom consistency audit over a sameAs clustering:
-      // chains of customers broken at multiples of 7 (the components),
-      // differentFrom assertions (c, c-3) for every 5th customer — the
-      // ones landing INSIDE a run are the violations a canonicalizer
-      // must repair before materialization. Engine = CC + two
-      // label-resolve joins + equality filter; oracle = recursive
-      // reachability CC + the definitional join.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 400)
-      val k = col("c_custkey")
-      val same = cust.where(k % 7 =!= 0 && k > 0).select(
-        concat(lit("c"), k).as("src"), concat(lit("c"), k - 1).as("dst"))
-      val diff = cust.where(k % 5 === 0 && k >= 3).select(
-        concat(lit("c"), k).as("src"), concat(lit("c"), k - 3).as("dst"))
-      graft.canon.Constraints.differentFromViolations(same, diff)
-    }),
-    "q214_topic_boundaries" -> ((s, d) => {
-      // integer TextTiling over the documents corpus (w=8): lexical-dip
-      // topic boundaries scored by exact set-Jaccard ppm (Hearst's
-      // cosine needs a sqrt with no cross-engine bit guarantee) with
-      // the strict-left/lax-right local-minimum rule and one-step
-      // depth gate — RAG chunking at topic seams instead of through
-      // them. Engine = per-doc typed scan, zero shuffle; oracle = the
-      // same windows via DuckDB list slices + lag/lead.
-      graft.ops.Chunker.topicBoundaries(t(s, d, "documents"),
-        col("doc_id"), col("text"), w = 8, minDepthPpm = 100000L)
-    }),
-    "q215_threshold_sweep" -> ((s, d) => {
-      // the ER tuning curve: P/R/F1 at EVERY distinct match score in
-      // one pass, against a gold set that deliberately disagrees with
-      // the score order (so the curve has a real knee) and includes
-      // never-scored gold pairs (permanent FN — the recall trap).
-      // Engine = pair-keyed label join + score-keyed counts + ONE
-      // cumulative window over the distinct-score table; oracle = the
-      // definitional per-threshold computation via the same window in
-      // SQL.
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 300)
-      val k = col("c_custkey")
-      val right = cust.select(k.as("j"))
-      val scored = cust.select(k.as("i")).join(right,
-          col("j") > col("i") && col("j") - col("i") <= 4)
-        .select(concat(lit("c"), col("i")).as("a"),
-          concat(lit("c"), col("j")).as("b"),
-          (lit(1000) - lit(7) * (col("j") - col("i")) * (col("j") - col("i"))
-            + col("i") % 13).as("score"))
-      val gold = cust.select(k.as("i")).join(right,
-          col("j") > col("i") &&
-          (col("j") - col("i") <= 2 ||
-            (col("j") - col("i") === 3 && col("i") % 3 === 0) ||
-            col("j") - col("i") === 6))
-        .select(concat(lit("c"), col("i")).as("x"),
-          concat(lit("c"), col("j")).as("y"))
-      graft.metrics.Sweep.thresholdSweep(scored, col("a"), col("b"),
-        col("score"), gold, col("x"), col("y"))
-    })
-  )
-
-  /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
-    * μ = 2 core gate, CC over the ε-core subgraph, min-cluster border
-    * attachment, and ≥2-adjacent-clusters hub rule, replayed in DuckDB
-    * over the customer graph + planted K12. */
-  private val scanOracleSql: String =
-    """WITH RECURSIVE edir AS (
-      |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-      |  FROM customer WHERE c_custkey > 1
-      |  UNION ALL
-      |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-      |  FROM customer WHERE c_custkey > 3
-      |  UNION ALL
-      |  SELECT 'c' || x.c_custkey, 'c' || y.c_custkey
-      |  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
-      |  WHERE x.c_custkey <= 12 AND y.c_custkey <= 12),
-      |und AS MATERIALIZED (
-      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-      |  FROM edir WHERE src <> dst),
-      |sym AS MATERIALIZED (
-      |  SELECT a AS id, b AS nb FROM und UNION ALL SELECT b, a FROM und),
-      |deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM sym GROUP BY 1),
-      |cn AS MATERIALIZED (
-      |  SELECT x.id AS a, y.id AS b, count(*) AS cn
-      |  FROM sym x JOIN sym y ON x.nb = y.nb AND x.id < y.id
-      |  GROUP BY 1, 2),
-      |eps AS MATERIALIZED (
-      |  SELECT und.a, und.b FROM und
-      |  LEFT JOIN cn ON cn.a = und.a AND cn.b = und.b
-      |  JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b
-      |  WHERE 25 * (coalesce(cn.cn, 0) + 2) * (coalesce(cn.cn, 0) + 2)
-      |     >= 9 * (da.deg + 1) * (db.deg + 1)),
-      |eadj AS MATERIALIZED (
-      |  SELECT a AS id, b AS nb FROM eps UNION ALL SELECT b, a FROM eps),
-      |cores AS MATERIALIZED (
-      |  SELECT id FROM eadj GROUP BY id HAVING count(*) >= 2),
-      |ce AS MATERIALIZED (
-      |  SELECT e.id AS src, e.nb AS dst FROM eadj e
-      |  WHERE e.id IN (SELECT id FROM cores)
-      |    AND e.nb IN (SELECT id FROM cores)),
-      |reach AS (
-      |  SELECT src AS id, dst AS r FROM ce
-      |  UNION
-      |  SELECT reach.id, ce.dst FROM reach JOIN ce ON ce.src = reach.r),
-      |comp AS (SELECT id, least(id, min(r)) AS component
-      |         FROM reach GROUP BY id),
-      |corec AS MATERIALIZED (
-      |  SELECT cores.id, coalesce(comp.component, cores.id) AS cluster
-      |  FROM cores LEFT JOIN comp ON comp.id = cores.id),
-      |border AS MATERIALIZED (
-      |  SELECT e.id, min(corec.cluster) AS cluster
-      |  FROM eadj e JOIN corec ON corec.id = e.nb
-      |  WHERE e.id NOT IN (SELECT id FROM corec)
-      |  GROUP BY 1),
-      |clustered AS MATERIALIZED (
-      |  SELECT id, 'core' AS role, cluster FROM corec
-      |  UNION ALL SELECT id, 'border', cluster FROM border),
-      |rest AS (
-      |  SELECT d.id, count(DISTINCT c.cluster) AS nc
-      |  FROM deg d JOIN sym s ON s.id = d.id
-      |  LEFT JOIN clustered c ON c.id = s.nb
-      |  WHERE d.id NOT IN (SELECT id FROM clustered)
-      |  GROUP BY 1)
-      |SELECT id, role, cluster FROM clustered
-      |UNION ALL
-      |SELECT id, CASE WHEN nc >= 2 THEN 'hub' ELSE 'outlier' END,
-      |  CAST(NULL AS VARCHAR)
-      |FROM rest""".stripMargin
-
-  /** q78/q79's shared edge graph: the customer binary tree (k — k div 2)
-    * plus grandparent shortcuts (k — k div 4), so every interior node sits
-    * in (k, k div 2, k div 4) triangles and degrees stay ≤ 8. */
-  private def custGraph(s: SparkSession, d: String): DataFrame = {
-    val cust = t(s, d, "customer")
-    val tree = cust.where(col("c_custkey") > 1).select(
-      concat(lit("c"), col("c_custkey")).as("src"),
-      concat(lit("c"), expr("c_custkey div 2")).as("dst"))
-    val hop2 = cust.where(col("c_custkey") > 3).select(
-      concat(lit("c"), col("c_custkey")).as("src"),
-      concat(lit("c"), expr("c_custkey div 4")).as("dst"))
-    tree.union(hop2)
-  }
-
-  // ======================================================================
-  // oracle SQL (DuckDB dialect) — generated from the same constants the
-  // Spark expressions use, so rule lists/orders cannot drift
-  // ======================================================================
-
-  private def likeAny(expr: String, words: Seq[String]): String =
-    words.map(w => s"contains($expr, '$w')").mkString("(", " OR ", ")")
-
-  /** F5 classifier as a DuckDB CASE chain (mirrors Taggers.classifyTextType).
-    * The digits rule carries an explicit `\n?` before `$`: Java regex (and
-    * the Python reference) let `$` match before a final newline, RE2
-    * (DuckDB) matches end-of-text only — without it a digit-only text with
-    * a trailing \n classifies 'number' in Spark but 'text' in the oracle. */
-  private val classifySql: String = {
-    val tl = "lower(trim(text))"
-    s"""CASE
-       | WHEN ${likeAny(tl, Seq("facture", "invoice", "bill"))} THEN 'header'
-       | WHEN ${likeAny(tl, Seq("€", "$$", "eur", "usd", "ttc", "ht", "mad", "dh", "dhs"))} THEN 'amount'
-       | WHEN (contains($tl,'date') OR contains($tl,'/') OR contains($tl,'-')) AND length(text) < 15 THEN 'date'
-       | WHEN contains($tl,'@') OR contains($tl,'email') THEN 'email'
-       | WHEN ${likeAny(tl, Seq("tel", "phone", "+33", "01", "02", "03", "04", "05", "06", "07", "+212"))} THEN 'phone'
-       | WHEN ${likeAny(tl, Seq("rue", "avenue", "place", "boulevard"))} THEN 'address'
-       | WHEN regexp_matches(replace(replace(text,'.',''),'-',''), '^[0-9]+\n?$$') THEN 'number'
-       | ELSE 'text' END""".stripMargin
-  }
-
-  /** F6 enhanced classifier given a zone expression. */
-  private def enhanceSql(zoneExpr: String): String = {
-    val tl = "lower(trim(text))"
-    s"""CASE
-       | WHEN $zoneExpr = 'header' AND ${likeAny(tl, Seq("facture", "invoice", "devis", "quote"))} THEN 'document_type'
-       | WHEN $zoneExpr = 'header' AND regexp_matches(text,'[0-9]') AND length(text) < 20 THEN 'document_number'
-       | WHEN $zoneExpr = 'total' AND ${likeAny(tl, Seq("total", "ttc", "ht"))} THEN 'total_label'
-       | WHEN $zoneExpr = 'total' AND (contains(text,'€') OR regexp_matches(text,'[0-9]')) THEN 'total_amount'
-       | ELSE $classifySql END""".stripMargin
-  }
-
-  /** A3 zone banding CASE. */
-  private def zoneBandSql(rel: String): String =
-    s"""CASE WHEN $rel < 0.2 THEN 'header' WHEN $rel < 0.4 THEN 'company_info'
-       | WHEN $rel < 0.6 THEN 'client_info' WHEN $rel < 0.8 THEN 'items'
-       | WHEN $rel < 0.95 THEN 'total' ELSE 'footer' END""".stripMargin
-
-  /** Language-ID scores per language, as SQL sub-expressions. */
-  private val langScoreSql: Seq[(String, String)] =
-    TextOps.langMarkers.map { case (l, ms) =>
-      l -> ms.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
-    }
-
-  /** Inner SELECT producing (keys…, s_<lang>..., best, zh) from a source
-    * relation whose text column is named `text`. */
-  private def langScoresFrom(keys: String, src: String): String = {
-    val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
-    val best = langScoreSql.map("s_" + _._1).mkString("greatest(", ", ", ")")
-    val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
-    s"SELECT $keys, $scores, $best AS best, $zh AS zh FROM $src"
-  }
-
-  private val langScoresFromDocs: String = langScoresFrom("doc_id", "documents")
-
-  /** The language decision CASE over the langScoresFromDocs columns. */
-  private val langCaseSql: String = {
-    val chain = langScoreSql.map { case (l, _) =>
-      s"WHEN s_$l > 0 AND s_$l = best AND zh <= s_$l THEN '$l'"
-    }.mkString(" ")
-    s"CASE $chain WHEN zh > 0 THEN 'zh' ELSE 'und' END"
-  }
-
-  /** PII regexes, shared verbatim with the engine (RE2 ∩ java.regex subset;
-    * no single quotes, so safe to splice into SQL literals). */
-  private val emailReSql: String = graft.ops.Curation.emailRe
-  private val phoneReSql: String = graft.ops.Curation.phoneRe
-  private val digitRunReSql: String = graft.ops.Curation.digitRunRe
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-        | COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_join_revenue" ->
-      """SELECT n_name,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        | COUNT(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name IN ('AFRICA','ASIA') GROUP BY n_name""".stripMargin,
-    "q03_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q04_filter_pushdown" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice,
-        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
-        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 25""".stripMargin,
-    "q05_semi_anti" ->
-      """SELECT c_mktsegment,
-        | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
-        | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS BIGINT) AS n_without
-        |FROM customer GROUP BY c_mktsegment""".stripMargin,
-    "q06_distinct_union" ->
-      """SELECT DISTINCT * FROM (
-        | SELECT 'lineitem' AS src, l_returnflag AS k FROM lineitem
-        | UNION ALL SELECT 'orders' AS src, o_orderstatus AS k FROM orders)""".stripMargin,
-    "q07_window_rank" ->
-      """SELECT n_name, c_custkey, c_acctbal, rk FROM (
-        | SELECT n_name, c_custkey, c_acctbal,
-        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
-        | FROM customer JOIN nation ON c_nationkey = n_nationkey) WHERE rk <= 2""".stripMargin,
-    "q08_sessionize" ->
-      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
-        | SELECT user_id,
-        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        | FROM (SELECT user_id, ts,
-        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
-        |       FROM events)) GROUP BY user_id""".stripMargin,
-    "q09_rollup_counters" ->
-      """SELECT coalesce(event_type, 'ALL') AS event_type,
-        | CAST(grouping(event_type) AS INT) AS gid, COUNT(*) AS n
-        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
-    "q10_percentiles" ->
-      """SELECT event_type,
-        | round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_v,
-        | round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_v
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q11_decimal_key_join" ->
-      """SELECT DISTINCT l_orderkey, o_orderkey
-        |FROM (SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt FROM lineitem) l
-        |JOIN (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders) o
-        |USING (amt)""".stripMargin,
-    "q12_date_ops" ->
-      """SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS fr_date,
-        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
-        | year(o_orderdate) AS y, month(o_orderdate) AS mo
-        |FROM orders""".stripMargin,
-    "q13_classify_text" ->
-      s"SELECT doc_id, $classifySql AS field_type FROM documents",
-    "q14_number_extract" ->
-      """SELECT c_custkey, unnest(regexp_extract_all(c_name, '(\d+)', 1)) AS num
-        |FROM customer""".stripMargin,
-    "q15_zone_band" -> {
-      val rel = "CAST(l_linenumber AS DOUBLE) / CAST(max_ln AS DOUBLE)"
-      s"""SELECT band, COUNT(*) AS n FROM (
-         | SELECT ${zoneBandSql(rel)} AS band FROM (
-         |  SELECT l_linenumber, max(l_linenumber) OVER (PARTITION BY l_orderkey) AS max_ln
-         |  FROM lineitem)) GROUP BY band""".stripMargin
-    },
-    "q16_enhanced_tagger" -> {
-      val zone = "['header','company_info','client_info','items','total','footer'][CAST(doc_id % 6 AS INT) + 1]"
-      s"""SELECT doc_id, $zone AS zone, ${enhanceSql(zone)} AS enhanced_type
-         |FROM documents""".stripMargin
-    },
-    "q17_edit_similarity" ->
-      """SELECT c_name, s_name,
-        | round(CASE WHEN greatest(length(c_name), length(s_name)) = 0 THEN 1.0
-        |  ELSE 1.0 - CAST(levenshtein(lower(c_name), lower(s_name)) AS DOUBLE)
-        |         / greatest(length(c_name), length(s_name)) END, 4) AS sim
-        |FROM (SELECT c_name FROM customer WHERE c_custkey < 100), (SELECT s_name FROM supplier)""".stripMargin,
-    "q18_reading_order" ->
-      """SELECT event_id, user_id,
-        | row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS offset
-        |FROM events""".stripMargin,
-    "q19_dedup_exact" ->
-      "SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
-    "q20_ngram_jaccard_neardup" ->
-      // df-capped shingles BLOCK (candidate pairs share ≥1 kept shingle);
-      // the SCORE is exact Jaccard over the FULL shingle sets
-      """WITH words AS (
-        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        | SELECT DISTINCT id, shingle FROM (
-        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-        |  WHERE len(w) >= 5)),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-        |kept AS (SELECT id, shingle FROM sh
-        |         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50)),
-        |cand AS (
-        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id),
-        |inter AS (
-        | SELECT c.id_a, c.id_b, COUNT(*) AS i
-        | FROM cand c
-        | JOIN sh a ON a.id = c.id_a
-        | JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-        | GROUP BY c.id_a, c.id_b)
-        |SELECT id_a, id_b,
-        | round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2""".stripMargin,
-    // exact n-gram Jaccard pairs WITHOUT the df cap: equals the minhash-LSH
-    // output because every candidate is verified by exact Jaccard and LSH
-    // recall on the planted duplicates (all at j ≥ 0.875) is deterministic
-    // (see the q21 query comment; DedupSpec asserts the set equality)
-    "q21_minhash_neardup" ->
-      """WITH words AS (
-        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        | SELECT DISTINCT id, shingle FROM (
-        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-        |  WHERE len(w) >= 5)),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-        |common AS (
-        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        | GROUP BY a.id, b.id)
-        |SELECT id_a, id_b,
-        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
-        |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2""".stripMargin,
-    "q23_cosine_topk" ->
-      // zero-norm guard mirrors the Spark side's when(qn*cn === 0, 0.0)
-      // (q36's oracle has the same guard; an unguarded x/0.0 would error
-      // or produce inf on an all-zero embedding row)
-      """WITH norms AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]), (a,b) -> a+b)) AS nm
-        | FROM embeddings),
-        |scored AS (
-        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  round(CASE WHEN q.nm * c.nm = 0 THEN 0.0 ELSE
-        |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |     [CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) FOR p IN list_zip(q.embedding, c.embedding)]),
-        |    (a, b) -> a + b) / (q.nm * c.nm) END, 4) AS sim
-        | FROM (SELECT * FROM norms WHERE vec_id < 8) q, norms c
-        | WHERE q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, rank, sim FROM (
-        | SELECT query_id, neighbor_id, sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5""".stripMargin,
-    "q25_lang_id" -> s"SELECT doc_id, $langCaseSql AS pred_lang FROM ($langScoresFromDocs)",
-    "q26_quality_score" -> {
-      val all = TextOps.langMarkers.flatMap(_._2).distinct
-      val hits = all.map(m => s"contains(' ' || lower(text) || ' ', '$m')::INT").mkString(" + ")
-      s"""SELECT doc_id, round(greatest(0.0, least(1.0,
-         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
-         |  + (CAST(($hits) AS DOUBLE) / ${all.size}.0) * 0.5
-         |  - greatest(CASE WHEN length(text) = 0 THEN 0.0
-         |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
-         |           / length(text) END - 0.2, 0.0))), 4) AS q
-         |FROM documents""".stripMargin
-    },
-    "q27_token_counts" ->
-      """SELECT doc_id,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
-        |FROM documents""".stripMargin,
-    "q28_fingerprint" ->
-      """SELECT doc_id,
-        | list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |   [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
-        |  (h, c) -> (h * 31 + c) % 2147483647) AS fp
-        |FROM documents""".stripMargin,
-    "q48_bpe_tokens" ->
-      """SELECT doc_id, n_tokens_bpe
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q48_expected_bpe.parquet')""".stripMargin,
-    "q49_decontamination" ->
-      """WITH words AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |g AS (
-        | SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
-        | FROM words, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
-        | WHERE len(w) >= 8),
-        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-        |h AS (SELECT g.doc_id, COUNT(*) AS hits FROM g JOIN e USING (gram) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(h.hits, 0) AS hits,
-        |       CAST(COALESCE(h.hits, 0) >= 1 AS INTEGER) AS contaminated
-        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
-    "q29_salted_agg" ->
-      """SELECT event_type,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        | COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q30_entity_cc" ->
-      """WITH nodes AS (
-        | SELECT format('n{:03d}', n_nationkey) AS id, n_regionkey AS r FROM nation
-        | UNION ALL SELECT DISTINCT format('r{:03d}', n_regionkey), n_regionkey FROM nation),
-        |comp AS (SELECT r, min(id) AS component FROM nodes GROUP BY r)
-        |SELECT id, component FROM nodes JOIN comp USING (r)""".stripMargin,
-    "q31_stream_window" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    // q33's oracle is the GENERATOR-side ground truth (the planted sameAs
-    // edges of the fixture corpus, written by graft.tools.GenFixtures from
-    // InvoiceCorpus.expectedTriples) — independent of the extractor+linker
-    // under test, so this is a true correctness oracle, not an output pin.
-    "q33_kg_entity_resolution" ->
-      """SELECT subj, pred, obj
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q33_expected_sameas.parquet')""".stripMargin,
-    // q32's oracle is likewise GENERATOR-side: expectedRawTriples derives
-    // the raw extraction ground truth (surface keys, no dedup) from the
-    // records alone; ExtractParitySpec gates live == fixture so this is a
-    // true correctness oracle for the extraction contract.
-    "q32_kg_triples" ->
-      """SELECT subj, pred, obj
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q32_expected_raw.parquet')""".stripMargin,
-    // q42's oracle is an INDEPENDENT driver-side transcription of the
-    // reference greedy loop over the generator's spans (GenFixtures
-    // .greedyReference); ProximitySpec gates the engine against it.
-    "q42_proximity_groups" ->
-      """SELECT doc_id, "offset", group_id
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q42_expected_groups.parquet')""".stripMargin,
-    // q22's oracle is a naive all-pairs hamming scan over the sf0.01
-    // documents' signatures (GenFixtures) — it verifies the distributed
-    // pigeonhole blocking independently; the signature function itself is
-    // parity-locked in SimhashParity. Tied to sf0.01, the driver's
-    // correctness scale.
-    "q22_simhash_neardup" ->
-      """SELECT id_a, id_b, hamming
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q22_expected_pairs.parquet')""".stripMargin,
-    // q37/q24: the hyperplane LSH is deterministic (xxhash64-parity
-    // planes), so GenFixtures computes the expected outputs with an
-    // INDEPENDENT all-pairs driver scan (shared-bucket test + exact
-    // left-fold cosine) — verifying the distributed band join / dedup /
-    // rank plumbing; drift-guarded in SimilaritySpec.
-    "q37_embedding_neardup_lsh" ->
-      """SELECT id_a, id_b, sim
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q37_expected_pairs.parquet')""".stripMargin,
-    "q24_lsh_ann" ->
-      """SELECT query_id, neighbor_id, rank, sim
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q24_expected_topk.parquet')""".stripMargin,
-    // q43: with the deterministic driver-Lloyd's quantizer the inverted
-    // lists are bit-stable, so the expected top-k is computable by an
-    // independent naive driver scan (assignment loop + probe-set filter +
-    // exact left-fold cosine rerank) in GenFixtures; drift-guarded in
-    // SimilaritySpec (determinism across runs + recall gates).
-    "q43_ivf_ann" ->
-      """SELECT query_id, neighbor_id, rank, sim
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q43_expected_topk.parquet')""".stripMargin,
-    // q53: deterministic PQ (driver-Lloyd's codebooks per subspace), so the
-    // expected top-k comes from an independent naive driver transcription
-    // of PQ search in GenFixtures (loop encode + ADC + shortlist + exact
-    // rerank); drift-guarded in SimilaritySpec.
-    "q53_pq_ann" ->
-      """SELECT query_id, neighbor_id, rank, sim
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q53_expected_topk.parquet')""".stripMargin,
-    // q55: deterministic quantizer → bit-stable clusters, so the expected
-    // SemDeDup output comes from an independent naive transcription in
-    // GenFixtures (assignment loop + within-cluster all-pairs cosine +
-    // union-find closure + lowest-centroid-cosine keep rule);
-    // drift-guarded in SimilaritySpec (planted duplicates, layout
-    // invariance, cap accounting).
-    "q55_semdedup" ->
-      """SELECT vec_id, cluster_id, centroid_sim, group_id, CAST(keep AS INT) AS keep
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q55_expected_semdedup.parquet')""".stripMargin,
-    // q56: fixed-point (integer) PageRank is bit-deterministic by
-    // construction — exact long sums are layout-independent — so the
-    // expected ranks come from an independent sequential adjacency-loop
-    // replay in GenFixtures; drift-guarded in PageRankSpec (hand-computed
-    // cycle fixpoint, structural star asserts, mass conservation, layout
-    // invariance).
-    "q56_pagerank" ->
-      """SELECT part_id, rank_fp
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q56_expected_pagerank.parquet')""".stripMargin,
-    // q57: a BGP is relational algebra — the oracle is DuckDB running the
-    // equivalent star join directly on the base tables (fully independent
-    // of the triple-ization and the bgp compiler).
-    "q57_graph_bgp" ->
-      """SELECT 'c' || c_custkey AS c, 'n' || c_nationkey AS n, 's' || s_suppkey AS s
-        |FROM customer
-        |JOIN supplier ON s_nationkey = c_nationkey
-        |JOIN nation ON n_nationkey = c_nationkey
-        |WHERE n_regionkey = 0""".stripMargin,
-    // q66: the oracle answers the same question RELATIONALLY on the base
-    // table (a CASE stands in for the left join against the planted
-    // marker triples) — independent of the triple-ization, the pattern
-    // compiler, and the left-join machinery.
-    "q66_bgp_optional" ->
-      """SELECT 'o' || o_orderkey AS o, 'c' || o_custkey AS c,
-        |       o_orderpriority AS p,
-        |       CASE WHEN o_totalprice > 250000 THEN 'big' END AS b
-        |FROM orders
-        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
-    // q67: the oracle rebuilds the summary with DuckDB's own list
-    // machinery (list(DISTINCT pred) + list_sort + array_to_string) over
-    // the same planted triple construction.
-    "q67_characteristic_sets" ->
-      """WITH trip AS (
-        |  SELECT 'o' || o_orderkey AS subj, 'placed_by' AS pred FROM orders
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'priority' FROM orders
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'size_class' FROM orders WHERE o_totalprice > 250000
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'finished' FROM orders WHERE o_orderstatus = 'F'
-        |), per_subj AS (
-        |  SELECT subj,
-        |         array_to_string(list_sort(list(DISTINCT pred)), ',') AS pred_set,
-        |         count(*) AS nt
-        |  FROM trip GROUP BY subj
-        |)
-        |SELECT pred_set, count(*) AS n_subjects,
-        |       CAST(sum(nt) AS BIGINT) AS n_triples
-        |FROM per_subj GROUP BY pred_set""".stripMargin,
-    // q68: the fixture comes from the CLASSIC peeling algorithm
-    // (sequential min-degree removal) — a genuinely different algorithm
-    // from the engine's h-index iteration; both provably reach coreness.
-    "q68_kcore" ->
-      """SELECT part_id, coreness
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q68_expected_coreness.parquet')""".stripMargin,
-    // q58: the oracle is DuckDB's recursive CTE — the sequential
-    // definition of the transitive closure, independent of the engine's
-    // semi-naive delta loop.
-    "q58_path_reachable" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT c_custkey AS s, c_custkey // 2 AS d FROM customer WHERE c_custkey > 1
-        |), r AS (
-        |  SELECT s, d FROM e
-        |  UNION
-        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
-        |)
-        |SELECT 'c' || s AS src, 'c' || d AS dst FROM r""".stripMargin,
-    // q59: the oracle counts triangles by ID ordering (u < v < w, 3-way
-    // join) — a different orientation scheme than the engine's
-    // degree-ordered compact-forward; both must find the same triangles.
-    "q59_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |), tri AS (
-        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
-        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-        |)
-        |SELECT part_id, count(*) AS n_tri
-        |FROM (SELECT x AS part_id FROM tri
-        |      UNION ALL SELECT y FROM tri
-        |      UNION ALL SELECT z FROM tri)
-        |GROUP BY part_id""".stripMargin,
-    // q60: the oracle re-implements the shape checks relationally
-    // (GROUP BY + HAVING-style predicates, anchored regex, NOT IN) over
-    // the same deterministically-planted triple construction.
-    "q60_shape_validation" ->
-      """WITH trip AS (
-        |  SELECT 'o' || o_orderkey AS subj, 'placed_by' AS pred,
-        |         'c' || (CASE WHEN o_orderkey % 101 = 0 THEN 0 ELSE o_custkey END) AS obj
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'status', o_orderstatus FROM orders
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'status', o_orderstatus || '?'
-        |  FROM orders WHERE o_orderkey % 89 = 0
-        |  UNION ALL
-        |  SELECT 'o' || o_orderkey, 'ref',
-        |         CASE WHEN o_orderkey % 83 = 0 THEN CAST(o_orderkey AS VARCHAR)
-        |              ELSE 'R' || o_orderkey END
-        |  FROM orders
-        |), shapes(pred, min_c, max_c) AS (
-        |  SELECT * FROM (VALUES ('placed_by', 1, 1), ('status', 1, 1), ('ref', 1, 1))
-        |), counts AS (
-        |  SELECT subj, pred, count(*) AS n FROM trip GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT 'o' || o_orderkey AS subj, s.pred, s.min_c, s.max_c
-        |  FROM orders CROSS JOIN shapes s
-        |)
-        |SELECT g.subj, g.pred,
-        |       CASE WHEN coalesce(c.n, 0) < g.min_c THEN 'min_count'
-        |            ELSE 'max_count' END AS code,
-        |       CAST(coalesce(c.n, 0) AS VARCHAR) AS detail
-        |FROM grid g LEFT JOIN counts c ON g.subj = c.subj AND g.pred = c.pred
-        |WHERE coalesce(c.n, 0) < g.min_c OR coalesce(c.n, 0) > g.max_c
-        |UNION ALL
-        |SELECT subj, pred, 'pattern', obj FROM trip
-        |WHERE pred = 'ref' AND NOT regexp_matches(obj, '^R[0-9]+$')
-        |UNION ALL
-        |SELECT subj, pred, 'dangling_object', obj FROM trip
-        |WHERE pred = 'placed_by'
-        |  AND obj NOT IN (SELECT 'c' || c_custkey FROM customer)""".stripMargin,
-    // q61: deterministic walks are a pure function of (graph, seed) —
-    // xxhash64 is the engine-wide keyed PRNG primitive (same standing as
-    // q52's fingerprint) — so the expected steps come from an independent
-    // sequential replay in GenFixtures (driver adjacency maps + a plain
-    // while loop); drift-guarded in RandomWalksSpec (in-spec replay,
-    // edge-validity, halting, layout invariance).
-    "q61_random_walks" ->
-      """SELECT walk_id, step, node
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q61_expected_walks.parquet')""".stripMargin,
-    // q62: the oracle expands the skip-gram window RELATIONALLY — a
-    // walk-id self-join over the independently-replayed q61 walk fixture —
-    // vs the engine's per-row array-HOF expansion (no join at all).
-    "q62_skipgram" ->
-      """WITH w AS (
-        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/expected/q61_expected_walks.parquet')
-        |)
-        |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
-        |FROM w a JOIN w b
-        |  ON a.walk_id = b.walk_id AND a.step <> b.step
-        |  AND abs(a.step - b.step) <= 2
-        |GROUP BY 1, 2""".stripMargin,
-    // q63: the oracle is the sequential definition — a recursive CTE
-    // carrying (node, landmark, dist) with min(dist) at the end — fully
-    // independent of the engine's first-seen semi-naive frontier loop.
-    "q63_bfs_distances" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || (c_custkey // 2) AS s, 'c' || c_custkey AS d
-        |  FROM customer WHERE c_custkey > 1
-        |), lm(l) AS (SELECT * FROM (VALUES ('c1'), ('c5'))),
-        |r AS (
-        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
-        |  UNION
-        |  SELECT e.d, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.s
-        |)
-        |SELECT id, landmark, CAST(min(dist) AS INT) AS dist
-        |FROM r GROUP BY 1, 2""".stripMargin,
-    // q64: deterministic synchronous LPA is a pure function of the graph;
-    // the committed fixture comes from an independent sequential replay
-    // (driver adjacency maps + per-round vote counting) in GenFixtures.
-    "q64_communities" ->
-      """SELECT part_id, community
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q64_expected_communities.parquet')""".stripMargin,
-    // q65: biased walks are a pure function of (graph, p, q, seed); the
-    // committed fixture is an independent sequential replay in GenFixtures
-    // (driver adjacency maps + edge set + Math.log argmax, no engine
-    // plumbing beyond the shared xxhash64 primitive — q61's standing).
-    "q65_node2vec_walks" ->
-      """SELECT walk_id, step, node
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q65_expected_biased_walks.parquet')""".stripMargin,
-    // q34's fake decode is a PURE function of media_ref (codec libs absent
-    // by design — Multimodal.scala); the committed expected-rows fixture is
-    // therefore a legitimate oracle: it pins the full decode plumbing
-    // (media table build, batch shape, frame explode) against drift.
-    // MultimodalSpec asserts the live output still equals this fixture.
-    "q34_media_decode" ->
-      """SELECT media_ref, kind, width, height, n_frames
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q34_media_decode.parquet')""".stripMargin,
-    // q45: the metrics/gates are a pure function of media_ref (the PNG
-    // payload is); committed live-output fixture, drift-guarded in
-    // ImageQualitySpec — same pattern and justification as q34.
-    "q45_image_quality" ->
-      """SELECT media_ref, sharpness, contrast, brightness, noise, quality_score,
-        | needs_contrast, needs_denoise, needs_sharpen, conservative, rolled_back
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q45_image_quality.parquet')""".stripMargin,
-    "q46_av_decode" ->
-      """SELECT media_ref, kind, width, height, n_frames, f_rms_or_r, f_zcr_or_b
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q46_av_decode.parquet')""".stripMargin,
-    // q47: a fully INDEPENDENT connected-components oracle — the duplicate
-    // groups are recomputed in DuckDB by a recursive-CTE transitive closure
-    // over the same exact-Jaccard pair set q21's oracle derives, i.e. a
-    // second CC implementation in a different language checks the engine's
-    // large-star/small-star + union-find hybrid end to end.
-    "q47_dedup_groups" ->
-      """WITH RECURSIVE words AS (
-        | SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        | SELECT DISTINCT id, shingle FROM (
-        |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-        |  WHERE len(w) >= 5)),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-        |common AS (
-        | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        | GROUP BY a.id, b.id),
-        |pairs AS (
-        | SELECT id_a AS a, id_b AS b
-        | FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        | WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2),
-        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach AS (
-        | SELECT a AS id, b AS r FROM edges
-        | UNION
-        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
-        |SELECT id, least(id, min(r)) AS group_id FROM reach GROUP BY id""".stripMargin,
-    "q35_fieldtag_expr" ->
-      s"SELECT doc_id, $classifySql AS field_type FROM documents",
-    "q38_ocr_amount_validation" ->
-      """SELECT o_orderkey AS doc_id,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
-        | round(CASE WHEN v THEN least(0.9 + 0.2, 1.0) ELSE 0.9 END, 4) AS confidence,
-        | v AS validated_by_ocr
-        |FROM (
-        | SELECT o_orderkey, o_totalprice,
-        |  EXISTS (SELECT 1 FROM lineitem
-        |   WHERE l_orderkey = o_orderkey
-        |     AND abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
-        |           - CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) < 0.01) AS v
-        | FROM orders)""".stripMargin,
-    "q39_zone_eval" ->
-      """SELECT doc_id,
-        | CASE WHEN agree THEN 1.0 ELSE 0.0 END AS zp,
-        | CASE WHEN agree THEN 1.0 ELSE 0.0 END AS zr,
-        | round(CASE WHEN agree THEN 1.0 ELSE 0.0 END, 4) AS zf1,
-        | round(cp, 4) AS cp, round(cr, 4) AS cr,
-        | round(CASE WHEN cp + cr > 0 THEN 2 * cp * cr / (cp + cr) ELSE 0.0 END, 4) AS cf1
-        |FROM (
-        | SELECT doc_id,
-        |  (length(text) % 2 = 0) = (doc_id % 3 = 0) AS agree,
-        |  CASE WHEN e = 0 THEN (CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)
-        |       ELSE (CASE WHEN d > 0 THEN least(d, e) / d ELSE 0.0 END) END AS cp,
-        |  CASE WHEN e = 0 THEN 1.0 ELSE least(d, e) / e END AS cr
-        | FROM (SELECT doc_id, text,
-        |        CAST(doc_id % 4 AS DOUBLE) AS d,
-        |        CAST(length(text) % 3 AS DOUBLE) AS e FROM documents))""".stripMargin,
-    "q40_qa_map_explode" -> {
-      val tokens = """CASE WHEN length(trim(text)) = 0 THEN 0
-                     | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
-      s"""WITH lang AS (SELECT doc_id, $langCaseSql AS pred_lang FROM ($langScoresFromDocs))
-         |SELECT d.doc_id, 0 AS q_index, 'lang?' AS question, l.pred_lang AS answer
-         | FROM documents d JOIN lang l ON d.doc_id = l.doc_id
-         |UNION ALL SELECT doc_id, 1, 'len?', CAST(length(text) AS VARCHAR) FROM documents
-         |UNION ALL SELECT doc_id, 2, 'tokens?', CAST(($tokens) AS VARCHAR) FROM documents""".stripMargin
-    },
-    "q41_layout_sections" -> {
-      def anyOf(expr: String, words: Seq[String]): String = likeAny(expr, words)
-      val bd = "lower(text)"
-      val answer = "'tableau avec ' || CAST(doc_id % 12 AS VARCHAR) || ' colonnes'"
-      val at = s"lower(text || ' ' || $answer)"
-      val sections = Seq(
-        "header" -> Seq("en-tête", "header", "titre"),
-        "sender_info" -> Seq("émetteur", "sender", "entreprise"),
-        "recipient_info" -> Seq("destinataire", "recipient", "client"),
-        "invoice_details" -> Seq("détails", "numéro", "date"),
-        "items_table" -> Seq("tableau", "articles", "services"),
-        "totals" -> Seq("total", "montant", "somme"),
-        "footer" -> Seq("pied", "footer", "conditions"))
-        .map { case (n, kws) => s"CASE WHEN ${anyOf(at, kws)} THEN '$n' END" }
-        .mkString("[", ", ", "]")
-      val readability =
-        s"""least(greatest(0.7
-           | + CASE WHEN ${anyOf(bd, Seq("claire", "clear", "lisible"))} THEN 0.2 ELSE 0.0 END
-           | + CASE WHEN ${anyOf(bd, Seq("organisé", "structured"))} THEN 0.1 ELSE 0.0 END
-           | - CASE WHEN ${anyOf(bd, Seq("flou", "blur", "illisible"))} THEN 0.3 ELSE 0.0 END
-           | - CASE WHEN ${anyOf(bd, Seq("désorganisé", "messy"))} THEN 0.2 ELSE 0.0 END,
-           | 0.0), 1.0)""".stripMargin
-      s"""SELECT doc_id,
-         | CASE WHEN ${anyOf(bd, Seq("facture", "invoice"))} THEN 'invoice'
-         |      WHEN ${anyOf(bd, Seq("devis", "quote"))} THEN 'quote'
-         |      WHEN ${anyOf(bd, Seq("commande", "order"))} THEN 'order'
-         |      ELSE 'unknown' END AS doc_type,
-         | CASE WHEN ci >= 2 THEN 'complex' WHEN ci = 1 THEN 'medium' ELSE 'simple' END AS complexity,
-         | array_to_string(list_filter($sections, x -> x IS NOT NULL), ',') AS sections,
-         | CASE WHEN doc_id % 12 <= 10 THEN CAST(doc_id % 12 AS INT) ELSE 1 END AS column_count,
-         | round($readability, 4) AS readability,
-         | CASE WHEN ${anyOf(bd, Seq("centré", "center"))} THEN 'center'
-         |      WHEN ${anyOf(bd, Seq("droite", "right"))} THEN 'right'
-         |      ELSE 'left' END AS main_alignment,
-         | CASE WHEN ${anyOf(bd, Seq("organisé", "structured", "aligné"))} THEN 'excellent'
-         |      WHEN ${anyOf(bd, Seq("désorganisé", "messy"))} THEN 'poor'
-         |      ELSE 'good' END AS consistency
-         |FROM (SELECT doc_id, text,
-         |  (${anyOf(bd, Seq("tableau", "table"))})::INT
-         |   + (${anyOf(bd, Seq("multiple", "plusieurs"))})::INT AS ci
-         | FROM documents)""".stripMargin
-    },
-    "q44_validation_score" ->
-      """SELECT doc_id,
-        | round(s, 4) AS integration_score,
-        | round((CAST(length(text) % 10 AS DOUBLE) / 10.0) * 0.6 + s * 0.4, 4) AS overall_confidence,
-        | CASE WHEN s > 0.7 THEN 'high' WHEN s > 0.4 THEN 'medium' ELSE 'low' END AS reliability
-        |FROM (
-        | SELECT doc_id, text,
-        |  CAST((doc_id % 2 = 0)::INT + (doc_id % 3 = 0)::INT
-        |     + (length(text) % 2 = 0)::INT + (doc_id % 5 = 0)::INT
-        |     + (CAST(doc_id % 100 AS DOUBLE) / 100.0 > 0.7)::INT AS DOUBLE) / 5.0 AS s
-        | FROM documents)""".stripMargin,
-    "q36_embedding_neardup" -> {
-      def dotSql(x: String, y: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           | [CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) FOR p IN list_zip($x, $y)]),
-           | (acc, v) -> acc + v)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS nm
-         | FROM embeddings WHERE vec_id < 200)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         | round(CASE WHEN a.nm * b.nm = 0 THEN 0.0
-         |   ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nm * b.nm) END, 4) AS sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE CASE WHEN a.nm * b.nm = 0 THEN 0.0
-         |  ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nm * b.nm) END >= 0.2""".stripMargin
-    },
-    "q50_pii_redact" -> {
-      // Luhn fold replayed in DuckDB list comprehension (right-to-left
-      // digit walk, double-every-second, subtract 9 over 9, mod 10)
-      val luhn = (x: String) =>
-        s"""list_sum([CASE WHEN i % 2 = 0
-           |  THEN (CASE WHEN 2*(ascii(reverse($x)[i])-48) > 9
-           |        THEN 2*(ascii(reverse($x)[i])-48) - 9
-           |        ELSE 2*(ascii(reverse($x)[i])-48) END)
-           |  ELSE ascii(reverse($x)[i])-48 END
-           | FOR i IN range(1, length($x)+1)]) % 10 = 0""".stripMargin
-      s"""WITH base AS (
-         | SELECT c_custkey AS id,
-         |  c_name || ' contact ' ||
-         |  printf('%02d-%03d-%03d-%04d', 10 + c_custkey % 90, (c_custkey*7) % 1000,
-         |         (c_custkey*13) % 1000, (c_custkey*37) % 10000) ||
-         |  ' mail ' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') ||
-         |  '@corp.example.com ref ' ||
-         |  lpad(CAST((c_custkey*1234567890123 + 4532015112830366) % 10000000000000000
-         |       AS VARCHAR), 16, '0') AS t
-         | FROM customer)
-         |SELECT id,
-         | len(regexp_extract_all(t, '$emailReSql')) AS n_emails,
-         | len(regexp_extract_all(t, '$phoneReSql')) AS n_phones,
-         | len(regexp_extract_all(t, '$digitRunReSql')) AS n_digit_runs,
-         | len(list_filter(regexp_extract_all(t, '$digitRunReSql'),
-         |     x -> ${luhn("x")})) AS n_cards,
-         | regexp_replace(regexp_replace(regexp_replace(t,
-         |   '$emailReSql', '[EMAIL]', 'g'),
-         |   '$phoneReSql', '[PHONE]', 'g'),
-         |   '$digitRunReSql', '[NUM]', 'g') AS redacted
-         |FROM base""".stripMargin
-    },
-    // q51's oracle is an INDEPENDENT implementation: unnest + GROUP BY for
-    // the top-bigram count and list_distinct for the dup fractions, vs the
-    // engine's per-row sorted-run fold — two algorithms, one contract.
-    "q51_repetition" ->
-      """WITH base AS (
-        | SELECT doc_id AS id,
-        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
-        | FROM documents),
-        |bg AS (
-        | SELECT id, array_to_string(w[i:i+1], ' ') AS g
-        | FROM base, unnest(range(1, len(w))) AS t(i)
-        | WHERE len(w) >= 2),
-        |top AS (
-        | SELECT id, max(c) AS mc, sum(c) AS tot FROM (
-        |  SELECT id, g, COUNT(*) AS c FROM bg GROUP BY id, g) GROUP BY id),
-        |tg AS (
-        | SELECT id, list(array_to_string(w[i:i+2], ' ')) AS l
-        | FROM base, unnest(range(1, len(w) - 1)) AS t(i)
-        | WHERE len(w) >= 3 GROUP BY id)
-        |SELECT id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
-        | CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 AS INT) AS repetitive
-        |FROM (
-        | SELECT b.id, len(b.w) AS n_words,
-        |  CASE WHEN len(b.w) = 0 THEN 0.0
-        |       ELSE round(1.0 - CAST(len(list_distinct(b.w)) AS DOUBLE)/len(b.w), 4)
-        |  END AS dup_word_frac,
-        |  COALESCE(round(CAST(top.mc AS DOUBLE)/top.tot, 4), 0.0) AS top_bigram_frac,
-        |  COALESCE(round(1.0 - CAST(len(list_distinct(tg.l)) AS DOUBLE)/len(tg.l), 4), 0.0)
-        |   AS dup_trigram_frac
-        | FROM base b LEFT JOIN top ON top.id = b.id LEFT JOIN tg ON tg.id = b.id)""".stripMargin,
-    "q52_stratified_sample" ->
-      """SELECT doc_id, lang, bucket FROM (
-        | SELECT doc_id, lang,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    [CAST(unicode(c) AS BIGINT)
-        |     FOR c IN string_split('s:' || CAST(doc_id AS VARCHAR), '')]),
-        |   (h, c) -> (h * 31 + c) % 2147483647) % 100 AS bucket,
-        |  CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 60 WHEN 'de' THEN 80
-        |            WHEN 'es' THEN 45 WHEN 'zh' THEN 15 ELSE 5 END AS r
-        | FROM documents)
-        |WHERE bucket < r""".stripMargin,
-    // q54: the sequential definition — one global window over id order
-    // (fine in DuckDB at sf0.01; the Spark side distributes the same scan)
-    "q54_seq_packing" ->
-      """SELECT doc_id AS id, n AS n_tokens, start_off,
-        | CAST(start_off // 512 AS BIGINT) AS seq_id,
-        | CAST(start_off % 512 AS BIGINT) AS seq_off,
-        | CAST(CASE WHEN n = 0 THEN 0
-        |      ELSE (start_off + n - 1) // 512 - start_off // 512 + 1 END AS BIGINT) AS n_seqs
-        |FROM (
-        | SELECT doc_id, n,
-        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-        | FROM (
-        |  SELECT doc_id,
-        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
-        |  FROM documents))""".stripMargin,
-    // q69: an independent relational re-derivation of the RDFS rules —
-    // recursive CTEs for the two hierarchy closures, plain joins for
-    // rdfs7 (subproperty entailment), literal constants for the planted
-    // domain/range rules, a join for rdfs9 (type inheritance).
-    "q69_rdfs_closure" ->
-      """WITH RECURSIVE
-        |sco AS (SELECT 'k'||c_custkey AS s, 'k'||(c_custkey//2) AS o
-        |        FROM customer WHERE c_custkey BETWEEN 2 AND 63),
-        |scp AS (SELECT s, o FROM sco
-        |        UNION SELECT scp.s, sco.o FROM scp JOIN sco ON scp.o = sco.s),
-        |spo(s, o) AS (SELECT * FROM (VALUES ('p:ordered','p:related'),
-        |                                    ('p:related','p:linked'))),
-        |spp AS (SELECT s, o FROM spo
-        |        UNION SELECT spp.s, spo.o FROM spp JOIN spo ON spp.o = spo.s),
-        |dat AS (SELECT 'c'||o_custkey AS s, 'p:ordered' AS p, 'o'||o_orderkey AS o
-        |        FROM orders WHERE o_orderkey % 20 = 0),
-        |typ0 AS (SELECT 'c'||c_custkey AS s, 'k'||(c_custkey % 62 + 2) AS c
-        |         FROM customer WHERE c_custkey % 30 = 0),
-        |props AS (SELECT s, p, o FROM dat
-        |          UNION ALL SELECT dat.s, spp.o, dat.o FROM dat JOIN spp ON dat.p = spp.s),
-        |types AS (SELECT s, c FROM typ0
-        |          UNION ALL SELECT props.s, 'k3' FROM props WHERE props.p = 'p:ordered'
-        |          UNION ALL SELECT props.o, 'k5' FROM props WHERE props.p = 'p:ordered'),
-        |alltypes AS (SELECT s, c FROM types
-        |             UNION ALL SELECT types.s, scp.o FROM types JOIN scp ON types.c = scp.s)
-        |SELECT DISTINCT subj, pred, obj FROM (
-        |  SELECT s AS subj, 'rdfs:subClassOf' AS pred, o AS obj FROM scp
-        |  UNION ALL SELECT s, 'rdfs:subPropertyOf', o FROM spp
-        |  UNION ALL SELECT * FROM (VALUES ('p:ordered','rdfs:domain','k3'),
-        |                                  ('p:ordered','rdfs:range','k5'))
-        |  UNION ALL SELECT s, p, o FROM props
-        |  UNION ALL SELECT s, 'rdf:type', c FROM alltypes)""".stripMargin,
-    // q70: UNION of the two branch shapes directly on the base table;
-    // the second branch leaves ?c unbound → NULL.
-    "q70_bgp_union" ->
-      """SELECT 'o'||o_orderkey AS o, 'c'||o_custkey AS c
-        |FROM orders WHERE o_totalprice > 250000
-        |UNION ALL
-        |SELECT 'o'||o_orderkey, NULL FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
-    // q71: MINUS's compatible-solution removal is, on this graph, the
-    // relational anti condition (the marker exists iff totalprice>250000).
-    "q71_bgp_minus" ->
-      """SELECT 'o'||o_orderkey AS o, 'c'||o_custkey AS c, o_orderpriority AS p
-        |FROM orders WHERE o_totalprice <= 250000""".stripMargin,
-    // q72: DuckDB rebuilds every N-Triples line with its own replace()
-    // chain (backslash first) — an independent implementation of the
-    // ECHAR escaping and the line layout.
-    "q72_ntriples" ->
-      """WITH esc AS (
-        |  SELECT replace(replace(replace(replace(replace(
-        |    c_mktsegment || '"q\' || chr(10) || chr(9) || 'z',
-        |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS lit_obj,
-        |    c_custkey, c_nationkey, c_name
-        |  FROM customer)
-        |SELECT '<urn:c'||c_custkey||'> <urn:p:comment> "'||lit_obj||'"^^<urn:dt:s> .' AS nt_line FROM esc
-        |UNION ALL
-        |SELECT '<urn:c'||c_custkey||'> <urn:p:nation> <urn:n'||c_nationkey||'> .' FROM customer
-        |UNION ALL
-        |SELECT '<urn:c'||c_custkey||'> <urn:p:name> "'||c_name||'"@en-GB .' FROM customer""".stripMargin,
-    // q73: the sequential definition — a recursive CTE enumerating every
-    // path's weight sum over the DAG (parent + shortcut edges), min() in
-    // the outer query; independent of the engine's delta-relaxation loop.
-    "q73_weighted_sssp" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c'||(c_custkey//2) AS s, 'c'||c_custkey AS d,
-        |         CAST(c_custkey % 7 + 1 AS BIGINT) AS w
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c'||(c_custkey//4), 'c'||c_custkey,
-        |         CAST(c_custkey % 5 + 1 AS BIGINT)
-        |  FROM customer WHERE c_custkey > 3
-        |), r AS (
-        |  SELECT 'c1' AS id, CAST(0 AS BIGINT) AS dist
-        |  UNION ALL
-        |  SELECT e.d, r.dist + e.w FROM r JOIN e ON e.s = r.id
-        |)
-        |SELECT id, 'c1' AS landmark, min(dist) AS dist FROM r GROUP BY 1""".stripMargin,
-    // q74: the relational join builds the same constructed graph (set
-    // semantics — CONSTRUCT merges instantiations into one RDF graph).
-    "q74_construct" ->
-      """SELECT DISTINCT subj, pred, obj FROM (
-        |  SELECT 'c'||c_custkey AS subj, 'co_region' AS pred,
-        |         'r'||n_regionkey AS obj
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  UNION ALL
-        |  SELECT 'c'||c_custkey, 'rdf:type', 'RegionalCustomer' FROM customer)""".stripMargin,
-    // q75: an independent FULL-OUTER re-derivation of the two versions —
-    // present-in-one-side-only rows with the change class.
-    "q75_graph_diff" ->
-      """WITH v1 AS (
-        |  SELECT 'o'||o_orderkey AS subj, 'placed_by' AS pred,
-        |         'c'||o_custkey AS obj FROM orders
-        |), v2 AS (
-        |  SELECT 'o'||o_orderkey AS subj,
-        |         CASE WHEN o_orderstatus = 'F' THEN 'ordered_by'
-        |              ELSE 'placed_by' END AS pred,
-        |         'c'||o_custkey AS obj FROM orders
-        |  UNION ALL
-        |  SELECT 'o'||o_orderkey, 'urgency', 'high' FROM orders
-        |  WHERE o_orderpriority = '1-URGENT'
-        |)
-        |SELECT coalesce(v1.subj, v2.subj) AS subj,
-        |       coalesce(v1.pred, v2.pred) AS pred,
-        |       coalesce(v1.obj, v2.obj) AS obj,
-        |       CASE WHEN v1.subj IS NULL THEN 'added' ELSE 'removed' END AS change
-        |FROM v1 FULL OUTER JOIN v2
-        |  ON v1.subj = v2.subj AND v1.pred = v2.pred AND v1.obj = v2.obj
-        |WHERE v1.subj IS NULL OR v2.subj IS NULL""".stripMargin,
-    // q76: the sequential definition — a recursive CTE for the closure
-    // composed with a join for the sequence step, DISTINCT for the
-    // SPARQL path set semantics.
-    "q76_property_path" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c'||c_custkey AS s, 'c'||(c_custkey//2) AS d
-        |  FROM customer WHERE c_custkey > 1
-        |), r AS (
-        |  SELECT s, d FROM e
-        |  UNION
-        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
-        |), seg AS (
-        |  SELECT 'c'||c_custkey AS s, c_mktsegment AS m FROM customer
-        |)
-        |SELECT DISTINCT r.s AS src, seg.m AS dst FROM r JOIN seg ON r.d = seg.s""".stripMargin,
-    "q77_bgp_agg" ->
-      """WITH e AS (
-        |  SELECT 'c'||c_custkey AS a, 'c'||(c_custkey//2) AS p
-        |  FROM customer WHERE c_custkey > 1
-        |), seg AS (
-        |  SELECT 'c'||c_custkey AS p, c_mktsegment AS seg FROM customer
-        |)
-        |SELECT seg.seg AS seg, count(*) AS n_links, count(DISTINCT e.p) AS n_parents
-        |FROM e JOIN seg ON e.p = seg.p GROUP BY 1""".stripMargin,
-    // q78/q79 share the tree+grandparent-shortcut graph; both oracles
-    // rebuild the canonical undirected edge set from scratch
-    "q78_link_prediction" ->
-      """WITH raw AS (
-        |  SELECT 'c'||c_custkey AS x, 'c'||(c_custkey//2) AS y
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c'||c_custkey, 'c'||(c_custkey//4)
-        |  FROM customer WHERE c_custkey > 3
-        |), e AS (
-        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y
-        |), adj AS (
-        |  SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e
-        |), deg AS (
-        |  SELECT id, count(*) AS deg FROM adj GROUP BY 1
-        |), wedges AS (
-        |  SELECT l.nb AS a, r.nb AS b, l.id AS w
-        |  FROM adj l JOIN adj r ON l.id = r.id AND l.nb < r.nb
-        |), miss AS (
-        |  SELECT w.a, w.b, w.w FROM wedges w
-        |  LEFT JOIN e ON e.a = w.a AND e.b = w.b WHERE e.a IS NULL
-        |), paired AS (
-        |  SELECT m.a, m.b, count(*) AS common, sum(1.0 / ln(d.deg)) AS aa
-        |  FROM miss m JOIN deg d ON d.id = m.w GROUP BY 1, 2
-        |  HAVING count(*) >= 2
-        |)
-        |SELECT p.a, p.b, p.common,
-        |       round(p.common / (da.deg + db.deg - p.common), 6) AS jaccard,
-        |       round(p.aa, 6) AS adamic_adar
-        |FROM paired p
-        |JOIN deg da ON da.id = p.a
-        |JOIN deg db ON db.id = p.b""".stripMargin,
-    "q79_clustering_coefficient" ->
-      """WITH raw AS (
-        |  SELECT 'c'||c_custkey AS x, 'c'||(c_custkey//2) AS y
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c'||c_custkey, 'c'||(c_custkey//4)
-        |  FROM customer WHERE c_custkey > 3
-        |), e AS (
-        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y
-        |), adj AS (
-        |  SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e
-        |), deg AS (
-        |  SELECT id, count(*) AS deg FROM adj GROUP BY 1
-        |), tris AS (
-        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
-        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-        |), pern AS (
-        |  SELECT id, count(*) AS n_tri FROM (
-        |    SELECT x AS id FROM tris
-        |    UNION ALL SELECT y FROM tris
-        |    UNION ALL SELECT z FROM tris) GROUP BY 1
-        |)
-        |SELECT d.id, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
-        |       round(CASE WHEN d.deg < 2 THEN 0.0
-        |             ELSE COALESCE(p.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1.0)) END,
-        |             6) AS coeff
-        |FROM deg d LEFT JOIN pern p USING (id)""".stripMargin,
-    // q80/q81: the q49 window expansion (w[i:i+7] = 8-token slices); q80's
-    // fp is the q28 rolling-hash replica applied to each repeated passage
-    "q80_repeated_passages" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), g AS (
-        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS passage
-        |  FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
-        |  WHERE len(w) >= 8
-        |), r AS (
-        |  SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
-        |  FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-        |)
-        |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         [CAST(unicode(c) AS BIGINT) FOR c IN string_split(passage, '')]),
-        |       (h, c) -> (h * 31 + c) % 2147483647) AS fp,
-        |       passage, n_docs, n_occurrences
-        |FROM r""".stripMargin,
-    "q81_boilerplate_fraction" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), g AS (
-        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS passage
-        |  FROM words, unnest(range(1, len(w) - 8 + 2)) AS t(i)
-        |  WHERE len(w) >= 8
-        |), r AS (
-        |  SELECT passage AS rp FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-        |), agg AS (
-        |  SELECT g.doc_id, count(*) AS n_windows, count(r.rp) AS n_repeated
-        |  FROM g LEFT JOIN r ON g.passage = r.rp GROUP BY 1
-        |)
-        |SELECT d.doc_id AS id,
-        |       COALESCE(a.n_windows, 0) AS n_windows,
-        |       COALESCE(a.n_repeated, 0) AS n_repeated,
-        |       CASE WHEN a.n_windows IS NULL THEN 0.0
-        |            ELSE round(a.n_repeated / CAST(a.n_windows AS DOUBLE), 4) END
-        |         AS boilerplate_frac
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
-    // q82: per-token q28 rolling hash -> 64 buckets; additive smoothing
-    // alpha = 0.01 over target (lang = en) vs background distributions
-    "q82_importance_weights" ->
-      """WITH toks AS (
-        |  SELECT d.doc_id, (d.lang = 'en') AS tgt,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           [CAST(unicode(c) AS BIGINT) FOR c IN string_split(u.tok, '')]),
-        |          (h, c) -> (h * 31 + c) % 2147483647) % 64 AS bucket
-        |  FROM documents d, unnest(string_split_regex(trim(d.text), '\s+')) AS u(tok)
-        |  WHERE length(u.tok) > 0
-        |), counts AS (
-        |  SELECT bucket,
-        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt,
-        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS n_bg
-        |  FROM toks GROUP BY 1
-        |), tot AS (
-        |  SELECT sum(n_tgt) AS t_tgt, sum(n_bg) AS t_bg FROM counts
-        |), ratios AS (
-        |  SELECT bucket,
-        |         ln((n_tgt + 0.01) / (t_tgt + 0.01 * 64)) -
-        |         ln((n_bg + 0.01) / (t_bg + 0.01 * 64)) AS lr
-        |  FROM counts, tot
-        |), per AS (
-        |  SELECT doc_id, sum(lr) AS w, count(*) AS n
-        |  FROM toks JOIN ratios USING (bucket) GROUP BY 1
-        |)
-        |SELECT d.doc_id AS id, COALESCE(p.n, 0) AS n_tokens,
-        |       round(COALESCE(p.w, 0.0), 6) AS weight
-        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
-    // q83: DuckDB's NATIVE ASOF JOIN is the oracle — a genuinely independent
-    // implementation of the same semantics (largest rts <= ts per key, ties
-    // match, unmatched lefts keep nulls)
-    "q83_asof_join" ->
-      """WITH gauge AS (
-        |  SELECT user_id, date_trunc('hour', ts) AS rts, max(value) AS gauge
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-        |SELECT l.event_id, l.user_id, l.ts, g.rts AS asof_ts, g.gauge
-        |FROM events l ASOF LEFT JOIN gauge g
-        |  ON l.user_id = g.user_id AND l.ts >= g.rts
-        |WHERE l.event_type = 'click'""".stripMargin,
-    // q84: the raw inequality join IS the definition; DuckDB executes it
-    // natively (IEJoin), the engine must reproduce it via bucketized equi join
-    "q84_interval_join" ->
-      """WITH ew AS (
-        |  SELECT event_id AS error_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
-        |  FROM events WHERE event_type = 'error')
-        |SELECT l.event_id, l.user_id, l.ts, ew.error_id
-        |FROM events l JOIN ew ON l.ts >= ew.lo AND l.ts < ew.hi
-        |WHERE l.event_type = 'click'""".stripMargin,
-    // q85: the SEQUENTIAL definition — DuckDB's recursive-CTE reachability
-    // closure, mutual pairs, min-member labels; independent of both the
-    // engine's coloring loop and its driver Tarjan
-    "q85_scc" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT c_custkey AS src, c_custkey // 2 AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT c_custkey // 2 AS src, c_custkey AS dst
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 = 0
-        |), reach(s, d) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
-        |), nodes AS (
-        |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
-        |), mutual AS (
-        |  SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
-        |)
-        |SELECT n.id, least(n.id, coalesce(min(m.y), n.id)) AS scc
-        |FROM nodes n LEFT JOIN mutual m ON m.x = n.id
-        |GROUP BY n.id""".stripMargin,
-    // q86: DuckDB replays the BM25 arithmetic relationally end to end
-    // (Lucene idf form, k1=1.2 b=0.75 folded as literals 2.2/0.25/0.75)
-    "q86_bm25" ->
-      """WITH dl AS (
-        |  SELECT doc_id AS id,
-        |    len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
-        |        t -> length(t) > 0)) AS dl
-        |  FROM documents
-        |), stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |         CAST(avg(dl) AS DOUBLE) AS avgdl FROM dl
-        |), tf AS (
-        |  SELECT d.doc_id AS id, u.tok AS term, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM documents d,
-        |       unnest(string_split_regex(trim(coalesce(d.text,'')), '\s+')) AS u(tok)
-        |  WHERE u.tok IN ('spark','join','window')
-        |  GROUP BY 1, 2
-        |), idf AS (
-        |  SELECT term, ln(1.0 + (s.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
-        |  FROM tf, stats s GROUP BY term, s.n_docs
-        |), scored AS (
-        |  SELECT tf.id, count(*) AS n_terms,
-        |    round(sum(idf.idf * tf.tf * 2.2 /
-        |              (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
-        |  FROM tf JOIN idf USING (term) JOIN dl ON dl.id = tf.id, stats s
-        |  GROUP BY tf.id
-        |)
-        |SELECT id, n_terms, score,
-        |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
-        |FROM scored ORDER BY score DESC, id ASC LIMIT 25""".stripMargin,
-    // q87: DuckDB recomputes the SCC map (q85's CTE), condenses it
-    // relationally, and derives longest-path levels by recursive path
-    // enumeration + max — independent of the engine's Kahn peeling
-    "q87_condensation_levels" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT c_custkey AS src, c_custkey // 2 AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT c_custkey // 2 AS src, c_custkey AS dst
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 = 0
-        |), reach(s, d) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
-        |), nodes AS (
-        |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges
-        |), mutual AS (
-        |  SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
-        |), scc AS (
-        |  SELECT n.id, least(n.id, coalesce(min(m.y), n.id)) AS scc
-        |  FROM nodes n LEFT JOIN mutual m ON m.x = n.id GROUP BY n.id
-        |), cedges AS (
-        |  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
-        |  FROM edges e JOIN scc s1 ON e.src = s1.id JOIN scc s2 ON e.dst = s2.id
-        |  WHERE s1.scc <> s2.scc
-        |), cnodes AS (
-        |  SELECT src AS id FROM cedges UNION SELECT dst FROM cedges
-        |), paths(id, d) AS (
-        |  SELECT id, 0 FROM cnodes WHERE id NOT IN (SELECT dst FROM cedges)
-        |  UNION
-        |  SELECT c.dst, p.d + 1 FROM paths p JOIN cedges c ON p.id = c.src
-        |)
-        |SELECT id AS scc, CAST(max(d) AS BIGINT) AS level
-        |FROM paths GROUP BY id""".stripMargin,
-    // q88: the raw quadratic scan IS the definition — DuckDB's built-in
-    // levenshtein over all ordered pairs, independent of the deletion-
-    // neighborhood blocking under test
-    "q88_editdist_join" ->
-      """WITH n AS (SELECT CAST(c_custkey AS VARCHAR) AS id, c_name FROM customer)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM n a JOIN n b ON a.id < b.id
-        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
-    // q89: the progressive min-chain IS the earliest-completion funnel
-    // definition; DuckDB re-derives it with its own CTE chain
-    "q89_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id AS u, ts, event_type AS typ FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |), t1 AS (
-        |  SELECT u, min(ts) AS t1 FROM e WHERE typ = 'view' GROUP BY u
-        |), t2 AS (
-        |  SELECT e.u, min(e.ts) AS t2 FROM e JOIN t1 ON e.u = t1.u
-        |  WHERE e.typ = 'click' AND e.ts > t1.t1 GROUP BY e.u
-        |), t3 AS (
-        |  SELECT e.u, min(e.ts) AS t3 FROM e JOIN t2 ON e.u = t2.u
-        |  WHERE e.typ = 'purchase' AND e.ts > t2.t2 GROUP BY e.u
-        |)
-        |SELECT t1.u AS user_id,
-        |       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
-        |                 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stages,
-        |       t1.t1 AS first_ts, coalesce(t3.t3, t2.t2, t1.t1) AS last_ts
-        |FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u""".stripMargin,
-    // q90: DuckDB replays the running-max chain construction with its own
-    // window machinery
-    "q90_interval_merge" ->
-      """WITH iv AS (
-        |  SELECT user_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
-        |  FROM events
-        |  WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
-        |), marked AS (
-        |  SELECT user_id, lo, hi,
-        |    CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
-        |         THEN 1 ELSE 0 END AS new_c
-        |  FROM iv
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |), chains AS (
-        |  SELECT user_id, lo, hi,
-        |    sum(new_c) OVER (PARTITION BY user_id ORDER BY lo, hi
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
-        |  FROM marked
-        |)
-        |SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
-        |FROM chains GROUP BY user_id, chain""".stripMargin,
-    // q91: DuckDB replays u = (fp('w:'||id) mod 2^20 + 1)/2^20 with its own
-    // list_reduce fold (the q52-proven portable hash) and the same single
-    // IEEE division — bit-identical priorities, identical top-k cut
-    "q91_priority_sample" ->
-      """SELECT doc_id, n_chars, u, u / CAST(n_chars AS DOUBLE) AS priority
-        |FROM (
-        |  SELECT doc_id, n_chars,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(unicode(c) AS BIGINT)
-        |       FOR c IN string_split('w:' || CAST(doc_id AS VARCHAR), '')]),
-        |     (h, c) -> (h * 31 + c) % 2147483647) % 1048576 + 1 AS DOUBLE)
-        |      / 1048576.0 AS u
-        |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
-        |ORDER BY priority ASC, doc_id ASC LIMIT 50""".stripMargin,
-    // q92: DuckDB re-derives the neighbor mean relationally (zipped unnest
-    // of index range + double-cast values, GROUP BY (node, dim) avg)
-    "q92_neighbor_mean" ->
-      """WITH e AS (
-        |  SELECT vec_id AS src, vec_id // 2 AS dst FROM embeddings WHERE vec_id > 1
-        |  UNION ALL
-        |  SELECT vec_id AS src, vec_id // 4 AS dst FROM embeddings WHERE vec_id > 3
-        |), msg AS (
-        |  SELECT e.dst,
-        |         unnest(range(len(f.embedding))) AS i,
-        |         unnest([CAST(x AS DOUBLE) FOR x IN f.embedding]) AS v
-        |  FROM e JOIN embeddings f ON f.vec_id = e.src
-        |)
-        |SELECT dst AS id, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS mean
-        |FROM msg GROUP BY 1, 2""".stripMargin,
-    // q93: the definitional relational projection (ids compared as VARCHAR,
-    // matching the operator's string id model)
-    "q93_cooccurrence" ->
-      """WITH m AS (
-        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS c,
-        |         CAST(l_partkey AS VARCHAR) AS i
-        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
-        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
-        |FROM m a JOIN m b ON a.c = b.c AND a.i < b.i
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    // q94: DuckDB replays the run construction with its own window
-    // machinery (lag change-detect -> running-sum run id -> run aggregate
-    // -> lead), the q90 precedent for order-dependent operators
-    "q94_validity_intervals" ->
-      """WITH base AS (
-        |  SELECT user_id, 'status' AS pred, event_type AS obj, ts
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
-        |), marked AS (
-        |  SELECT *, CASE WHEN lag(obj) OVER w IS NULL OR lag(obj) OVER w <> obj
-        |                 THEN 1 ELSE 0 END AS chg
-        |  FROM base WINDOW w AS (PARTITION BY user_id, pred ORDER BY ts, obj)
-        |), runs AS (
-        |  SELECT user_id, pred, obj, min(ts) AS valid_from, count(*) AS n_events, r
-        |  FROM (SELECT *, sum(chg) OVER (PARTITION BY user_id, pred
-        |          ORDER BY ts, obj ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
-        |        FROM marked)
-        |  GROUP BY user_id, pred, obj, r
-        |)
-        |SELECT user_id, pred, obj, valid_from,
-        |       lead(valid_from) OVER (PARTITION BY user_id, pred ORDER BY r) AS valid_to,
-        |       n_events
-        |FROM runs""".stripMargin,
-    // q95: the oracle answers RELATIONALLY on the base tables (orders +
-    // a lineitem max/count rollup) — independent of the triple-ization
-    // and the conditional-aggregation pivot under test
-    "q95_entity_pivot" ->
-      """SELECT 'o' || o_orderkey AS subj,
-        |       'c' || o_custkey AS placed_by,
-        |       o_orderpriority AS has_priority,
-        |       lp.top_part AS ordered_part,
-        |       CAST(2 + coalesce(lp.n_parts, 0) AS BIGINT) AS n_vals
-        |FROM orders LEFT JOIN (
-        |  SELECT l_orderkey, max('p' || l_partkey) AS top_part,
-        |         count(*) AS n_parts
-        |  FROM lineitem GROUP BY 1
-        |) lp ON lp.l_orderkey = o_orderkey""".stripMargin,
-    // q96: the raw quadratic scan IS the definition — DuckDB all-pairs
-    // exact jaccard over distinct-word sets, independent of the prefix-
-    // filtering blocking under test (the q88 oracle pattern)
-    "q96_setsim_join" ->
-      """WITH s AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS id,
-        |         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
-        |  FROM documents WHERE text IS NOT NULL
-        |), p AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |         len(list_intersect(a.toks, b.toks)) AS i,
-        |         len(a.toks) AS sa, len(b.toks) AS sb
-        |  FROM s a JOIN s b ON a.id < b.id
-        |)
-        |SELECT id_a, id_b,
-        |       round(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
-        |FROM p WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.9""".stripMargin,
-    // q97: the report restated as five independent scalar aggregates
-    "q97_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map {
-      c =>
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  count(*) - count($c) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_val,
-           |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin
-    }.mkString("", "\nUNION ALL\n", ""),
-    // q98: DuckDB replays the scrambled portable hash (the q28 fingerprint
-    // fold + two MINSTD LCG rounds) and the same row_number/aggregate
-    // construction — bit-identical h_k, identical IEEE estimate
-    "q98_kmv_distinct" ->
-      """WITH h AS (
-        |  SELECT DISTINCT lang,
-        |    (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
-        |        (h, c) -> (h * 31 + c) % 2147483647)
-        |       * 48271 + 12345) % 2147483647)
-        |     * 69621 + 54321) % 2147483647 AS hv
-        |  FROM documents WHERE text IS NOT NULL
-        |), ranked AS (
-        |  SELECT lang, hv,
-        |         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
-        |  FROM h
-        |), agg AS (
-        |  SELECT lang, count(*) AS n_sketch, max(hv) AS h_k
-        |  FROM ranked WHERE rn <= 64 GROUP BY lang
-        |)
-        |SELECT lang, n_sketch, h_k,
-        |       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
-        |            ELSE round(63.0 * 2147483647 / h_k, 4) END AS estimate
-        |FROM agg""".stripMargin,
-    // q99: DuckDB replays the vote (melt -> count -> argmax window ->
-    // conditional-agg pivot) with its own machinery
-    "q99_golden_record" ->
-      """WITH m AS (
-        |  SELECT o_custkey AS g, f, v FROM (
-        |    SELECT o_custkey, 'o_orderpriority' AS f,
-        |           CAST(o_orderpriority AS VARCHAR) AS v FROM orders
-        |    UNION ALL
-        |    SELECT o_custkey, 'o_orderstatus',
-        |           CAST(o_orderstatus AS VARCHAR) FROM orders)
-        |  WHERE g IS NOT NULL AND v IS NOT NULL
-        |), votes AS (
-        |  SELECT g, f, v, count(*) AS n FROM m GROUP BY 1, 2, 3
-        |), w AS (
-        |  SELECT g, f, v, row_number() OVER (
-        |    PARTITION BY g, f ORDER BY n DESC, v DESC) AS r
-        |  FROM votes
-        |), mem AS (
-        |  SELECT o_custkey AS g, count(*) AS n_members FROM orders
-        |  WHERE o_custkey IS NOT NULL GROUP BY 1
-        |)
-        |SELECT p.g AS o_custkey, p.p1 AS o_orderpriority,
-        |       p.p2 AS o_orderstatus, mem.n_members
-        |FROM (SELECT g,
-        |        max(CASE WHEN f = 'o_orderpriority' THEN v END) AS p1,
-        |        max(CASE WHEN f = 'o_orderstatus' THEN v END) AS p2
-        |      FROM w WHERE r = 1 GROUP BY g) p
-        |JOIN mem ON mem.g = p.g""".stripMargin,
-    // q100: DuckDB re-derives the ordered sequences with list(ORDER BY)
-    // and the q20 slice idiom for consecutive k-grams
-    "q100_event_patterns" ->
-      """WITH s AS (
-        |  SELECT user_id AS g, list(event_type ORDER BY ts, event_id) AS t
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_id IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1
-        |), grams AS (
-        |  SELECT g, array_to_string(t[i:i+2], '>') AS pattern
-        |  FROM s, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
-        |  WHERE len(t) >= 3
-        |)
-        |SELECT pattern, count(DISTINCT g) AS n_keys,
-        |       count(*) AS n_occurrences
-        |FROM grams GROUP BY 1 HAVING count(DISTINCT g) >= 5""".stripMargin,
-    // q101: DuckDB rebuilds the grid with generate_series and fills with
-    // its own IGNORE NULLS running frame
-    "q101_resample_locf" ->
-      """WITH b AS (
-        |  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        |), obs AS (
-        |  SELECT user_id, bucket, value FROM (
-        |    SELECT user_id, bucket, value, row_number() OVER (
-        |      PARTITION BY user_id, bucket ORDER BY ts DESC, value DESC) AS r
-        |    FROM b) WHERE r = 1
-        |), grid AS (
-        |  SELECT user_id,
-        |         unnest(generate_series(min(bucket), max(bucket),
-        |                INTERVAL 1 HOUR)) AS bucket
-        |  FROM obs GROUP BY user_id
-        |)
-        |SELECT g.user_id, g.bucket,
-        |       last_value(o.value IGNORE NULLS) OVER (
-        |         PARTITION BY g.user_id ORDER BY g.bucket
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        |       o.value IS NOT NULL AS observed
-        |FROM grid g LEFT JOIN obs o
-        |  ON o.user_id = g.user_id AND o.bucket = g.bucket""".stripMargin,
-    // q102: the definitional relational projection + margins in DuckDB;
-    // lift is pure IEEE arithmetic on exact integers, pmi one ln at 6dp
-    // (the q82 importance-weights precedent)
-    "q102_cooccur_pmi" ->
-      """WITH m AS (
-        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS c,
-        |         CAST(l_partkey AS VARCHAR) AS i
-        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-        |), pairs AS (
-        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
-        |  FROM m a JOIN m b ON a.c = b.c AND a.i < b.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), marg AS (SELECT i, count(*) AS n FROM m GROUP BY 1),
-        |tot AS (SELECT count(DISTINCT c) AS n_total FROM m)
-        |SELECT item_a, item_b, n_common,
-        |  round((CAST(n_common AS DOUBLE) * CAST(n_total AS DOUBLE))
-        |        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift,
-        |  round(ln((CAST(n_common AS DOUBLE) * CAST(n_total AS DOUBLE))
-        |        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))), 6) AS pmi
-        |FROM pairs
-        |JOIN marg ma ON ma.i = item_a
-        |JOIN marg mb ON mb.i = item_b, tot""".stripMargin,
-    // q103: DuckDB replays the exact-integer-moment z-scores (its BIGINT
-    // sums are exact too; the double expression is term-for-term the same)
-    "q103_outliers" ->
-      """WITH b AS (
-        |  SELECT lang, CAST(n_chars AS BIGINT) AS value FROM documents
-        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-        |), st AS (
-        |  SELECT lang, count(*) AS n, sum(value) AS s,
-        |         sum(value * value) AS sq
-        |  FROM b GROUP BY 1 HAVING count(*) >= 2
-        |), st2 AS (
-        |  SELECT lang, n, CAST(s AS DOUBLE) / n AS mu,
-        |    (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-        |      / (n - 1) AS var
-        |  FROM st
-        |)
-        |SELECT b.lang, b.value,
-        |       round((CAST(b.value AS DOUBLE) - mu) / sqrt(var), 4) AS z
-        |FROM b JOIN st2 ON b.lang = st2.lang
-        |WHERE var > 0
-        |  AND abs((CAST(b.value AS DOUBLE) - mu) / sqrt(var)) > 1.5""".stripMargin,
-    // q104: DuckDB replays the integer bin math (`//` = Spark's `div` on
-    // non-negative spans) and rebuilds the spine with range()
-    "q104_histogram" ->
-      """WITH b AS (
-        |  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
-        |  WHERE n_chars IS NOT NULL
-        |), bounds AS (
-        |  SELECT min(v) AS lo0, max(v) AS hi0,
-        |         greatest((max(v) - min(v) + 20) // 20, 1) AS w
-        |  FROM b
-        |), binned AS (
-        |  SELECT (b.v - bounds.lo0) // bounds.w AS bin, count(*) AS cnt
-        |  FROM b, bounds GROUP BY 1
-        |), spine AS (
-        |  SELECT unnest(range(0, 20)) AS bin, lo0, hi0, w FROM bounds
-        |)
-        |SELECT s.bin, s.lo0 + s.bin * s.w AS lo,
-        |       s.lo0 + (s.bin + 1) * s.w AS hi,
-        |       coalesce(c.cnt, CAST(0 AS BIGINT)) AS n
-        |FROM spine s LEFT JOIN binned c ON c.bin = s.bin
-        |WHERE s.lo0 + s.bin * s.w <= s.hi0""".stripMargin,
-    // q105: DuckDB replays seed/feed construction and the latest-change
-    // argmax (epoch_us = unix_micros; -infinity seeds the base; D-first
-    // at equal ts via op ASC; payload DESC NULLS LAST = struct desc)
-    "q105_cdc_apply" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r
-        |  FROM events WHERE user_id IS NOT NULL
-        |), base AS (
-        |  SELECT user_id, CAST('-infinity' AS DOUBLE) AS tsd, 'I' AS op, value
-        |  FROM ev WHERE r = 1
-        |), feed AS (
-        |  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS tsd,
-        |         CASE event_type WHEN 'view' THEN 'U'
-        |              WHEN 'click' THEN 'I' ELSE 'D' END AS op,
-        |         value
-        |  FROM ev
-        |  WHERE r > 1 AND event_type IN ('view', 'click', 'error')
-        |    AND ts IS NOT NULL
-        |), u AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM feed
-        |)
-        |SELECT user_id, value FROM (
-        |  SELECT user_id, op, value, row_number() OVER (
-        |    PARTITION BY user_id
-        |    ORDER BY tsd DESC, op ASC, value DESC NULLS LAST) AS r
-        |  FROM u)
-        |WHERE r = 1 AND op <> 'D'""".stripMargin,
-    // q106: DuckDB replays the scrambled portable hash (the q98 KMV
-    // uniformizer: fingerprint -> two MINSTD LCG rounds mod 2^31-1) and
-    // the same per-group rank-<=k cut
-    "q106_group_sample" ->
-      """WITH h AS (
-        |  SELECT doc_id, text, lang, source, n_chars,
-        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |       [CAST(unicode(c) AS BIGINT)
-        |        FOR c IN string_split('gs:' || CAST(doc_id AS VARCHAR), '')]),
-        |      (h, c) -> (h * 31 + c) % 2147483647)
-        |     * 48271 + 12345) % 2147483647 AS r1
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |)
-        |SELECT doc_id, text, lang, source, n_chars FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY lang
-        |    ORDER BY (r1 * 69621 + 54321) % 2147483647 ASC, doc_id ASC) AS rk
-        |  FROM h)
-        |WHERE rk <= 10""".stripMargin,
-    // q107: DuckDB's NATIVE percentile_disc — an independent
-    // implementation of the same SQL-standard definition (probed: its
-    // edge semantics match smallest-value-with-cum-fraction >= p)
-    "q107_quantiles" ->
-      """WITH b AS (
-        |  SELECT lang, CAST(n_chars AS BIGINT) AS value FROM documents
-        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-        |), q AS (
-        |  SELECT lang,
-        |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS q0,
-        |    percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS q1,
-        |    percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS q2
-        |  FROM b GROUP BY 1
-        |)
-        |SELECT lang, CAST(0.5 AS DOUBLE) AS p, q0 AS value FROM q
-        |UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), q1 FROM q
-        |UNION ALL SELECT lang, CAST(0.99 AS DOUBLE), q2 FROM q""".stripMargin,
-    // q108: the DEFINITIONAL dominance test — a NOT EXISTS over all
-    // distinct points (quadratic, fine at oracle scale; the engine's
-    // window construction must select exactly this set)
-    "q108_skyline" ->
-      """WITH pts AS (
-        |  SELECT p_size, p_retailprice, count(*) AS n_rows FROM part
-        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p_size, p_retailprice, n_rows FROM pts r
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM pts s
-        |  WHERE s.p_size >= r.p_size AND s.p_retailprice >= r.p_retailprice
-        |    AND (s.p_size > r.p_size OR s.p_retailprice > r.p_retailprice))""".stripMargin,
-    // q109: the DEFINITIONAL pairwise scan — DuckDB enumerates actual
-    // item pairs (id < id self-join) and counts agreements, the engine
-    // derives identical totals from the contingency table
-    "q109_cluster_agreement" ->
-      """WITH a AS (
-        |  SELECT c_custkey AS id, CAST(c_nationkey AS VARCHAR) AS p,
-        |         c_mktsegment AS g
-        |  FROM customer
-        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
-        |    AND c_mktsegment IS NOT NULL
-        |), pr AS (
-        |  SELECT count(*) AS n_items FROM a
-        |), pairs AS (
-        |  SELECT CAST(sum(CASE WHEN x.p = y.p THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS pred_pairs,
-        |         CAST(sum(CASE WHEN x.g = y.g THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS gold_pairs,
-        |         CAST(sum(CASE WHEN x.p = y.p AND x.g = y.g THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS agree_pairs
-        |  FROM a x JOIN a y ON x.id < y.id
-        |)
-        |SELECT n_items, pred_pairs, gold_pairs, agree_pairs,
-        |  round(CAST(agree_pairs AS DOUBLE) / pred_pairs, 6) AS pair_precision,
-        |  round(CAST(agree_pairs AS DOUBLE) / gold_pairs, 6) AS pair_recall,
-        |  round(2.0 * (CAST(agree_pairs AS DOUBLE) / pred_pairs)
-        |      * (CAST(agree_pairs AS DOUBLE) / gold_pairs)
-        |      / (CAST(agree_pairs AS DOUBLE) / pred_pairs
-        |         + CAST(agree_pairs AS DOUBLE) / gold_pairs), 6) AS pair_f1,
-        |  round((CAST(agree_pairs AS DOUBLE)
-        |      - CAST(pred_pairs AS DOUBLE) * gold_pairs
-        |        / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2))
-        |    / ((CAST(pred_pairs AS DOUBLE) + gold_pairs) / 2
-        |      - CAST(pred_pairs AS DOUBLE) * gold_pairs
-        |        / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2)), 6) AS ari
-        |FROM pairs, pr""".stripMargin,
-    // q110: definitional distinct-value containment counts per candidate
-    "q110_inclusion" ->
-      """WITH probe AS (
-        |  SELECT 'lineitem' AS fk_rel, 'l_orderkey' AS fk_col,
-        |         'orders' AS pk_rel, 'o_orderkey' AS pk_col,
-        |         (SELECT count(DISTINCT CAST(l_orderkey AS VARCHAR)) FROM lineitem
-        |          WHERE l_orderkey IS NOT NULL) AS n_fk_distinct,
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
-        |            WHERE l_orderkey IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(o_orderkey AS VARCHAR) FROM orders
-        |            WHERE o_orderkey IS NOT NULL)) AS n_missing
-        |  UNION ALL
-        |  SELECT 'lineitem', 'l_partkey', 'part', 'p_partkey',
-        |         (SELECT count(DISTINCT CAST(l_partkey AS VARCHAR)) FROM lineitem
-        |          WHERE l_partkey IS NOT NULL),
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
-        |            WHERE l_partkey IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(p_partkey AS VARCHAR) FROM part
-        |            WHERE p_partkey IS NOT NULL))
-        |  UNION ALL
-        |  SELECT 'orders', 'o_custkey', 'customer', 'c_custkey',
-        |         (SELECT count(DISTINCT CAST(o_custkey AS VARCHAR)) FROM orders
-        |          WHERE o_custkey IS NOT NULL),
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
-        |            WHERE o_custkey IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer
-        |            WHERE c_custkey IS NOT NULL))
-        |  UNION ALL
-        |  SELECT 'customer', 'c_nationkey', 'nation', 'n_nationkey',
-        |         (SELECT count(DISTINCT CAST(c_nationkey AS VARCHAR)) FROM customer
-        |          WHERE c_nationkey IS NOT NULL),
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS k FROM customer
-        |            WHERE c_nationkey IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(n_nationkey AS VARCHAR) FROM nation
-        |            WHERE n_nationkey IS NOT NULL))
-        |  UNION ALL
-        |  SELECT 'part', 'p_partkey', 'lineitem', 'l_partkey',
-        |         (SELECT count(DISTINCT CAST(p_partkey AS VARCHAR)) FROM part
-        |          WHERE p_partkey IS NOT NULL),
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k FROM part
-        |            WHERE p_partkey IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(l_partkey AS VARCHAR) FROM lineitem
-        |            WHERE l_partkey IS NOT NULL))
-        |  UNION ALL
-        |  SELECT 'events', 'user_id', 'customer', 'c_custkey',
-        |         (SELECT count(DISTINCT CAST(user_id AS VARCHAR)) FROM events
-        |          WHERE user_id IS NOT NULL),
-        |         (SELECT count(*) FROM
-        |           (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
-        |            WHERE user_id IS NOT NULL) f
-        |          WHERE f.k NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer
-        |            WHERE c_custkey IS NOT NULL))
-        |)
-        |SELECT fk_rel, fk_col, pk_rel, pk_col,
-        |       CAST(n_fk_distinct AS BIGINT) AS n_fk_distinct,
-        |       CAST(n_missing AS BIGINT) AS n_missing,
-        |       CASE WHEN n_fk_distinct > 0 THEN
-        |         round(CAST(n_fk_distinct - n_missing AS DOUBLE)
-        |               / n_fk_distinct, 6) END AS containment
-        |FROM probe""".stripMargin,
-    // q111: the definitional FULL OUTER diff in DuckDB (IS NOT DISTINCT
-    // FROM = the engine's null-safe struct compare)
-    "q111_cdc_diff" ->
-      """WITH o AS (
-        |  SELECT c_custkey AS k, c_acctbal AS a, c_mktsegment AS m
-        |  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 5 <> 0
-        |), n AS (
-        |  SELECT c_custkey AS k,
-        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
-        |              ELSE c_acctbal END AS a,
-        |         c_mktsegment AS m
-        |  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 7 <> 0
-        |), j AS (
-        |  SELECT coalesce(n.k, o.k) AS c_custkey, o.k AS ko, n.k AS kn,
-        |         o.a AS ao, o.m AS mo, n.a AS an, n.m AS mn
-        |  FROM o FULL OUTER JOIN n ON o.k = n.k
-        |), ops AS (
-        |  SELECT c_custkey,
-        |    CASE WHEN ko IS NULL THEN 'I' WHEN kn IS NULL THEN 'D'
-        |         WHEN NOT (ao IS NOT DISTINCT FROM an
-        |                   AND mo IS NOT DISTINCT FROM mn) THEN 'U' END AS op,
-        |    an AS c_acctbal, mn AS c_mktsegment
-        |  FROM j
-        |)
-        |SELECT * FROM ops WHERE op IS NOT NULL""".stripMargin,
-    // q112: DuckDB replays tokenize -> bigram explode -> counts -> add-one
-    // log-prob quantized to integer micro-nats -> exact per-doc sum
-    "q112_bigram_lm" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |), ok AS (
-        |  SELECT * FROM base WHERE len(t) >= 2
-        |), pairs AS (
-        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
-        |  FROM ok, unnest(range(1, len(t))) AS u(i)
-        |), bgc AS (
-        |  SELECT bg, count(*) AS nbg FROM pairs GROUP BY 1
-        |), ctx AS (
-        |  SELECT w1, count(*) AS nctx FROM pairs GROUP BY 1
-        |), voc AS (
-        |  SELECT count(DISTINCT tok) AS v
-        |  FROM (SELECT unnest(t) AS tok FROM ok)
-        |), sp AS (
-        |  SELECT p.doc_id,
-        |    CAST(round(ln(CAST(bgc.nbg + 1 AS DOUBLE)
-        |               / CAST(ctx.nctx + voc.v AS DOUBLE)) * 1000000, 0)
-        |         AS BIGINT) AS lp
-        |  FROM pairs p JOIN bgc USING (bg) JOIN ctx USING (w1), voc
-        |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       round(CAST(sum(lp) AS DOUBLE) / 1000000 / count(*), 6)
-        |         AS avg_logprob
-        |FROM sp GROUP BY 1""".stripMargin,
-    // q113: the definitional count -> per-entity share + rank replay
-    "q113_alias_table" ->
-      """WITH c AS (
-        |  SELECT p_brand AS entity, p_type AS form, count(*) AS n FROM part
-        |  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL GROUP BY 1, 2
-        |), t AS (
-        |  SELECT entity, form, n,
-        |         sum(n) OVER (PARTITION BY entity) AS tot,
-        |         row_number() OVER (
-        |           PARTITION BY entity ORDER BY n DESC, form ASC) AS rank
-        |  FROM c
-        |)
-        |SELECT entity, form, n, round(CAST(n AS DOUBLE) / tot, 6) AS share,
-        |       CAST(rank AS BIGINT) AS rank
-        |FROM t WHERE rank <= 3""".stripMargin,
-
-    // q114: recursive-CTE BFS (the sequential definition) + the same
-    // replayable integer division SCALE // d — independent of the
-    // engine's semi-naive frontier loop.
-    "q114_harmonic" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || (c_custkey // 2) AS s, 'c' || c_custkey AS d
-        |  FROM customer WHERE c_custkey > 1
-        |), lm AS (SELECT 'c' || c_custkey AS l FROM customer),
-        |r AS (
-        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
-        |  UNION
-        |  SELECT e.d, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.s
-        |), m AS (SELECT id, landmark, min(dist) AS dist FROM r GROUP BY 1, 2)
-        |SELECT id, CAST(sum(1000000000000 // dist) AS BIGINT) AS score_fp,
-        |       count(*) AS n_sources
-        |FROM m WHERE dist > 0 GROUP BY 1""".stripMargin,
-    // q115/q116: Borůvka's forest and integer HITS are checked against
-    // INDEPENDENT sequential replays in tools.GenFixtures (Kruskal with
-    // union-find under the same total edge order; adjacency-map HITS loop
-    // with the same exact-integer re-scale) — different algorithms, same
-    // unique answer.
-    "q115_mst" ->
-      """SELECT src, dst, w
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q115_expected_mst.parquet')""".stripMargin,
-    "q116_hits" ->
-      """SELECT id, hub_fp, auth_fp
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q116_expected_hits.parquet')""".stripMargin,
-    // q117: the draw is replayed term-for-term — q28's list_reduce rolling
-    // hash over s‖p‖o‖i, mod the row_number-indexed entity pool — then the
-    // filtered-setting anti join, all in DuckDB.
-    "q117_neg_sampling" ->
-      """WITH t AS (
-        |  SELECT DISTINCT 'o' || o_orderkey AS subj, 'hasCustomer' AS pred,
-        |         'c' || o_custkey AS obj FROM orders),
-        |pool AS (
-        |  SELECT cand, row_number() OVER (ORDER BY cand) - 1 AS idx
-        |  FROM (SELECT DISTINCT obj AS cand FROM t)),
-        |draws AS (
-        |  SELECT subj, pred, obj, CAST(i AS INTEGER) AS neg_idx,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(unicode(ch) AS BIGINT) FOR ch IN
-        |        string_split(subj || '|' || pred || '|' || obj || '|' || CAST(i AS VARCHAR), '')]),
-        |      (h, cp) -> (h * 31 + cp) % 2147483647)
-        |      % (SELECT count(*) FROM pool) AS idx
-        |  FROM t, unnest(range(0, 2)) AS u(i)),
-        |cand AS (
-        |  SELECT d.subj, d.pred, d.obj, d.neg_idx, p.cand AS obj_neg
-        |  FROM draws d JOIN pool p USING (idx) WHERE p.cand <> d.obj)
-        |SELECT c.subj, c.pred, c.obj, c.neg_idx, c.obj_neg
-        |FROM cand c LEFT JOIN t
-        |  ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.obj_neg
-        |WHERE t.subj IS NULL""".stripMargin,
-    // q118: closure + NOT EXISTS — the quadratic definition, independent
-    // of the engine's semi-naive reachability loop.
-    "q118_transitive_reduction" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || c_custkey AS s, 'c' || (c_custkey // 2) AS d
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-        |  FROM customer WHERE c_custkey > 3
-        |), r AS (
-        |  SELECT s, d FROM e
-        |  UNION
-        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
-        |), two AS (
-        |  SELECT DISTINCT e.s, r.d FROM e JOIN r ON e.d = r.s
-        |)
-        |SELECT e.s AS src, e.d AS dst FROM e
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM two WHERE two.s = e.s AND two.d = e.d)""".stripMargin,
-    // q119: DuckDB's 1-based inclusive list slicing over the same
-    // whitespace tokenization (full \s trim, \s+ split).
-    "q119_rag_chunks" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(
-        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tok
-        |  FROM documents
-        |  WHERE text IS NOT NULL
-        |    AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
-        |c AS (
-        |  SELECT doc_id, tok, CAST(i AS INTEGER) AS chunk_id,
-        |         CAST(i * 24 AS INTEGER) AS start_tok
-        |  FROM w, unnest(range(0, ((len(tok) - 1) // 24) + 1)) AS t(i))
-        |SELECT doc_id, chunk_id, start_tok,
-        |  CAST(least(32, len(tok) - start_tok) AS INTEGER) AS n_tok,
-        |  array_to_string(tok[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
-        |FROM c""".stripMargin,
-    // q120: GROUP BY + HAVING is the exact heavy-hitter definition the
-    // sketch-bounded plan must reproduce.
-    "q120_heavy_hitters" ->
-      """WITH k AS (
-        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'megacorp'
-        |              ELSE 'c' || o_custkey END AS hh_key FROM orders)
-        |SELECT hh_key AS "key", count(*) AS cnt
-        |FROM k GROUP BY 1 HAVING count(*) * 10 > (SELECT count(*) FROM k)""".stripMargin,
-    // q121/q122/q123: fixed-point Brandes, Luby MIS, and k-truss peeling
-    // are iterative fixpoints — checked against INDEPENDENT sequential
-    // replays in tools.GenFixtures (per-source BFS Brandes with the same
-    // truncating arithmetic; driver Luby sharing only the hash values;
-    // naive per-round triangle recount peel).
-    "q121_betweenness" ->
-      """SELECT id, bc_fp, n_sources
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q121_expected_betweenness.parquet')""".stripMargin,
-    "q122_mis" ->
-      """SELECT id, round
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q122_expected_mis.parquet')""".stripMargin,
-    "q123_ktruss" ->
-      """SELECT src, dst, support
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q123_expected_ktruss.parquet')""".stripMargin,
-    // q124: DuckDB's strip_accents+lower is an independent implementation
-    // of the same Latin-script fold the native expression computes.
-    "q124_text_normalize" ->
-      """WITH n AS (
-        |  SELECT p_partkey,
-        |         lower(strip_accents(translate(p_name, 'aeiou', 'àéîöü'))) AS norm_key
-        |  FROM part)
-        |SELECT norm_key, count(*) AS n, min(p_partkey) AS first_key
-        |FROM n GROUP BY 1""".stripMargin,
-    // q125: the per-row decay term (floor-epoch Δ, IEEE pow, micro-unit
-    // round) replayed in SQL; the sum is exact BIGINT on both sides.
-    "q125_time_decay" ->
-      """WITH t AS (
-        |  SELECT event_type,
-        |    CAST(round(value * power(2,
-        |      -(1711929600 - floor(date_part('epoch', ts))) / 604800.0)
-        |      * 1000000.0) AS BIGINT) AS term
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
-        |SELECT event_type, CAST(sum(term) AS BIGINT) AS decayed_fp,
-        |       count(*) AS n_events
-        |FROM t GROUP BY 1""".stripMargin,
-    // q126: the scrambled-fingerprint argmax replayed with a DuckDB list
-    // comprehension + struct list_max (same (weight, shard) total order;
-    // the q98-proven kmvHash construction).
-    "q126_rendezvous" ->
-      """WITH k AS (SELECT 'c' || c_custkey AS k FROM customer),
-        |w AS (
-        |  SELECT k, list_max([{'w':
-        |    (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(s || '|' || k, '')]),
-        |        (h, cp) -> (h * 31 + cp) % 2147483647)
-        |       * 48271 + 12345) % 2147483647)
-        |     * 69621 + 54321) % 2147483647, 's': s}
-        |    FOR s IN ['shard-00', 'shard-01', 'shard-02', 'shard-03', 'shard-04']]) AS m
-        |  FROM k)
-        |SELECT k, m.s AS owner FROM w""".stripMargin,
-    // q127: the definitional scorecard — block sizes for Σ C(n_b,2),
-    // distinct pair self-join, gold coverage joins — computed directly.
-    "q127_blocking_eval" ->
-      """WITH b AS (
-        |  SELECT DISTINCT 'c' || c_custkey AS id, 'n' || c_nationkey AS block
-        |  FROM customer),
-        |g AS (
-        |  SELECT DISTINCT least('c' || c_custkey, 'c' || (c_custkey + 1)) AS x,
-        |         greatest('c' || c_custkey, 'c' || (c_custkey + 1)) AS y
-        |  FROM customer WHERE c_custkey % 2 = 0),
-        |sizes AS (SELECT block, count(*) AS nb FROM b GROUP BY 1),
-        |cand AS (
-        |  SELECT DISTINCT l.id AS x, r.id AS y
-        |  FROM b l JOIN b r ON l.block = r.block AND l.id < r.id),
-        |cov AS (
-        |  SELECT DISTINCT g.x, g.y
-        |  FROM g JOIN b bx ON bx.id = g.x JOIN b bz ON bz.id = g.y
-        |   AND bz.block = bx.block),
-        |n AS (SELECT count(DISTINCT id) AS n_entities FROM b)
-        |SELECT n.n_entities,
-        |  n.n_entities * (n.n_entities - 1) // 2 AS total_pairs,
-        |  (SELECT CAST(coalesce(sum(nb * (nb - 1) // 2), 0) AS BIGINT) FROM sizes)
-        |    AS candidate_pairs,
-        |  (SELECT count(*) FROM cand) AS distinct_candidates,
-        |  (SELECT count(*) FROM g) AS gold_pairs,
-        |  (SELECT count(*) FROM cov) AS covered_gold,
-        |  round(1.0 - CAST((SELECT count(*) FROM cand) AS DOUBLE)
-        |    / (n.n_entities * (n.n_entities - 1) // 2), 6) AS rr,
-        |  round(CAST((SELECT count(*) FROM cov) AS DOUBLE)
-        |    / (SELECT count(*) FROM g), 6) AS pc,
-        |  round(CAST((SELECT count(*) FROM cov) AS DOUBLE)
-        |    / (SELECT count(*) FROM cand), 6) AS pq
-        |FROM n""".stripMargin,
-    // q128: DuckDB's jaro_winkler_similarity is an independent
-    // implementation of the same contract (probe-verified).
-    "q128_jaro_winkler" ->
-      """SELECT c_custkey,
-        |  round(jaro_winkler_similarity(lower(c_name),
-        |    translate(lower(c_name), 'aeiou#', 'eaoiu-')), 6) AS jw
-        |FROM customer""".stripMargin,
-    // q129: the direct rank self-join definition — no buckets.
-    "q129_snm_blocking" ->
-      """WITH b AS (
-        |  SELECT DISTINCT 'c' || c_custkey AS id, c_name AS key
-        |  FROM customer WHERE c_name IS NOT NULL),
-        |r AS (SELECT id, row_number() OVER (ORDER BY key, id) AS rank FROM b)
-        |SELECT l.id AS id_a, r2.id AS id_b,
-        |       CAST(l.rank AS INT) AS rank_a, CAST(r2.rank AS INT) AS rank_b
-        |FROM r l JOIN r r2
-        |  ON r2.rank > l.rank AND r2.rank - l.rank < 4 AND l.id <> r2.id""".stripMargin,
-    // q130: independent merge-order sequential replay (GenFixtures).
-    "q130_bpe_encode" ->
-      """SELECT doc_id, pos, token
-        |FROM read_parquet('/root/repo/src/test/resources/expected/q130_expected_bpe_tokens.parquet')""".stripMargin,
-    // q131: unnest WITH ORDINALITY is the definitional positional index.
-    "q131_inverted_index" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(text), '\s+'),
-        |           t -> length(t) > 0) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |p AS (
-        |  SELECT doc_id, tok[CAST(i AS INT) + 1] AS term, CAST(i AS INT) AS pos
-        |  FROM w, unnest(range(0, len(tok))) AS t(i)),
-        |post AS (
-        |  SELECT term, doc_id, count(*) AS tf,
-        |         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
-        |  FROM p GROUP BY 1, 2),
-        |keep AS (SELECT term FROM post GROUP BY 1 HAVING count(*) >= 2)
-        |SELECT post.term, post.doc_id, post.tf, post.positions
-        |FROM post JOIN keep USING (term)""".stripMargin,
-    // q132: row_number + the same truncating integer division.
-    "q132_rrf_fusion" ->
-      """WITH p AS (
-        |  SELECT o_orderkey AS id,
-        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
-        |d AS (
-        |  SELECT o_orderkey AS id,
-        |    row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey) AS rank
-        |  FROM orders ORDER BY o_orderdate ASC, o_orderkey LIMIT 100),
-        |u AS (SELECT * FROM p UNION ALL SELECT * FROM d),
-        |f AS (
-        |  SELECT CAST(id AS VARCHAR) AS id,
-        |         CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
-        |         count(*) AS n_lists
-        |  FROM u GROUP BY 1)
-        |SELECT id, rrf_fp, n_lists,
-        |       CAST(row_number() OVER (ORDER BY rrf_fp DESC, id ASC) AS INT) AS rank
-        |FROM f ORDER BY rrf_fp DESC, id ASC LIMIT 20""".stripMargin,
-    // q133: micro-unit quantization + truncating division replayed.
-    "q133_calibration" ->
-      """WITH c AS (
-        |  SELECT ((o_orderkey * 37) % 1000) / 1000.0 AS conf,
-        |         o_orderkey % 3 = 0 AS ok
-        |  FROM orders),
-        |b AS (
-        |  SELECT least(CAST(floor(conf * 10) AS INT), 9) AS bin,
-        |         CAST(round(conf * 1000000.0) AS BIGINT) AS conf_fp,
-        |         CASE WHEN ok THEN 1 ELSE 0 END AS hit
-        |  FROM c),
-        |g AS (
-        |  SELECT bin, count(*) AS n, sum(conf_fp) AS sum_conf,
-        |         sum(hit) AS n_hit
-        |  FROM b GROUP BY 1)
-        |SELECT bin, n,
-        |  CAST(sum_conf // n AS BIGINT) AS conf_avg_fp,
-        |  CAST((1000000 * n_hit) // n AS BIGINT) AS acc_fp,
-        |  CAST(abs(sum_conf // n - (1000000 * n_hit) // n) AS BIGINT) AS gap_fp
-        |FROM g""".stripMargin,
-    // q134: the split/trim/rank replayed (RE2 split rule by construction),
-    // then q25's score CASE over per-sentence text.
-    "q134_sentence_lid" -> {
-      val scores = langScoresFrom("doc_id, sent_id, sentence",
-        "(SELECT doc_id, sent_id, sentence, sentence AS text FROM s)")
-      s"""WITH raw AS (
-        |  SELECT doc_id, string_split(
-        |    regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
-        |    chr(1)) AS frag
-        |  FROM documents WHERE text IS NOT NULL),
-        |f AS (
-        |  SELECT doc_id,
-        |    regexp_replace(frag[CAST(i AS INT) + 1], '^\\s+|\\s+$$', '', 'g')
-        |      AS sentence,
-        |    CAST(i AS INT) AS rawpos
-        |  FROM raw, unnest(range(0, len(frag))) AS t(i)),
-        |s AS (
-        |  SELECT doc_id, sentence,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1
-        |      AS INT) AS sent_id
-        |  FROM f WHERE length(sentence) > 0),
-        |sc AS ($scores)
-        |SELECT doc_id, sent_id, sentence, $langCaseSql AS lang,
-        |  CASE WHEN length(trim(sentence)) = 0 THEN 0
-        |       ELSE CAST(len(string_split_regex(trim(sentence), '\\s+')) AS INT)
-        |  END AS n_tok
-        |FROM sc""".stripMargin
-    },
-    // q135: rank-trim + exact integer kept-sum, replayed directly.
-    "q135_trimmed_mean" ->
-      """WITH v AS (
-        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
-        |  FROM lineitem WHERE l_quantity IS NOT NULL),
-        |r AS (
-        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
-        |         count(*) OVER (PARTITION BY g) AS n
-        |  FROM v),
-        |k AS (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS k FROM r)
-        |SELECT g, max(n) AS n,
-        |  CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT)
-        |    AS sum_kept,
-        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS DOUBLE)
-        |    / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END), 6)
-        |    AS trimmed_mean
-        |FROM k GROUP BY g""".stripMargin,
-    // q136: the same tokenization + 1-based inclusive slice arithmetic.
-    "q136_kwic" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
-        |    t -> length(t) > 0) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |p AS (
-        |  SELECT doc_id, tok, CAST(i AS INT) AS pos
-        |  FROM w, unnest(range(0, len(tok))) AS t(i)
-        |  WHERE tok[CAST(i AS INT) + 1] = 'hash')
-        |SELECT doc_id, pos,
-        |  coalesce(array_to_string(tok[greatest(1, pos + 1 - 4) : pos], ' '), '')
-        |    AS left_ctx,
-        |  coalesce(array_to_string(tok[pos + 2 : least(len(tok), pos + 1 + 4)], ' '), '')
-        |    AS right_ctx
-        |FROM p""".stripMargin,
-    // q137: the bit-interleave contract replayed with plain shift/mask
-    // arithmetic — result bit (2i) = bit i of p_partkey, bit (2i+1) =
-    // bit i of p_size (disjoint bits, so SUM == OR).
-    "q137_zorder" ->
-      """SELECT p_partkey, p_size,
-        |  CAST(sum((((p_partkey >> i) & 1) << (2 * i)) +
-        |           (((CAST(p_size AS BIGINT) >> i) & 1) << (2 * i + 1)))
-        |       AS BIGINT) AS zkey
-        |FROM part,
-        |     (SELECT CAST(i AS BIGINT) AS i
-        |      FROM unnest(range(0, 32)) AS t(i)) bits
-        |GROUP BY 1, 2""".stripMargin,
-    // q138: identical blocking join + the SAME chained CASE arithmetic
-    // (left-to-right adds of the same double literals → bit-identical).
-    "q138_fellegi_sunter" ->
-      """WITH p AS (
-        |  SELECT a.c_custkey AS a, b.c_custkey AS b,
-        |    a.c_mktsegment = b.c_mktsegment AS agr_seg,
-        |    floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
-        |      AS agr_bal,
-        |    right(a.c_name, 3) = right(b.c_name, 3) AS agr_sfx
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey
-        |   AND a.c_custkey < b.c_custkey
-        |   AND b.c_custkey - a.c_custkey <= 30),
-        |sc AS (
-        |  SELECT *, round(CASE WHEN agr_seg THEN 1.5 ELSE -0.7 END
-        |                + CASE WHEN agr_bal THEN 2.25 ELSE -0.2 END
-        |                + CASE WHEN agr_sfx THEN 4.5 ELSE -0.05 END, 6)
-        |    AS score
-        |  FROM p)
-        |SELECT a, b, agr_seg, agr_bal, agr_sfx, score,
-        |  CASE WHEN score > 3.1 THEN 'match'
-        |       WHEN score < -0.5 THEN 'non_match'
-        |       ELSE 'possible' END AS decision
-        |FROM sc""".stripMargin,
-    // q139: DuckDB re-derives the vocabulary with its own regex engine,
-    // then joins the committed token→key map computed by an INDEPENDENT
-    // sequential Odell–Russell soundex (tools.GenFixtures) — any token the
-    // map misses, or any key the two implementations disagree on, surfaces
-    // as a row/value mismatch.
-    "q139_soundex_blocking" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT t AS token
-        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
-        |    AS u(t)
-        |  WHERE text IS NOT NULL AND length(t) >= 3),
-        |j AS (
-        |  SELECT tok.token, m.skey
-        |  FROM tok JOIN read_parquet(
-        |    '/root/repo/src/test/resources/expected/q139_expected_soundex.parquet') m
-        |    USING (token))
-        |SELECT token, skey,
-        |       count(*) OVER (PARTITION BY skey) AS class_size
-        |FROM j""".stripMargin,
-    // q140: enumerate every directed walk of length ≤ 4 with a recursive
-    // CTE and re-weight by invAlpha^(L−l) — same exact-integer fixed point.
-    "q140_katz" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-        |  FROM customer WHERE c_custkey > 3),
-        |w(v, len) AS (
-        |  SELECT dst, 1 FROM e
-        |  UNION ALL
-        |  SELECT e.dst, w.len + 1 FROM w JOIN e ON e.src = w.v
-        |  WHERE w.len < 4)
-        |SELECT v AS id,
-        |  CAST(sum(CASE len WHEN 1 THEN 64 WHEN 2 THEN 16
-        |                    WHEN 3 THEN 4 ELSE 1 END) AS BIGINT) AS katz_fp,
-        |  count(*) AS n_walks
-        |FROM w GROUP BY 1""".stripMargin,
-    // q141: the same modular fingerprint unrolled — degree init, then r
-    // (neighbor-sum ⋈ relabel) rounds (see wlOracleSql); P = 1048573,
-    // mixA/mixB constants as in graph.WlRefine.
-    "q141_wl_refine" ->
-      wlOracleSql(3, "SELECT v AS id, degree, l AS wl_label FROM l3"),
-    // q142: DuckDB re-derives the vocabulary, the committed fixture carries
-    // the INDEPENDENT forward-DP segmentation (tools.GenFixtures).
-    "q142_subword_segment" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT t AS token
-        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
-        |    AS u(t)
-        |  WHERE text IS NOT NULL AND length(t) >= 3)
-        |SELECT token, pieces, n_pieces, cost_fp
-        |FROM tok JOIN read_parquet(
-        |  '/root/repo/src/test/resources/expected/q142_expected_subword.parquet') m
-        |  USING (token)""".stripMargin,
-    // q143: per-candidate count(DISTINCT)-per-group replays, one UNION ALL
-    // block per (lhs, rhs) pair.
-    "q143_functional_deps" -> Seq(
-        ("c_custkey", "c_name"), ("c_custkey", "c_mktsegment"),
-        ("c_nationkey", "c_mktsegment"), ("c_nationkey", "c_acctbal"))
-      .map { case (l, r) =>
-        s"""SELECT '$l' AS lhs, '$r' AS rhs, count(*) AS n_lhs,
-           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_violating,
-           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
-           |    AS holds
-           |FROM (SELECT $l, count(DISTINCT $r) AS nd FROM customer
-           |      WHERE $l IS NOT NULL GROUP BY 1)""".stripMargin
-      }.mkString("\n", "\nUNION ALL\n", ""),
-    // q144: the ppm integer fixpoint unrolled round by round (DuckDB `//`
-    // floor division == Spark `div` truncation on these non-negative
-    // operands; HUGEINT sums cast back to BIGINT).
-    "q144_truth_discovery" -> truthOracleSql(5),
-    // q145: identical blocking + CASE-sum scoring, then q47's recursive-CTE
-    // reachability computes the same min-label components.
-    "q145_er_pipeline" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT format('c{:06d}', a.c_custkey) AS a,
-        |         format('c{:06d}', b.c_custkey) AS b,
-        |    round(CASE WHEN a.c_mktsegment = b.c_mktsegment
-        |               THEN 1.5 ELSE -0.7 END
-        |        + CASE WHEN floor(a.c_acctbal / 1000.0)
-        |                  = floor(b.c_acctbal / 1000.0)
-        |               THEN 2.25 ELSE -0.2 END, 6) AS score
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey
-        |   AND a.c_custkey < b.c_custkey
-        |   AND b.c_custkey - a.c_custkey <= 30),
-        |m AS (SELECT a, b FROM p WHERE score > 3.1),
-        |edges AS (SELECT a, b FROM m UNION ALL SELECT b, a FROM m),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-        |comp AS (SELECT id, least(id, min(r)) AS component
-        |         FROM reach GROUP BY id)
-        |SELECT id, component,
-        |       count(*) OVER (PARTITION BY component) AS cluster_size
-        |FROM comp""".stripMargin,
-    // q146: the same WL replay at 2 rounds, quotiented over the DIRECTED
-    // edge list.
-    "q146_wl_quotient" -> wlOracleSql(2,
-      """SELECT ls.l AS c_src, ld.l AS c_dst, count(*) AS n_edges
-        |FROM edir JOIN l2 ls ON ls.v = edir.src
-        |          JOIN l2 ld ON ld.v = edir.dst
-        |GROUP BY 1, 2""".stripMargin),
-    // q147: q98's portable scrambled hash → bucket/rank registers (bin()
-    // bitlength, w = 0 handled as the all-zeros rank) → per-bucket MAX →
-    // exact-integer S_fp → the identical left-associated estimate chain
-    // (ln-based linear counting in the same CASE, not triggered at this
-    // cardinality).
-    "q147_hll" ->
-      """WITH h AS (
-        |  SELECT (( (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        [CAST(unicode(c) AS BIGINT) FOR c IN
-        |          string_split('c' || o_custkey, '')]),
-        |      (h, c) -> (h * 31 + c) % 2147483647)
-        |     * 48271 + 12345) % 2147483647)
-        |   * 69621 + 54321) % 2147483647 AS hv
-        |  FROM orders WHERE o_custkey IS NOT NULL),
-        |rk AS (
-        |  SELECT hv % 256 AS bucket,
-        |    CASE WHEN hv // 256 = 0 THEN 24
-        |         ELSE 24 - length(bin(hv // 256)) END AS rank
-        |  FROM h),
-        |reg AS (SELECT bucket, CAST(max(rank) AS INT) AS max_rank
-        |        FROM rk GROUP BY 1),
-        |agg AS (
-        |  SELECT count(*) AS n_buckets_used,
-        |    CAST(sum(CAST(1 AS BIGINT) << (24 - max_rank)) AS BIGINT)
-        |      AS s_used
-        |  FROM reg),
-        |s AS (
-        |  SELECT n_buckets_used,
-        |    s_used + (256 - n_buckets_used) * (CAST(1 AS BIGINT) << 24)
-        |      AS s_fp
-        |  FROM agg),
-        |e AS (
-        |  -- DOUBLE casts matter: bare decimal literals are DECIMAL in
-        |  -- DuckDB, and the replay must walk the same IEEE chain Spark does
-        |  SELECT n_buckets_used, s_fp,
-        |    (CAST(0.7213 AS DOUBLE) /
-        |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256))
-        |      * 256 * 256 * 16777216 / s_fp AS raw
-        |  FROM s)
-        |SELECT n_buckets_used, s_fp,
-        |  round(CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256
-        |              AND n_buckets_used < 256
-        |             THEN CAST(256.0 AS DOUBLE) *
-        |                  ln(CAST(256.0 AS DOUBLE) / (256 - n_buckets_used))
-        |             ELSE raw END, 4) AS hll_estimate
-        |FROM e""".stripMargin,
-    // q149: the same register build + probe mins — the 4 row-hashes
-    // unrolled as a UNION ALL fan-out over the shared scrambled hash.
-    "q149_count_min" -> {
-      def fan(src: String, extra: String) =
-        Seq((0, 16807L, 11L), (1, 48271L, 101L), (2, 69621L, 1009L),
-          (3, 40692L, 10007L)).map { case (r, a, c) =>
-          s"SELECT $extra$r AS row, ((hv * $a + $c) % 2147483647) % 1024 AS bucket FROM $src"
-        }.mkString("\n  UNION ALL ")
-      s"""WITH h AS (
-         |  SELECT ${kmvHashSql("'p' || l_partkey")} AS hv
-         |  FROM lineitem WHERE l_partkey IS NOT NULL),
-         |fan AS (
-         |  ${fan("h", "")}),
-         |reg AS (SELECT row, bucket, count(*) AS cnt FROM fan GROUP BY 1, 2),
-         |pk AS (
-         |  SELECT 'p' || p_partkey AS key,
-         |    ${kmvHashSql("'p' || p_partkey")} AS hv
-         |  FROM part WHERE p_partkey <= 10),
-         |paddr AS (
-         |  ${fan("pk", "key, ")}),
-         |est AS (
-         |  SELECT key, min(coalesce(cnt, 0)) AS cm_estimate
-         |  FROM paddr LEFT JOIN reg USING (row, bucket) GROUP BY 1),
-         |tc AS (SELECT 'p' || l_partkey AS key, count(*) AS true_count
-         |       FROM lineitem GROUP BY 1)
-         |SELECT key, coalesce(true_count, 0) AS true_count, cm_estimate
-         |FROM est LEFT JOIN tc USING (key)""".stripMargin
-    },
-    // q150: the same exact moments + the same single-division closed form.
-    "q150_assortativity" ->
-      """WITH edir AS (
-        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-        |  FROM customer WHERE c_custkey > 3),
-        |sym AS (SELECT src AS a, dst AS b FROM edir
-        |        UNION ALL SELECT dst, src FROM edir),
-        |deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY 1),
-        |xy AS (
-        |  SELECT dx.deg AS x, dy.deg AS y
-        |  FROM sym JOIN deg dx ON dx.id = sym.a JOIN deg dy ON dy.id = sym.b),
-        |m AS (
-        |  SELECT count(*) AS n_edges, CAST(sum(x) AS BIGINT) AS sum_x,
-        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
-        |    CAST(sum(x * x) AS BIGINT) AS sum_xx
-        |  FROM xy)
-        |SELECT n_edges, sum_x, sum_xy, sum_xx,
-        |  round(CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE) /
-        |        CAST(n_edges * sum_xx - sum_x * sum_x AS DOUBLE), 6)
-        |    AS assortativity
-        |FROM m""".stripMargin,
-    // q151: q20's exact-jaccard pair mining + q47's recursive-CTE
-    // components + the portable-hash bucket CASE — singletons fall back to
-    // their own id as the group label via the LEFT join.
-    "q151_leakage_split" ->
-      s"""WITH RECURSIVE words AS (
-         | SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
-         | FROM documents),
-         |sh AS (
-         | SELECT DISTINCT id, shingle FROM (
-         |  SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-         |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-         |  WHERE len(w) >= 5)),
-         |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-         |kept AS (SELECT id, shingle FROM sh
-         |         WHERE shingle IN (SELECT shingle FROM sh
-         |                           GROUP BY shingle HAVING COUNT(*) <= 50)),
-         |cand AS (
-         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         | FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id),
-         |inter AS (
-         | SELECT c.id_a, c.id_b, COUNT(*) AS i
-         | FROM cand c
-         | JOIN sh a ON a.id = c.id_a
-         | JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-         | GROUP BY c.id_a, c.id_b),
-         |pairs AS (
-         | SELECT id_a AS a, id_b AS b
-         | FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-         | WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
-         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-         |reach AS (
-         | SELECT a AS id, b AS r FROM edges
-         | UNION
-         | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |grp AS (SELECT id, least(id, min(r)) AS group_id
-         |        FROM reach GROUP BY id),
-         |asg AS (
-         | SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
-         | FROM documents d LEFT JOIN grp g ON g.id = d.doc_id),
-         |bkt AS (
-         | SELECT doc_id, group_id,
-         |   (${kmvHashSql("'g' || group_id")}) % 1000 AS bucket
-         | FROM asg)
-         |SELECT doc_id, group_id,
-         |  CASE WHEN bucket < 800 THEN 'train'
-         |       WHEN bucket < 900 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM bkt""".stripMargin,
-    // q152: the ppb truncating-div rounds unrolled (same double-div order:
-    // (r·(10−A)) div 10, then div out-degree).
-    "q152_ppr" -> {
-      val roundCtes = (1 to 5).map { r =>
-        s""",
-           |p$r AS (
-           |  SELECT e.dst AS id,
-           |    CAST(sum(((r${r - 1}.r * 8) // 10) // o.outd) AS BIGINT) AS r
-           |  FROM r${r - 1} JOIN edir e ON e.src = r${r - 1}.id
-           |  JOIN outd o ON o.src = e.src
-           |  GROUP BY 1),
-           |r$r AS (
-           |  SELECT id, CAST(sum(r) AS BIGINT) AS r
-           |  FROM (SELECT id, r FROM p$r UNION ALL SELECT id, r FROM rst)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString
-      s"""WITH edir AS (
-         |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-         |  FROM customer WHERE c_custkey > 1
-         |  UNION ALL
-         |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-         |  FROM customer WHERE c_custkey > 3),
-         |outd AS (SELECT src, count(*) AS outd FROM edir GROUP BY 1),
-         |sd AS (SELECT DISTINCT 'c' || c_custkey AS id FROM customer
-         |       WHERE c_custkey <= 5),
-         |ns AS (SELECT count(*) AS ns FROM sd),
-         |r0 AS (SELECT id, 1000000000 // ns AS r FROM sd, ns),
-         |rst AS (SELECT id, ((1000000000 * 2) // 10) // ns AS r
-         |        FROM sd, ns)$roundCtes
-         |SELECT id, r AS ppr_fp FROM r5 WHERE r > 0""".stripMargin
-    },
-    // q153: independent naive double-loop fixture (GenFixtures) — same r4
-    // rounding and (sim desc, id asc) tie rule.
-    "q153_mutual_align" ->
-      """SELECT id_a, id_b, sim
-        |FROM read_parquet(
-        |  '/root/repo/src/test/resources/expected/q153_expected_mutual.parquet')""".stripMargin,
-    // q154: the same stub construction — per-node stub index window, the
-    // portable hash of node||'#'||i, the global pairing window, pair
-    // min/max, multiplicity count.
-    "q154_null_model" ->
-      s"""WITH e AS (
-         |  SELECT DISTINCT * FROM (
-         |    SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-         |    FROM customer WHERE c_custkey > 1
-         |    UNION ALL
-         |    SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-         |    FROM customer WHERE c_custkey > 3)),
-         |stubs AS (
-         |  SELECT src AS node, dst AS other, 0 AS side FROM e
-         |  UNION ALL SELECT dst, src, 1 FROM e),
-         |si AS (
-         |  SELECT node,
-         |    row_number() OVER (PARTITION BY node ORDER BY other, side) AS i
-         |  FROM stubs),
-         |k AS (SELECT node, i,
-         |        (${kmvHashSql("node || '#' || i")}) AS key FROM si),
-         |g AS (SELECT node,
-         |        row_number() OVER (ORDER BY key, node, i) AS g FROM k),
-         |pe AS (
-         |  SELECT (g - 1) // 2 AS pair, min(node) AS a, max(node) AS b
-         |  FROM g GROUP BY 1)
-         |SELECT a, b, count(*) AS n FROM pe GROUP BY 1, 2""".stripMargin,
-    // q155: the same islands (position minus keeper-rank), word stats over
-    // ALL phrase occurrences, integer div scores, distinct-phrase sums.
-    // Constant position shifts from dropped/kept boundary empties cannot
-    // change islands — island ids are grouping keys only.
-    "q155_keyphrases" -> {
-      val stop = graft.ops.Keyphrases.DefaultStopwords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH raw AS (
-         |  SELECT doc_id AS doc,
-         |    string_split_regex(lower(text), '[^a-z ]+') AS fr
-         |  FROM documents WHERE text IS NOT NULL),
-         |frags AS (
-         |  SELECT doc, CAST(f AS BIGINT) AS fid,
-         |    string_split_regex(fr[CAST(f AS INT) + 1], ' +') AS ws
-         |  FROM raw, unnest(range(0, len(fr))) AS t(f)),
-         |words AS (
-         |  SELECT doc, fid, CAST(i AS BIGINT) AS pos,
-         |    ws[CAST(i AS INT) + 1] AS w
-         |  FROM frags, unnest(range(0, len(ws))) AS t(i)
-         |  WHERE length(ws[CAST(i AS INT) + 1]) > 0),
-         |keep AS (
-         |  SELECT doc, fid, pos, w,
-         |    pos - row_number() OVER (PARTITION BY doc, fid ORDER BY pos)
-         |      AS island
-         |  FROM words WHERE w NOT IN ($stop)),
-         |ph AS (
-         |  SELECT array_to_string(array_agg(w ORDER BY pos), ' ') AS phrase
-         |  FROM keep GROUP BY doc, fid, island),
-         |occw AS (
-         |  SELECT t.w, len(string_split(phrase, ' ')) AS len
-         |  FROM ph, unnest(string_split(phrase, ' ')) AS t(w)),
-         |ws2 AS (
-         |  SELECT w, (CAST(sum(len) AS BIGINT) * 1000000) // count(*)
-         |    AS wscore_fp
-         |  FROM occw GROUP BY w),
-         |occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
-         |scored AS (
-         |  SELECT o.phrase, o.n_occ, count(*) AS n_words,
-         |    CAST(sum(ws2.wscore_fp) AS BIGINT) AS score_fp
-         |  FROM (SELECT occ.phrase, occ.n_occ, t.w
-         |        FROM occ, unnest(string_split(occ.phrase, ' ')) AS t(w)) o
-         |  JOIN ws2 ON ws2.w = o.w
-         |  GROUP BY 1, 2)
-         |SELECT phrase, n_words, n_occ, score_fp,
-         |  row_number() OVER (ORDER BY score_fp DESC, phrase) AS rk
-         |FROM scored
-         |QUALIFY rk <= 20""".stripMargin
-    },
-    // q157: the same rank/count window + ppm integer division.
-    "q157_quantile_norm" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |  CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
-        |       ELSE 0 END AS q_ppm
-        |FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice, o_orderkey) AS rn,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM orders WHERE o_totalprice IS NOT NULL)""".stripMargin,
-    // q158: the same string-derived first digit + integer ppm shares and
-    // the committed Benford constants.
-    "q158_benford" -> {
-      val caseExp = graft.ops.Profile.BenfordPpm.toSeq.sortBy(_._1)
-        .map { case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ")
-      s"""WITH c AS (
-         |  SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
-         |      AS VARCHAR), 1, 1) AS INT) AS digit,
-         |    count(*) AS n
-         |  FROM orders
-         |  WHERE o_totalprice IS NOT NULL
-         |    AND CAST(floor(abs(o_totalprice)) AS BIGINT) >= 1
-         |  GROUP BY 1),
-         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
-         |SELECT digit, n, (n * 1000000) // total AS obs_ppm,
-         |  CAST(CASE digit $caseExp END AS BIGINT) AS exp_ppm,
-         |  abs((n * 1000000) // total
-         |      - CAST(CASE digit $caseExp END AS BIGINT)) AS dev_ppm
-         |FROM c, t""".stripMargin
-    },
-    // q159: DuckDB's own damerau_levenshtein — an implementation the
-    // engine shares nothing with (probe-verified full-DL semantics:
-    // ca→abc = 2); ASCII vocabulary keeps the codepoint-vs-byte scoring
-    // equivalent.
-    "q159_damerau" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT t AS tok
-        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+'))
-        |    AS u(t)
-        |  WHERE text IS NOT NULL AND length(t) >= 3)
-        |SELECT a.tok AS tok_a, b.tok AS tok_b,
-        |  CAST(damerau_levenshtein(a.tok, b.tok) AS INT) AS dl
-        |FROM tok a JOIN tok b ON a.tok < b.tok
-        |WHERE damerau_levenshtein(a.tok, b.tok) <= 3""".stripMargin,
-    // q160: the q114 recursive-CTE BFS (min dist per node) + per-landmark
-    // max/count over the downward tree.
-    "q160_eccentricity" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey
-        |  FROM customer WHERE c_custkey > 3),
-        |lm AS (SELECT 'c' || c_custkey AS l FROM customer
-        |       WHERE c_custkey <= 3),
-        |r AS (
-        |  SELECT l AS id, l AS landmark, 0 AS dist FROM lm
-        |  UNION
-        |  SELECT e.dst, r.landmark, r.dist + 1 FROM r JOIN e ON r.id = e.src),
-        |m AS (SELECT id, landmark, min(dist) AS dist FROM r GROUP BY 1, 2)
-        |SELECT landmark, max(dist) AS eccentricity, count(*) AS n_reached
-        |FROM m GROUP BY 1""".stripMargin,
-    // q161: κ's integer closed form over the confusion marginals of
-    // (labeled lang × the q25 predictor CASE).
-    "q161_kappa" ->
-      s"""WITH pred AS (
-         |  SELECT doc_id, $langCaseSql AS b FROM ($langScoresFromDocs)),
-         |j AS (
-         |  SELECT d.lang AS a, p.b
-         |  FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE d.lang IS NOT NULL AND p.b IS NOT NULL),
-         |cells AS (SELECT a, b, count(*) AS nij FROM j GROUP BY 1, 2),
-         |r AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
-         |c AS (SELECT b, CAST(sum(nij) AS BIGINT) AS ci FROM cells GROUP BY 1),
-         |ch AS (SELECT CAST(coalesce(sum(ri * ci), 0) AS BIGINT)
-         |         AS chance_num
-         |       FROM r JOIN c ON c.b = r.a),
-         |tot AS (
-         |  SELECT CAST(sum(nij) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN a = b THEN nij ELSE 0 END) AS BIGINT)
-         |      AS n_agree
-         |  FROM cells)
-         |SELECT n, n_agree, chance_num,
-         |  round(CAST(n * n_agree - chance_num AS DOUBLE) /
-         |        CAST(n * n - chance_num AS DOUBLE), 6) AS kappa
-         |FROM tot, ch""".stripMargin,
-    // q162: the pairwise sign-sum definition over the same daily buckets.
-    "q162_mann_kendall" ->
-      """WITH s AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    count(*) AS v
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |p AS (
-        |  SELECT CASE WHEN b.v > a.v THEN 1
-        |              WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
-        |  FROM s a JOIN s b ON a.day < b.day),
-        |agg AS (
-        |  SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s,
-        |    count(*) AS n_pairs,
-        |    CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_ties
-        |  FROM p),
-        |n AS (SELECT count(*) AS n FROM s)
-        |SELECT n.n, agg.s, agg.n_pairs, coalesce(agg.n_ties, 0) AS n_ties,
-        |  CASE WHEN agg.s > 0 THEN 'asc' WHEN agg.s < 0 THEN 'desc'
-        |       ELSE 'none' END AS trend
-        |FROM agg, n""".stripMargin,
-    // q163: the same undirected dedup, node-keyed degree/assignment joins,
-    // and integer vol/cut/ppm closed forms; one float division for Q.
-    "q163_partition_quality" ->
-      """WITH edir AS (
-        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-        |  FROM customer WHERE c_custkey > 3),
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM edir WHERE src <> dst),
-        |sym AS (SELECT a AS id, b AS nb FROM und UNION ALL SELECT b, a FROM und),
-        |deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY 1),
-        |p AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS community
-        |      FROM customer),
-        |asg AS (SELECT deg.id, deg.deg, coalesce(p.community, deg.id) AS community
-        |        FROM deg LEFT JOIN p USING (id)),
-        |volc AS (SELECT community, count(*) AS n_nodes,
-        |           CAST(sum(deg) AS BIGINT) AS vol
-        |         FROM asg GROUP BY 1),
-        |inter AS (
-        |  SELECT pa.community, 2 * count(*) AS internal_x2
-        |  FROM und JOIN asg pa ON pa.id = und.a JOIN asg pb ON pb.id = und.b
-        |  WHERE pa.community = pb.community GROUP BY 1),
-        |perc AS (SELECT volc.community, n_nodes, vol,
-        |    CAST(coalesce(internal_x2, 0) AS BIGINT) AS internal_x2,
-        |    vol - CAST(coalesce(internal_x2, 0) AS BIGINT) AS cut
-        |  FROM volc LEFT JOIN inter USING (community)),
-        |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS two_m,
-        |    CAST(sum(vol * vol) AS BIGINT) AS sum_vol_sq,
-        |    CAST(sum(internal_x2) AS BIGINT) AS sum_int2 FROM perc)
-        |SELECT community, n_nodes, vol, internal_x2, cut,
-        |  CASE WHEN least(vol, two_m - vol) > 0
-        |       THEN (cut * 1000000) // least(vol, two_m - vol)
-        |  END AS conductance_ppm,
-        |  CASE WHEN two_m > 0
-        |       THEN round(CAST(two_m * sum_int2 - sum_vol_sq AS DOUBLE) /
-        |                  CAST(two_m * two_m AS DOUBLE), 6)
-        |  END AS modularity
-        |FROM perc, tot""".stripMargin,
-    // q164: the 3 ppm rounds unrolled — per round the G×G product-graph
-    // walk (two src-keyed joins), an (a,b)-keyed SUM, and the truncating
-    // C = 4/5 division; the diagonal is re-pinned at 10^6 each round.
-    "q164_simrank" -> {
-      val roundCtes = (1 to 3).map { r =>
-        s""",
-           |n$r AS (
-           |  SELECT e1.dst AS a, e2.dst AS b, CAST(sum(sp.s) AS BIGINT) AS num
-           |  FROM s${r - 1} sp JOIN ed e1 ON e1.src = sp.x
-           |                    JOIN ed e2 ON e2.src = sp.y
-           |  GROUP BY 1, 2),
-           |s$r AS (
-           |  SELECT x, y, s FROM (
-           |    SELECT n$r.a AS x, n$r.b AS y,
-           |      (4 * num) // (5 * ia.ind * ib.ind) AS s
-           |    FROM n$r JOIN ind ia ON ia.v = n$r.a
-           |             JOIN ind ib ON ib.v = n$r.b
-           |    WHERE n$r.a <> n$r.b)
-           |  WHERE s > 0
-           |  UNION ALL SELECT v, v, CAST(1000000 AS BIGINT) FROM nodes)""".stripMargin
-      }.mkString
-      s"""WITH ed AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-         |    FROM customer WHERE c_custkey > 1 AND c_custkey <= 150
-         |    UNION ALL
-         |    SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-         |    FROM customer WHERE c_custkey > 3 AND c_custkey <= 150)),
-         |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
-         |ind AS (SELECT dst AS v, count(*) AS ind FROM ed GROUP BY 1),
-         |s0 AS (SELECT v AS x, v AS y, CAST(1000000 AS BIGINT) AS s
-         |       FROM nodes)$roundCtes
-         |SELECT x AS a, y AS b, s AS s_ppm FROM s3 WHERE x < y""".stripMargin
-    },
-    // q165: committed fixture from the independent sequential greedy in
-    // decreasing (priority, id) order (GenFixtures — the JP equivalence;
-    // TIED to sf0.01, the driver's correctness scale).
-    "q165_coloring" ->
-      """SELECT id, color, round
-        |FROM read_parquet(
-        |  '/root/repo/src/test/resources/expected/q165_expected_coloring.parquet')""".stripMargin,
-    // q166: the peeling waves unrolled — per wave one degree aggregate,
-    // the integer threshold deg·2·V > 6·E (ε = 1/2), and the edge
-    // restriction; argmax wave by cross-multiplied density, earliest wins.
-    "q166_densest" -> {
-      val waves = (1 to 24).map { r =>
-        s""",
-           |dg$r AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
-           |    SELECT a AS id FROM e${r - 1}
-           |    UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
-           |st$r AS MATERIALIZED (SELECT (SELECT count(*) FROM v${r - 1}) AS nv,
-           |                (SELECT count(*) FROM e${r - 1}) AS ne),
-           |v$r AS MATERIALIZED (SELECT v.id FROM v${r - 1} v
-           |  LEFT JOIN dg$r d USING (id), st$r
-           |  WHERE coalesce(d.deg, 0) * 2 * st$r.nv > 6 * st$r.ne),
-           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
-           |  WHERE a IN (SELECT id FROM v$r) AND b IN (SELECT id FROM v$r))""".stripMargin
-      }.mkString
-      val roundsUnion = (1 to 24)
-        .map(r => s"SELECT $r AS r, nv, ne FROM st$r WHERE nv > 0")
-        .mkString("\n  UNION ALL ")
-      val nodesUnion = (1 to 24)
-        .map(r => s"SELECT $r AS r, id FROM v${r - 1}")
-        .mkString("\n  UNION ALL ")
-      s"""WITH edir AS (
-         |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-         |  FROM customer WHERE c_custkey > 1
-         |  UNION ALL
-         |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-         |  FROM customer WHERE c_custkey > 3
-         |  UNION ALL
-         |  SELECT 'c' || x.c_custkey, 'c' || y.c_custkey
-         |  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
-         |  WHERE x.c_custkey <= 20 AND y.c_custkey <= 20),
-         |e0 AS MATERIALIZED (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM edir WHERE src <> dst),
-         |v0 AS MATERIALIZED (
-         |  SELECT a AS id FROM e0 UNION SELECT b FROM e0)$waves,
-         |rounds AS (
-         |  $roundsUnion),
-         |rn AS (
-         |  $nodesUnion),
-         |best AS (
-         |  SELECT min(r) AS r FROM rounds a
-         |  WHERE NOT EXISTS (SELECT 1 FROM rounds b
-         |                    WHERE b.ne * a.nv > a.ne * b.nv))
-         |SELECT rn.id, best.r AS best_round, rounds.nv AS n_nodes,
-         |  rounds.ne AS n_edges,
-         |  round(CAST(rounds.ne AS DOUBLE) / CAST(rounds.nv AS DOUBLE), 6)
-         |    AS density
-         |FROM rn JOIN best ON rn.r = best.r
-         |        JOIN rounds ON rounds.r = best.r""".stripMargin
-    },
-    // q167: the same portable-hash fan-out (CountMin multiplier family
-    // over the shared scrambled hash), DISTINCT bit set, and all-k-hits
-    // probe — replayed term for term.
-    "q167_bloom" -> {
-      def fan(src: String, extra: String) =
-        Seq((16807L, 11L), (48271L, 101L), (69621L, 1009L), (40692L, 10007L))
-          .map { case (a, c) =>
-            s"SELECT $extra((hv * $a + $c) % 2147483647) % 16384 AS bit FROM $src"
-          }.mkString("\n  UNION ALL ")
-      s"""WITH pres AS (
-         |  SELECT ${kmvHashSql("'c' || o_custkey")} AS hv
-         |  FROM orders WHERE o_custkey IS NOT NULL),
-         |bits AS (SELECT DISTINCT bit FROM (
-         |  ${fan("pres", "")})),
-         |pk AS (
-         |  SELECT 'c' || c_custkey AS key,
-         |    ${kmvHashSql("'c' || c_custkey")} AS hv
-         |  FROM customer WHERE c_custkey <= 50),
-         |paddr AS (
-         |  ${fan("pk", "key, ")}),
-         |probe AS (
-         |  SELECT key,
-         |    count(CASE WHEN bits.bit IS NOT NULL THEN 1 END) = 4
-         |      AS maybe_present
-         |  FROM paddr LEFT JOIN bits USING (bit) GROUP BY 1),
-         |truth AS (SELECT DISTINCT 'c' || o_custkey AS key FROM orders)
-         |SELECT probe.key, probe.maybe_present,
-         |  truth.key IS NOT NULL AS true_present
-         |FROM probe LEFT JOIN truth USING (key)""".stripMargin
-    },
-    // q168: recursive path-sum enumeration with (id, d) dedup, then a
-    // per-node MAX — independent of the engine's max-relax rounds.
-    "q168_critical_path" ->
-      """WITH RECURSIVE ed AS (
-        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst,
-        |    CAST(c_custkey % 7 + 1 AS BIGINT) AS w
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey,
-        |    CAST(c_custkey % 7 + 1 AS BIGINT)
-        |  FROM customer WHERE c_custkey > 3),
-        |paths AS (
-        |  SELECT src AS id, CAST(0 AS BIGINT) AS d FROM ed
-        |  WHERE src NOT IN (SELECT dst FROM ed)
-        |  UNION
-        |  SELECT ed.dst, paths.d + ed.w FROM paths JOIN ed ON ed.src = paths.id)
-        |SELECT id, max(d) AS dist FROM paths GROUP BY 1""".stripMargin,
-    // q169: the same floor-snap on the same widened doubles, HAVING-gated
-    // dense cells, Chebyshev cell join, q47's recursive-CTE CC, min-key
-    // labels (byte-wise string min in both engines).
-    "q169_grid_density" ->
-      """WITH RECURSIVE pts AS (
-        |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT)
-        |           AS cx,
-        |         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT)
-        |           AS cy
-        |  FROM embeddings
-        |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
-        |cells AS (
-        |  SELECT cx, cy, count(*) AS n_points FROM pts
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |ids AS (SELECT cx, cy,
-        |          CAST(cx AS VARCHAR) || '|' || CAST(cy AS VARCHAR) AS id,
-        |          n_points
-        |        FROM cells),
-        |ed AS (
-        |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
-        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
-        |   AND a.id <> b.id),
-        |reach AS (
-        |  SELECT src AS id, dst AS r FROM ed
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN ed e ON e.src = reach.r),
-        |comp AS (SELECT id, least(id, min(r)) AS component
-        |         FROM reach GROUP BY id)
-        |SELECT coalesce(comp.component, ids.id) AS cluster,
-        |  count(*) AS n_cells, CAST(sum(n_points) AS BIGINT) AS n_points
-        |FROM ids LEFT JOIN comp ON comp.id = ids.id
-        |GROUP BY 1""".stripMargin,
-    // q170: the same k-min sketches, merged k-min, membership flags, and
-    // the estimate chain in the SAME IEEE order (constant product, one
-    // division, fixed parenthesization).
-    "q170_kmv_setops" ->
-      s"""WITH ha AS (
-         |  SELECT DISTINCT ${kmvHashSql("'c' || o_custkey")} AS h
-         |  FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL),
-         |ka AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
-         |hb AS (
-         |  SELECT DISTINCT ${kmvHashSql("'c' || o_custkey")} AS h
-         |  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL),
-         |kb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 256),
-         |ku AS (
-         |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
-         |  ORDER BY h LIMIT 256),
-         |fl AS (
-         |  SELECT ku.h, ka.h IS NOT NULL AS ina, kb.h IS NOT NULL AS inb
-         |  FROM ku LEFT JOIN ka ON ka.h = ku.h LEFT JOIN kb ON kb.h = ku.h),
-         |agg AS (
-         |  SELECT count(*) AS n_union_sketch, CAST(max(h) AS BIGINT) AS h_k,
-         |    CAST(coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0)
-         |      AS BIGINT) AS n_inter_sketch
-         |  FROM fl),
-         |na AS (SELECT count(*) AS n_a_sketch FROM ka),
-         |nb AS (SELECT count(*) AS n_b_sketch FROM kb)
-         |SELECT n_a_sketch, n_b_sketch, n_union_sketch, h_k, n_inter_sketch,
-         |  CASE WHEN n_union_sketch < 256 THEN CAST(n_union_sketch AS DOUBLE)
-         |       ELSE round((CAST(255 AS DOUBLE) * 2147483647) / h_k, 4)
-         |  END AS union_est,
-         |  CASE WHEN n_union_sketch < 256 THEN CAST(n_inter_sketch AS DOUBLE)
-         |       ELSE round((CAST(n_inter_sketch AS DOUBLE) *
-         |              ((CAST(255 AS DOUBLE) * 2147483647) / h_k))
-         |              / n_union_sketch, 4)
-         |  END AS inter_est,
-         |  CASE WHEN n_union_sketch > 0
-         |       THEN (n_inter_sketch * 1000000) // n_union_sketch
-         |  END AS jaccard_ppm
-         |FROM agg, na, nb""".stripMargin,
-    "q171_scan" -> scanOracleSql,
-    // q172: recursive (id, bottleneck) state enumeration (states are
-    // bounded: one per distinct weight per node) + per-node MAX — the
-    // seed's sentinel never escapes (least() caps at the first hop).
-    "q172_widest_path" ->
-      """WITH RECURSIVE ed AS (
-        |  SELECT 'c' || (c_custkey // 2) AS src, 'c' || c_custkey AS dst,
-        |    CAST(c_custkey % 7 + 1 AS BIGINT) AS w
-        |  FROM customer WHERE c_custkey > 1
-        |  UNION ALL
-        |  SELECT 'c' || (c_custkey // 4), 'c' || c_custkey,
-        |    CAST(c_custkey % 7 + 1 AS BIGINT)
-        |  FROM customer WHERE c_custkey > 3),
-        |st AS (
-        |  SELECT 'c1' AS id, CAST(9223372036854775807 AS BIGINT) AS b
-        |  UNION
-        |  SELECT ed.dst, least(st.b, ed.w) FROM st JOIN ed ON ed.src = st.id)
-        |SELECT id, max(b) AS bottleneck FROM st WHERE id <> 'c1'
-        |GROUP BY 1""".stripMargin,
-    // q173: the same k-gram fingerprints (q151's slicing + the portable
-    // fold), then the RULE replayed as a position-range self-join
-    // (min per window, rightmost position of that min) instead of the
-    // engine's window-frame struct-min — same selections.
-    "q173_winnow" ->
-      """WITH words AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        |g AS MATERIALIZED (
-        |  SELECT id, CAST(i AS INTEGER) AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(unicode(c) AS BIGINT) FOR c IN
-        |        string_split(array_to_string(w[i:i+4], ' '), '')]),
-        |      (h, c) -> (h * 31 + c) % 2147483647) AS h
-        |  FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-        |  WHERE len(w) >= 5),
-        |wmin AS MATERIALIZED (
-        |  SELECT a.id, a.pos AS j, min(b.h) AS mh
-        |  FROM g a JOIN g b ON b.id = a.id
-        |   AND b.pos BETWEEN a.pos AND a.pos + 3
-        |  GROUP BY 1, 2 HAVING count(*) = 4),
-        |sel AS (
-        |  SELECT w.id, max(b.pos) AS pos, w.mh AS h
-        |  FROM wmin w JOIN g b ON b.id = w.id AND b.h = w.mh
-        |   AND b.pos BETWEEN w.j AND w.j + 3
-        |  GROUP BY w.id, w.j, w.mh)
-        |SELECT DISTINCT id, pos, h FROM sel""".stripMargin,
-    // q174: the same exact integer census — right-degree wedges, the
-    // wedge join's per-pair common counts, Σ C(cop, 2).
-    "q174_butterflies" ->
-      """WITH e AS MATERIALIZED (
-        |  SELECT DISTINCT 'o' || l_orderkey AS l, 'p' || l_partkey AS r
-        |  FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |ne AS (SELECT count(*) AS n_edges FROM e),
-        |wd AS (
-        |  SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT)
-        |    AS n_wedges
-        |  FROM (SELECT count(*) AS d FROM e GROUP BY r)),
-        |pr AS (
-        |  SELECT a.l AS la, b.l AS lb, count(*) AS cop
-        |  FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
-        |  GROUP BY 1, 2),
-        |pa AS (
-        |  SELECT count(*) AS n_pairs,
-        |    CAST(coalesce(sum(CASE WHEN cop >= 2 THEN 1 ELSE 0 END), 0)
-        |      AS BIGINT) AS n_pairs_ge2,
-        |    CAST(coalesce(sum((cop * (cop - 1)) // 2), 0) AS BIGINT)
-        |      AS n_butterflies
-        |  FROM pr)
-        |SELECT n_edges, n_wedges, n_pairs, n_pairs_ge2, n_butterflies
-        |FROM ne, wd, pa""".stripMargin,
-    // q175: the greedy rounds unrolled — per round a NOT-IN-covered count,
-    // the (gain DESC, id ASC string order) argmax, and the covered-set
-    // union; q151's shingle construction.
-    "q175_greedy_cover" -> {
-      val rounds = (2 to 10).map { r =>
-        s""",
-           |g$r AS (
-           |  SELECT id, count(*) AS gain FROM it
-           |  WHERE item NOT IN (SELECT item FROM c${r - 1})
-           |  GROUP BY 1),
-           |w$r AS MATERIALIZED (
-           |  SELECT id, gain FROM g$r WHERE gain > 0
-           |  ORDER BY gain DESC, id ASC LIMIT 1),
-           |c$r AS MATERIALIZED (
-           |  SELECT item FROM c${r - 1}
-           |  UNION
-           |  SELECT item FROM it JOIN w$r USING (id))""".stripMargin
-      }.mkString
-      val sel = (1 to 10)
-        .map(r => s"SELECT $r AS rank, id, gain FROM w$r")
-        .mkString("\n  UNION ALL ")
-      s"""WITH words AS (
-         |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |it AS MATERIALIZED (
-         |  SELECT DISTINCT CAST(id AS VARCHAR) AS id, shingle AS item FROM (
-         |    SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-         |    FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
-         |    WHERE len(w) >= 5)),
-         |g1 AS (SELECT id, count(*) AS gain FROM it GROUP BY 1),
-         |w1 AS MATERIALIZED (
-         |  SELECT id, gain FROM g1 WHERE gain > 0
-         |  ORDER BY gain DESC, id ASC LIMIT 1),
-         |c1 AS MATERIALIZED (
-         |  SELECT DISTINCT item FROM it JOIN w1 USING (id))$rounds
-         |$sel""".stripMargin
-    },
-    // q176: the same two aggregates and the integer ppm closed form.
-    "q176_diversity" ->
-      """WITH c AS (
-        |  SELECT source AS grp, lang AS cat, count(*) AS c FROM documents
-        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
-        |a AS (
-        |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_rows,
-        |    count(*) AS n_categories,
-        |    CAST(sum(c * (c - 1)) AS BIGINT) AS same2
-        |  FROM c GROUP BY 1)
-        |SELECT grp, n_rows, n_categories,
-        |  CASE WHEN n_rows >= 2
-        |       THEN 1000000 - (same2 * 1000000) // (n_rows * (n_rows - 1))
-        |  END AS simpson_ppm
-        |FROM a""".stripMargin,
-    // q177: the same union-category smoothing and integer ppt terms.
-    "q177_chi2_drift" ->
-      """WITH o AS (
-        |  SELECT lang AS cat, count(*) AS o_raw FROM documents
-        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
-        |r AS (
-        |  SELECT lang AS cat, count(*) AS r_raw FROM documents
-        |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
-        |cats AS (
-        |  SELECT coalesce(o.cat, r.cat) AS cat,
-        |    CAST(coalesce(o_raw, 0) AS BIGINT) AS o,
-        |    CAST(coalesce(r_raw, 0) + 1 AS BIGINT) AS r_smoothed
-        |  FROM o FULL OUTER JOIN r ON o.cat = r.cat),
-        |tot AS (
-        |  SELECT CAST(sum(o) AS BIGINT) AS n_o,
-        |    CAST(sum(r_smoothed) AS BIGINT) AS n_r
-        |  FROM cats),
-        |terms AS (
-        |  SELECT cat, o, r_smoothed,
-        |    CASE WHEN n_o > 0
-        |         THEN ((o * n_r - n_o * r_smoothed) *
-        |               (o * n_r - n_o * r_smoothed) * 1000)
-        |              // (n_o * r_smoothed * n_r)
-        |         ELSE 0 END AS term_ppt,
-        |    n_o, n_r
-        |  FROM cats, tot),
-        |tt AS (SELECT CAST(sum(term_ppt) AS BIGINT) AS chi2_ppt FROM terms)
-        |SELECT cat, o, r_smoothed, term_ppt, n_o, n_r, chi2_ppt
-        |FROM terms, tt""".stripMargin,
-    // q178: the word graph (doc-windowed adjacency of gated tokens) + the
-    // integer ppb PageRank rounds unrolled (q152's shape, seeds = the
-    // whole vocabulary) + the (r DESC, word ASC) top-30 cut.
-    "q178_textrank" -> {
-      val roundCtes = (1 to 3).map { r =>
-        s""",
-           |p$r AS (
-           |  SELECT e.dst AS id,
-           |    CAST(sum(((r${r - 1}.r * 8) // 10) // o.outd) AS BIGINT) AS r
-           |  FROM r${r - 1} JOIN edir e ON e.src = r${r - 1}.id
-           |  JOIN outd o ON o.src = e.src
-           |  GROUP BY 1),
-           |r$r AS (
-           |  SELECT id, CAST(sum(r) AS BIGINT) AS r
-           |  FROM (SELECT id, r FROM p$r UNION ALL SELECT id, r FROM rst)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString
-      s"""WITH words AS (
-         |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |tk AS (
-         |  SELECT id, i, w[i] AS raw
-         |  FROM words, unnest(range(1, len(w) + 1)) AS u(i)),
-         |kept AS (
-         |  SELECT id, i, lower(raw) AS t FROM tk
-         |  WHERE regexp_matches(raw, '^[A-Za-z]{3,}$$')),
-         |seq AS MATERIALIZED (
-         |  SELECT id, t, row_number() OVER (PARTITION BY id ORDER BY i)
-         |    AS rn
-         |  FROM kept),
-         |pr AS (
-         |  SELECT a.t AS x, b.t AS y
-         |  FROM seq a JOIN seq b ON b.id = a.id AND b.rn = a.rn + 1),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-         |  FROM pr WHERE x <> y),
-         |edir AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst FROM und
-         |  UNION ALL SELECT b, a FROM und),
-         |outd AS (SELECT src, count(*) AS outd FROM edir GROUP BY 1),
-         |sd AS (SELECT DISTINCT src AS id FROM edir),
-         |ns AS (SELECT count(*) AS ns FROM sd),
-         |r0 AS (SELECT id, 1000000000 // ns AS r FROM sd, ns),
-         |rst AS (SELECT id, ((1000000000 * 2) // 10) // ns AS r
-         |        FROM sd, ns)$roundCtes
-         |SELECT rank, word, ppr_fp FROM (
-         |  SELECT CAST(row_number() OVER (ORDER BY r DESC, id ASC)
-         |           AS INTEGER) AS rank,
-         |    id AS word, CAST(r AS BIGINT) AS ppr_fp
-         |  FROM r3 WHERE r > 0)
-         |WHERE rank <= 30""".stripMargin
-    },
-    // q156: independent sequential replay fixture (GenFixtures) of the
-    // local-min rule — same portable hash, same fixpoint.
-    "q156_maximal_matching" ->
-      """SELECT a, b, priority
-        |FROM read_parquet(
-        |  '/root/repo/src/test/resources/expected/q156_expected_matching.parquet')""".stripMargin,
-    // q148: the same hop rounds unrolled — per round a time-respecting
-    // join (t >= arrival), a dst-keyed MIN, and a node-keyed MIN merge.
-    "q148_temporal_reach" -> {
-      val roundCtes = (1 to 4).map { r =>
-        s""",
-           |c$r AS (
-           |  SELECT e.dst AS id, min(e.t) AS arrival
-           |  FROM e JOIN a${r - 1} ON a${r - 1}.id = e.src
-           |   AND e.t >= a${r - 1}.arrival
-           |  GROUP BY 1),
-           |a$r AS (
-           |  SELECT id, min(arrival) AS arrival
-           |  FROM (SELECT id, arrival FROM a${r - 1}
-           |        UNION ALL SELECT id, arrival FROM c$r)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString
-      s"""WITH e AS (
-         |  SELECT 'u' || user_id AS src,
-         |    'u' || ((user_id * 31 + event_id) % 150) AS dst, ts AS t
-         |  FROM events),
-         |a0 AS (
-         |  SELECT DISTINCT 'u' || user_id AS id,
-         |    TIMESTAMP '2024-01-01 00:00:00' AS arrival
-         |  FROM events WHERE user_id <= 5)$roundCtes
-         |SELECT id, arrival FROM a4""".stripMargin
-    },
-    // q179: the identical AMS sign fan-out (5 MINSTD re-mixes of the
-    // shared scrambled hash), register sums, and the exact integer
-    // median-of-squares, replayed term for term.
-    "q179_ams_f2" -> {
-      val fan = Seq((0, 16807L, 13L), (1, 48271L, 211L), (2, 69621L, 2003L),
-        (3, 40692L, 20011L), (4, 25173L, 30011L)).map { case (r, a, c) =>
-        s"SELECT $r AS row, 1 - 2 * (((hv * $a + $c) % 2147483647) % 2) AS s FROM h"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH h AS (
-         |  SELECT ${kmvHashSql("'p' || l_partkey")} AS hv
-         |  FROM lineitem WHERE l_partkey IS NOT NULL),
-         |fan AS (
-         |  $fan),
-         |reg AS (SELECT row, CAST(sum(s) AS BIGINT) AS z FROM fan GROUP BY 1),
-         |med AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
-         |    CAST((list_sort(list(z * z)))[3] AS BIGINT) AS f2_estimate
-         |  FROM reg),
-         |ex AS (
-         |  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
-         |  FROM (SELECT count(*) AS c FROM lineitem
-         |        WHERE l_partkey IS NOT NULL GROUP BY l_partkey))
-         |SELECT n_registers, f2_estimate, f2_exact FROM med, ex""".stripMargin
-    },
-    // q180: both Count-Min register builds + the per-row counter inner
-    // products + the spine-kept MIN, replayed register for register.
-    "q180_cm_join_size" -> {
-      def fan(src: String) =
-        Seq((0, 16807L, 11L), (1, 48271L, 101L), (2, 69621L, 1009L),
-          (3, 40692L, 10007L)).map { case (r, a, c) =>
-          s"SELECT $r AS row, ((hv * $a + $c) % 2147483647) % 1024 AS bucket FROM $src"
-        }.mkString("\n  UNION ALL ")
-      s"""WITH ha AS (
-         |  SELECT ${kmvHashSql("'u' || user_id")} AS hv
-         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
-         |hb AS (
-         |  SELECT ${kmvHashSql("'u' || user_id")} AS hv
-         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
-         |fana AS (
-         |  ${fan("ha")}),
-         |fanb AS (
-         |  ${fan("hb")}),
-         |rega AS (SELECT row, bucket, count(*) AS cnt_a FROM fana GROUP BY 1, 2),
-         |regb AS (SELECT row, bucket, count(*) AS cnt_b FROM fanb GROUP BY 1, 2),
-         |prod AS (
-         |  SELECT row, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS row_est
-         |  FROM rega JOIN regb USING (row, bucket) GROUP BY 1),
-         |spine AS (SELECT DISTINCT row FROM rega),
-         |est AS (
-         |  SELECT CAST(min(coalesce(row_est, 0)) AS BIGINT)
-         |    AS cm_join_estimate
-         |  FROM spine LEFT JOIN prod USING (row)),
-         |tru AS (
-         |  SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT)
-         |    AS true_join_size
-         |  FROM (SELECT user_id, count(*) AS c FROM events
-         |        WHERE event_type = 'click' AND user_id IS NOT NULL
-         |        GROUP BY 1) x
-         |  JOIN (SELECT user_id, count(*) AS c FROM events
-         |        WHERE event_type = 'view' AND user_id IS NOT NULL
-         |        GROUP BY 1) y USING (user_id))
-         |SELECT cm_join_estimate, true_join_size FROM est, tru""".stripMargin
-    },
-    // q181: the same prefix-window scaling (n·P_i − i·T), the endpoint
-    // exclusion, and the (|S'| DESC, i ASC) argmax, replayed in DuckDB.
-    "q181_cusum" ->
-      """WITH s AS (
-        |  SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS v
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT)
-        |    AS total
-        |  FROM s),
-        |pre AS (
-        |  SELECT t, CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS i,
-        |    CAST(sum(v) OVER (ORDER BY t) AS BIGINT) AS p
-        |  FROM s),
-        |sc AS (
-        |  SELECT pre.t, pre.i, tot.n, tot.total,
-        |    tot.n * pre.p - pre.i * tot.total AS s_scaled
-        |  FROM pre, tot WHERE pre.i < tot.n),
-        |pk AS (SELECT * FROM sc ORDER BY abs(s_scaled) DESC, i ASC LIMIT 1)
-        |SELECT n, total, CAST(t AS VARCHAR) AS cp_t, i AS cp_index,
-        |  CAST(s_scaled AS BIGINT) AS s_scaled,
-        |  CASE WHEN s_scaled > 0 THEN 'down' WHEN s_scaled < 0 THEN 'up'
-        |       ELSE 'none' END AS shift
-        |FROM pk""".stripMargin,
-    // q182: the identical contingency cells, truncating per-item ppm, and
-    // truncating means/F1 — integer-for-integer.
-    "q182_bcubed" ->
-      """WITH cells AS (
-        |  SELECT c_nationkey AS p, c_mktsegment AS g,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM customer
-        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
-        |    AND c_mktsegment IS NOT NULL
-        |  GROUP BY 1, 2),
-        |sp AS (SELECT p, CAST(sum(n) AS BIGINT) AS sp FROM cells GROUP BY 1),
-        |sg AS (SELECT g, CAST(sum(n) AS BIGINT) AS sg FROM cells GROUP BY 1),
-        |t AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_items,
-        |    CAST(sum(n * ((n * 1000000) // sp)) AS BIGINT) AS tp,
-        |    CAST(sum(n * ((n * 1000000) // sg)) AS BIGINT) AS tr
-        |  FROM cells JOIN sp USING (p) JOIN sg USING (g))
-        |SELECT n_items,
-        |  CAST(tp // n_items AS BIGINT) AS bcubed_precision_ppm,
-        |  CAST(tr // n_items AS BIGINT) AS bcubed_recall_ppm,
-        |  CAST(CASE WHEN (tp // n_items) + (tr // n_items) > 0
-        |    THEN (2 * (tp // n_items) * (tr // n_items))
-        |         // ((tp // n_items) + (tr // n_items)) END AS BIGINT)
-        |    AS bcubed_f1_ppm
-        |FROM t""".stripMargin,
-    // q183/q184 share the span pipeline: k-windows (DuckDB list slices),
-    // the >=2-distinct-docs repeated set, variable-gap (<= k) islands.
-    "q183_repeated_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |wins AS (
-        |  SELECT id, i AS pos, array_to_string(w[i:i+7], ' ') AS passage
-        |  FROM d, unnest(range(1, len(w) - 6)) u(i)
-        |  WHERE len(w) >= 8),
-        |rep AS (
-        |  SELECT passage FROM wins GROUP BY 1
-        |  HAVING count(DISTINCT id) >= 2),
-        |mk AS (SELECT id, pos FROM wins JOIN rep USING (passage)),
-        |isl AS (
-        |  SELECT id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
-        |              <= 8
-        |         THEN 0 ELSE 1 END AS nw
-        |  FROM mk),
-        |isl2 AS (
-        |  SELECT id, pos,
-        |    sum(nw) OVER (PARTITION BY id ORDER BY pos) AS grp
-        |  FROM isl)
-        |SELECT id, CAST(min(pos) AS BIGINT) AS start_tok,
-        |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
-        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
-        |FROM isl2 GROUP BY id, grp""".stripMargin,
-    "q184_cut_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |tk AS (
-        |  SELECT id, i AS p, w[i] AS tok
-        |  FROM d, unnest(range(1, len(w) + 1)) u(i)),
-        |wins AS (
-        |  SELECT id, i AS pos, array_to_string(w[i:i+7], ' ') AS passage
-        |  FROM d, unnest(range(1, len(w) - 6)) u(i)
-        |  WHERE len(w) >= 8),
-        |rep AS (
-        |  SELECT passage FROM wins GROUP BY 1
-        |  HAVING count(DISTINCT id) >= 2),
-        |mk AS (SELECT id, pos FROM wins JOIN rep USING (passage)),
-        |isl AS (
-        |  SELECT id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
-        |              <= 8
-        |         THEN 0 ELSE 1 END AS nw
-        |  FROM mk),
-        |isl2 AS (
-        |  SELECT id, pos,
-        |    sum(nw) OVER (PARTITION BY id ORDER BY pos) AS grp
-        |  FROM isl),
-        |sp AS (
-        |  SELECT id, min(pos) AS s, max(pos) + 7 AS e
-        |  FROM isl2 GROUP BY id, grp),
-        |cov AS (SELECT id, j AS p FROM sp, unnest(range(s, e + 1)) v(j)),
-        |kept AS (
-        |  SELECT tk.id, count(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY p) AS clean
-        |  FROM tk ANTI JOIN cov USING (id, p) GROUP BY 1),
-        |cnt AS (SELECT id, count(*) AS n_tok FROM tk GROUP BY 1),
-        |docs AS (SELECT DISTINCT doc_id AS id FROM documents)
-        |SELECT docs.id,
-        |  CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(n_tok, 0) - coalesce(n_kept, 0) AS BIGINT)
-        |    AS n_cut,
-        |  coalesce(clean, '') AS text_clean
-        |FROM docs LEFT JOIN cnt ON cnt.id = docs.id
-        |LEFT JOIN kept ON kept.id = docs.id""".stripMargin,
-    // q185: the pD* rules as explicit UNION branches (symmetric copy,
-    // inverse copies both ways) + a recursive CTE for the transitive pred
-    // + the inverse image of the closure — a structurally different
-    // evaluation (per-rule branches vs the engine's image-map join).
-    "q185_owl_closure" ->
-      """WITH RECURSIVE inp AS (
-        |  SELECT 'n' || c_custkey AS s, 'adjacentTo' AS p,
-        |    'n' || (c_custkey + 1) AS o
-        |  FROM customer WHERE c_custkey <= 30 AND c_custkey % 2 = 0
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'locatedIn', 'n' || c_nationkey
-        |  FROM customer WHERE c_custkey <= 40
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'partOf', 'c' || (c_custkey // 2)
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 64),
-        |exp AS (
-        |  SELECT s, p, o FROM inp
-        |  UNION ALL SELECT o, 'adjacentTo', s FROM inp
-        |    WHERE p = 'adjacentTo'
-        |  UNION ALL SELECT o, 'contains', s FROM inp WHERE p = 'locatedIn'
-        |  UNION ALL SELECT s, 'locatedIn', o FROM inp WHERE p = 'contains'
-        |  UNION ALL SELECT o, 'hasPart', s FROM inp WHERE p = 'partOf'
-        |  UNION ALL SELECT s, 'partOf', o FROM inp WHERE p = 'hasPart'),
-        |po AS (SELECT DISTINCT s, o FROM exp WHERE p = 'partOf'),
-        |cl AS (
-        |  SELECT s, o FROM po
-        |  UNION
-        |  SELECT cl.s, po.o FROM cl JOIN po ON po.s = cl.o)
-        |SELECT DISTINCT subj, pred, obj FROM (
-        |  SELECT s AS subj, p AS pred, o AS obj FROM exp
-        |  UNION ALL SELECT s, 'partOf', o FROM cl
-        |  UNION ALL SELECT o, 'hasPart', s FROM cl)""".stripMargin,
-    // q186: the DEFINITION of a bridge, evaluated directly — for every
-    // edge (a,b), BFS from a in the graph WITHOUT that edge (a product-
-    // graph recursion keyed by the excluded edge, q164's trick); bridge
-    // iff b is never reached. No spanning tree anywhere.
-    "q186_bridges" ->
-      """WITH RECURSIVE und AS (
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
-        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
-        |  UNION
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
-        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
-        |  FROM customer
-        |  WHERE c_custkey % 8 = 0 AND c_custkey > 1 AND c_custkey <= 256),
-        |sym AS (SELECT a AS x, b AS y FROM und
-        |        UNION ALL SELECT b, a FROM und),
-        |r AS (
-        |  SELECT a AS ea, b AS eb, a AS node FROM und
-        |  UNION
-        |  SELECT r.ea, r.eb, sym.y
-        |  FROM r JOIN sym ON sym.x = r.node
-        |  WHERE NOT (least(sym.x, sym.y) = r.ea
-        |             AND greatest(sym.x, sym.y) = r.eb))
-        |SELECT u.a, u.b FROM und u
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM r
-        |  WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)""".stripMargin,
-    // q187: the greedy leftmost-longest scan replayed PICK BY PICK — a
-    // recursive CTE whose state is the scan cursor, advancing to the
-    // NOT-EXISTS-argmin candidate (min start >= cursor, max length) each
-    // step. No sorted fold, no HOFs — sequential recursion vs the
-    // engine's per-doc aggregate fold.
-    "q187_phrase_spot" ->
-      """WITH RECURSIVE dict(phrase, l) AS (
-        |  VALUES ('sort merge join', 3), ('merge join', 2),
-        |         ('hash join', 2), ('table scan', 2), ('scan merge', 2),
-        |         ('batch batch batch', 3), ('batch batch', 2),
-        |         ('window window', 2), ('key order sort', 3),
-        |         ('order sort', 2)),
-        |d AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |cand AS MATERIALIZED (
-        |  SELECT d.id, u.i AS start, dict.l AS len, dict.phrase
-        |  FROM d, unnest(range(1, len(d.w) + 1)) u(i), dict
-        |  WHERE u.i + dict.l - 1 <= len(d.w)
-        |    AND array_to_string(d.w[u.i:u.i+dict.l-1], ' ') = dict.phrase),
-        |pick AS (
-        |  SELECT id, 0 AS start, 0 AS len, '' AS phrase, 1 AS cur
-        |  FROM (SELECT DISTINCT id FROM cand)
-        |  UNION ALL
-        |  SELECT c.id, c.start, c.len, c.phrase, c.start + c.len
-        |  FROM pick p JOIN cand c ON c.id = p.id AND c.start >= p.cur
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM cand c2
-        |    WHERE c2.id = c.id AND c2.start >= p.cur
-        |      AND (c2.start < c.start
-        |           OR (c2.start = c.start AND c2.len > c.len))))
-        |SELECT id AS doc_id, CAST(start AS BIGINT) AS start_tok,
-        |  CAST(len AS BIGINT) AS n_tokens, phrase
-        |FROM pick WHERE len > 0""".stripMargin,
-    // q188: the same DP evaluated as an INDEX RECURSION — one recursive-CTE
-    // row per (key, prefix length), carrying the full dp vector as a list;
-    // the predecessor index is a correlated count (no sort-order binary
-    // search anywhere).
-    "q188_interval_sched" ->
-      """WITH RECURSIVE iv AS (
-        |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
-        |    CAST(datediff('day', DATE '1970-01-01',
-        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
-        |    CAST(datediff('day', DATE '1970-01-01',
-        |      CAST(l_shipdate AS DATE))
-        |      + CAST(l_quantity AS BIGINT) % 20 AS BIGINT) AS e,
-        |    CAST(l_quantity AS BIGINT) AS w
-        |  FROM lineitem WHERE l_suppkey <= 20 AND l_partkey % 10 = 0),
-        |ivx AS MATERIALIZED (
-        |  SELECT key, s, e, w,
-        |    row_number() OVER (PARTITION BY key ORDER BY e, s, w) AS idx
-        |  FROM iv),
-        |pred AS MATERIALIZED (
-        |  SELECT a.key, a.idx, a.w,
-        |    (SELECT count(*) FROM ivx b
-        |     WHERE b.key = a.key AND b.e < a.s) AS p
-        |  FROM ivx a),
-        |n AS (SELECT key, count(*) AS n FROM ivx GROUP BY 1),
-        |dp AS (
-        |  SELECT key, 0 AS i, [CAST(0 AS BIGINT)] AS v FROM n
-        |  UNION ALL
-        |  SELECT dp.key, dp.i + 1,
-        |    list_append(dp.v, greatest(dp.v[dp.i + 1], pr.w + dp.v[pr.p + 1]))
-        |  FROM dp JOIN pred pr ON pr.key = dp.key AND pr.idx = dp.i + 1)
-        |SELECT dp.key, v[n.n + 1] AS best_weight, n.n AS n_intervals
-        |FROM dp JOIN n ON n.key = dp.key WHERE dp.i = n.n""".stripMargin,
-    // q189: the DEFINITION of a cut vertex, evaluated directly — for every
-    // vertex v, BFS from v's minimum neighbor in the graph WITHOUT v (a
-    // product-graph recursion keyed by the excluded vertex, q186's trick
-    // vertex-wise); v cuts iff some neighbor is never reached. No spanning
-    // forest, no blocks.
-    "q189_articulation" ->
-      """WITH RECURSIVE und AS (
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
-        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
-        |  UNION
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
-        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
-        |  FROM customer
-        |  WHERE c_custkey % 8 = 0 AND c_custkey > 1 AND c_custkey <= 256),
-        |sym AS (SELECT a AS x, b AS y FROM und
-        |        UNION ALL SELECT b, a FROM und),
-        |nb AS (SELECT x AS v, y AS nb FROM sym),
-        |seed AS (SELECT v, min(nb) AS s FROM nb GROUP BY 1),
-        |r AS (
-        |  SELECT v, s AS node FROM seed
-        |  UNION
-        |  SELECT r.v, sym.y FROM r JOIN sym ON sym.x = r.node
-        |  WHERE sym.y <> r.v)
-        |SELECT DISTINCT nb.v AS v FROM nb
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM r WHERE r.v = nb.v AND r.node = nb.nb)""".stripMargin,
-    // q190: the same LCS recurrence evaluated ROW BY ROW in a recursive
-    // CTE — state is the full dp row carried as a list, the sequential
-    // in-row dependency (new[j-1]) replayed by a list_reduce whose
-    // accumulator IS the row being built. No rolling arrays, no typed map.
-    "q190_lcs_align" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT CAST(x.doc_id AS VARCHAR) AS key,
-        |    list_filter(string_split_regex(trim(x.text), '\s+'),
-        |      w -> w <> '')[1:40] AS lt,
-        |    list_filter(string_split_regex(trim(y.text), '\s+'),
-        |      w -> w <> '')[1:40] AS rt
-        |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
-        |  WHERE x.doc_id < 80 AND y.doc_id < 80
-        |    AND x.text IS NOT NULL AND y.text IS NOT NULL),
-        |dims AS MATERIALIZED (
-        |  SELECT key, lt, rt, len(lt) AS n, len(rt) AS m FROM t),
-        |dp AS (
-        |  SELECT key, 0 AS i,
-        |    list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)) AS v
-        |  FROM dims
-        |  UNION ALL
-        |  SELECT d.key, dp.i + 1,
-        |    list_reduce(
-        |      list_prepend([CAST(0 AS BIGINT)],
-        |        list_transform(range(1, d.m + 1), j ->
-        |          [dp.v[j], dp.v[j + 1],
-        |           CASE WHEN d.lt[dp.i + 1] = d.rt[j]
-        |                THEN CAST(1 AS BIGINT)
-        |                ELSE CAST(0 AS BIGINT) END])),
-        |      (acc, x) -> list_append(acc,
-        |        greatest(x[2], acc[-1], x[1] + x[3])))
-        |  FROM dp JOIN dims d ON d.key = dp.key AND dp.i < d.n)
-        |SELECT dp.key, CAST(d.n AS BIGINT) AS n_left,
-        |  CAST(d.m AS BIGINT) AS n_right, v[d.m + 1] AS lcs_len,
-        |  CAST(d.n AS BIGINT) - v[d.m + 1] AS n_del,
-        |  CAST(d.m AS BIGINT) - v[d.m + 1] AS n_ins
-        |FROM dp JOIN dims d ON d.key = dp.key WHERE dp.i = d.n""".stripMargin,
-    // q191: the MINIMAX closed form of isotonic regression — no pooling,
-    // no stacks: f_i = max_{j<=i} min_{k>=i} avg(y[j..k]) over prefix
-    // sums, all in BIGINT (values are non-negative counts, so DuckDB's
-    // truncating // equals the engine's floorDiv).
-    "q191_isotonic" ->
-      """WITH pts AS (
-        |  SELECT o_orderpriority AS series,
-        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
-        |      AS x,
-        |    count(*) AS y
-        |  FROM orders GROUP BY 1, 2),
-        |idx AS MATERIALIZED (
-        |  SELECT series, x, y,
-        |    row_number() OVER (PARTITION BY series ORDER BY x) AS i,
-        |    CAST(sum(y) OVER (PARTITION BY series ORDER BY x)
-        |      AS BIGINT) AS pre
-        |  FROM pts),
-        |pre0 AS MATERIALIZED (
-        |  SELECT series, 0 AS i, CAST(0 AS BIGINT) AS pre
-        |  FROM (SELECT DISTINCT series FROM idx)
-        |  UNION ALL SELECT series, i, pre FROM idx),
-        |inner_mn AS (
-        |  SELECT x.series, x.i, j.i AS j,
-        |    min((1000000 * (k.pre - jm.pre)) // (k.i - j.i + 1)) AS v
-        |  FROM idx x
-        |  JOIN idx j ON j.series = x.series AND j.i <= x.i
-        |  JOIN idx k ON k.series = x.series AND k.i >= x.i
-        |  JOIN pre0 jm ON jm.series = x.series AND jm.i = j.i - 1
-        |  GROUP BY 1, 2, 3),
-        |fit AS (
-        |  SELECT series, i, CAST(max(v) AS BIGINT) AS fitted_ppm
-        |  FROM inner_mn GROUP BY 1, 2)
-        |SELECT idx.series, idx.x, idx.y, fit.fitted_ppm
-        |FROM idx JOIN fit ON fit.series = idx.series AND fit.i = idx.i"""
-        .stripMargin,
-    // q192: the DEFINITION of a suffix array — materialize every suffix
-    // of the identical concatenation (id order, chr(1) separators) and
-    // sort the strings. No doubling, no ranks-of-ranks.
-    "q192_suffix_array" ->
-      """WITH s AS (
-        |  SELECT string_agg(text, chr(1) ORDER BY doc_id) || chr(1) AS str
-        |  FROM documents WHERE doc_id < 12),
-        |sa AS (
-        |  SELECT u.i - 1 AS pos,
-        |    row_number() OVER (ORDER BY substr(s.str, CAST(u.i AS INT)))
-        |      - 1 AS rank
-        |  FROM s, unnest(range(1, length(s.str) + 1)) u(i))
-        |SELECT CAST(pos AS BIGINT) AS pos, CAST(rank AS BIGINT) AS rank
-        |FROM sa""".stripMargin,
-    // q193: LCA by step-at-a-time ancestor recursion — each node's full
-    // ancestor closure grown one parent per recursion round, the pair's
-    // deepest common ancestor picked by arg_max. No doubling, no chains.
-    "q193_taxonomy_lca" ->
-      """WITH RECURSIVE par AS (
-        |  SELECT 'c' || c_custkey AS id, 'c' || (c_custkey // 2) AS parent
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 255),
-        |nodes AS (SELECT id FROM par UNION SELECT parent FROM par),
-        |anc AS (
-        |  SELECT id, id AS anc, 0 AS up FROM nodes
-        |  UNION ALL
-        |  SELECT anc.id, par.parent, anc.up + 1
-        |  FROM anc JOIN par ON par.id = anc.anc),
-        |dep AS (SELECT id, max(up) AS depth FROM anc GROUP BY 1),
-        |pairs AS (
-        |  SELECT 'c' || c_custkey AS a, 'c' || (201 - c_custkey) AS b
-        |  FROM customer WHERE c_custkey BETWEEN 2 AND 100),
-        |com AS (
-        |  SELECT p.a, p.b, x.anc, da.depth AS depth_a, db.depth AS depth_b,
-        |         dl.depth AS anc_depth
-        |  FROM pairs p
-        |  JOIN anc x ON x.id = p.a
-        |  JOIN anc y ON y.id = p.b AND y.anc = x.anc
-        |  JOIN dep da ON da.id = p.a
-        |  JOIN dep db ON db.id = p.b
-        |  JOIN dep dl ON dl.id = x.anc),
-        |best AS (
-        |  SELECT a, b, arg_max(anc, anc_depth) AS lca,
-        |    CAST(max(depth_a) AS BIGINT) AS depth_a,
-        |    CAST(max(depth_b) AS BIGINT) AS depth_b,
-        |    CAST(max(anc_depth) AS BIGINT) AS depth_lca
-        |  FROM com GROUP BY a, b)
-        |SELECT a, b, lca, depth_a, depth_b, depth_lca,
-        |  CAST(CASE WHEN depth_a + depth_b = 0 THEN 1000000
-        |       ELSE (2000000 * depth_lca) // (depth_a + depth_b) END
-        |    AS BIGINT) AS wu_palmer_ppm
-        |FROM best""".stripMargin,
-    // q194: the O(n^2) textbook LIS DP — dp[i] = 1 + max(dp[j] : j < i,
-    // v[j] < v[i]) — carried as a dp-vector list through a recursive CTE,
-    // the inner max replayed by list_transform over all previous indices.
-    // No patience tails, no binary search.
-    "q194_lis" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT CAST(l_suppkey AS VARCHAR) AS k,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-        |      AS sday,
-        |    l_orderkey, l_linenumber
-        |  FROM lineitem WHERE l_suppkey <= 30 AND l_partkey % 7 = 0),
-        |seq AS MATERIALIZED (
-        |  SELECT k, list(v ORDER BY sday, l_orderkey, l_linenumber) AS vs,
-        |    count(*) AS n
-        |  FROM li GROUP BY 1),
-        |dp AS (
-        |  SELECT k, 0 AS i, CAST([] AS BIGINT[]) AS d FROM seq
-        |  UNION ALL
-        |  SELECT s.k, dp.i + 1,
-        |    list_append(dp.d,
-        |      1 + coalesce(list_max(list_transform(range(1, dp.i + 1),
-        |        j -> CASE WHEN s.vs[j] < s.vs[dp.i + 1]
-        |             THEN dp.d[j] ELSE CAST(0 AS BIGINT) END)), 0))
-        |  FROM dp JOIN seq s ON s.k = dp.k AND dp.i < s.n)
-        |SELECT dp.k AS key, CAST(s.n AS BIGINT) AS n,
-        |  CAST(coalesce(list_max(dp.d), 0) AS BIGINT) AS lis_len
-        |FROM dp JOIN seq s ON s.k = dp.k WHERE dp.i = s.n""".stripMargin,
-    // q195: the greedy replayed as a recursive CTE whose state is ONE ROW
-    // per round carrying the chosen list and the full candidate max-sim
-    // vector; the pick is a pure list argmax (tie = min index = min id,
-    // ids sorted ascending) against a prebuilt integer similarity matrix.
-    "q195_mmr_select" ->
-      """WITH RECURSIVE tok AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id AS id, t.w AS w
-        |  FROM documents, unnest(list_filter(
-        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) t(w)
-        |  WHERE doc_id BETWEEN 1 AND 60 AND text IS NOT NULL),
-        |q AS (
-        |  SELECT DISTINCT t.w AS w
-        |  FROM documents, unnest(list_filter(
-        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) t(w)
-        |  WHERE doc_id = 0),
-        |ids AS MATERIALIZED (
-        |  SELECT id, row_number() OVER (ORDER BY id) AS i
-        |  FROM (SELECT DISTINCT id FROM tok)),
-        |dims AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ids),
-        |relt AS (
-        |  SELECT ids.i, CAST(count(q.w) AS BIGINT) AS rel
-        |  FROM ids JOIN tok ON tok.id = ids.id
-        |  LEFT JOIN q ON q.w = tok.w GROUP BY 1),
-        |relv AS (SELECT list(coalesce(relt.rel, 0) ORDER BY gi.i) AS rel
-        |  FROM (SELECT i AS i FROM ids) gi LEFT JOIN relt ON relt.i = gi.i),
-        |simt AS MATERIALIZED (
-        |  SELECT a0.i AS x, b0.i AS y, CAST(count(*) AS BIGINT) AS s
-        |  FROM tok a JOIN tok b ON a.w = b.w AND a.id <> b.id
-        |  JOIN ids a0 ON a0.id = a.id JOIN ids b0 ON b0.id = b.id
-        |  GROUP BY 1, 2),
-        |simmat AS (
-        |  SELECT list(row ORDER BY x) AS mat FROM (
-        |    SELECT gx.i AS x,
-        |      list(coalesce(simt.s, 0) ORDER BY gy.i) AS row
-        |    FROM ids gx JOIN ids gy ON true
-        |    LEFT JOIN simt ON simt.x = gx.i AND simt.y = gy.i
-        |    GROUP BY 1)),
-        |r AS (
-        |  SELECT 0 AS round, CAST([] AS BIGINT[]) AS chosen,
-        |    list_transform(range(1, m + 1), z -> CAST(0 AS BIGINT)) AS ms,
-        |    CAST(NULL AS BIGINT) AS pick_made, CAST(NULL AS BIGINT) AS ms_at_pick
-        |  FROM dims
-        |  UNION ALL
-        |  SELECT r.round + 1,
-        |    list_append(r.chosen, list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))),
-        |    list_transform(range(1, dims.m + 1), j ->
-        |      CASE WHEN list_contains(r.chosen, j) OR j = list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END)))) THEN r.ms[j]
-        |           ELSE greatest(r.ms[j], simmat.mat[list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))][j]) END),
-        |    list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END)))),
-        |    r.ms[list_min(list_filter(range(1, dims.m + 1), j -> NOT list_contains(r.chosen, j) AND relv.rel[j] - r.ms[j] = list_max(list_transform(range(1, dims.m + 1), j -> CASE WHEN list_contains(r.chosen, j) THEN NULL ELSE relv.rel[j] - r.ms[j] END))))]
-        |  FROM r, dims, relv, simmat
-        |  WHERE r.round < 12)
-        |SELECT CAST(r.round AS BIGINT) AS rank,
-        |  CAST(ids.id AS VARCHAR) AS doc_id,
-        |  relv.rel[r.pick_made] AS rel, r.ms_at_pick AS max_sim,
-        |  relv.rel[r.pick_made] - r.ms_at_pick AS score
-        |FROM r, relv JOIN ids ON ids.i = r.pick_made
-        |WHERE r.round >= 1""".stripMargin,
-    // q196: the SEQUENTIAL McVitie replay — one proposal per recursion
-    // step, the smallest free proposer inlined as a list argmin, pointer
-    // and fiancé vectors carried as list state. No rounds, no argmax
-    // aggregates.
-    "q196_stable_match" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT c.c_custkey AS mk, s.s_suppkey AS wk,
-        |    (c.c_custkey * s.s_suppkey * 5) % 251 AS msc,
-        |    (c.c_custkey * s.s_suppkey * 7) % 251 AS wsc
-        |  FROM customer c, supplier s
-        |  WHERE c.c_custkey BETWEEN 1 AND 16 AND s.s_suppkey BETWEEN 1 AND 16),
-        |mp AS (SELECT mk, list(wk ORDER BY msc DESC) AS ws FROM base GROUP BY 1),
-        |mpref AS (SELECT list(ws ORDER BY mk) AS mat FROM mp),
-        |wv AS (SELECT wk, list(wsc ORDER BY mk) AS ms FROM base GROUP BY 1),
-        |wmat AS (SELECT list(ms ORDER BY wk) AS mat FROM wv),
-        |r AS (
-        |  SELECT 0 AS step,
-        |    list_transform(range(1, 17), z -> CAST(1 AS BIGINT)) AS nextv,
-        |    list_transform(range(1, 17), z -> CAST(0 AS BIGINT)) AS fiance
-        |  UNION ALL
-        |  SELECT r.step + 1,
-        |    list_transform(range(1, 17), i ->
-        |      CASE WHEN i = list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) THEN r.nextv[i] + 1 ELSE r.nextv[i] END),
-        |    CASE WHEN (r.fiance[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]] = 0 OR wmat.mat[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]][list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))] > wmat.mat[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]][r.fiance[mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]]]])
-        |      THEN list_transform(range(1, 17), j ->
-        |        CASE WHEN j = mpref.mat[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))][r.nextv[list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16))]] THEN CAST(list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) AS BIGINT) ELSE r.fiance[j] END)
-        |      ELSE r.fiance END
-        |  FROM r, mpref, wmat
-        |  WHERE list_min(list_filter(range(1, 17), i -> NOT list_contains(r.fiance, i) AND r.nextv[i] <= 16)) IS NOT NULL),
-        |fin AS (SELECT fiance FROM r ORDER BY step DESC LIMIT 1)
-        |SELECT 'c' || fiance[j] AS m, 's' || j AS w
-        |FROM fin, unnest(range(1, 17)) u(j)
-        |WHERE fiance[j] <> 0""".stripMargin,
-    // q197: the same corpus (+ planted excerpts), blocking and directed
-    // ppm scoring replayed declaratively in SQL — q20's shingle shapes
-    // with an asymmetric denominator.
-    "q197_containment" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |    array_to_string(list_filter(
-        |      string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '')[1:12], ' ')
-        |  FROM documents WHERE doc_id < 15),
-        |words AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT DISTINCT id, shingle FROM (
-        |    SELECT id, array_to_string(w[i:i+4], ' ') AS shingle
-        |    FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1))
-        |      AS t(i)
-        |    WHERE len(w) >= 5)),
-        |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-        |kept AS (SELECT id, shingle FROM sh
-        |         WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
-        |                           HAVING COUNT(*) <= 50)),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle
-        |    AND a.id < b.id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS common, sa.sz AS sz_a,
-        |    sb.sz AS sz_b
-        |  FROM cand c
-        |  JOIN sh a ON a.id = c.id_a
-        |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-        |  JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
-        |  GROUP BY 1, 2, 4, 5),
-        |dir AS (
-        |  SELECT id_a AS id, id_b AS other_id, common, sz_a AS n_shingles
-        |  FROM inter
-        |  UNION ALL
-        |  SELECT id_b, id_a, common, sz_b FROM inter)
-        |SELECT id, other_id, common,
-        |  CAST(n_shingles AS BIGINT) AS n_shingles,
-        |  CAST((1000000 * common) // n_shingles AS BIGINT)
-        |    AS containment_ppm
-        |FROM dir
-        |WHERE (1000000 * common) // n_shingles >= 500000""".stripMargin,
-    // q198: every itemset of size 1-3 enumerated DIRECTLY by unpruned
-    // self-joins and counted — no level-wise candidate generation, no
-    // Apriori projection anywhere; downward closure is the theorem that
-    // makes this agree with the engine's pruned level-wise walk.
-    "q198_freq_itemsets" ->
-      """WITH b AS (
-        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS bk,
-        |    'p' || CAST(l_partkey % 37 AS VARCHAR) AS it
-        |  FROM lineitem),
-        |f1 AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
-        |p2 AS (SELECT x.it AS i1, y.it AS i2, count(*) AS c
-        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
-        |       GROUP BY 1, 2),
-        |p3 AS (SELECT x.it AS i1, y.it AS i2, z.it AS i3, count(*) AS c
-        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
-        |            JOIN b z ON x.bk = z.bk AND y.it < z.it
-        |       GROUP BY 1, 2, 3)
-        |SELECT it AS itemset, CAST(1 AS INTEGER) AS size, c AS support
-        |FROM f1 WHERE c >= 30
-        |UNION ALL
-        |SELECT i1 || '|' || i2, CAST(2 AS INTEGER), c FROM p2 WHERE c >= 30
-        |UNION ALL
-        |SELECT i1 || '|' || i2 || '|' || i3, CAST(3 AS INTEGER), c
-        |FROM p3 WHERE c >= 30""".stripMargin,
-    // q199: the rule scores computed definitionally — supports by direct
-    // counting, conf/lift by HUGEINT-promoted integer floor division.
-    "q199_assoc_rules" ->
-      """WITH b AS (
-        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS bk,
-        |    'p' || CAST(l_partkey % 37 AS VARCHAR) AS it
-        |  FROM lineitem),
-        |n AS (SELECT count(DISTINCT bk) AS n FROM b),
-        |f1 AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
-        |p2 AS (SELECT x.it AS i1, y.it AS i2, count(*) AS c
-        |       FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
-        |       GROUP BY 1, 2 HAVING count(*) >= 60),
-        |dir AS (SELECT i1 AS x, i2 AS y, c FROM p2
-        |        UNION ALL SELECT i2, i1, c FROM p2)
-        |SELECT dir.x AS antecedent, dir.y AS consequent, dir.c AS support,
-        |  CAST((CAST(1000000 AS HUGEINT) * dir.c) // sx.c AS BIGINT)
-        |    AS conf_ppm,
-        |  CAST((CAST(1000000 AS HUGEINT) * dir.c * n.n) // (sx.c * sy.c)
-        |    AS BIGINT) AS lift_ppm
-        |FROM dir, n
-        |JOIN f1 sx ON sx.it = dir.x
-        |JOIN f1 sy ON sy.it = dir.y""".stripMargin,
-    // q200: the SEQUENTIAL pivot scan, literally — vertices indexed once,
-    // priorities and adjacency carried as lists, one recursion step per
-    // pivot: the unassigned vertex with the minimum (hash, id) priority
-    // pivots and its unassigned neighbors take its label. No MIS, no
-    // rounds — the other side of the Blelloch–Fineman–Shun equivalence.
-    "q200_corr_clustering" ->
-      s"""WITH RECURSIVE edir AS (
-        |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey - 1)
-        |  FROM customer
-        |  WHERE c_custkey % 5 = 0 AND c_custkey > 1 AND c_custkey <= 256),
-        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
-        |        FROM edir WHERE src <> dst),
-        |v AS (SELECT DISTINCT id FROM
-        |        (SELECT x AS id FROM und UNION ALL SELECT y FROM und)),
-        |vid AS (SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT)
-        |          AS ix FROM v),
-        |nn AS (SELECT count(*) AS n FROM vid),
-        |pr AS (SELECT list(${kmvHashSql("id")} ORDER BY ix) AS h,
-        |              list(id ORDER BY ix) AS id FROM vid),
-        |sym AS (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und),
-        |adj0 AS (SELECT va.ix AS ai, list(vb.ix) AS nbs
-        |         FROM sym JOIN vid va ON va.id = sym.a
-        |              JOIN vid vb ON vb.id = sym.b
-        |         GROUP BY 1),
-        |am AS (SELECT list(nbs ORDER BY ai) AS nb FROM adj0),
-        |r AS (
-        |  SELECT 0 AS step,
-        |    list_transform(range(1, nn.n + 1), z -> CAST(0 AS BIGINT)) AS cl
-        |  FROM nn
-        |  UNION ALL
-        |  SELECT r.step + 1,
-        |    list_transform(range(1, nn.n + 1), j ->
-        |      CASE WHEN r.cl[j] <> 0 THEN r.cl[j]
-        |           WHEN j = list_reduce(
-        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
-        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
-        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
-        |                 THEN y ELSE x END)
-        |             OR list_contains(am.nb[list_reduce(
-        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
-        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
-        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
-        |                 THEN y ELSE x END)], j)
-        |           THEN list_reduce(
-        |               list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0),
-        |               (x, y) -> CASE WHEN pr.h[y] < pr.h[x]
-        |                 OR (pr.h[y] = pr.h[x] AND pr.id[y] < pr.id[x])
-        |                 THEN y ELSE x END)
-        |           ELSE CAST(0 AS BIGINT) END)
-        |  FROM r, nn, pr, am
-        |  WHERE len(list_filter(range(1, nn.n + 1), i -> r.cl[i] = 0)) > 0),
-        |fin AS (SELECT cl FROM r ORDER BY step DESC LIMIT 1)
-        |SELECT pr.id[j] AS id, pr.id[fin.cl[j]] AS cluster
-        |FROM fin, pr, nn, unnest(range(1, nn.n + 1)) u(j)""".stripMargin,
-    // q201: the definitional meta-blocking SQL — distinct assignments,
-    // block-size purge, pair CBS count, symmetric incidence aggregates,
-    // the same integer-exact mean test.
-    "q201_meta_blocking" ->
-      """WITH a AS (
-        |  SELECT 'c' || c_custkey AS rec,
-        |    'k11_' || CAST(c_custkey % 11 AS VARCHAR) AS blk
-        |  FROM customer WHERE c_custkey <= 120
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'k13_' || CAST(c_custkey % 13 AS VARCHAR)
-        |  FROM customer WHERE c_custkey <= 120
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'k17_' || CAST(c_custkey % 17 AS VARCHAR)
-        |  FROM customer WHERE c_custkey <= 120),
-        |b AS (SELECT DISTINCT blk, rec FROM a),
-        |keptb AS (SELECT blk FROM b GROUP BY 1 HAVING count(*) <= 1000),
-        |k AS (SELECT b.blk, b.rec FROM b JOIN keptb USING (blk)),
-        |w AS (SELECT x.rec AS ra, y.rec AS rb, count(*) AS w
-        |      FROM k x JOIN k y ON x.blk = y.blk AND x.rec < y.rec
-        |      GROUP BY 1, 2),
-        |inc AS (SELECT ra AS rec, w FROM w UNION ALL SELECT rb, w FROM w),
-        |nd AS (SELECT rec, count(*) AS deg, sum(w) AS s FROM inc GROUP BY 1)
-        |SELECT w.ra AS rec_a, w.rb AS rec_b, w.w AS weight
-        |FROM w JOIN nd na ON na.rec = w.ra JOIN nd nb ON nb.rec = w.rb
-        |WHERE w.w * na.deg >= na.s OR w.w * nb.deg >= nb.s""".stripMargin,
-    // q202: the same H recurrence evaluated ROW BY ROW in a recursive CTE
-    // — one CTE row per DP row, the row carried as a list, the in-row
-    // left-dependency replayed by a list_reduce whose accumulator IS the
-    // row being built (q190's scaffold with the zero floor, gap arms and
-    // an explicit all-cells (h DESC, i, j) rank for the argmax).
-    "q202_sw_local" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT CAST(x.doc_id AS VARCHAR) AS key,
-        |    list_filter(string_split_regex(trim(x.text), '\s+'),
-        |      w -> w <> '') AS xt,
-        |    list_filter(string_split_regex(trim(y.text), '\s+'),
-        |      w -> w <> '') AS yt
-        |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
-        |  WHERE x.doc_id < 80 AND y.doc_id < 80
-        |    AND x.text IS NOT NULL AND y.text IS NOT NULL),
-        |dims AS MATERIALIZED (
-        |  SELECT key, xt[1:30] AS lt,
-        |    yt[1:10] || xt[12:18] || yt[11:15] AS rt,
-        |    len(xt[1:30]) AS n,
-        |    len(yt[1:10] || xt[12:18] || yt[11:15]) AS m
-        |  FROM t),
-        |dp AS (
-        |  SELECT key, 0 AS i,
-        |    list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)) AS v
-        |  FROM dims
-        |  UNION ALL
-        |  SELECT d.key, dp.i + 1,
-        |    list_reduce(
-        |      list_prepend([CAST(0 AS BIGINT)],
-        |        list_transform(range(1, d.m + 1), j ->
-        |          [dp.v[j], dp.v[j + 1],
-        |           CASE WHEN d.lt[dp.i + 1] = d.rt[j]
-        |                THEN CAST(2 AS BIGINT)
-        |                ELSE CAST(-1 AS BIGINT) END])),
-        |      (acc, x) -> list_append(acc,
-        |        greatest(CAST(0 AS BIGINT), x[1] + x[3], x[2] - 1,
-        |          acc[-1] - 1)))
-        |  FROM dp JOIN dims d ON d.key = dp.key AND dp.i < d.n),
-        |cells AS (
-        |  SELECT dp.key, dp.i, j, dp.v[j + 1] AS h
-        |  FROM dp JOIN dims d ON d.key = dp.key,
-        |       unnest(range(1, d.m + 1)) u(j)
-        |  WHERE dp.i >= 1),
-        |best AS (
-        |  SELECT key, i, j, h,
-        |    row_number() OVER (PARTITION BY key
-        |                       ORDER BY h DESC, i ASC, j ASC) AS rn
-        |  FROM cells)
-        |SELECT d.key, coalesce(CASE WHEN b.h > 0 THEN b.h END, 0)
-        |    AS best_score,
-        |  coalesce(CASE WHEN b.h > 0 THEN b.i END, 0) AS end_left,
-        |  coalesce(CASE WHEN b.h > 0 THEN CAST(b.j AS BIGINT) END, 0)
-        |    AS end_right,
-        |  CAST(d.n AS BIGINT) AS n_left, CAST(d.m AS BIGINT) AS n_right
-        |FROM dims d LEFT JOIN best b ON b.key = d.key AND b.rn = 1""".stripMargin,
-    // q204: bridges evaluated BY DEFINITION (q186's per-edge-exclusion
-    // product-graph BFS), deleted, then components by a plain
-    // reachability recursion with min labels — no spanning forest, no
-    // large/small stars anywhere.
-    "q204_two_edge_cc" ->
-      """WITH RECURSIVE und AS (
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey // 2)) AS a,
-        |         greatest('c' || c_custkey, 'c' || (c_custkey // 2)) AS b
-        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 256
-        |  UNION
-        |  SELECT least('c' || c_custkey, 'c' || (c_custkey - 1)),
-        |         greatest('c' || c_custkey, 'c' || (c_custkey - 1))
-        |  FROM customer
-        |  WHERE c_custkey % 6 = 0 AND c_custkey > 1 AND c_custkey <= 256),
-        |sym AS (SELECT a AS x, b AS y FROM und
-        |        UNION ALL SELECT b, a FROM und),
-        |r AS (
-        |  SELECT a AS ea, b AS eb, a AS node FROM und
-        |  UNION
-        |  SELECT r.ea, r.eb, sym.y
-        |  FROM r JOIN sym ON sym.x = r.node
-        |  WHERE NOT (least(sym.x, sym.y) = r.ea
-        |             AND greatest(sym.x, sym.y) = r.eb)),
-        |br AS (
-        |  SELECT u.a, u.b FROM und u
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM r
-        |    WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)),
-        |rest AS (
-        |  SELECT u.a, u.b FROM und u
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM br WHERE br.a = u.a AND br.b = u.b)),
-        |rsym AS (SELECT a AS x, b AS y FROM rest
-        |         UNION ALL SELECT b, a FROM rest),
-        |reach AS (
-        |  SELECT x AS id, x AS node FROM rsym
-        |  UNION
-        |  SELECT reach.id, rsym.y FROM reach JOIN rsym ON rsym.x = reach.node),
-        |comp AS (SELECT id, min(node) AS component FROM reach GROUP BY 1),
-        |verts AS (SELECT DISTINCT id FROM
-        |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und))
-        |SELECT v.id, coalesce(comp.component, v.id) AS component
-        |FROM verts v LEFT JOIN comp ON comp.id = v.id""".stripMargin,
-    // q203: the BRUTE cross join — every (token, term) pair scored by
-    // DuckDB's independent damerau_levenshtein implementation, no
-    // deletion neighborhood anywhere; the same (dist, freq DESC, term)
-    // total order picks the correction.
-    "q203_spell_correct" ->
-      """WITH dict AS (
-        |  SELECT c_name AS w, count(*) AS f FROM customer
-        |  WHERE c_custkey <= 2000 GROUP BY 1),
-        |tok AS (
-        |  SELECT DISTINCT substr(c_name, 1, 16) || substr(c_name, 18, 1)
-        |      || substr(c_name, 17, 1) AS token
-        |  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey <= 2000),
-        |cand AS (
-        |  SELECT t.token, d.w AS term,
-        |    CAST(damerau_levenshtein(t.token, d.w) AS INTEGER) AS dist,
-        |    d.f
-        |  FROM tok t CROSS JOIN dict d
-        |  WHERE damerau_levenshtein(t.token, d.w) <= 2),
-        |best AS (
-        |  SELECT token, term, dist, f,
-        |    row_number() OVER (PARTITION BY token
-        |                       ORDER BY dist, f DESC, term) AS rn
-        |  FROM cand)
-        |SELECT token, term AS correction, dist, f AS freq
-        |FROM best WHERE rn = 1""".stripMargin,
-    // q205: the Kneser–Ney table computed definitionally — token lists,
-    // positional bigram pairs, the four count aggregates, and the exact
-    // rational floored in HUGEINT. Same tokenization as the engine
-    // (lowercased whitespace split, ≥ 2 tokens).
-    "q205_kneser_ney" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-        |pairs AS (
-        |  SELECT t[i] AS w1, t[i + 1] AS w2
-        |  FROM tk, unnest(range(1, len(t))) u(i)
-        |  WHERE len(t) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
-        |t1 AS (SELECT w1, count(*) AS t1 FROM c12 GROUP BY 1),
-        |r2 AS (SELECT w2, count(*) AS r2 FROM c12 GROUP BY 1),
-        |nb AS (SELECT count(*) AS nb FROM c12)
-        |SELECT c12.w1, c12.w2, c12.n,
-        |  CAST((CAST(1000000 AS HUGEINT) *
-        |        (greatest(4 * c12.n - 3, 0) * nb.nb
-        |         + CAST(3 AS HUGEINT) * t1.t1 * r2.r2))
-        |    // (CAST(4 AS HUGEINT) * c1.c1 * nb.nb) AS BIGINT) AS p_ppm
-        |FROM c12
-        |JOIN c1 USING (w1) JOIN t1 USING (w1) JOIN r2 USING (w2)
-        |CROSS JOIN nb""".stripMargin,
-    // q206: the definitional SoftTFIDF computation — token/df counts,
-    // the jw_ppm gate and (jw DESC, token ASC) per-token argmax as a
-    // window rank, HUGEINT term floors, plain integer sums; DuckDB's
-    // own jaro_winkler_similarity supplies the float (bit-identical to
-    // the engine's expression on ASCII, q128-proven).
-    "q206_soft_tfidf" ->
-      """WITH recs AS (
-        |  SELECT 'p' || p_partkey AS id, p_name AS text FROM part
-        |  UNION ALL
-        |  SELECT 'm' || p_partkey,
-        |    array_to_string(list_transform(string_split(p_name, ' '),
-        |      w -> substr(w, 1, 1) || substr(w, 3)), ' ')
-        |  FROM part WHERE p_partkey % 3 = 0),
-        |toks AS (
-        |  SELECT id, tok, count(*) AS tf FROM (
-        |    SELECT id, unnest(string_split_regex(lower(trim(text)), '\s+'))
-        |      AS tok FROM recs)
-        |  WHERE tok <> '' GROUP BY 1, 2),
-        |dfx AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
-        |prs AS (
-        |  SELECT 'p' || p_partkey AS id_a, 'm' || p_partkey AS id_b
-        |  FROM part WHERE p_partkey % 3 = 0),
-        |ab AS (
-        |  SELECT p.id_a, p.id_b, a.tok AS ta, a.tf AS tfa, da.df AS dfa,
-        |    b.tok AS tb, b.tf AS tfb, db.df AS dfb,
-        |    CAST(floor(jaro_winkler_similarity(a.tok, b.tok) * 1000000)
-        |      AS BIGINT) AS jw
-        |  FROM prs p
-        |  JOIN toks a ON a.id = p.id_a JOIN dfx da ON da.tok = a.tok
-        |  JOIN toks b ON b.id = p.id_b JOIN dfx db ON db.tok = b.tok),
-        |gated AS (
-        |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b, ta
-        |      ORDER BY jw DESC, tb ASC) AS rn
-        |  FROM ab WHERE jw >= 850000),
-        |terms AS (
-        |  SELECT id_a, id_b,
-        |    (CAST(tfa AS HUGEINT) * tfb * jw * 1000000)
-        |      // (CAST(dfa AS HUGEINT) * dfb) AS term
-        |  FROM gated WHERE rn = 1)
-        |SELECT id_a, id_b, CAST(sum(term) AS BIGINT) AS score,
-        |  count(*) AS n_matched
-        |FROM terms GROUP BY 1, 2""".stripMargin,
-    // q207: the rule definitions evaluated directly — distinct triples,
-    // z-join body pairs, pair-set intersections with every head, exact
-    // HUGEINT ppm floors, same gates. No hub machinery (nothing exceeds
-    // the engine's default cap on this KG, so the gate is identity).
-    "q207_rule_mining" ->
-      """WITH tr AS (
-        |  SELECT DISTINCT * FROM (
-        |    SELECT 'o' || o_orderkey AS s, 'hasCustomer' AS p,
-        |      'c' || o_custkey AS o FROM orders
-        |    UNION ALL
-        |    SELECT 'c' || c_custkey, 'inNation', 'n' || c_nationkey
-        |    FROM customer
-        |    UNION ALL
-        |    SELECT 'n' || n_nationkey, 'inRegion', 'r' || n_regionkey
-        |    FROM nation
-        |    UNION ALL
-        |    SELECT 'o' || o_orderkey, 'orderNation', 'n' || c_nationkey
-        |    FROM orders JOIN customer ON c_custkey = o_custkey
-        |    WHERE o_orderkey % 10 <> 0
-        |    UNION ALL
-        |    SELECT 'c' || c_custkey, 'custRegion', 'r' || n_regionkey
-        |    FROM customer JOIN nation ON n_nationkey = c_nationkey
-        |    WHERE c_custkey % 5 <> 0)),
-        |body AS (
-        |  SELECT DISTINCT t1.p AS r1, t2.p AS r2, t1.s AS x, t2.o AS y
-        |  FROM tr t1 JOIN tr t2 ON t2.s = t1.o),
-        |bn AS (SELECT r1, r2, count(*) AS body_pairs FROM body GROUP BY 1, 2),
-        |hn AS (SELECT p AS head, count(*) AS head_pairs FROM tr GROUP BY 1),
-        |sup AS (
-        |  SELECT b.r1, b.r2, h.p AS head, count(*) AS support
-        |  FROM body b JOIN tr h ON h.s = b.x AND h.o = b.y
-        |  GROUP BY 1, 2, 3)
-        |SELECT sup.r1, sup.r2, sup.head, sup.support, bn.body_pairs,
-        |  CAST((CAST(1000000 AS HUGEINT) * sup.support) // bn.body_pairs
-        |    AS BIGINT) AS conf_ppm,
-        |  CAST((CAST(1000000 AS HUGEINT) * sup.support) // hn.head_pairs
-        |    AS BIGINT) AS hc_ppm
-        |FROM sup JOIN bn USING (r1, r2) JOIN hn USING (head)
-        |WHERE sup.support >= 50
-        |  AND (CAST(1000000 AS HUGEINT) * sup.support) // bn.body_pairs
-        |      >= 100000""".stripMargin,
-    // q208: NO incrementality anywhere — one flat reachability recursion
-    // over the union of base and batch edges, min labels; agreement IS
-    // the incremental == full-rebuild law.
-    "q208_incremental_cc" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 'c' || c_custkey AS a, 'c' || (c_custkey // 2) AS b
-        |  FROM customer WHERE c_custkey > 7 AND c_custkey <= 200
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey - 2)
-        |  FROM customer
-        |  WHERE c_custkey % 9 = 0 AND c_custkey > 7 AND c_custkey <= 200
-        |  UNION ALL
-        |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 2)
-        |  FROM customer WHERE c_custkey > 200 AND c_custkey <= 230),
-        |sym AS (SELECT a AS x, b AS y FROM e WHERE a <> b
-        |        UNION ALL SELECT b, a FROM e WHERE a <> b),
-        |reach AS (
-        |  SELECT x AS id, x AS node FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node)
-        |SELECT id, min(node) AS component FROM reach GROUP BY 1""".stripMargin,
-    // q209: votes computed definitionally (per-method self-join + count),
-    // the majority edge set closed by a reachability recursion, and
-    // never-paired customers backfilled as singletons.
-    "q209_consensus_clusters" ->
-      """WITH RECURSIVE l AS (
-        |  SELECT 'nat' AS m, 'c' || c_custkey AS i,
-        |    'n' || c_nationkey AS g
-        |  FROM customer WHERE c_custkey <= 600
-        |  UNION ALL
-        |  SELECT 'seg', 'c' || c_custkey, CAST(c_mktsegment AS VARCHAR)
-        |  FROM customer WHERE c_custkey <= 600
-        |  UNION ALL
-        |  SELECT 'bkt', 'c' || c_custkey, CAST(c_custkey % 40 AS VARCHAR)
-        |  FROM customer WHERE c_custkey <= 600),
-        |votes AS (
-        |  SELECT x.i AS a, y.i AS b, count(DISTINCT x.m) AS v
-        |  FROM l x JOIN l y ON x.m = y.m AND x.g = y.g AND x.i < y.i
-        |  GROUP BY 1, 2),
-        |e AS (SELECT a, b FROM votes WHERE v >= 2),
-        |sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
-        |reach AS (
-        |  SELECT x AS id, x AS node FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node),
-        |comp AS (SELECT id, min(node) AS c FROM reach GROUP BY 1),
-        |items AS (SELECT DISTINCT i FROM l)
-        |SELECT items.i AS item, coalesce(comp.c, items.i) AS consensus
-        |FROM items LEFT JOIN comp ON comp.id = items.i""".stripMargin,
-    // q210: the identical DP evaluated as four UNROLLED join stages —
-    // segment costs as HUGEINT fractions (num, den), each stage's
-    // argmin the NOT-EXISTS cross-multiplied (cost, cut) rule (the
-    // engine's earliest-argmin), boundaries recovered by a back-pointer
-    // walk. Every key here has ≥ 4 points (≈40 customers per nation).
-    "q210_voptimal_hist" ->
-      """WITH pts AS (
-        |  SELECT 'n' || c_nationkey AS k, CAST(c_custkey AS BIGINT) AS p,
-        |    CAST(floor(c_acctbal) AS BIGINT) AS v
-        |  FROM customer WHERE c_custkey <= 1000),
-        |ord AS (SELECT k, p, v,
-        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p, v)
-        |      AS BIGINT) AS i
-        |  FROM pts),
-        |cnt AS (SELECT k, count(*) AS nn FROM ord GROUP BY 1),
-        |pre AS (SELECT k, i,
-        |    sum(v) OVER w AS s1, sum(v * v) OVER w AS s2
-        |  FROM ord
-        |  WINDOW w AS (PARTITION BY k ORDER BY i
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |pre0 AS (SELECT k, i, s1, s2 FROM pre
-        |         UNION ALL
-        |         SELECT k, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |           CAST(0 AS BIGINT) FROM cnt),
-        |seg AS (
-        |  SELECT a.k, a.i AS lo, b.i AS hi,
-        |    CAST(b.i - a.i AS HUGEINT) * (b.s2 - a.s2)
-        |      - CAST(b.s1 - a.s1 AS HUGEINT) * (b.s1 - a.s1) AS num,
-        |    CAST(b.i - a.i AS HUGEINT) AS den
-        |  FROM pre0 a JOIN pre0 b ON b.k = a.k AND b.i > a.i),
-        |dp1 AS (SELECT k, hi AS j, num, den FROM seg WHERE lo = 0),
-        |c2 AS (SELECT d.k, s.hi AS j,
-        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
-        |    d.j AS bk
-        |  FROM dp1 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
-        |dp2 AS (SELECT * FROM c2 d WHERE NOT EXISTS (
-        |  SELECT 1 FROM c2 e WHERE e.k = d.k AND e.j = d.j
-        |    AND (e.num * d.den < d.num * e.den
-        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
-        |c3 AS (SELECT d.k, s.hi AS j,
-        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
-        |    d.j AS bk
-        |  FROM dp2 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
-        |dp3 AS (SELECT * FROM c3 d WHERE NOT EXISTS (
-        |  SELECT 1 FROM c3 e WHERE e.k = d.k AND e.j = d.j
-        |    AND (e.num * d.den < d.num * e.den
-        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
-        |c4 AS (SELECT d.k, s.hi AS j,
-        |    d.num * s.den + s.num * d.den AS num, d.den * s.den AS den,
-        |    d.j AS bk
-        |  FROM dp3 d JOIN seg s ON s.k = d.k AND s.lo = d.j),
-        |dp4 AS (SELECT * FROM c4 d WHERE NOT EXISTS (
-        |  SELECT 1 FROM c4 e WHERE e.k = d.k AND e.j = d.j
-        |    AND (e.num * d.den < d.num * e.den
-        |         OR (e.num * d.den = d.num * e.den AND e.bk < d.bk)))),
-        |walk AS (
-        |  SELECT d4.k, d2.bk AS c1v, d3.bk AS c2v, d4.bk AS c3v
-        |  FROM dp4 d4
-        |  JOIN cnt ON cnt.k = d4.k AND d4.j = cnt.nn
-        |  JOIN dp3 d3 ON d3.k = d4.k AND d3.j = d4.bk
-        |  JOIN dp2 d2 ON d2.k = d3.k AND d2.j = d3.bk),
-        |cuts AS (
-        |  SELECT k, 1 AS bucket, CAST(0 AS BIGINT) AS lo, c1v AS hi
-        |  FROM walk
-        |  UNION ALL SELECT k, 2, c1v, c2v FROM walk
-        |  UNION ALL SELECT k, 3, c2v, c3v FROM walk
-        |  UNION ALL SELECT walk.k, 4, c3v, cnt.nn
-        |  FROM walk JOIN cnt ON cnt.k = walk.k)
-        |SELECT c.k AS key, CAST(c.bucket AS INTEGER) AS bucket,
-        |  plo.p AS start_pos, phi.p AS end_pos,
-        |  CAST(c.hi - c.lo AS BIGINT) AS n,
-        |  CAST(shi.s1 - slo.s1 AS BIGINT) AS vsum,
-        |  CAST((1000000 * s.num) // s.den AS BIGINT) AS sse_ppm
-        |FROM cuts c
-        |JOIN seg s ON s.k = c.k AND s.lo = c.lo AND s.hi = c.hi
-        |JOIN ord plo ON plo.k = c.k AND plo.i = c.lo + 1
-        |JOIN ord phi ON phi.k = c.k AND phi.i = c.hi
-        |JOIN pre0 slo ON slo.k = c.k AND slo.i = c.lo
-        |JOIN pre0 shi ON shi.k = c.k AND shi.i = c.hi""".stripMargin,
-    // q211: the same rationals, accumulated differently — hit fractions
-    // i/rank summed by an ASSOCIATIVE list_reduce fraction-add (engine:
-    // a sequential BigInt fold), HUGEINT floors, LEFT JOIN nulls for
-    // zero-relevant queries.
-    "q211_retrieval_eval" ->
-      """WITH li AS (
-        |  SELECT CAST(l_orderkey AS VARCHAR) AS q,
-        |    CAST(row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity)
-        |      AS INTEGER) AS r,
-        |    (l_partkey % 3 = 0) AS rel
-        |  FROM lineitem WHERE l_orderkey <= 300),
-        |agg AS (SELECT q, count(*) AS n_ranked FROM li GROUP BY 1),
-        |hits AS (
-        |  SELECT q, r, row_number() OVER (PARTITION BY q ORDER BY r) AS i
-        |  FROM li WHERE rel),
-        |hl AS (
-        |  SELECT q, count(*) AS n_rel, min(r) AS first_hit,
-        |    count(*) FILTER (WHERE r <= 3) AS hk,
-        |    list({'n': CAST(i AS HUGEINT), 'd': CAST(r AS HUGEINT)}
-        |      ORDER BY r) AS terms
-        |  FROM hits GROUP BY 1),
-        |apx AS (
-        |  SELECT q, n_rel, first_hit, hk,
-        |    list_reduce(
-        |      list_prepend({'n': CAST(0 AS HUGEINT), 'd': CAST(1 AS HUGEINT)},
-        |        terms),
-        |      (a, b) -> {'n': a.n * b.d + b.n * a.d, 'd': a.d * b.d}) AS f
-        |  FROM hl)
-        |SELECT agg.q AS query, CAST(agg.n_ranked AS BIGINT) AS n_ranked,
-        |  CAST(coalesce(apx.n_rel, 0) AS BIGINT) AS n_rel,
-        |  CAST(1000000 // apx.first_hit AS BIGINT) AS mrr_ppm,
-        |  CAST((CAST(1000000 AS HUGEINT) * (apx.f).n)
-        |    // ((apx.f).d * apx.n_rel) AS BIGINT) AS ap_ppm,
-        |  CAST(1000000 * apx.hk // 3 AS BIGINT) AS p_at_k_ppm,
-        |  CAST(1000000 * apx.hk // apx.n_rel AS BIGINT) AS r_at_k_ppm
-        |FROM agg LEFT JOIN apx USING (q)""".stripMargin,
-    // q212: the greedy replayed LITERALLY — one merge per recursion
-    // step over a sorted size-list state; cost uniqueness across
-    // optimal tie-breaks is what makes the replay an oracle.
-    "q212_merge_plan" ->
-      """WITH RECURSIVE files AS (
-        |  SELECT 's' || l_suppkey AS k, CAST(l_quantity AS BIGINT) AS sz
-        |  FROM lineitem WHERE l_suppkey <= 24 AND l_quantity >= 0),
-        |f AS (
-        |  SELECT k, count(*) AS n_files, CAST(sum(sz) AS BIGINT)
-        |      AS total_size, list(sz ORDER BY sz) AS l
-        |  FROM files GROUP BY 1),
-        |r AS (
-        |  SELECT k, l, CAST(0 AS BIGINT) AS cost FROM f
-        |  UNION ALL
-        |  SELECT k, list_sort(list_append(l[3:], l[1] + l[2])),
-        |    cost + l[1] + l[2]
-        |  FROM r WHERE len(l) >= 2)
-        |SELECT f.k AS key, f.n_files, f.total_size, r.cost AS merge_cost
-        |FROM f JOIN r ON r.k = f.k AND len(r.l) = 1""".stripMargin,
-    // q213: components by plain reachability recursion over the sameAs
-    // chains, then the definitional join — a differentFrom pair is
-    // violated iff both endpoints resolve to the same min-label (unseen
-    // endpoints resolve to themselves).
-    "q213_constraint_check" ->
-      """WITH RECURSIVE same AS (
-        |  SELECT 'c' || c_custkey AS a, 'c' || (c_custkey - 1) AS b
-        |  FROM customer
-        |  WHERE c_custkey % 7 <> 0 AND c_custkey > 0 AND c_custkey <= 400),
-        |sym AS (SELECT a AS x, b AS y FROM same
-        |        UNION ALL SELECT b, a FROM same),
-        |reach AS (
-        |  SELECT x AS id, x AS node FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.y FROM reach JOIN sym ON sym.x = reach.node),
-        |comp AS (SELECT id, min(node) AS c FROM reach GROUP BY 1),
-        |d AS (
-        |  SELECT DISTINCT
-        |    least('c' || c_custkey, 'c' || (c_custkey - 3)) AS entity_a,
-        |    greatest('c' || c_custkey, 'c' || (c_custkey - 3)) AS entity_b
-        |  FROM customer
-        |  WHERE c_custkey % 5 = 0 AND c_custkey >= 3 AND c_custkey <= 400)
-        |SELECT d.entity_a, d.entity_b,
-        |  coalesce(ca.c, d.entity_a) AS component
-        |FROM d
-        |LEFT JOIN comp ca ON ca.id = d.entity_a
-        |LEFT JOIN comp cb ON cb.id = d.entity_b
-        |WHERE coalesce(ca.c, d.entity_a) = coalesce(cb.c, d.entity_b)""".stripMargin,
-    // q214: the same gap scores from DuckDB list slices
-    // (list_distinct / list_intersect / concat-union), the local-min +
-    // depth rule via lag/lead — no typed scan anywhere.
-    "q214_topic_boundaries" ->
-      """WITH tk AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '') AS t
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-        |g AS (SELECT id, t, len(t) AS n FROM tk WHERE len(t) >= 18),
-        |sims AS (
-        |  SELECT id, gi,
-        |    CAST(1000000 * len(list_intersect(
-        |        list_distinct(t[gi - 7:gi]), list_distinct(t[gi + 1:gi + 8])))
-        |      // len(list_distinct(t[gi - 7:gi] || t[gi + 1:gi + 8]))
-        |      AS BIGINT) AS sim
-        |  FROM g, unnest(range(8, n - 8 + 1)) u(gi)),
-        |scan AS (
-        |  SELECT id, gi, sim, lag(sim) OVER w AS pv, lead(sim) OVER w AS nx
-        |  FROM sims WINDOW w AS (PARTITION BY id ORDER BY gi))
-        |SELECT id, CAST(gi AS BIGINT) AS boundary_pos, sim AS sim_ppm,
-        |  (pv - sim) + (nx - sim) AS depth_ppm
-        |FROM scan
-        |WHERE pv IS NOT NULL AND nx IS NOT NULL
-        |  AND pv > sim AND sim <= nx
-        |  AND (pv - sim) + (nx - sim) >= 100000""".stripMargin,
-    // q215: the same curve computed definitionally — normalized pairs,
-    // max-score dedup, gold flag join, per-score counts, one cumulative
-    // window ordered by score DESC, HUGEINT ppm floors; never-scored
-    // gold pairs enter only through the total-gold constant.
-    "q215_threshold_sweep" ->
-      """WITH c AS (SELECT c_custkey AS k FROM customer
-        |           WHERE c_custkey <= 300),
-        |scored0 AS (
-        |  SELECT 'c' || i.k AS a, 'c' || j.k AS b,
-        |    CAST(1000 - 7 * (j.k - i.k) * (j.k - i.k) + i.k % 13
-        |      AS BIGINT) AS sc
-        |  FROM c i JOIN c j ON j.k > i.k AND j.k - i.k <= 4),
-        |scored AS (
-        |  SELECT least(a, b) AS pa, greatest(a, b) AS pb, max(sc) AS sc
-        |  FROM scored0 GROUP BY 1, 2),
-        |gold AS (
-        |  SELECT DISTINCT least('c' || i.k, 'c' || j.k) AS pa,
-        |    greatest('c' || i.k, 'c' || j.k) AS pb
-        |  FROM c i JOIN c j ON j.k > i.k
-        |    AND (j.k - i.k <= 2 OR (j.k - i.k = 3 AND i.k % 3 = 0)
-        |         OR j.k - i.k = 6)),
-        |ng AS (SELECT count(*) AS n FROM gold),
-        |lab AS (
-        |  SELECT s.sc, CASE WHEN g.pa IS NULL THEN 0 ELSE 1 END AS g
-        |  FROM scored s LEFT JOIN gold g ON g.pa = s.pa AND g.pb = s.pb),
-        |per AS (SELECT sc, count(*) AS n, sum(g) AS ngs FROM lab GROUP BY 1),
-        |cum AS (
-        |  SELECT sc, sum(ngs) OVER w AS tp, sum(n) OVER w - sum(ngs) OVER w
-        |      AS fp
-        |  FROM per WINDOW w AS (ORDER BY sc DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT cum.sc AS threshold, CAST(cum.tp AS BIGINT) AS tp,
-        |  CAST(cum.fp AS BIGINT) AS fp,
-        |  CAST(ng.n - cum.tp AS BIGINT) AS fn,
-        |  CAST((CAST(1000000 AS HUGEINT) * cum.tp) // (cum.tp + cum.fp)
-        |    AS BIGINT) AS p_ppm,
-        |  CAST((CAST(1000000 AS HUGEINT) * cum.tp) // ng.n AS BIGINT)
-        |    AS r_ppm,
-        |  CAST((CAST(2000000 AS HUGEINT) * cum.tp)
-        |    // (2 * cum.tp + cum.fp + (ng.n - cum.tp)) AS BIGINT) AS f1_ppm
-        |FROM cum CROSS JOIN ng""".stripMargin
-  )
-
-  /** The portable scrambled hash (ops.Sketch.kmvHash) as a DuckDB
-    * expression over `inner` — rolling 31-fold + two MINSTD rounds. */
-  private def kmvHashSql(inner: String): String =
-    s"""(( (list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      [CAST(unicode(c) AS BIGINT) FOR c IN string_split($inner, '')]),
-       |    (h, c) -> (h * 31 + c) % 2147483647)
-       |   * 48271 + 12345) % 2147483647)
-       | * 69621 + 54321) % 2147483647""".stripMargin
-
-  /** q141/q146's WL oracle prefix: the symmetrized customer-graph edge
-    * list (`e`), the DIRECTED original (`edir`), degree-init labels
-    * (`l0`), and `rounds` unrolled (neighbor-sum ⋈ relabel) CTEs
-    * (`n1`/`l1` … `n<r>`/`l<r>`) replaying graph.WlRefine's modular
-    * arithmetic; `select` runs over the final `l<rounds>`. */
-  private def wlOracleSql(rounds: Int, select: String): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s""",
-         |n$r AS (SELECT e.v, CAST(sum((l${r - 1}.l * 886151 + 54321) % 1048573)
-         |               AS BIGINT) AS nb
-         |       FROM e JOIN l${r - 1} ON l${r - 1}.v = e.u GROUP BY 1),
-         |l$r AS (SELECT l${r - 1}.v, l${r - 1}.degree,
-         |         (((l${r - 1}.l * 741103 + 12345) % 1048573) * 31 + n$r.nb)
-         |           % 1048573 AS l
-         |       FROM l${r - 1} JOIN n$r ON n$r.v = l${r - 1}.v)""".stripMargin
-    }.mkString
-    s"""WITH edir AS (
-       |  SELECT 'c' || c_custkey AS src, 'c' || (c_custkey // 2) AS dst
-       |  FROM customer WHERE c_custkey > 1
-       |  UNION ALL
-       |  SELECT 'c' || c_custkey, 'c' || (c_custkey // 4)
-       |  FROM customer WHERE c_custkey > 3),
-       |e AS (
-       |  SELECT src AS v, dst AS u FROM edir
-       |  UNION ALL
-       |  SELECT dst, src FROM edir),
-       |l0 AS (SELECT v, count(*) AS degree, count(*) % 1048573 AS l
-       |       FROM e GROUP BY 1)$roundCtes
-       |$select""".stripMargin
-  }
-
-  /** q144's oracle, built by unrolling the TruthDiscovery recurrence —
-    * belief/normalize/trust per round as plain CTEs (aggregates are not
-    * allowed inside a recursive CTE, so the fixed round count unrolls). */
-  private def truthOracleSql(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s""",
-         |b$r AS (
-         |  SELECT cl.obj, cl.val, CAST(sum(t${r - 1}.trust_fp) AS BIGINT)
-         |    AS belief_fp
-         |  FROM cl JOIN t${r - 1} ON t${r - 1}.src = cl.src GROUP BY 1, 2),
-         |n$r AS (
-         |  SELECT obj, val,
-         |    CAST((belief_fp * 1000000) //
-         |      CAST(sum(belief_fp) OVER (PARTITION BY obj) AS BIGINT)
-         |      AS BIGINT) AS norm_fp
-         |  FROM b$r),
-         |t$r AS (
-         |  SELECT s.src, CAST(s.sn // nc.n_claims AS BIGINT) AS trust_fp
-         |  FROM (SELECT cl.src, CAST(sum(n.norm_fp) AS BIGINT) AS sn
-         |        FROM cl JOIN n$r n ON n.obj = cl.obj AND n.val = cl.val
-         |        GROUP BY 1) s
-         |  JOIN nc ON nc.src = s.src)""".stripMargin
-    }.mkString
-    s"""WITH cl AS (
-       |  SELECT DISTINCT 'src' || (o_orderkey % 7) AS src,
-       |    'c' || o_custkey AS obj, o_orderpriority AS val
-       |  FROM orders
-       |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
-       |    AND o_orderpriority IS NOT NULL),
-       |nc AS (SELECT src, count(*) AS n_claims FROM cl GROUP BY 1),
-       |t0 AS (SELECT src, CAST(1000000 AS BIGINT) AS trust_fp FROM nc)$roundCtes,
-       |stats AS (
-       |  SELECT obj, count(DISTINCT val) AS n_values,
-       |         count(DISTINCT src) AS n_sources
-       |  FROM cl GROUP BY 1),
-       |win AS (
-       |  SELECT obj, val, belief_fp,
-       |    row_number() OVER (PARTITION BY obj
-       |      ORDER BY belief_fp DESC, val) AS rk
-       |  FROM b$rounds)
-       |SELECT w.obj, w.val AS resolved_val, w.belief_fp,
-       |       stats.n_values, stats.n_sources
-       |FROM win w JOIN stats USING (obj) WHERE w.rk = 1""".stripMargin
-  }
+  def oracleSql: Map[String, String] =
+    graft.entry.Pack1.oracleSql ++ graft.entry.Pack2.oracleSql ++ graft.entry.Pack3.oracleSql ++ graft.entry.Pack4.oracleSql ++ graft.entry.Pack5.oracleSql
 }
