@@ -412,6 +412,21 @@ object Pipeline {
       .where(!col("pred").isin(InternalPreds: _*))
       .distinct()
 
+  /** Reverse point lookup — `?s pred obj`, "who links TO this entity?":
+    * all visible triples with the given objects (optionally restricted to
+    * `preds`), via the store's object-permutation pruned read path
+    * (`TripleStore.readForObjects`: compactions written with
+    * `objectIndex = true` open only the matching obucket partitions),
+    * minus internal bookkeeping predicates — the same consumer treatment
+    * as [[lookupSubjects]] (r4 verdict #9). The preds restriction passes
+    * through UNFILTERED for the same reason: asking for an internal
+    * predicate must return the empty set, not leak. */
+  def lookupObjects(spark: SparkSession, storeRoot: String,
+      objects: Seq[String], preds: Seq[String] = Nil): DataFrame =
+    TripleStore.readForObjects(spark, storeRoot, objects, preds)
+      .where(!col("pred").isin(InternalPreds: _*))
+      .distinct()
+
   /** The graph as of a snapshot id — e.g. the state before an incremental
     * update (whose snapshot `replaces` earlier batches only for readers at
     * or past it). Pre-compaction history needs the superseded partitions
