@@ -33,8 +33,13 @@ import org.apache.spark.sql.functions._
   * cv2.filter2D soft-sharpen + addWeighted(0.7,0.3), PIL
   * Contrast(1.03)+Sharpness(1.05) as the minimal/rollback pass (see the
   * kernel section below for sources and the honest exactness caveat).
-  * Still out (documented): auto-rotate and size/color normalization —
-  * geometry-changing steps that would invalidate span-bbox contracts.
+  * r5: gentle color NORMALIZATION (CLAHE 1.5/8×8 on L + 0.8/0.2 blend,
+  * :252-275) is implemented (pixel-wise — bbox-safe) and wired as an
+  * opt-in `enhanceOne(normalizeColors = Some(flag))` with the reference's
+  * verbatim quirky gate; the default keeps it out, bit-stable for the
+  * existing oracles. Still out (documented): auto-rotate and size
+  * normalization — geometry-changing steps that would invalidate
+  * span-bbox contracts.
   * Gray conversion for METRICS uses the integer BT.601 weights OpenCV
   * uses ((R·4899 + G·9617 + B·1868 + 8192) >> 14).
   *
@@ -165,8 +170,10 @@ object ImageQuality {
   // filter2D docs+source), locked by hand-computed cases in
   // ImageQualitySpec rather than by a library diff. Still OUT of the
   // pipeline (documented): _gentle_auto_rotate (Canny+Hough) and
-  // _normalize_image_size / CLAHE color normalization — geometry-changing
-  // steps that would invalidate the engine's span-bbox contracts.
+  // _normalize_image_size — geometry-changing steps that would invalidate
+  // the engine's span-bbox contracts. CLAHE color normalization is
+  // pixel-wise and now implemented (see the CLAHE section below),
+  // opt-in via enhanceOne(normalizeColors = ...).
   // ----------------------------------------------------------------------
 
   /** Pillow convert("L") fixed-point luma: (R·19595 + G·38470 + B·7471 +
@@ -381,8 +388,16 @@ object ImageQuality {
 
   /** The quality-gated pipeline for ONE image (:99-128 semantics):
     * conservative skip at score > 70, the three metric gates, then the
-    * worse-result rollback at −5 points. Returns the full audit row. */
-  def enhanceOne(mediaRef: String, png: Array[Byte]): QualityRow = {
+    * worse-result rollback at −5 points. Returns the full audit row.
+    *
+    * `normalizeColors`: None (default) keeps the reference's step 6
+    * (gentle color normalization) OUT — the engine's long-standing,
+    * documented configuration, bit-stable for every existing oracle/spec.
+    * Some(flag) wires the step with the reference's verbatim gate
+    * ([[colorNormalizeGate]], Python-precedence quirk included), `flag`
+    * playing `enhancement_params['normalize_colors']`. */
+  def enhanceOne(mediaRef: String, png: Array[Byte],
+      normalizeColors: Option[Boolean] = None): QualityRow = {
     val img = ImageIO.read(new ByteArrayInputStream(png))
     require(img != null, s"enhanceOne: undecodable image payload ($mediaRef)")
     val m = metricsOf(img)
@@ -396,6 +411,10 @@ object ImageQuality {
       if (needsContrast) work = adaptiveContrast(work, m.contrast)
       if (needsDenoise) work = gentleNoiseReduction(work)
       if (needsSharpen) work = gentleSharpening(work)
+      normalizeColors.foreach { flag =>
+        if (colorNormalizeGate(flag, m.brightness))
+          work = gentleColorNormalization(work)
+      }
     }
     // unchanged image (conservative mode or no gate fired) → q1 == q0 by
     // definition; skip the second full metrics pass on the common path
@@ -427,6 +446,201 @@ object ImageQuality {
       })
     }
   }
+
+  // ---- CLAHE gentle color normalization (:252-275) — r4 verdict #7 ------
+  // _gentle_color_normalization: BGR→LAB, cv2.createCLAHE(clipLimit=1.5,
+  // tileGridSize=(8,8)) on the L channel, LAB→BGR, then
+  // cv2.addWeighted(orig 0.8, normalized 0.2). Pixel-wise (no geometry
+  // change), so it does NOT invalidate span-bbox contracts. The CLAHE core
+  // below is a transcription of OpenCV clahe.cpp (tile histograms,
+  // integer clip limit max(1, clip·tileArea/256), excess redistribution
+  // with the histSize/residual stepping, cumulative LUT scaled by
+  // 255/tileArea, and the −0.5-offset bilinear LUT interpolation with
+  // edge clamping; non-divisible sizes pad REFLECT_101 right/bottom for
+  // the LUT pass only). LAB is the FLOAT-path transcription of the
+  // documented conversion (sRGB linearization, D65 white, f(t) threshold
+  // 0.008856, 8-bit scalings L·255/100 and a/b+128); OpenCV's 8u path
+  // runs a fixed-point approximation of the same formulas that can differ
+  // by ±1 LSB, and the 0.8/0.2 blend bounds that residual below one
+  // intensity level — the honest-exactness caveat of the kernel section
+  // applies.
+
+  /** OpenCV CLAHE on one 8-bit plane (values 0..255 in an Int array). */
+  def claheL(src: Array[Int], w: Int, h: Int, clipLimit: Double = 1.5,
+      tilesX: Int = 8, tilesY: Int = 8): Array[Int] = {
+    require(w >= tilesX && h >= tilesY, s"claheL: image ${w}x$h smaller than tile grid")
+    // pad to tile multiples (REFLECT_101) for the LUT pass
+    val tw = (w + tilesX - 1) / tilesX
+    val th = (h + tilesY - 1) / tilesY
+    val ew = tw * tilesX; val eh = th * tilesY
+    val ext =
+      if (ew == w && eh == h) src
+      else {
+        val e = new Array[Int](ew * eh)
+        var y = 0
+        while (y < eh) {
+          val sy = if (y < h) y else reflect101(y, h)
+          var x = 0
+          while (x < ew) {
+            val sx = if (x < w) x else reflect101(x, w)
+            e(y * ew + x) = src(sy * w + sx)
+            x += 1
+          }
+          y += 1
+        }
+        e
+      }
+    val tileArea = tw * th
+    val lutScale = 255.0f / tileArea
+    val clip = math.max(1, (clipLimit * tileArea / 256).toInt)
+    // per-tile LUTs
+    val luts = Array.ofDim[Int](tilesY, tilesX, 256)
+    var ty = 0
+    while (ty < tilesY) {
+      var tx = 0
+      while (tx < tilesX) {
+        val hist = new Array[Int](256)
+        var y = ty * th
+        while (y < (ty + 1) * th) {
+          var x = tx * tw
+          while (x < (tx + 1) * tw) { hist(ext(y * ew + x)) += 1; x += 1 }
+          y += 1
+        }
+        var clipped = 0
+        var i = 0
+        while (i < 256) {
+          if (hist(i) > clip) { clipped += hist(i) - clip; hist(i) = clip }
+          i += 1
+        }
+        val redistBatch = clipped / 256
+        var residual = clipped - redistBatch * 256
+        i = 0
+        while (i < 256) { hist(i) += redistBatch; i += 1 }
+        if (residual != 0) {
+          val step = math.max(256 / residual, 1)
+          i = 0
+          while (i < 256 && residual > 0) { hist(i) += 1; i += step; residual -= 1 }
+        }
+        var sum = 0
+        i = 0
+        while (i < 256) {
+          sum += hist(i)
+          val v = cvRound(sum * lutScale)
+          luts(ty)(tx)(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          i += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    // bilinear LUT interpolation over the ORIGINAL image
+    val out = new Array[Int](w * h)
+    val invTw = 1.0f / tw; val invTh = 1.0f / th
+    var y = 0
+    while (y < h) {
+      val tyf = y * invTh - 0.5f
+      var ty1 = math.floor(tyf).toInt
+      val ya = tyf - ty1
+      var ty2 = ty1 + 1
+      if (ty1 < 0) ty1 = 0
+      if (ty2 > tilesY - 1) ty2 = tilesY - 1
+      var x = 0
+      while (x < w) {
+        val txf = x * invTw - 0.5f
+        var tx1 = math.floor(txf).toInt
+        val xa = txf - tx1
+        var tx2 = tx1 + 1
+        if (tx1 < 0) tx1 = 0
+        if (tx2 > tilesX - 1) tx2 = tilesX - 1
+        val v = src(y * w + x)
+        val res = (luts(ty1)(tx1)(v) * (1 - xa) + luts(ty1)(tx2)(v) * xa) * (1 - ya) +
+          (luts(ty2)(tx1)(v) * (1 - xa) + luts(ty2)(tx2)(v) * xa) * ya
+        val r = cvRound(res)
+        out(y * w + x) = if (r < 0) 0 else if (r > 255) 255 else r
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  @inline private def srgbLin(v8: Int): Double = {
+    val v = v8 / 255.0
+    if (v > 0.04045) math.pow((v + 0.055) / 1.055, 2.4) else v / 12.92
+  }
+  @inline private def srgbEnc(v: Double): Int = {
+    val e = if (v > 0.0031308) 1.055 * math.pow(v, 1.0 / 2.4) - 0.055 else 12.92 * v
+    val i = cvRound(e * 255.0)
+    if (i < 0) 0 else if (i > 255) 255 else i
+  }
+  @inline private def labF(t: Double): Double =
+    if (t > 0.008856) math.cbrt(t) else 7.787 * t + 16.0 / 116.0
+
+  /** Packed RGB → 8-bit (L, a, b) per the documented conversion. */
+  private[graft] def rgb2Lab8(p: Int): (Int, Int, Int) = {
+    val r = srgbLin((p >> 16) & 0xff)
+    val g = srgbLin((p >> 8) & 0xff)
+    val b = srgbLin(p & 0xff)
+    val x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / 0.950456
+    val y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    val z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / 1.088754
+    val fx = labF(x); val fy = labF(y); val fz = labF(z)
+    val lStar = if (y > 0.008856) 116.0 * fy - 16.0 else 903.3 * y
+    @inline def sat(v: Double): Int = {
+      val i = cvRound(v); if (i < 0) 0 else if (i > 255) 255 else i
+    }
+    (sat(lStar * 255.0 / 100.0), sat(500.0 * (fx - fy) + 128.0),
+      sat(200.0 * (fy - fz) + 128.0))
+  }
+
+  /** 8-bit (L, a, b) → packed RGB (inverse of rgb2Lab8). */
+  private[graft] def lab82Rgb(l8: Int, a8: Int, b8: Int): Int = {
+    val lStar = l8 * 100.0 / 255.0
+    val fy = (lStar + 16.0) / 116.0
+    val fx = fy + (a8 - 128.0) / 500.0
+    val fz = fy - (b8 - 128.0) / 200.0
+    @inline def fInv(f: Double): Double = {
+      val t = f * f * f
+      if (t > 0.008856) t else (f - 16.0 / 116.0) / 7.787
+    }
+    val y = if (lStar > 903.3 * 0.008856) fy * fy * fy else lStar / 903.3
+    val x = fInv(fx) * 0.950456
+    val z = fInv(fz) * 1.088754
+    val r = 3.240479 * x - 1.537150 * y - 0.498535 * z
+    val g = -0.969256 * x + 1.875992 * y + 0.041556 * z
+    val b = 0.055648 * x - 0.204043 * y + 1.057311 * z
+    (srgbEnc(r) << 16) | (srgbEnc(g) << 8) | srgbEnc(b)
+  }
+
+  /** :252-275 — CLAHE(1.5, 8×8) on L, reconstruct, blend 0.8 orig + 0.2. */
+  def gentleColorNormalization(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val lp = new Array[Int](w * h)
+    val ap = new Array[Int](w * h)
+    val bp = new Array[Int](w * h)
+    var i = 0
+    while (i < rgb.length) {
+      val (l, a, b) = rgb2Lab8(rgb(i))
+      lp(i) = l; ap(i) = a; bp(i) = b
+      i += 1
+    }
+    val le = claheL(lp, w, h)
+    val norm = new Array[Int](w * h)
+    i = 0
+    while (i < rgb.length) { norm(i) = lab82Rgb(le(i), ap(i), bp(i)); i += 1 }
+    toImage(addWeighted(rgb, 0.8, norm, 0.2), w, h)
+  }
+
+  /** The reference's step-6 gate (:125-126) VERBATIM, including the Python
+    * operator-precedence quirk: `normalize_colors and brightness < 100 or
+    * brightness > 200` parses as `(normalize_colors ∧ b<100) ∨ b>200` — so
+    * with the default `normalize_colors=False` the step STILL fires on
+    * bright images. Reproduced as found; callers opt in via
+    * [[enhanceOne]]'s `normalizeColors` parameter (None keeps the step
+    * out, the engine's long-documented default divergence). */
+  def colorNormalizeGate(normalizeColors: Boolean, brightness: Double): Boolean =
+    (normalizeColors && brightness < 100.0) || brightness > 200.0
 
   /** The reference's gate predicates as pure Columns, for declarative
     * filtering/auditing of an existing metrics table (no re-decode). */

@@ -150,6 +150,113 @@ class ImageQualitySpec extends SparkSuite {
     }
   }
 
+  test("CLAHE single tile: hand-computed clip/redistribute/LUT") {
+    // 16x16, ONE tile (area 256): clip = max(1, 1.5*256/256) = 1.
+    // Pixels: 252 at 100, four at 200. After clip both bins are 1,
+    // clipped = 254, redistBatch = 0, residual = 254, step = 1 -> bins
+    // 0..253 each +1. cumsum(<=100) = 101 + 1 = 102, lut[100] =
+    // rint(102*255/256) = 102; cumsum(<=200) = 201 + 2 = 203, lut[200] =
+    // rint(203*255/256) = 202. One tile -> output is the bare LUT.
+    val src = Array.fill(256)(100)
+    src(0) = 200; src(17) = 200; src(100) = 200; src(255) = 200
+    val out = ImageQuality.claheL(src, 16, 16, clipLimit = 1.5,
+      tilesX = 1, tilesY = 1)
+    (0 until 256).foreach { i =>
+      assert(out(i) == (if (src(i) == 100) 102 else 202), s"px $i")
+    }
+  }
+
+  test("CLAHE bilinear interpolation: hand-computed two-tile blend with edge clamping") {
+    // 8x4, grid 2x1 (tiles 4x4, area 16, clip = max(1,0) = 1). Left tile
+    // all 50, right all 150. Redistribution: residual 15, step 17 ->
+    // bins {0,17,...,238}. lut_left[50] = rint(4*255/16) = 64,
+    // lut_left[150] = rint(10*255/16) = 159, lut_right[50] =
+    // rint(3*255/16) = 48, lut_right[150] = 159. Interpolation (txf =
+    // x/4 - 0.5): x<=2 pure left, x=3 -> 0.75L+0.25R, x=4 -> 0.5/0.5,
+    // x=5 -> 0.25L+0.75R, x>=6 pure right.
+    val src = Array.tabulate(32)(i => if (i % 8 < 4) 50 else 150)
+    val out = ImageQuality.claheL(src, 8, 4, clipLimit = 1.5,
+      tilesX = 2, tilesY = 1)
+    val expectedRow = Array(64, 64, 64,
+      math.rint(0.75 * 64 + 0.25 * 48).toInt, // 60
+      159, 159, 159, 159)
+    (0 until 4).foreach { y =>
+      (0 until 8).foreach { x =>
+        assert(out(y * 8 + x) == expectedRow(x), s"($x,$y)")
+      }
+    }
+  }
+
+  test("LAB roundtrip: grays are achromatic and monotone; color roundtrip tight in aggregate") {
+    var prevL = -1
+    for (v <- 0 to 255 by 5) {
+      val (l, a, b) = ImageQuality.rgb2Lab8(gray(v))
+      assert(a == 128 && b == 128, s"gray $v must be achromatic, got ($a,$b)")
+      assert(l >= prevL, s"L must be monotone in gray level at $v")
+      prevL = l
+      val p = ImageQuality.lab82Rgb(l, a, b)
+      Seq(16, 8, 0).foreach { sh =>
+        assert(math.abs(((p >> sh) & 0xff) - v) <= 1, s"gray $v roundtrip")
+      }
+    }
+    // 8-bit Lab is inherently lossy for dark saturated colors (the a/b
+    // integer quantization is amplified by the steep sRGB encode slope at
+    // low intensities — cv2's own 8u roundtrip has the same property), so
+    // the per-channel bound is loose there; the AGGREGATE must stay tight (mean over 600 channel samples <= 1.5; observed ~0.9)
+    val rnd = new scala.util.Random(7)
+    var totalDelta = 0L
+    val samples = 200
+    (0 until samples).foreach { _ =>
+      val c = rnd.nextInt(1 << 24)
+      val (l, a, b) = ImageQuality.rgb2Lab8(c)
+      val p = ImageQuality.lab82Rgb(l, a, b)
+      Seq(16, 8, 0).foreach { sh =>
+        val d = math.abs(((p >> sh) & 0xff) - ((c >> sh) & 0xff))
+        assert(d <= 16, f"color $c%06x roundtrip channel delta $d")
+        totalDelta += d
+      }
+    }
+    assert(totalDelta.toDouble / (samples * 3) <= 1.5,
+      s"mean roundtrip delta ${totalDelta.toDouble / (samples * 3)}")
+  }
+
+  test("gentleColorNormalization: pixel-wise (geometry preserved), gray stays near-gray") {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, gray(128))
+    val out = ImageQuality.gentleColorNormalization(img)
+    assert(out.getWidth == 64 && out.getHeight == 64)
+    val p = out.getRGB(10, 10)
+    val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    // uniform input -> every tile identical -> uniform output
+    for (y <- 0 until 64; x <- 0 until 64) assert(out.getRGB(x, y) == p)
+    // 0.8 blend keeps the result near the original; channels stay equal
+    // within the LAB float-path 1-LSB tolerance
+    assert(math.abs(r - 128) <= 8 && math.abs(g - 128) <= 8 && math.abs(b - 128) <= 8)
+    assert(math.abs(r - g) <= 1 && math.abs(g - b) <= 1)
+  }
+
+  test("step-6 gate reproduces the Python precedence quirk; opt-in wiring changes bright images only") {
+    // (normalize_colors and b < 100) or b > 200 — the quirk: with
+    // normalize_colors=False the step still fires above 200
+    assert(ImageQuality.colorNormalizeGate(false, 210.0))
+    assert(!ImageQuality.colorNormalizeGate(false, 90.0))
+    assert(ImageQuality.colorNormalizeGate(true, 90.0))
+    assert(!ImageQuality.colorNormalizeGate(true, 150.0))
+    // a flat bright image: score ~19 (not conservative), brightness 230
+    // > 200 -> the opted-in run normalizes, the default run is unchanged
+    val bright = png(64, 64)((_, _) => gray(230))
+    val base = ImageQuality.enhanceOne("m", bright)
+    val defaulted = ImageQuality.enhanceOne("m", bright, None)
+    assert(base.enhanced_png.sameElements(defaulted.enhanced_png))
+    val opted = ImageQuality.enhanceOne("m", bright, Some(false))
+    assert(!opted.enhanced_png.sameElements(base.enhanced_png),
+      "normalizeColors=Some(false) must fire on brightness > 200 (the quirk)")
+    // dim image: Some(false) leaves the gate closed -> identical bytes
+    val dim = png(64, 64)((x, y) => gray(60 + ((x + y) % 3)))
+    assert(ImageQuality.enhanceOne("m", dim, Some(false)).enhanced_png
+      .sameElements(ImageQuality.enhanceOne("m", dim).enhanced_png))
+  }
+
   test("q45 expected-rows fixture is current (driver oracle drift guard)") {
     val expected = spark.read.parquet("src/test/resources/expected/q45_image_quality.parquet")
     val actual = SparkEntry.queries("q45_image_quality")(spark, "/root/testdata/sf0.01")
