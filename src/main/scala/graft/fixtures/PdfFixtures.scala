@@ -280,6 +280,35 @@ object PdfFixtures {
     finish(b, pagesObj, Seq(page))
   }
 
+  /** Page exercising BI/ID/EI inline images (raw binary DeviceRGB — exact
+    * computed-length slice — and ASCIIHex DeviceGray — EI sentinel scan)
+    * plus dashed and solid strokes (r4 verdict #6 constructs). */
+  def inlineImageDashPdf(): Array[Byte] = {
+    val b = new Builder
+    val pagesObj = b.reserve()
+    // 4×4 RGB in 2×2 quadrants (top: red|green, bottom: blue|white) — 48
+    // raw bytes; 4×4 keeps quadrant-center probes pure under the
+    // renderer's bilinear image interpolation
+    val quads = Seq(Seq(0xff, 0, 0), Seq(0, 0xff, 0), Seq(0, 0, 0xff),
+      Seq(0xff, 0xff, 0xff))
+    val rgbData = (0 until 4).flatMap { y =>
+      (0 until 4).flatMap { x => quads((y / 2) * 2 + (x / 2)) }
+    }.map(_.toChar).mkString
+    val content =
+      "q 60 0 0 30 10 60 cm BI /W 4 /H 4 /CS /RGB /BPC 8 ID " +
+        rgbData + " EI Q " +
+        // 4×4 gray via /AHx, quadrants (00 black | FF white) / (80 | 28)
+        "q 40 0 0 40 120 40 cm BI /W 4 /H 4 /CS /G /BPC 8 /F /AHx ID " +
+        "0000FFFF0000FFFF8080282880802828> EI Q " +
+        // dashed red line (12 on / 12 off), then a reset-to-solid blue one
+        "[12 12] 0 d 4 w 1 0 0 RG 10 10 m 190 10 l S " +
+        "[] 0 d 0 0 1 RG 10 30 m 190 30 l S"
+    val cs = contentStream(b, content, compress = false)
+    val page = b.add(s"<< /Type /Page /Parent $pagesObj 0 R /MediaBox [0 0 200 100] " +
+      s"/Contents $cs 0 R >>")
+    finish(b, pagesObj, Seq(page))
+  }
+
   /** Single page whose text uses an explicit /Widths array (1000/1000ths =
     * one em per glyph) — layout must follow the PDF metrics, not the JVM
     * font's. `withWidths=false` emits the same page without /Widths. */

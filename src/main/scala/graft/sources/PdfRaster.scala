@@ -33,7 +33,12 @@ import scala.collection.mutable
   *    B* b b* n), clipping (W W*), graphics state (q Q cm w), device color
   *    spaces (g G rg RG k K, cs/CS + sc/scn/SC/SCN on /DeviceGray, RGB,
   *    CMYK), text (BT ET Tf Td TD Tm T* TL Tc Tw Tz Ts Tr Tj TJ ' "),
-  *    image + form XObjects (Do), marked content ignored, BX/EX honored
+  *    image + form XObjects (Do), INLINE images (BI/ID/EI with the
+  *    abbreviated keys, §8.9.7 — unfiltered data sliced by the exact
+  *    computed length, filtered data by the EI sentinel scan; same
+  *    color-space/bpc subset as image XObjects), dash patterns (d —
+  *    user-space lengths/phase device-scaled with the line width),
+  *    marked content ignored, BX/EX honored
   *  - simple fonts, mapped onto JVM logical fonts by /BaseFont name
   *    (Helvetica/Arial→SansSerif, Times→Serif, Courier→Monospaced); glyph
   *    ADVANCES use the font dict's /Widths array when present (spec-exact
@@ -41,11 +46,11 @@ import scala.collection.mutable
   *    SHAPES are always the JVM font's — embedded font programs are not
   *    interpreted. Type0/CID and Type3 fonts → `Unsupported`
   *  - /Rotate 0/90/180/270, per-page MediaBox with page-tree inheritance
-  *  - encryption, shadings, patterns, transparency groups, inline images,
-  *    ExtGState side effects (dash patterns, soft masks, alpha) are out:
-  *    encryption/shading/pattern/inline-image → `Unsupported`; gs and
-  *    dash/join/cap/miter parameters are accepted and ignored (solid
-  *    opaque rendering), documented divergence
+  *  - encryption, shadings, patterns, transparency groups, ExtGState
+  *    side effects (soft masks, alpha) are out:
+  *    encryption/shading/pattern → `Unsupported`; gs and join/cap/miter
+  *    parameters are accepted and ignored (opaque rendering, JVM default
+  *    caps/joins), documented divergence
   *
   * Geometry is PyMuPDF's: a page of W×H points renders to
   * `round(W·dpi/72) × round(H·dpi/72)` pixels (`fitz.Matrix(dpi/72)`),
@@ -129,6 +134,36 @@ object PdfRaster {
       b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
       b == '{' || b == '}' || b == '/' || b == '%'
     private def isRegular(b: Int) = !isWs(b) && !isDelim(b)
+
+    // ---- inline-image raw byte access (BI…ID…EI, §8.9.7) ----
+    /** The single whitespace byte the spec puts between ID and the data. */
+    def skipOneWs(): Unit =
+      if (pos < bytes.length && isWs(bytes(pos) & 0xff)) pos += 1
+    def takeBytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > bytes.length)
+        throw new Unsupported("inline image: truncated data")
+      val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a
+    }
+    /** Filtered inline-image data: scan for the EI sentinel (at data start
+      * or after whitespace, followed by ws/delimiter/EOF); the single
+      * whitespace before EI is not part of the data. */
+    def scanEI(): Array[Byte] = {
+      val start = pos
+      var i = pos
+      while (i + 1 < bytes.length) {
+        if (bytes(i) == 'E' && bytes(i + 1) == 'I' &&
+            (i == start || isWs(bytes(i - 1) & 0xff)) &&
+            (i + 2 >= bytes.length || isWs(bytes(i + 2) & 0xff) ||
+              isDelim(bytes(i + 2) & 0xff))) {
+          val end = if (i > start && isWs(bytes(i - 1) & 0xff)) i - 1 else i
+          val a = java.util.Arrays.copyOfRange(bytes, start, end)
+          pos = i + 2
+          return a
+        }
+        i += 1
+      }
+      throw new Unsupported("inline image: no EI terminator")
+    }
 
     def skipWs(): Unit = {
       while (pos < bytes.length) {
@@ -820,6 +855,8 @@ object PdfRaster {
     var fill: Color = Color.BLACK
     var stroke: Color = Color.BLACK
     var lineWidth: Double = 1.0
+    /** `d` dash pattern: (lengths in user space, phase); None = solid. */
+    var dash: Option[(Array[Double], Double)] = None
     var clip: Option[Area] = None
     var fontName: String = "SansSerif"
     var fontStyle: Int = java.awt.Font.PLAIN
@@ -830,13 +867,14 @@ object PdfRaster {
       val g = new GState()
       g.ctm = new AffineTransform(ctm); g.fill = fill; g.stroke = stroke
       g.lineWidth = lineWidth; g.clip = clip.map(a => new Area(a))
+      g.dash = dash
       g.fontName = fontName; g.fontStyle = fontStyle; g.widths = widths
       g.fs = fs; g.tc = tc; g.tw = tw; g.th = th; g.tl = tl; g.ts = ts; g.tr = tr
       g
     }
   }
 
-  private val Ignorable = Set("gs", "ri", "i", "j", "J", "M", "d",
+  private val Ignorable = Set("gs", "ri", "i", "j", "J", "M",
     "BMC", "BDC", "EMC", "MP", "DP")
 
   private final class Interp(doc: Doc, g2: Graphics2D, base: AffineTransform,
@@ -892,6 +930,17 @@ object PdfRaster {
         st.ctm.concatenate(new AffineTransform(num(o(0)), num(o(1)), num(o(2)),
           num(o(3)), num(o(4)), num(o(5))))
       case "w" => st.lineWidth = num(o(0))
+      case "d" =>
+        // dash pattern [lengths] phase (user-space units, scaled with the
+        // line width at stroke time); [] 0 — or an all-zero array, which
+        // ISO 32000 treats as solid — resets
+        val lens = o(0) match {
+          case PArr(a) => a.map(num).toArray
+          case x       => throw new Unsupported(s"d: $x")
+        }
+        st.dash =
+          if (lens.isEmpty || lens.sum <= 0 || lens.exists(_ < 0)) None
+          else Some((lens, num(o(1))))
       // ---- color ----
       case "g" => st.fill = gray(num(o(0)))
       case "G" => st.stroke = gray(num(o(0)))
@@ -1019,7 +1068,7 @@ object PdfRaster {
       // ---- compatibility / markers ----
       case "BX" => compat += 1
       case "EX" => if (compat > 0) compat -= 1
-      case "BI" => throw new Unsupported("inline image")
+      case "BI" => inlineImage(lx)
       case "sh" => throw new Unsupported("shading")
       case other =>
         if (compat > 0 || Ignorable(other)) () // accepted-and-ignored set (documented)
@@ -1041,8 +1090,19 @@ object PdfRaster {
       if (fill) { g2.setColor(st.fill); g2.fill(device) }
       if (stroke) {
         val det = math.abs(st.ctm.getDeterminant * base.getDeterminant)
-        val w = math.max(0.1, st.lineWidth * math.sqrt(det))
-        g2.setColor(st.stroke); g2.setStroke(new BasicStroke(w.toFloat)); g2.draw(device)
+        val sc = math.sqrt(det)
+        val w = math.max(0.1, st.lineWidth * sc)
+        val brush = st.dash match {
+          case None => new BasicStroke(w.toFloat)
+          // dash lengths/phase are user-space — device-scale them with the
+          // same factor as the width; keep the solid path's JVM default
+          // cap/join so dashed and solid strokes stay consistent
+          case Some((lens, phase)) => new BasicStroke(w.toFloat,
+            BasicStroke.CAP_SQUARE, BasicStroke.JOIN_MITER, 10.0f,
+            lens.map(l => math.max(0.0, l * sc).toFloat),
+            math.max(0.0, phase * sc).toFloat)
+        }
+        g2.setColor(st.stroke); g2.setStroke(brush); g2.draw(device)
       }
       pendingClip.foreach { rule =>
         path.setWindingRule(rule)
@@ -1092,6 +1152,79 @@ object PdfRaster {
         case _ => font.getStringBounds(ch.toString, frc).getWidth
       }
       (w + st.tc + (if (ch == ' ') st.tw else 0.0)) * st.th
+    }
+
+    /** BI…ID…EI inline image (ISO 32000 §8.9.7): dict with abbreviated
+      * keys up to ID, one whitespace byte, then the sample data. For
+      * unfiltered data the exact byte length is ceil(W·comps·BPC/8)·H and
+      * the EI keyword must follow; filtered data is delimited by the
+      * ws-EI-ws sentinel scan (the decoders tolerate the byte-accurate
+      * slice this yields). Keys/abbreviations are normalized to the full
+      * XObject names and the image renders through drawImage — same
+      * color-space/bpc subset, same unit-square placement. */
+    private def inlineImage(lx: Lexer): Unit = {
+      val abbrevKey = Map("W" -> "Width", "H" -> "Height",
+        "BPC" -> "BitsPerComponent", "CS" -> "ColorSpace", "F" -> "Filter",
+        "DP" -> "DecodeParms", "IM" -> "ImageMask", "D" -> "Decode",
+        "I" -> "Interpolate", "L" -> "Length")
+      val abbrevFilter = Map("AHx" -> "ASCIIHexDecode", "A85" -> "ASCII85Decode",
+        "LZW" -> "LZWDecode", "Fl" -> "FlateDecode", "RL" -> "RunLengthDecode",
+        "CCF" -> "CCITTFaxDecode", "DCT" -> "DCTDecode")
+      val entries = mutable.Map[String, Obj]()
+      var tok = lx.next()
+      while (tok != TKw("ID")) {
+        tok match {
+          case TName(k) => entries(abbrevKey.getOrElse(k, k)) = lx.parseObject()
+          case TEof     => throw new Unsupported("inline image: no ID")
+          case other    => throw new Unsupported(s"inline image dict: $other")
+        }
+        tok = lx.next()
+      }
+      def normFilter(o: Obj): Obj = o match {
+        case PName(n) => PName(abbrevFilter.getOrElse(n, n))
+        case PArr(a)  => PArr(a.map(normFilter))
+        case x        => x
+      }
+      entries.get("Filter").foreach(f => entries("Filter") = normFilter(f))
+      entries.get("ColorSpace").foreach { cs =>
+        entries("ColorSpace") = cs match {
+          case PName("G")    => PName("DeviceGray")
+          case PName("RGB")  => PName("DeviceRGB")
+          case PName("CMYK") => PName("DeviceCMYK")
+          case x             => x
+        }
+      }
+      lx.skipOneWs()
+      val filters = entries.get("Filter").toSeq.flatMap {
+        case PName(n) => Seq(n); case PArr(a) => a.collect { case PName(n) => n }
+        case _        => Nil
+      }
+      val data =
+        if (filters.nonEmpty) lx.scanEI()
+        else {
+          def intOf(k: String, dflt: => Int): Int = entries.get(k) match {
+            case Some(PNum(n)) => n.toInt
+            case None          => dflt
+            case Some(x)       => throw new Unsupported(s"inline image /$k: $x")
+          }
+          val w = intOf("Width", throw new Unsupported("inline image /Width"))
+          val h = intOf("Height", throw new Unsupported("inline image /Height"))
+          val mask = entries.get("ImageMask").contains(PBool(true))
+          val bpc = intOf("BitsPerComponent", if (mask) 1 else 8)
+          val comps = if (mask) 1 else entries.get("ColorSpace") match {
+            case Some(PName("DeviceGray")) => 1
+            case Some(PName("DeviceRGB"))  => 3
+            case Some(PName("DeviceCMYK")) => 4
+            case other => throw new Unsupported(s"inline image color space $other")
+          }
+          val d = lx.takeBytes(((w.toLong * comps * bpc + 7) / 8).toInt * h)
+          lx.next() match {
+            case TKw("EI") => ()
+            case other     => throw new Unsupported(s"inline image: EI expected, got $other")
+          }
+          d
+        }
+      drawImage(PStream(PDict(entries.toMap), data))
     }
 
     private def drawImage(s: PStream): Unit = {

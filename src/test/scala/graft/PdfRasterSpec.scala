@@ -130,6 +130,32 @@ class PdfRasterSpec extends AnyFunSuite {
     assert((img.getRGB(195, 5) & 0xffffff) == 0xffffff)
   }
 
+  test("inline images (BI/ID/EI): raw RGB by exact length, AHx gray by EI scan; dash patterns on/off") {
+    val img = decode(PdfRaster.render(PdfFixtures.inlineImageDashPdf(), 72).head)
+    assert(img.getWidth == 200 && img.getHeight == 100)
+    // raw RGB 2×2 at cm [60 0 0 30 10 60] → device x 10..70, y 10..40;
+    // rows are top-down: (red | green) over (blue | white)
+    def px(x: Int, y: Int) = new java.awt.Color(img.getRGB(x, y))
+    assert(px(25, 17).getRed == 255 && px(25, 17).getGreen == 0, s"${px(25, 17)}")
+    assert(px(55, 17).getGreen == 255 && px(55, 17).getRed == 0, s"${px(55, 17)}")
+    assert(px(25, 32).getBlue == 255 && px(25, 32).getRed == 0, s"${px(25, 32)}")
+    // AHx gray 2×2 at cm [40 0 0 40 120 40] → device x 120..160, y 20..60
+    assert((img.getRGB(125, 30) & 0xffffff) == 0x000000)
+    assert((img.getRGB(155, 30) & 0xffffff) == 0xffffff)
+    assert((img.getRGB(125, 50) & 0xffffff) == 0x808080)
+    assert((img.getRGB(155, 50) & 0xffffff) == 0x282828)
+    // dashed line at y_pdf 10 → device y 90, on-segments [10,22) [34,46)…
+    // (square caps widen each on-run by ±2): x=16 inked, x=28 white, x=40
+    // inked (strokes are antialiased → near-color probes)
+    assert(px(16, 90).getRed > 200 && px(16, 90).getBlue < 60, s"${px(16, 90)}")
+    assert((img.getRGB(28, 90) & 0xffffff) == 0xffffff, "dash gap must stay white")
+    assert(px(40, 90).getRed > 200, s"${px(40, 90)}")
+    // [] 0 d resets to solid: the blue line at device y 70 has no gaps
+    (12 to 188 by 4).foreach { x =>
+      assert(px(x, 70).getBlue > 200 && px(x, 70).getRed < 60, s"solid at $x: ${px(x, 70)}")
+    }
+  }
+
   test("/Widths array drives show-string advances (spec metrics beat JVM metrics)") {
     val withW = decode(PdfRaster.render(PdfFixtures.widthsPdf(withWidths = true), 72).head)
     val without = decode(PdfRaster.render(PdfFixtures.widthsPdf(withWidths = false), 72).head)
