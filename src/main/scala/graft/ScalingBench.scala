@@ -32,6 +32,11 @@ object ScalingBench {
       if (new java.io.File(Jar).exists) "cluster" else "threads")
     val baseExecs = sys.env.getOrElse("SPARK_GRAFT_BASE_EXECS", "2").toInt
     val execMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "3072").toInt
+    // entity-scale skew mode (r4 verdict #5): > 0 draws vendors Zipf(1)
+    // from this many DISTINCT synthesized companies (10^5-10^6 typical),
+    // so the entity stages carry a real entity-scale load instead of the
+    // 24-name gazetteer's ~10^2
+    val vendorPool = sys.env.getOrElse("SPARK_GRAFT_VENDOR_POOL", "0").toInt
     val coresPerExec = 4
     // SPARK_GRAFT_LEVELS="1" runs a single level (per-level throughput is
     // what the table records; long corpora then fit a bounded wall-clock
@@ -83,6 +88,51 @@ object ScalingBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def stealTicks(): Long =
+      scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } // close the fd — repeated calls leak across a long sweep otherwise
+
+    // Automated quiet-window gating (r4 verdict #8): the manual lottery of
+    // waiting for a clean substrate window cost four invocations in r4.
+    // With SPARK_GRAFT_QUIET_CALIB_MAX set (e.g. 0.75 — the 0.61 s quiet
+    // anchor plus ~20%), each level launches only after a probe observes
+    // single-thread calib <= the bound AND zero steal ticks across the
+    // probe, retrying up to SPARK_GRAFT_QUIET_WAIT_SEC (default 600 s).
+    // The probe log itself is the evidence when no window occurs: the
+    // level then runs anyway, marked "window_clean":false in its JSON row.
+    val quietMax = sys.env.get("SPARK_GRAFT_QUIET_CALIB_MAX").map(_.toDouble)
+    val quietWaitSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "600").toInt
+    def calibSingle(): Double = {
+      val t0 = System.nanoTime()
+      if (mixLoop(400000000L) == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def awaitQuietWindow(label: String): Boolean = quietMax match {
+      case None => true
+      case Some(maxC) =>
+        val deadline = System.currentTimeMillis() + quietWaitSec * 1000L
+        var attempt = 0
+        while (true) {
+          attempt += 1
+          val s0 = stealTicks()
+          val c = calibSingle()
+          val steal = stealTicks() - s0
+          val clean = c <= maxC && steal == 0
+          System.err.println(f"[quiet-probe] $label attempt $attempt: " +
+            f"calib1=$c%.3f s steal=$steal -> ${if (clean) "CLEAN" else "dirty"}")
+          if (clean) return true
+          if (System.currentTimeMillis() >= deadline) {
+            System.err.println(s"[quiet-probe] $label: no clean window within " +
+              s"$quietWaitSec s — running anyway, marked window_clean=false")
+            return false
+          }
+          Thread.sleep(5000)
+        }
+        false
+    }
+
     def runAt(execs: Int): (Double, Double, Double, Double, Long, Long) = {
       val spark = sessionAt(execs)
       import spark.implicits._
@@ -97,7 +147,7 @@ object ScalingBench {
         // identical deterministic input at every level (pure fn of seed/idx);
         // generation parallelism pinned to 2 tasks/core at this level
         val docs = InvoiceCorpus.docs(spark, nDocs,
-          partitions = execs * coresPerExec * 2).toDF()
+          partitions = execs * coresPerExec * 2, vendorPool = vendorPool).toDF()
         def time(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
@@ -112,7 +162,7 @@ object ScalingBench {
         // with SPARK_GRAFT_SCALE_ITERS=1 an unwarmed chain would charge
         // one-time compilation to the measurement — and UNEQUALLY, since
         // the 4N level has 4× the fresh executor JVMs
-        Pipeline.run(InvoiceCorpus.docs(spark, warmDocs).toDF(),
+        Pipeline.run(InvoiceCorpus.docs(spark, warmDocs, vendorPool = vendorPool).toDF(),
           Pipeline.Config(elSmallThreshold = 0L)).count()
         spark.sharedState.cacheManager.clearCache()
         System.gc() // drop warmup localCheckpoint blocks before measuring
@@ -125,14 +175,9 @@ object ScalingBench {
         // CPU — so each iteration also records the guest steal-time delta
         // from /proc/stat: an iteration with material steal is labeled
         // contaminated evidence, and min-of-k is the steady-state estimator.
-        def stealTicks(): Long =
-          scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
-            val f = src.getLines().next().trim.split("\\s+")
-            if (f.length > 8) f(8).toLong else 0L
-          } // close the fd — 3 calls/iteration leak across a long sweep otherwise
         val meas = (1 to iters).map { it =>
           val c = calibSec(execs * coresPerExec)
-          val s0 = stealTicks()
+          val s0: Long = stealTicks()
           val te = time {
             nT = FastExtract.triples(
               docs.selectExpr("doc_id", "page_w", "page_h", "spans")
@@ -167,12 +212,15 @@ object ScalingBench {
     }
 
     val rows = levels.map { e =>
-      val (te, tp, teN, tpN, nt, ng) = runAt(e)
       val label = if (mode == "cluster") s"$e executors x $coresPerExec cores"
         else s"local[${e * coresPerExec}]"
+      val clean = awaitQuietWindow(label)
+      val (te, tp, teN, tpN, nt, ng) = runAt(e)
+      val pool = if (vendorPool > 0) s""","vendor_pool":$vendorPool""" else ""
       println(f"""{"level":"$label","docs":$nDocs,"extract_sec":$te%.2f,""" +
         f""""pipeline_sec":$tp%.2f,"triples":$nt,"graph_edges":$ng,""" +
-        f""""extract_triples_per_sec":${nt / te}%.1f,"pipeline_triples_per_sec":${ng / tp}%.1f}""")
+        f""""extract_triples_per_sec":${nt / te}%.1f,"pipeline_triples_per_sec":${ng / tp}%.1f,""" +
+        s""""window_clean":$clean$pool}""")
       (e, te, tp, teN, tpN)
     }
     if (rows.size < 2) return // single-level run: per-level line already printed

@@ -129,8 +129,21 @@ object InvoiceCorpus {
     * = DECIMAL(18,2) cast-to-string). */
   def dotMoney(cents: Long): String = (cents / 100).toString + "." + pad2(cents % 100)
 
+  /** Company name for pool index `idx`: the 24 reference-pool names, then
+    * synthesized "<2 base tokens> <idx>" names for the entity-scale skew
+    * fixture (unique per idx; the shared base tokens deliberately produce
+    * giant LSH buckets — the cap/skew machinery is the thing under test).
+    * The ICE still derives from the (clean) name, so noisy surface forms
+    * of one vendor keep linking through the identifier star. */
+  private def companyName(idx: Int): String =
+    if (idx < companies.size) companies(idx)
+    else {
+      val parts = companies(idx % companies.size).split(' ')
+      parts(0) + " " + parts(1) + " " + idx
+    }
+
   private def genCompany(idx: Int, rng: Random): Company = {
-    val name = companies(idx)
+    val name = companyName(idx)
     val city = cities(rng.nextInt(cities.size))
     val addr = streetTypes(rng.nextInt(streetTypes.size)) + " " +
       streetNames(rng.nextInt(streetNames.size)) + ", " + (10 + rng.nextInt(290)) + ", " +
@@ -139,8 +152,10 @@ object InvoiceCorpus {
       "-" + (10 + rng.nextInt(90)) + "-" + (10 + rng.nextInt(90)) + "-" + (10 + rng.nextInt(90))
     val email = "contact@" + slug(name).take(18) + ".ma"
     // ICE shape: "00" + 10 digits + "000" + 2 digits (complex_facture_generator.py:151)
+    // idx % 90 keeps the 2-digit tail shape for pool-mode indices ≥ 90
+    // (uniqueness rides the name-hash block)
     val ice = "00" + (1000000000L + (math.abs(name.hashCode.toLong) % 9000000000L)) +
-      "000" + (10 + idx)
+      "000" + (10 + idx % 90)
     Company(name, addr, city, phone, email, ice)
   }
 
@@ -163,8 +178,25 @@ object InvoiceCorpus {
     }
   }
 
-  /** Pure per-doc generator: everything derives from (seed, idx). */
-  def record(idx: Long, seed: Long = DefaultSeed, noiseP: Double = 0.25): InvoiceRecord = {
+  /** Zipf(1) pool index via the closed-form log-uniform inverse transform:
+    * X = e^{u·ln N} has density ∝ 1/x on [1, N), so floor(X)−1 draws index
+    * k with P(k) ≈ ln((k+2)/(k+1))/ln N ∝ 1/(k+1) — the head entity gets
+    * ~ln2/lnN of all mentions (≈5% at N=10⁶) and the tail is long. No
+    * precomputed CDF table, so it stays allocation-free in the per-doc
+    * hot path at any pool size. */
+  private def zipfIdx(rng: Random, pool: Int): Int = {
+    val x = math.exp(rng.nextDouble() * math.log(pool.toDouble + 1.0))
+    math.min(pool - 1, math.max(0, x.toInt - 1))
+  }
+
+  /** Pure per-doc generator: everything derives from (seed, idx).
+    * `vendorPool` > 0 switches to the entity-scale skew fixture (r4
+    * verdict #5): vendors/clients draw Zipf(1) from a pool of that many
+    * DISTINCT synthesized companies (10⁵–10⁶ typical) instead of the
+    * 24-name reference gazetteer — the mode ScalingBench uses to measure
+    * the entity-stage claim instead of extrapolating it. */
+  def record(idx: Long, seed: Long = DefaultSeed, noiseP: Double = 0.25,
+      vendorPool: Int = 0): InvoiceRecord = {
     val rng = new Random(seed * 1000003L + idx * 7919L)
     val docId = {
       val s = idx.toString
@@ -174,12 +206,19 @@ object InvoiceCorpus {
     val docType = docTypes(rng.nextInt(docTypes.size))
     val date = LocalDate.of(2023, 9, 1).plusDays(rng.nextInt(700).toLong)
     val dueDate = date.plusDays((15 + rng.nextInt(46)).toLong) // +15..60d (:283)
-    // Zipf-ish vendor skew: 30% of invoices go to company 0 (the mega-vendor)
-    val vendorIdx = if (rng.nextDouble() < 0.30) 0 else rng.nextInt(companies.size)
-    val clientIdx = {
-      val c = rng.nextInt(companies.size - 1)
-      if (c >= vendorIdx) c + 1 else c
-    }
+    // Zipf-ish vendor skew: 30% of invoices go to company 0 (the mega-vendor);
+    // pool mode draws Zipf(1) over vendorPool distinct companies instead
+    val vendorIdx =
+      if (vendorPool > 0) zipfIdx(rng, vendorPool)
+      else if (rng.nextDouble() < 0.30) 0 else rng.nextInt(companies.size)
+    val clientIdx =
+      if (vendorPool > 0) {
+        val c = zipfIdx(rng, vendorPool)
+        if (c == vendorIdx) (c + 1) % vendorPool else c
+      } else {
+        val c = rng.nextInt(companies.size - 1)
+        if (c >= vendorIdx) c + 1 else c
+      }
     val vendor = genCompany(vendorIdx, rng)
     val client = genCompany(clientIdx, rng)
     val vendorSurface = noisyName(vendor.name, rng, noiseP)
@@ -267,20 +306,21 @@ object InvoiceCorpus {
     *        Explicit matters on a cluster: defaultParallelism is sampled at
     *        PLAN time, before all executors may have registered. */
   def docs(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
-      noiseP: Double = 0.25, partitions: Int = 0): Dataset[OcrDoc] =
-    docsRange(spark, 0, n, seed, noiseP, partitions)
+      noiseP: Double = 0.25, partitions: Int = 0,
+      vendorPool: Int = 0): Dataset[OcrDoc] =
+    docsRange(spark, 0, n, seed, noiseP, partitions, vendorPool)
 
   /** Index slice [from, until) of the same deterministic corpus — an
     * increment of fresh documents disjoint from docs(spark, from)
     * (doc i is a pure function of (seed, i), independent of the range). */
   def docsRange(spark: SparkSession, from: Long, until: Long,
       seed: Long = DefaultSeed, noiseP: Double = 0.25,
-      partitions: Int = 0): Dataset[OcrDoc] = {
+      partitions: Int = 0, vendorPool: Int = 0): Dataset[OcrDoc] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     spark.range(from, until, 1, p).mapPartitions { it =>
       it.map { i =>
-        val r = record(i, seed, noiseP)
+        val r = record(i, seed, noiseP, vendorPool)
         OcrDoc(r.docId, 1000, 1409, spansOf(r, seed))
       }
     }
