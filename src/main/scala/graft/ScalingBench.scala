@@ -56,6 +56,15 @@ object ScalingBench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        // bench-scale advisory calibration (same as graft.Bench, r4 A/B
+        // discovery): with the 64 MB default, parallelismFirst=false
+        // coalesces the fixture's tens-of-MB entity-scale shuffles (EL
+        // verify, CC rounds, canonical window) to ONE partition — a serial
+        // Amdahl term that the skew fixture (vendorPool mode) makes
+        // dominant and that a real cluster never sees (the same shuffles
+        // are TBs there and already thousands of partitions)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "2m"))
       val s = (if (mode == "cluster")
         b.master(s"local-cluster[$execs,$coresPerExec,$execMb]")
           .config("spark.jars", new java.io.File(Jar).getAbsolutePath)
