@@ -462,6 +462,26 @@ private[graft] object Pack5 {
           concat(lit("c"), col("j")).as("y"))
       graft.metrics.Sweep.thresholdSweep(scored, col("a"), col("b"),
         col("score"), gold, col("x"), col("y"))
+    }),
+    "q216_clahe_lut" -> ((s, d) => {
+      // declarative CLAHE LUTs (contrast-limited equalization as a Spark
+      // aggregation — the corpus-scale image-normalization twin of the
+      // imperative claheL, r5) over a deterministic 4-tile plane: pixels
+      // are customers 1..1200, tile = (key−1) div 300 (4 tiles × 300 px),
+      // gray = 128 for every 3rd pixel (the clipping spike) else
+      // (key·37) mod 256. clipLimitMilli 4000 → clip = 4000·300/256000 = 4.
+      // Engine = groupBy histogram → window clip/redistribute/cumsum →
+      // half-even integer rounding; oracle = the same definition in SQL
+      // (EqualizeSpec locks this definition against the imperative
+      // OpenCV-transcribed LUTs on dyadic areas).
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 1200)
+      val px = cust.select(
+        expr("(c_custkey - 1) div 300").cast("long").as("tile"),
+        when(col("c_custkey") % 3 === 0, lit(128L))
+          .otherwise((col("c_custkey") * 37) % 256).as("bin"))
+      val hist = px.groupBy("tile", "bin").agg(count(lit(1)).as("cnt"))
+      graft.ops.Equalize.claheLut(hist, Seq("tile"), "bin", "cnt",
+        tileArea = 300L, clipLimitMilli = 4000L)
     })
   )
 
@@ -1356,6 +1376,51 @@ private[graft] object Pack5 {
         |    AS r_ppm,
         |  CAST((CAST(2000000 AS HUGEINT) * cum.tp)
         |    // (2 * cum.tp + cum.fp + (ng.n - cum.tp)) AS BIGINT) AS f1_ppm
-        |FROM cum CROSS JOIN ng""".stripMargin
+        |FROM cum CROSS JOIN ng""".stripMargin,
+    // q216: the CLAHE LUT definition replayed relationally — dense
+    // 256-bin grid per tile, integer clip 4, batch + residual-stepped
+    // redistribution, windowed cumsum, exact half-even rounding of
+    // cum·255/300 (DuckDB window sums are HUGEINT → cast at the end).
+    "q216_clahe_lut" ->
+      """WITH px AS (
+        |  SELECT (c_custkey - 1) // 300 AS tile,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 128
+        |         ELSE (c_custkey * 37) % 256 END AS bin
+        |  FROM customer WHERE c_custkey <= 1200),
+        |h AS (SELECT tile, bin, count(*) AS cnt FROM px GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT t.tile, b.bin
+        |  FROM (SELECT DISTINCT tile FROM h) t
+        |  CROSS JOIN (SELECT unnest(range(0, 256)) AS bin) b),
+        |dense AS (
+        |  SELECT bins.tile, bins.bin, coalesce(h.cnt, 0) AS cnt
+        |  FROM bins LEFT JOIN h ON h.tile = bins.tile AND h.bin = bins.bin),
+        |cl AS (
+        |  SELECT tile, bin, least(cnt, 4) AS capped,
+        |    sum(greatest(cnt - 4, 0)) OVER (PARTITION BY tile) AS clipped
+        |  FROM dense),
+        |rd AS (
+        |  SELECT tile, bin, capped, clipped // 256 AS rb,
+        |    clipped % 256 AS resid,
+        |    greatest(256 // greatest(clipped % 256, 1), 1) AS step
+        |  FROM cl),
+        |h2 AS (
+        |  SELECT tile, bin,
+        |    capped + rb + CASE WHEN resid > 0 AND bin % step = 0
+        |                        AND bin // step < resid THEN 1 ELSE 0 END
+        |      AS hist2
+        |  FROM rd),
+        |cum AS (
+        |  SELECT tile, bin,
+        |    sum(hist2) OVER (PARTITION BY tile ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h2)
+        |SELECT CAST(tile AS BIGINT) AS tile, CAST(bin AS BIGINT) AS bin,
+        |  CAST(least(255, (cum * 255) // 300 +
+        |    CASE WHEN (cum * 255) % 300 * 2 > 300 THEN 1
+        |         WHEN (cum * 255) % 300 * 2 = 300
+        |           THEN ((cum * 255) // 300) % 2
+        |         ELSE 0 END) AS BIGINT) AS lut
+        |FROM cum""".stripMargin
   )
 }

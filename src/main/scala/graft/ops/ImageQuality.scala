@@ -465,9 +465,51 @@ object ImageQuality {
   // intensity level — the honest-exactness caveat of the kernel section
   // applies.
 
+  /** The per-tile LUT table of [[claheL]] (exposed for the declarative
+    * parity lock in EqualizeSpec — [[Equalize.claheLut]] must reproduce
+    * these exactly on dyadic tile areas). Returns luts(ty)(tx)(bin). */
+  private[graft] def claheLuts(src: Array[Int], w: Int, h: Int,
+      clipLimit: Double = 1.5, tilesX: Int = 8,
+      tilesY: Int = 8): Array[Array[Array[Int]]] =
+    claheCore(src, w, h, clipLimit, tilesX, tilesY)._1
+
   /** OpenCV CLAHE on one 8-bit plane (values 0..255 in an Int array). */
   def claheL(src: Array[Int], w: Int, h: Int, clipLimit: Double = 1.5,
       tilesX: Int = 8, tilesY: Int = 8): Array[Int] = {
+    val (luts, tw, th) = claheCore(src, w, h, clipLimit, tilesX, tilesY)
+    // bilinear LUT interpolation over the ORIGINAL image
+    val out = new Array[Int](w * h)
+    val invTw = 1.0f / tw; val invTh = 1.0f / th
+    var y = 0
+    while (y < h) {
+      val tyf = y * invTh - 0.5f
+      var ty1 = math.floor(tyf).toInt
+      val ya = tyf - ty1
+      var ty2 = ty1 + 1
+      if (ty1 < 0) ty1 = 0
+      if (ty2 > tilesY - 1) ty2 = tilesY - 1
+      var x = 0
+      while (x < w) {
+        val txf = x * invTw - 0.5f
+        var tx1 = math.floor(txf).toInt
+        val xa = txf - tx1
+        var tx2 = tx1 + 1
+        if (tx1 < 0) tx1 = 0
+        if (tx2 > tilesX - 1) tx2 = tilesX - 1
+        val v = src(y * w + x)
+        val res = (luts(ty1)(tx1)(v) * (1 - xa) + luts(ty1)(tx2)(v) * xa) * (1 - ya) +
+          (luts(ty2)(tx1)(v) * (1 - xa) + luts(ty2)(tx2)(v) * xa) * ya
+        val r = cvRound(res)
+        out(y * w + x) = if (r < 0) 0 else if (r > 255) 255 else r
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def claheCore(src: Array[Int], w: Int, h: Int, clipLimit: Double,
+      tilesX: Int, tilesY: Int): (Array[Array[Array[Int]]], Int, Int) = {
     require(w >= tilesX && h >= tilesY, s"claheL: image ${w}x$h smaller than tile grid")
     // pad to tile multiples (REFLECT_101) for the LUT pass
     val tw = (w + tilesX - 1) / tilesX
@@ -533,35 +575,7 @@ object ImageQuality {
       }
       ty += 1
     }
-    // bilinear LUT interpolation over the ORIGINAL image
-    val out = new Array[Int](w * h)
-    val invTw = 1.0f / tw; val invTh = 1.0f / th
-    var y = 0
-    while (y < h) {
-      val tyf = y * invTh - 0.5f
-      var ty1 = math.floor(tyf).toInt
-      val ya = tyf - ty1
-      var ty2 = ty1 + 1
-      if (ty1 < 0) ty1 = 0
-      if (ty2 > tilesY - 1) ty2 = tilesY - 1
-      var x = 0
-      while (x < w) {
-        val txf = x * invTw - 0.5f
-        var tx1 = math.floor(txf).toInt
-        val xa = txf - tx1
-        var tx2 = tx1 + 1
-        if (tx1 < 0) tx1 = 0
-        if (tx2 > tilesX - 1) tx2 = tilesX - 1
-        val v = src(y * w + x)
-        val res = (luts(ty1)(tx1)(v) * (1 - xa) + luts(ty1)(tx2)(v) * xa) * (1 - ya) +
-          (luts(ty2)(tx1)(v) * (1 - xa) + luts(ty2)(tx2)(v) * xa) * ya
-        val r = cvRound(res)
-        out(y * w + x) = if (r < 0) 0 else if (r > 255) 255 else r
-        x += 1
-      }
-      y += 1
-    }
-    out
+    (luts, tw, th)
   }
 
   @inline private def srgbLin(v8: Int): Double = {
