@@ -474,7 +474,8 @@ private[graft] object Pack5 {
       // half-even integer rounding; oracle = the same definition in SQL
       // (EqualizeSpec locks this definition against the imperative
       // OpenCV-transcribed LUTs on dyadic areas).
-      val cust = t(s, d, "customer").where(col("c_custkey") <= 1200)
+      val cust = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 1200))
       val px = cust.select(
         expr("(c_custkey - 1) div 300").cast("long").as("tile"),
         when(col("c_custkey") % 3 === 0, lit(128L))
@@ -482,6 +483,34 @@ private[graft] object Pack5 {
       val hist = px.groupBy("tile", "bin").agg(count(lit(1)).as("cnt"))
       graft.ops.Equalize.claheLut(hist, Seq("tile"), "bin", "cnt",
         tileArea = 300L, clipLimitMilli = 4000L)
+    }),
+    "q217_clahe_apply" -> ((s, d) => {
+      // END-TO-END declarative CLAHE: q216's LUT construction plus the
+      // bilinear APPLY stage (OpenCV's −0.5-offset tile interpolation in
+      // exact integer arithmetic — weights are rationals over 2tw/2th,
+      // one half-even rounding of the blend polynomial over 4·tw·th).
+      // Plane: customers 1..1200 as a 40×30 page, 2×2 tiles (tw 20,
+      // th 15), same gray formula as q216. EqualizeSpec proves this
+      // definition bit-identical to the imperative claheL on dyadic
+      // tiles; the oracle replays the integer definition for this
+      // non-dyadic geometry.
+      val cust = t(s, d, "customer")
+        .where(col("c_custkey").between(1, 1200))
+      val px = cust.select(lit("pg1").as("img"),
+        ((col("c_custkey") - 1) % 40).cast("long").as("x"),
+        expr("(c_custkey - 1) div 40").cast("long").as("y"),
+        when(col("c_custkey") % 3 === 0, lit(128L))
+          .otherwise((col("c_custkey") * 37) % 256).as("v"))
+      val hist = px.groupBy(col("img"),
+          expr("y div 15").cast("long").as("tile_y"),
+          expr("x div 20").cast("long").as("tile_x"),
+          col("v").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val luts = graft.ops.Equalize.claheLut(hist,
+        Seq("img", "tile_y", "tile_x"), "bin", "cnt",
+        tileArea = 300L, clipLimitMilli = 4000L)
+      graft.ops.Equalize.claheApply(px, "img", "x", "y", "v", luts,
+        tileW = 20, tileH = 15, tilesX = 2, tilesY = 2)
     })
   )
 
@@ -1386,7 +1415,7 @@ private[graft] object Pack5 {
         |  SELECT (c_custkey - 1) // 300 AS tile,
         |    CASE WHEN c_custkey % 3 = 0 THEN 128
         |         ELSE (c_custkey * 37) % 256 END AS bin
-        |  FROM customer WHERE c_custkey <= 1200),
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 1200),
         |h AS (SELECT tile, bin, count(*) AS cnt FROM px GROUP BY 1, 2),
         |bins AS (
         |  SELECT t.tile, b.bin
@@ -1421,6 +1450,89 @@ private[graft] object Pack5 {
         |         WHEN (cum * 255) % 300 * 2 = 300
         |           THEN ((cum * 255) // 300) % 2
         |         ELSE 0 END) AS BIGINT) AS lut
-        |FROM cum""".stripMargin
+        |FROM cum""".stripMargin,
+    // q217: the full CLAHE definition relationally — LUTs as in q216 but
+    // keyed (ty, tx), then the bilinear apply: floor-corner tile coords
+    // (the only negative quotient is -1, handled by CASE so DuckDB's //
+    // and Spark's div agree), positive remainders p/q as the exact
+    // interpolation numerators, 4 LUT joins, one half-even rounding of
+    // the blend polynomial over 1200.
+    "q217_clahe_apply" ->
+      """WITH px AS (
+        |  SELECT 'pg1' AS img, (c_custkey - 1) % 40 AS x,
+        |    (c_custkey - 1) // 40 AS y,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 128
+        |         ELSE (c_custkey * 37) % 256 END AS v
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 1200),
+        |h AS (SELECT y // 15 AS ty, x // 20 AS tx, v AS bin,
+        |        count(*) AS cnt
+        |      FROM px GROUP BY 1, 2, 3),
+        |bins AS (
+        |  SELECT t.ty, t.tx, b.bin
+        |  FROM (SELECT DISTINCT ty, tx FROM h) t
+        |  CROSS JOIN (SELECT unnest(range(0, 256)) AS bin) b),
+        |dense AS (
+        |  SELECT bins.ty, bins.tx, bins.bin, coalesce(h.cnt, 0) AS cnt
+        |  FROM bins LEFT JOIN h
+        |    ON h.ty = bins.ty AND h.tx = bins.tx AND h.bin = bins.bin),
+        |cl AS (
+        |  SELECT ty, tx, bin, least(cnt, 4) AS capped,
+        |    sum(greatest(cnt - 4, 0)) OVER (PARTITION BY ty, tx) AS clipped
+        |  FROM dense),
+        |rd AS (
+        |  SELECT ty, tx, bin, capped, clipped // 256 AS rb,
+        |    clipped % 256 AS resid,
+        |    greatest(256 // greatest(clipped % 256, 1), 1) AS step
+        |  FROM cl),
+        |h2 AS (
+        |  SELECT ty, tx, bin,
+        |    capped + rb + CASE WHEN resid > 0 AND bin % step = 0
+        |                        AND bin // step < resid THEN 1 ELSE 0 END
+        |      AS hist2
+        |  FROM rd),
+        |cum AS (
+        |  SELECT ty, tx, bin,
+        |    sum(hist2) OVER (PARTITION BY ty, tx ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h2),
+        |lut AS (
+        |  SELECT ty, tx, bin,
+        |    least(255, (cum * 255) // 300 +
+        |      CASE WHEN (cum * 255) % 300 * 2 > 300 THEN 1
+        |           WHEN (cum * 255) % 300 * 2 = 300
+        |             THEN ((cum * 255) // 300) % 2
+        |           ELSE 0 END) AS lut
+        |  FROM cum),
+        |g2 AS (
+        |  SELECT img, x, y, v, 2 * x - 20 AS ax, 2 * y - 15 AS ay,
+        |    CASE WHEN 2 * x - 20 < 0 THEN -1 ELSE (2 * x - 20) // 40 END
+        |      AS tx1,
+        |    CASE WHEN 2 * y - 15 < 0 THEN -1 ELSE (2 * y - 15) // 30 END
+        |      AS ty1
+        |  FROM px),
+        |g3 AS (
+        |  SELECT img, x, y, v, ax - tx1 * 40 AS p, ay - ty1 * 30 AS q,
+        |    greatest(tx1, 0) AS tx1c, least(tx1 + 1, 1) AS tx2c,
+        |    greatest(ty1, 0) AS ty1c, least(ty1 + 1, 1) AS ty2c
+        |  FROM g2),
+        |nn AS (
+        |  SELECT g3.img, g3.x, g3.y,
+        |    l11.lut * (40 - p) * (30 - q) + l12.lut * p * (30 - q) +
+        |    l21.lut * (40 - p) * q + l22.lut * p * q AS n
+        |  FROM g3
+        |  JOIN lut l11 ON l11.ty = g3.ty1c AND l11.tx = g3.tx1c
+        |    AND l11.bin = g3.v
+        |  JOIN lut l12 ON l12.ty = g3.ty1c AND l12.tx = g3.tx2c
+        |    AND l12.bin = g3.v
+        |  JOIN lut l21 ON l21.ty = g3.ty2c AND l21.tx = g3.tx1c
+        |    AND l21.bin = g3.v
+        |  JOIN lut l22 ON l22.ty = g3.ty2c AND l22.tx = g3.tx2c
+        |    AND l22.bin = g3.v)
+        |SELECT img, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(least(255, n // 1200 +
+        |    CASE WHEN n % 1200 * 2 > 1200 THEN 1
+        |         WHEN n % 1200 * 2 = 1200 THEN (n // 1200) % 2
+        |         ELSE 0 END) AS BIGINT) AS out
+        |FROM nn""".stripMargin
   )
 }

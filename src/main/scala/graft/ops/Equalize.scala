@@ -73,4 +73,70 @@ object Equalize {
             .otherwise(0L)))
       .select(tk :+ col("bin") :+ col("lut"): _*)
   }
+
+  /** The LUT APPLICATION stage of declarative CLAHE: per pixel, OpenCV's
+    * −0.5-offset bilinear interpolation between the 4 neighbouring tile
+    * LUTs, in EXACT integer arithmetic — the interpolation weights are the
+    * rationals xa = ((2x − tw) mod 2tw)/2tw (ya likewise), so the blend is
+    * a single integer polynomial N over denominator 4·tw·th, rounded
+    * half-even once. Bit-identical to the imperative [[ImageQuality.claheL]]
+    * whenever tw and th are powers of two (dyadic weights make the float
+    * path exact — EqualizeSpec locks it); the integer form is the
+    * definition the q217 oracle replays for arbitrary tile sizes.
+    *
+    * `pixels`: (imgCol, x, y, v); `luts`: (imgCol, tile_y, tile_x, bin,
+    * lut) as produced by [[claheLut]] with tile keys (imgCol, tile_y,
+    * tile_x) — imgCol is a single (composite if needed) image key.
+    * Output: (img, x, y, out). One narrow pixel pass + 4 equi joins
+    * against the (tiny, 256·tiles-rows-per-image) LUT table — at corpus
+    * scale the LUT side broadcasts and the pixel stream never shuffles. */
+  def claheApply(pixels: DataFrame, imgCol: String, xCol: String,
+      yCol: String, vCol: String, luts: DataFrame,
+      tileW: Int, tileH: Int, tilesX: Int, tilesY: Int): DataFrame = {
+    require(tileW > 0 && tileH > 0 && tilesX > 0 && tilesY > 0,
+      "claheApply: tile geometry must be positive")
+    val tw2 = 2L * tileW; val th2 = 2L * tileH
+    // floor division by hand: ax ∈ [−tw, 2·w−tw) so the only negative
+    // quotient is −1 (Spark's `div` truncates toward zero — not floor)
+    val px = pixels.select(col(imgCol).cast("string").as("img"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+        col(vCol).cast("long").as("v"))
+      .withColumn("ax", col("x") * 2 - tileW)
+      .withColumn("ay", col("y") * 2 - tileH)
+      .withColumn("tx1", when(col("ax") < 0, -1L).otherwise(expr(s"ax div $tw2")))
+      .withColumn("ty1", when(col("ay") < 0, -1L).otherwise(expr(s"ay div $th2")))
+      .withColumn("p", col("ax") - col("tx1") * tw2)
+      .withColumn("q", col("ay") - col("ty1") * th2)
+      .withColumn("tx1c", greatest(col("tx1"), lit(0L)))
+      .withColumn("tx2c", least(col("tx1") + 1, lit(tilesX - 1L)))
+      .withColumn("ty1c", greatest(col("ty1"), lit(0L)))
+      .withColumn("ty2c", least(col("ty1") + 1, lit(tilesY - 1L)))
+    def corner(name: String, tyKey: String, txKey: String)(df: DataFrame) =
+      df.join(
+        luts.select(col(imgCol).cast("string").as("img"),
+          col("tile_y").cast("long").as(tyKey),
+          col("tile_x").cast("long").as(txKey),
+          col("bin").cast("long").as("v"),
+          col("lut").cast("long").as(name)),
+        Seq("img", tyKey, txKey, "v"))
+    val joined = corner("l22", "ty2c", "tx2c")(
+      corner("l21", "ty2c", "tx1c")(
+        corner("l12", "ty1c", "tx2c")(
+          corner("l11", "ty1c", "tx1c")(px))))
+    val den = tw2 * th2 // = 4·tw·th
+    val n = col("l11") * (lit(tw2) - col("p")) * (lit(th2) - col("q")) +
+      col("l12") * col("p") * (lit(th2) - col("q")) +
+      col("l21") * (lit(tw2) - col("p")) * col("q") +
+      col("l22") * col("p") * col("q")
+    joined
+      .withColumn("nsum", n)
+      .withColumn("qd", expr(s"nsum div $den"))
+      .withColumn("r", col("nsum") % den)
+      .withColumn("out",
+        least(lit(255L), col("qd") +
+          when(col("r") * 2 > den, 1L)
+            .when(col("r") * 2 === den, col("qd") % 2)
+            .otherwise(0L)))
+      .select(col("img"), col("x"), col("y"), col("out"))
+  }
 }

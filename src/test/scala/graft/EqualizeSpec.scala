@@ -52,6 +52,32 @@ class EqualizeSpec extends SparkSuite {
     assert(got((0, 0, 0)) == 1, got((0, 0, 0)))
   }
 
+  test("full declarative CLAHE (LUT + bilinear apply) == imperative claheL on dyadic tiles") {
+    val rnd = new scala.util.Random(9)
+    val (w, h, tX, tY) = (32, 16, 2, 2); val tw = 16; val th = 8
+    val src = Array.tabulate(w * h)(i => if (i % 4 == 0) 200 else rnd.nextInt(256))
+    val expected = ImageQuality.claheL(src, w, h, 1.5, tX, tY)
+    val pixels = (for (yy <- 0 until h; xx <- 0 until w)
+      yield ("i1", xx, yy, src(yy * w + xx))).toDF("img", "x", "y", "v")
+      .repartition(5).cache()
+    val hist = pixels.groupBy(col("img"),
+        expr(s"y div $th").cast("long").as("tile_y"),
+        expr(s"x div $tw").cast("long").as("tile_x"),
+        col("v").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val luts = Equalize.claheLut(hist, Seq("img", "tile_y", "tile_x"),
+      "bin", "cnt", tileArea = tw.toLong * th)
+    val got = Equalize.claheApply(pixels, "img", "x", "y", "v", luts,
+        tw, th, tX, tY)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._2.toInt, r._3.toInt) -> r._4.toInt).toMap
+    assert(got.size == w * h)
+    for (yy <- 0 until h; xx <- 0 until w)
+      assert(got((xx, yy)) == expected(yy * w + xx),
+        s"($xx,$yy) v=${src(yy * w + xx)}")
+    pixels.unpersist()
+  }
+
   test("zero-clipping plane is plain equalization; uniform histogram is near-identity") {
     // one pixel per bin: no clipping (cnt=1=clip), cum(v)=v+1,
     // lut[v] = roundHalfEven((v+1)*255/256) which is v or v+1
