@@ -206,11 +206,7 @@ private[graft] object Pack1 {
       // Long arithmetic end to end → bit-stable across layouts, which is
       // what makes a hash oracle possible; the oracle fixture is an
       // independent sequential adjacency-loop replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val edges = coOrderEdges(s, d)
       graft.graph.PageRank.run(edges, iters = 5)
         .select(col("id").as("part_id"), col("rank_fp"))
     }),
@@ -328,11 +324,7 @@ private[graft] object Pack1 {
       // xxhash64(seed, walk_id, step) mod degree — bit-stable across
       // layouts, which is what makes a hash oracle possible; the fixture
       // is an independent sequential replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderEdges(s, d)
       val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
         .select(col("p_partkey").as("id"))
       graft.graph.RandomWalks.walkSteps(e, startsDf, length = 8, seed = 7L)
@@ -342,11 +334,7 @@ private[graft] object Pack1 {
       // engine expands the window per row with array HOFs (no self-join);
       // the oracle expands it RELATIONALLY in DuckDB (walk-id self-join
       // over the independently-replayed committed walk fixture)
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderEdges(s, d)
       val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
         .select(col("p_partkey").as("id"))
       val w = graft.graph.RandomWalks.walks(e, startsDf, length = 8, seed = 7L)
@@ -369,11 +357,7 @@ private[graft] object Pack1 {
       // outward-keen) over the part co-order graph; deterministic
       // Efraimidis–Spirakis choice keyed by xxhash64 — the fixture is an
       // independent sequential replay in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderEdges(s, d)
       val startsDf = t(s, d, "part").where(col("p_partkey") % 40 === 0)
         .select(col("p_partkey").as("id"))
       graft.graph.RandomWalks.walksBiased(e, startsDf, length = 8,

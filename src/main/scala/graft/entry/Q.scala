@@ -19,6 +19,21 @@ private[graft] object Q {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def sumd(c: Column): Column = sum(dec2(c)).cast("double")
 
+  /** Directed part co-order edge set — both orientations of every pair of
+    * distinct parts sharing a lineitem order (q56/q61/q62/q65). r6: built
+    * as one `distinct` over the a<b half, then unioned with its swap. The
+    * two orientations are disjoint, so the union IS the old
+    * `=!= ... distinct` set row-for-row — but the distinct exchange now
+    * carries half the rows (guide §2.3 "shuffle fewer bytes"). */
+  def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val half = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
     * μ = 2 core gate, CC over the ε-core subgraph, min-cluster border
     * attachment, and ≥2-adjacent-clusters hub rule, replayed in DuckDB

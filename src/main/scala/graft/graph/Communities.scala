@@ -52,9 +52,15 @@ object Communities {
     var labels = graft.Materialize(
       e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("community")))
+    // loop-invariant node count gates the per-round broadcast of the
+    // label state into the edge join (guide §3.1): the edge table is then
+    // never shuffled inside the loop. At production node counts the gate
+    // fails and the shuffle-join round is unchanged.
+    val nNodes = labels.count()
     for (_ <- 0 until iters) {
-      val votes = labels
-        .join(e, labels("id") === e("src"))
+      val lb = graft.Hints.bcastIf(labels, nNodes)
+      val votes = lb
+        .join(e, lb("id") === e("src"))
         .groupBy(col("dst").as("id"), col("community"))
         .agg(count(lit(1)).as("n"))
       labels = graft.Materialize(votes

@@ -64,8 +64,21 @@ object KCore {
         |           sequence(1, size(vals)),
         |           (v, i) -> IF(v >= i, i, 0)),
         |  0, (acc, x) -> greatest(acc, x))""".stripMargin)
+    // r6 size gate FIRST (one cheap count of the checkpointed edge table):
+    // gate-small graphs take the O(m) local peel, everything else the
+    // synchronous h-index rounds below.
+    val localMax = edges.sparkSession.conf
+      .get("spark.graft.kcore.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMax) return corenessLocal(e)
     var cur = graft.Materialize(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("val")))
+    // node count is loop-invariant (every round keys the same id set):
+    // one cheap count of the checkpointed init state gates the per-round
+    // broadcast of the node-state side, so the directed edge table is
+    // never shuffled inside the loop (guide §3.1; at production node
+    // counts the gate fails and the SMJ round is unchanged).
+    val nNodes = cur.count()
+    def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nNodes)
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
@@ -73,10 +86,11 @@ object KCore {
       // one aggregation yields (new value, old value), so the change test
       // is a per-row predicate on the batch's own output — no second
       // node-scale join. collect_list skips the self-rows' nulled vals.
-      def round(c: DataFrame): DataFrame = {
+      def round(c0: DataFrame): DataFrame = {
+        val c = st(c0)
         val contrib = c.join(e, c("id") === e("src"))
           .select(col("dst"), col("val"), lit(false).as("self"))
-          .union(c.select(col("id").as("dst"), col("val"), lit(true).as("self")))
+          .union(c0.select(col("id").as("dst"), col("val"), lit(true).as("self")))
         contrib.groupBy(col("dst").as("id"))
           .agg(collect_list(when(!col("self"), col("val"))).as("vals"),
             max(when(col("self"), col("val"))).as("old"))
@@ -97,5 +111,77 @@ object KCore {
       if (changed == 0) done = true
     }
     cur.select(col("id"), col("val").as("coreness"))
+  }
+
+  /** Gate-small fast path (r6): when the DEDUPED directed edge table fits
+    * the `spark.graft.kcore.localMaxEdges` gate (default 8M rows — tens of
+    * MB of (long, long) tuples, the EntityLinker-local-path budget), run
+    * the Batagelj–Žaveršnik O(m) bucket peel on the driver instead of
+    * O(rounds) synchronous h-index jobs. Coreness is a uniquely defined
+    * function of the graph — peeling and the h-index fixpoint provably
+    * agree (KCoreSpec asserts both path parity and the peel oracle) — so
+    * the result is identical row-for-row; only ~32 serial Spark rounds of
+    * edge-scale collect_list shuffles collapse into one collect + one
+    * linear pass (guide §1.2: fix the distributed algorithm first — here
+    * the distributed algorithm at gate scale is pure serial-latency
+    * floor). Beyond the gate the h-index loop (with its r6
+    * broadcast-hinted state join) is unchanged — at 10^9-edge scale the
+    * peel cannot collect and the synchronous rounds are the right shape. */
+  private def corenessLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // e: deduped, both directions, no self-loops, longs
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val ids = java.util.Arrays.stream(pairs.map(_._1)).distinct().sorted().toArray
+    val n = ids.length
+    val ix = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { ix.put(ids(i), i); i += 1 }
+    // CSR adjacency over dense indices
+    val deg = new Array[Int](n)
+    pairs.foreach { case (s, _) => deg(ix.get(s)) += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](pairs.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    pairs.foreach { case (s, d) =>
+      val si = ix.get(s); nbr(fill(si)) = ix.get(d); fill(si) += 1
+    }
+    // bucket peel: process nodes in nondecreasing current-degree order
+    val maxDeg = if (n == 0) 0 else deg.max
+    val bin = new Array[Int](maxDeg + 2)
+    deg.foreach(d => bin(d + 1) += 1)
+    i = 1
+    while (i <= maxDeg + 1) { bin(i) += bin(i - 1); i += 1 }
+    val vert = new Array[Int](n) // nodes sorted by degree
+    val pos = new Array[Int](n)
+    val start = java.util.Arrays.copyOf(bin, maxDeg + 1)
+    i = 0
+    while (i < n) { val d = deg(i); pos(i) = start(d); vert(pos(i)) = i; start(d) += 1; i += 1 }
+    val cur = deg.clone()
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var j = off(v)
+      while (j < off(v + 1)) {
+        val u = nbr(j)
+        if (cur(u) > cur(v)) {
+          // swap u to the front of its degree bucket, then shrink it
+          val du = cur(u); val pu = pos(u); val pw = bin(du); val w = vert(pw)
+          if (u != w) {
+            vert(pu) = w; pos(w) = pu; vert(pw) = u; pos(u) = pw
+          }
+          bin(du) += 1
+          cur(u) -= 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // cur now holds coreness (the degree at removal time)
+    spark.createDataset((0 until n).map(k => (ids(k), cur(k))))
+      .toDF("id", "coreness")
+      .select(col("id"), col("coreness").cast("int").as("coreness"))
   }
 }

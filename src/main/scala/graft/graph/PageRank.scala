@@ -63,6 +63,11 @@ object PageRank {
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg")))
     val n = nodes.count()
     if (n == 0) return nodes.select(col("id"), lit(0L).as("rank_fp"))
+    // n is known here: when the node-state table is gate-small, broadcast
+    // it into the per-round edge join so the edge table is never shuffled
+    // (guide §3.1 / §2.4 — the hint changes strategy, never results); at
+    // production node counts the gate fails and the shuffle join remains.
+    def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, n)
 
     val init = Scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
@@ -78,8 +83,9 @@ object PageRank {
       // onto the per-node sums — no driver round trip per iteration
       val dangling = ranks.where(col("out_deg").isNull)
         .agg(coalesce(sum("rank_fp"), lit(0L)).as("dangling_fp"))
-      val contribs = ranks.where(col("out_deg").isNotNull)
-        .join(e, ranks("id") === e("src"))
+      val active = st(ranks.where(col("out_deg").isNotNull))
+      val contribs = active
+        .join(e, active("id") === e("src"))
         .select(col("dst").as("id"),
           expr("rank_fp div out_deg").as("contrib"))
         .groupBy("id").agg(sum("contrib").as("in_sum"))

@@ -30,34 +30,90 @@ object Triangles {
 
   /** edges: undirected edge list, one row per edge in either or both
     * directions (duplicates and self-loops are dropped). Returns
-    * (id: string, n_tri: long) for every node in at least one triangle. */
+    * (id: string, n_tri: long) for every node in at least one triangle.
+    *
+    * Two physical paths, same triangle set (r6):
+    *  - INTERSECT path (node table within the [[graft.Hints]] broadcast
+    *    gate): oriented out-adjacency lists are built once and
+    *    broadcast; each oriented edge (u,v) closes its triangles as
+    *    |N⁺(u) ∩ N⁺(v)| in one codegen'd `array_intersect` — a triangle
+    *    x→y, x→z, y→z is found exactly once, at its lowest edge (x,y).
+    *    Nothing materializes the Σ d⁺(v)² wedge set and the edge table
+    *    is never shuffled into a wedge join (guide §2.3/§2.4: the wedge
+    *    shuffle at bench scale was ~36M rows; here the only exchanges
+    *    are the adjacency groupBy and the final count aggregate).
+    *  - WEDGE path (beyond the gate): the original compact-forward
+    *    wedge join + semi-join close — rows stay narrow (no adjacency
+    *    arrays ride shuffles), the right trade at 10^9+-node scale.
+    * Ids compute as LONGs when both input columns are integral (strings
+    * only widen every exchange; the public schema keeps id: string), and
+    * ANY total order orients correctly, so the (deg, long id) key of the
+    * fast path and the (deg, string id) key of the generic path find the
+    * identical triangle set. */
   def perNode(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val a = col(srcCol).cast("string")
-    val b = col(dstCol).cast("string")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = Seq(srcCol, dstCol).forall { c =>
+      edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val ty = if (integral) "long" else "string"
+    val a = col(srcCol).cast(ty)
+    val b = col(dstCol).cast(ty)
     // canonical undirected form: {min, max} pairs, self-loops out
     val und = graft.Materialize(edges
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct())
-    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val deg = graft.Materialize(
+      und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")),
+      eager = false)
+    val nNodes = deg.count()
+    def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nNodes)
     // orient by (deg, id): u → v iff key(u) < key(v)
     val keyed = und
-      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
-      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .join(st(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da")), Seq("a"))
+      .join(st(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db")), Seq("b"))
     def key(d: String, id: String) = struct(col(d).as("kd"), col(id).as("kid"))
     val fwd = key("da", "a") < key("db", "b")
-    val o = graft.Materialize(keyed.select(
-      when(fwd, col("a")).otherwise(col("b")).as("u"),
-      when(fwd, col("b")).otherwise(col("a")).as("v"),
-      when(fwd, key("db", "b")).otherwise(key("da", "a")).as("vkey")))
-    // wedges from a common lower-keyed apex, closed by an oriented edge
-    val tri = o.as("e1").join(o.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-      .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val counts =
+      if (nNodes <= graft.Hints.maxRows(edges.sparkSession)) {
+        val o = graft.Materialize(keyed.select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v")))
+        val padj = graft.Materialize(
+          o.groupBy("u").agg(collect_list("v").as("nb")), eager = false)
+        // inner joins: u always has out-edges; a v with none closes no
+        // triangle on this edge (its intersect would be empty anyway)
+        val tri = o
+          .join(st(padj.select(col("u"), col("nb").as("nb_u"))), Seq("u"))
+          .join(st(padj.select(col("u").as("v"), col("nb").as("nb_v"))), Seq("v"))
+          .select(col("u"), col("v"),
+            array_intersect(col("nb_u"), col("nb_v")).as("c"))
+          .where(size(col("c")) > 0)
+        // each triangle (u,v,w∈c) credits u, v and every w exactly once
+        tri.select(explode(concat(
+            array(struct(col("u").as("id"), size(col("c")).cast("long").as("n")),
+              struct(col("v").as("id"), size(col("c")).cast("long").as("n"))),
+            transform(col("c"), w => struct(w.as("id"), lit(1L).as("n"))))).as("t"))
+          .select(col("t.id").as("id"), col("t.n").as("n"))
+          .groupBy("id").agg(sum("n").as("n_tri"))
+      } else {
+        val o = graft.Materialize(keyed.select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"),
+          when(fwd, key("db", "b")).otherwise(key("da", "a")).as("vkey")))
+        // wedges from a common lower-keyed apex, closed by an oriented edge
+        val tri = o.as("e1").join(o.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.vkey") < col("e2.vkey"))
+          .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+          .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      }
+    counts.select(col("id").cast("string").as("id"), col("n_tri"))
   }
 
   /** Local clustering coefficient per node — `2·T(v) / (deg(v)·(deg(v)−1))`
