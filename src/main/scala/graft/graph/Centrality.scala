@@ -84,6 +84,11 @@ object Centrality {
       nodes.select(col("id"), lit(scale).as("hub"), lit(scale).as("auth")))
     if (e.isEmpty) // no edges → no nodes; the loop's scalar aggs need rows
       return e.select(col("src").as("id"), lit(0L).as("hub_fp"), lit(0L).as("auth_fp"))
+    // r6: gate-hint the node-scale score tables into the edge joins and
+    // the node-keyed outer joins (guide §3.1) — the count is loop-
+    // invariant; beyond the gate the shuffle rounds are unchanged.
+    val nNodes = nodes.count()
+    def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nNodes)
     // deterministic re-scale: x -> x div max(1, maxX div scale)
     def rescale(df: DataFrame, c: String): DataFrame = {
       val m = df.agg(max(col(c))).head().getLong(0)
@@ -92,21 +97,21 @@ object Centrality {
     }
     for (_ <- 0 until iters) {
       // auth half-step: sum incoming hub mass; nodes with no in-edges get 0
-      val authRaw = e.join(scores.select(col("id"), col("hub")),
+      val authRaw = e.join(st(scores.select(col("id"), col("hub"))),
           e("src") === col("id"))
         .groupBy(col("dst").as("aid")).agg(sum("hub").as("auth"))
-      val withAuth = nodes.join(authRaw, nodes("id") === col("aid"), "left")
+      val withAuth = nodes.join(st(authRaw), nodes("id") === col("aid"), "left")
         .select(nodes("id"), coalesce(col("auth"), lit(0L)).as("auth"))
       val auth2 = rescale(graft.Materialize(withAuth, eager = false), "auth")
       // hub half-step: sum outgoing auth mass
-      val hubRaw = e.join(auth2.select(col("id"), col("auth")),
+      val hubRaw = e.join(st(auth2.select(col("id"), col("auth"))),
           e("dst") === col("id"))
         .groupBy(col("src").as("hid")).agg(sum("auth").as("hub"))
-      val withHub = nodes.join(hubRaw, nodes("id") === col("hid"), "left")
+      val withHub = nodes.join(st(hubRaw), nodes("id") === col("hid"), "left")
         .select(nodes("id"), coalesce(col("hub"), lit(0L)).as("hub"))
       val hub2 = rescale(graft.Materialize(withHub, eager = false), "hub")
       scores = graft.Materialize(
-        hub2.join(auth2.withColumnRenamed("id", "aid"),
+        hub2.join(st(auth2.withColumnRenamed("id", "aid")),
             hub2("id") === col("aid"))
           .select(hub2("id"), col("hub"), col("auth")),
         eager = false)

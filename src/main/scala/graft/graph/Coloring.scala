@@ -53,24 +53,33 @@ object Coloring {
     var colored = Seq.empty[(String, Int, Int)].toDF("id", "color", "round")
     var round = 0
     var remaining = un.count()
+    val nTotal = remaining
     while (remaining > 0) {
       round += 1
       if (round > maxRounds)
         throw new IllegalStateException(
           s"coloring: $remaining node(s) uncolored after $maxRounds rounds")
+      // r6: the uncolored state (`remaining` rows, counted by the loop)
+      // and the colored table (nTotal − remaining rows) are node-scale
+      // with known counts — gate-hint them into the edge-scale joins
+      // (guide §3.1); beyond the gate the SMJ rounds are unchanged.
+      def hUn(df: DataFrame) = graft.Hints.bcastIf(df, remaining)
+      def hCol(df: DataFrame) = graft.Hints.bcastIf(df, nTotal - remaining)
       // winners: uncolored nodes with no uncolored neighbor above them in
       // (priority, id) order — anti join against the losing evidence
-      val frontier = adj.join(un, Seq("id")) // (id, nb, p): uncolored only
+      val frontier = adj.join(hUn(un), Seq("id")) // (id, nb, p): uncolored only
       val blocked = frontier
-        .join(un.select(col("id").as("nb"), col("p").as("nbp")), Seq("nb"))
+        .join(hUn(un.select(col("id").as("nb"), col("p").as("nbp"))), Seq("nb"))
         .where(col("nbp") > col("p") ||
           (col("nbp") === col("p") && col("nb") > col("id")))
         .select(col("id")).distinct()
-      val winners = un.join(blocked, Seq("id"), "left_anti")
-      // mex over already-colored neighbors' colors (sorted-prefix fold)
-      val nbColors = winners
-        .join(adj, Seq("id"), "left")
-        .join(colored.select(col("id").as("nb"), col("color").as("nbc")),
+      val winners = un.join(hUn(blocked), Seq("id"), "left_anti")
+      // mex over already-colored neighbors' colors (sorted-prefix fold).
+      // Every un-node id came from adj and never leaves it, so the old
+      // `winners LEFT JOIN adj` always matched — written inner with the
+      // winners side gate-hinted, the adjacency table is not shuffled.
+      val nbColors = adj.join(hUn(winners), Seq("id"))
+        .join(hCol(colored.select(col("id").as("nb"), col("color").as("nbc"))),
           Seq("nb"), "left")
         .groupBy("id")
         .agg(sort_array(array_distinct(collect_list("nbc"))).as("cs"))
@@ -79,7 +88,7 @@ object Coloring {
             (acc, c) => when(c === acc, acc + 1).otherwise(acc)).as("color"),
           lit(round).as("round"))
       colored = graft.Materialize(colored.unionByName(nbColors))
-      un = graft.Materialize(un.join(nbColors, Seq("id"), "left_anti"))
+      un = graft.Materialize(un.join(hUn(nbColors), Seq("id"), "left_anti"))
       remaining = un.count()
       // join above needs `un` for blocking only; `blocked` is derived from
       // the PREVIOUS un, so the shrink is consistent within the round

@@ -49,22 +49,34 @@ object Distances {
       .where(col("id").isNotNull).distinct()
       .select(col("id"), col("id").as("landmark"), lit(0).as("dist")))
     var frontier = settled
+    // r6: the loop counts the frontier each round anyway and the settled
+    // size is the running sum, so gate-hint the frontier side of the edge
+    // join and the settled side of the anti join (guide §3.1) — within
+    // the gate a BFS level is one distinct shuffle; beyond it the SMJ
+    // level is unchanged.
+    val nE = e.count()
+    var nFrontier = settled.count()
+    var nSettled = nFrontier
     var depth = 0
     var done = maxDepth == 0
     while (!done) {
       depth += 1
+      val fr = graft.Hints.bcastIf(frontier, nFrontier)
       val next = barrier(graft.Materialize(
-        frontier.join(e, frontier("id") === e("src"))
+        fr.join(graft.Hints.bcastIf(e, nE), fr("id") === e("src"))
           .select(col("dst").as("id"), col("landmark"))
           .distinct()
-          .join(settled, Seq("id", "landmark"), "left_anti")
+          .join(graft.Hints.bcastIf(settled, nSettled),
+            Seq("id", "landmark"), "left_anti")
           .select(col("id"), col("landmark"), lit(depth).as("dist")),
         eager = false))
       val n = next.count()
       if (n == 0 || depth >= maxDepth) done = true
       if (n != 0) {
         settled = graft.Materialize(settled.union(next), eager = false)
+        nSettled += n
         frontier = next
+        nFrontier = n
       }
     }
     settled
@@ -104,6 +116,10 @@ object Distances {
       .where(col("id").isNotNull).distinct()
       .select(col("id"), col("id").as("landmark"), lit(0L).as("dist")))
     var delta = dist
+    // r6: gate-hint the delta side of the per-round relax join — its
+    // count is the loop's own improvement count (guide §3.1)
+    val nE = e.count()
+    var nDelta = dist.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -113,7 +129,8 @@ object Distances {
       // self-row (the KCore fusion), so the round is ONE edge-scale join
       // + ONE (id, landmark)-keyed aggregation, and "improved" is a
       // per-row predicate on the round's own output.
-      val cand = delta.join(e, delta("id") === e("src"))
+      val dl = graft.Hints.bcastIf(delta, nDelta)
+      val cand = dl.join(graft.Hints.bcastIf(e, nE), dl("id") === e("src"))
         .select(col("dst").as("id"), col("landmark"),
           (col("dist") + col("w")).as("dist"), lit(false).as("self"))
       val merged = barrier(graft.Materialize(
@@ -124,10 +141,12 @@ object Distances {
         eager = false))
       val improved = merged.where(col("cur").isNull || col("dist") < col("cur"))
         .select("id", "landmark", "dist")
-      if (improved.count() == 0) done = true
+      val nImproved = improved.count()
+      if (nImproved == 0) done = true
       else {
         dist = merged.select("id", "landmark", "dist")
         delta = improved
+        nDelta = nImproved
       }
     }
     dist

@@ -348,16 +348,24 @@ object GraphQuery {
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
+    // r6: the loop tracks exact row counts of the edge table and the
+    // growing closure anyway, so gate-hint both per-round joins
+    // (guide §3.1): edge side of the delta join, closure side of the
+    // anti join. Within the gate a round is one distinct shuffle; beyond
+    // it the SMJ rounds are unchanged.
+    val nE = e.count()
+    var nClosure = nE
     var closure = e
     var delta = e
     var hops = 1
     var done = false
     while (!done && hops < maxHops) {
       val next = graft.Materialize(
-        delta.as("d").join(e.as("e"), col("d.dst") === col("e.src"))
+        delta.as("d").join(graft.Hints.bcastIf(e, nE).as("e"),
+            col("d.dst") === col("e.src"))
           .select(col("d.src").as("src"), col("e.dst").as("dst"))
           .distinct()
-          .join(closure, Seq("src", "dst"), "left_anti"),
+          .join(graft.Hints.bcastIf(closure, nClosure), Seq("src", "dst"), "left_anti"),
         eager = false)
         // constraint barrier: the checkpointed LogicalRDD captures
         // constraints from its pre-checkpoint OPTIMIZED plan, whose output
@@ -369,9 +377,11 @@ object GraphQuery {
         // constraints against its own output set; it is a semantic no-op
         // because src/dst are null-filtered before `e` is built.
         .where(col("src").isNotNull && col("dst").isNotNull)
-      if (next.count() == 0) done = true
+      val nNext = next.count()
+      if (nNext == 0) done = true
       else {
         closure = graft.Materialize(closure.union(next), eager = false)
+        nClosure += nNext
         delta = next
         hops += 1
       }

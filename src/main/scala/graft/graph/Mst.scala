@@ -53,14 +53,18 @@ object Mst {
     var comp = graft.Materialize(
       e.select(col("ua").as("id")).union(e.select(col("va").as("id"))).distinct()
         .select(col("id"), col("id").as("comp")))
+    // r6: the component map is node-scale with a loop-invariant count —
+    // gate-hint it into the per-round edge annotation joins (§3.1).
+    val nNodes = comp.count()
+    def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nNodes)
     var forest: Option[DataFrame] = None
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       round += 1
       // annotate each edge with both endpoint components; cross edges only
-      val cu = comp.select(col("id").as("ua"), col("comp").as("cu"))
-      val cv = comp.select(col("id").as("va"), col("comp").as("cv"))
+      val cu = st(comp.select(col("id").as("ua"), col("comp").as("cu")))
+      val cv = st(comp.select(col("id").as("va"), col("comp").as("cv")))
       val cross = e.join(cu, "ua").join(cv, "va")
         .where(col("cu") =!= col("cv"))
       // each component picks its min outgoing edge under the TOTAL order
@@ -85,7 +89,7 @@ object Mst {
         val contraction = graft.canon.ConnectedComponents.run(
           selected.select(col("cu").as("src"), col("cv").as("dst")))
         comp = graft.Materialize(
-          comp.join(contraction.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+          comp.join(st(contraction.withColumnRenamed("id", "comp")), Seq("comp"), "left")
             .select(col("id"), coalesce(col("component"), col("comp")).as("comp")),
           eager = false)
       }

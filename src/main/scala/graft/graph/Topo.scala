@@ -62,8 +62,12 @@ object Topo {
       if (level > maxDepth)
         throw new IllegalStateException(
           s"Topo.levels: depth exceeded $maxDepth — raise maxDepth")
+      // r6: every anti join in the peel has a known-count node-scale
+      // right side (≤ nRemaining rows) — gate-hint them (guide §3.1) so
+      // a round's only exchange is the shrinking dst-distinct.
+      def h(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nRemaining)
       val sources = graft.Materialize(
-        remaining.join(remEdges.select(col("dst").as("id")).distinct(),
+        remaining.join(h(remEdges.select(col("dst").as("id")).distinct()),
           Seq("id"), "left_anti"), eager = false)
       val nSources = sources.count()
       if (nSources == 0)
@@ -73,9 +77,9 @@ object Topo {
       val leveled = sources.select(col("id"), lit(level).as("level"))
       acc = if (acc == null) leveled else acc.union(leveled)
       remaining = graft.Materialize(
-        remaining.join(sources, Seq("id"), "left_anti"), eager = false)
+        remaining.join(h(sources), Seq("id"), "left_anti"), eager = false)
       remEdges = graft.Materialize(
-        remEdges.join(sources.select(col("id").as("src")), Seq("src"), "left_anti"),
+        remEdges.join(h(sources.select(col("id").as("src"))), Seq("src"), "left_anti"),
         eager = false)
       nRemaining -= nSources
       level += 1

@@ -37,6 +37,25 @@ object StableMatch {
       .where(col("m").isNotNull && col("w").isNotNull)
       .distinct(), eager = false)
 
+    // r6 size gate: Gale–Shapley is a data-dependent-round sequential
+    // fixpoint — at gate-small preference-table sizes the distributed
+    // loop is pure serial job latency (a 16×16 instance took ~40 Spark
+    // jobs), so run the SEQUENTIAL McVitie–Wilson execution locally (the
+    // same algorithm the oracle replays). Proposal order provably does
+    // not change the proposer-optimal result under strict preferences,
+    // and the local path restores strictness with EXACTLY the distributed
+    // argmax's tie orders — max(struct(ms, w)) / max(struct(ws, m)), i.e.
+    // (score, id-string) lexicographic — so the two paths are identical
+    // even on tied scores (asserted by StableMatchSpec's gate-forced
+    // parity case). Beyond the gate the round-parallel loop below is
+    // unchanged — that is the 10^9-preference shape.
+    val localMax = prefs.sparkSession.conf
+      .get("spark.graft.stablematch.localMaxRows", "1000000").toInt
+    val probe = p.take(localMax + 1)
+    if (probe.length <= localMax &&
+        !probe.exists(r => r.isNullAt(2) || r.isNullAt(3)))
+      return matchLocal(probe, prefs) // null scores keep the struct-max path
+
     // rejected(m, w) grows; engaged(w, m) is the tentative matching
     var live = p // preference rows not yet rejected
     var engaged = graft.Materialize(
@@ -72,5 +91,48 @@ object StableMatch {
       }
     }
     engaged.select(col("m"), col("w"))
+  }
+
+  /** Sequential man-proposing Gale–Shapley over the collected distinct
+    * preference rows, with the distributed path's exact tie orders:
+    * a man proposes down his list sorted by (ms, w) DESC; a woman holds
+    * the max offer by (ws, m) — both lexicographic with the id STRING as
+    * the tiebreak, matching `max(struct(...))`. */
+  private def matchLocal(rows: Array[org.apache.spark.sql.Row],
+      prefs: DataFrame): DataFrame = {
+    val spark = prefs.sparkSession
+    import spark.implicits._
+    // per-man preference list, best-first
+    val byM = rows.groupBy(_.getString(0)).map { case (m, rs) =>
+      m -> rs.map(r => (r.getLong(2), r.getString(1), r.getLong(3)))
+        .sortBy { case (ms, w, _) => (-ms, w) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    }
+    val nextIdx = scala.collection.mutable.HashMap.empty[String, Int]
+    val engagedW = scala.collection.mutable.HashMap.empty[String, (String, Long)] // w -> (m, ws)
+    val free = scala.collection.mutable.Queue.empty[String]
+    byM.keys.toSeq.sorted.foreach { m => free.enqueue(m); nextIdx(m) = 0 }
+    while (free.nonEmpty) {
+      val m = free.dequeue()
+      val list = byM(m)
+      var i = nextIdx(m)
+      var engagedNow = false
+      while (!engagedNow && i < list.length) {
+        val (_, w, ws) = list(i)
+        i += 1
+        engagedW.get(w) match {
+          case None =>
+            engagedW(w) = (m, ws); engagedNow = true
+          case Some((m2, ws2)) =>
+            // woman keeps max by (ws, m-string)
+            if (ws > ws2 || (ws == ws2 && m > m2)) {
+              engagedW(w) = (m, ws); free.enqueue(m2); engagedNow = true
+            } // else: standing rejection, try next preference
+        }
+      }
+      nextIdx(m) = i // exhausted list → m stays unmatched
+    }
+    engagedW.toSeq.map { case (w, (m, _)) => (m, w) }.sorted
+      .toDF("m", "w")
   }
 }

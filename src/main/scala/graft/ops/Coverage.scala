@@ -37,14 +37,28 @@ object Coverage {
         col(itemCol).cast("string").as("item"))
       .where(col("id").isNotNull && col("item").isNotNull)
       .distinct())
+    // r6: INCREMENTAL gain maintenance. gain_t(id) = |items(id) ∖
+    // covered_t|, and covered only ever GROWS by the winner's not-yet-
+    // covered items — so instead of re-aggregating the full membership
+    // table every round (k edge-scale anti-join aggregates), keep a
+    // materialized per-candidate gain table and subtract, per round, each
+    // candidate's overlap with the winner's NEWLY covered items. The
+    // newly-covered set is ≤ one record's items (bounded by the largest
+    // record — the same single-record bound the argmax collect already
+    // carries), so its broadcast is always safe; rounds touch only the
+    // rows that share an item with the winner. Winner selection is the
+    // identical argmax on identical gains: a candidate whose items are
+    // fully covered has gain 0 here where the old aggregate dropped its
+    // row — both are excluded by the same `gain > 0` stop rule.
+    var gains = graft.Materialize(
+      items.groupBy("id").agg(count(lit(1)).as("gain")))
     var covered = graft.Materialize(items.select("item").limit(0))
+    var nCovered = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var done = false
     var rank = 0
     while (!done && rank < k) {
-      val winner = items
-        .join(covered, Seq("item"), "left_anti")
-        .groupBy("id").agg(count(lit(1)).as("gain"))
+      val winner = gains
         .orderBy(col("gain").desc, col("id").asc)
         .limit(1)
         .as[(String, Long)].collect()
@@ -52,8 +66,21 @@ object Coverage {
         case Some((id, gain)) if gain > 0 =>
           rank += 1
           picks += ((rank, id, gain))
-          covered = graft.Materialize(covered.unionByName(
-            items.where(col("id") === id).select("item")).distinct())
+          // the winner's items not covered before this round (disjoint
+          // from everything already in `covered` by construction)
+          val newItems = graft.Materialize(
+            items.where(col("id") === id).select("item")
+              .join(graft.Hints.bcastIf(covered, nCovered),
+                Seq("item"), "left_anti"))
+          val nNew = gain // |newItems| IS the winner's gain, by definition
+          val dec = items.join(graft.Hints.bcastIf(newItems, nNew), Seq("item"))
+            .groupBy("id").agg(count(lit(1)).as("d"))
+          gains = graft.Materialize(gains
+            .join(dec, Seq("id"), "left")
+            .select(col("id"),
+              (col("gain") - coalesce(col("d"), lit(0L))).as("gain")))
+          covered = graft.Materialize(covered.union(newItems), eager = false)
+          nCovered += nNew
         case _ => done = true
       }
     }

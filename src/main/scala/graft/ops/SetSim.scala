@@ -84,9 +84,22 @@ object SetSim {
           ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
 
+    // r6: the verify join re-attaches the FULL token arrays to every
+    // candidate pair; with the record table checkpoint opaque to the
+    // planner this was two SortMergeJoins shuffling the (large) pair
+    // table twice. When the record count fits the byte-aware gate
+    // (records carry whole token arrays, so the row gate is much lower
+    // than Hints' 8–32-byte-row default), broadcast the record table on
+    // both sides instead — the pair table then never shuffles
+    // (guide §3.1; strategy only, results unchanged).
+    val nBase = base.count()
+    val verifyMax = df.sparkSession.conf
+      .get("spark.graft.setsim.broadcastVerifyMaxRecords", "125000").toLong
+    def vb(d: DataFrame): DataFrame =
+      if (nBase <= verifyMax) broadcast(d) else d
     cand
-      .join(base.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .join(vb(base.select(col("id").as("id_a"), col("toks").as("__ta"))), Seq("id_a"))
+      .join(vb(base.select(col("id").as("id_b"), col("toks").as("__tb"))), Seq("id_b"))
       .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("__j", col("__i").cast("double") /
         (size(col("__ta")) + size(col("__tb")) - col("__i")))

@@ -56,11 +56,17 @@ object TruthDiscovery {
           sum(col("belief_fp")).over(Window.partitionBy("obj")))
         .select(col("obj"), col("val"),
           idiv(col("belief_fp") * Scale, col("tot_fp")).as("norm_fp"))
-      trust = cl.join(norm, Seq("obj", "val"))
-        .groupBy("src").agg(sum("norm_fp").as("sum_norm"))
-        .join(broadcast(nClaims), Seq("src"))
-        .select(col("src"),
-          idiv(col("sum_norm"), col("n_claims")).as("trust_fp"))
+      // r6: checkpoint the (source-scale, tiny) trust table each round —
+      // without it round t's broadcast build re-plans the whole chained
+      // lineage of rounds 1..t-1 (a 5-round resolve carried a ~75 KB
+      // physical plan with every window/join quintupled).
+      trust = graft.Materialize(
+        cl.join(norm, Seq("obj", "val"))
+          .groupBy("src").agg(sum("norm_fp").as("sum_norm"))
+          .join(broadcast(nClaims), Seq("src"))
+          .select(col("src"),
+            idiv(col("sum_norm"), col("n_claims")).as("trust_fp")),
+        eager = false)
     }
     (trust, belief)
   }

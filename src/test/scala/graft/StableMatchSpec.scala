@@ -90,6 +90,31 @@ class StableMatchSpec extends SparkSuite {
     }
   }
 
+  test("local fast path == distributed round-parallel path (gate forced)") {
+    // r6: matchPairs takes a driver-local sequential GS when the distinct
+    // preference table fits spark.graft.stablematch.localMaxRows. Force
+    // the distributed path with gate=0 and assert identical matchings —
+    // including an instance WITH TIED scores, where both paths must apply
+    // the same (score, id-string) struct-max tie orders.
+    val rnd = new scala.util.Random(47)
+    val instances = Seq(
+      for (m <- 1 to 9; w <- 1 to 9) yield
+        (f"m$m%02d", f"w$w%02d",
+          ((m * w * 5) % 251).toLong, ((m * w * 7) % 251).toLong),
+      // tied scores: many (m, w) share m_score/w_score values
+      for (m <- 1 to 7; w <- 1 to 7) yield
+        (f"m$m%02d", f"w$w%02d", ((m + w) % 3).toLong, ((m * w) % 4).toLong))
+    for ((prefs, i) <- instances.zipWithIndex) {
+      val local = run(prefs, parts = 4)
+      val dist =
+        try {
+          spark.conf.set("spark.graft.stablematch.localMaxRows", "0")
+          run(prefs, parts = 4)
+        } finally spark.conf.unset("spark.graft.stablematch.localMaxRows")
+      assert(local === dist, s"instance $i")
+    }
+  }
+
   test("parity with sequential Gale-Shapley on random full instances") {
     val rnd = new scala.util.Random(43)
     for (trial <- 0 until 4) {
