@@ -58,6 +58,70 @@ object BenchExtra {
       case "pagerank_full" =>
         t("pagerank_full")(graft.graph.PageRank.run(coDirected, iters = 5))
       case "triangles_full" => t("triangles_full")(graft.graph.Triangles.perNode(coHalf))
+      case "setsim_stage" =>
+        // re-create jaccardJoin's stages piecewise (t=0.9, documents)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+        val base = docs
+          .select(col("doc_id").cast("string").as("id"), col("toks"))
+          .where(col("id").isNotNull && size(col("toks")) > 0)
+        val toksE = base.select(col("id"), explode(col("toks")).as("tok"))
+        val freq = toksE.groupBy("tok").agg(count(lit(1)).as("df"))
+        t("setsim_freq")(freq)
+        val prefixes = toksE.join(freq, Seq("tok"))
+          .groupBy("id")
+          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+          .withColumn("sz", size(col("sorted")))
+          .withColumn("plen",
+            col("sz") - ceil(lit(0.9) * col("sz") - lit(1e-9)).cast("int") + 1)
+          .select(col("id"), col("sz"),
+            explode(expr("slice(sorted, 1, plen)")).as("p"))
+          .select(col("id"), col("sz"), xxhash64(col("p.tok")).as("h"))
+        t("setsim_prefixes")(prefixes)
+        val hashed = prefixes
+        val cand = hashed.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+          .join(hashed.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+            Seq("h"))
+          .where(col("id_a") < col("id_b") &&
+            least(col("sz_a"), col("sz_b")) >=
+              ceil(lit(0.9) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
+          .select("id_a", "id_b").distinct()
+        t("setsim_cand")(cand)
+        t("setsim_verify") {
+          cand
+            .join(broadcast(base.select(col("id").as("id_a"), col("toks").as("__ta"))), Seq("id_a"))
+            .join(broadcast(base.select(col("id").as("id_b"), col("toks").as("__tb"))), Seq("id_b"))
+            .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
+            .withColumn("__j", col("__i").cast("double") /
+              (size(col("__ta")) + size(col("__tb")) - col("__i")))
+            .where(col("__j") >= 0.9)
+        }
+      case "winnow_tokens" =>
+        t("winnow_tokens") {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        }
+      case "winnow_grams_nohash" =>
+        t("winnow_grams_nohash") {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+          docs.select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), greatest(size(toks) - 4, lit(0))),
+              i => array_join(slice(toks, i, lit(5)), " "))).as(Seq("p", "g")))
+        }
+      case "winnow_grams_hashed" =>
+        t("winnow_grams_hashed") {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val toks = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+          docs.select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), greatest(size(toks) - 4, lit(0))),
+              i => array_join(slice(toks, i, lit(5)), " "))).as(Seq("p", "g")))
+            .select(col("doc_id"), col("p"), graft.ops.TextOps.fingerprint(col("g")).as("h"))
+        }
+      case "winnow_full" =>
+        t("winnow_full")(graft.ops.Winnow.fingerprints(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = 5, w = 4))
       case other => System.err.println(s"[benchextra] unknown step: $other")
     }
     spark.stop()

@@ -50,6 +50,20 @@ object Coloring {
         .select(col("id"), prio(col("id")).as("p")))
     val session = un.sparkSession
     import session.implicits._
+    // r6 size gate: the parallel waves compute EXACTLY the sequential
+    // greedy coloring in decreasing (priority, id) order (the class
+    // docstring's structural fact — priorities come from the SAME
+    // kmvHash column, collected, not recomputed), and the wave number
+    // is itself sequential: round(v) = 1 + max(round(u)) over v's
+    // higher-(p, id) neighbors. So at gate-small sizes run that exact
+    // recurrence on the driver — one collect + one linear pass instead
+    // of O(waves) rounds of 3 joins + 2 checkpoints + a count each
+    // (gate-forced parity asserted in ColoringSpec; beyond the gate the
+    // wave loop below is unchanged).
+    val localMaxE = session.conf
+      .get("spark.graft.coloring.localMaxEdges", "8000000").toLong
+    if (adj.count() <= localMaxE)
+      return jonesPlassmannLocal(adj, un)
     var colored = Seq.empty[(String, Int, Int)].toDF("id", "color", "round")
     var round = 0
     var remaining = un.count()
@@ -94,5 +108,51 @@ object Coloring {
       // the PREVIOUS un, so the shrink is consistent within the round
     }
     colored
+  }
+
+  /** Driver-local exact replay of the Jones–Plassmann result: sequential
+    * greedy in decreasing (priority, id) order, wave(v) = 1 + max wave of
+    * v's higher-(p, id) neighbors (0-max → wave 1), color(v) = mex over
+    * those same neighbors' colors. Identical output to the wave loop —
+    * the equivalence the class docstring proves and the committed
+    * sequential-greedy oracle fixture already checks. */
+  private def jonesPlassmannLocal(adj: DataFrame, un: DataFrame): DataFrame = {
+    val spark = un.sparkSession
+    import spark.implicits._
+    val prios = un.as[(String, Long)].collect()
+    val order = prios.sortBy { case (id, p) => (-p, id) }(
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    // decreasing (p, id): -p ascending, id DESCENDING on ties
+    val edgesArr = adj.as[(String, String)].collect()
+    val nbrs = new java.util.HashMap[String, java.util.ArrayList[String]]()
+    edgesArr.foreach { case (id, nb) =>
+      nbrs.computeIfAbsent(id, _ => new java.util.ArrayList[String]()).add(nb)
+    }
+    val color = new java.util.HashMap[String, Int]()
+    val wave = new java.util.HashMap[String, Int]()
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)](order.length)
+    order.foreach { case (id, _) =>
+      var maxWave = 0
+      val used = new java.util.HashSet[Integer]()
+      val ns = nbrs.get(id)
+      if (ns != null) {
+        val it = ns.iterator()
+        while (it.hasNext) {
+          val u = it.next()
+          val cu = color.get(u)
+          if (color.containsKey(u)) { // already colored ⇔ higher (p, id)
+            used.add(cu)
+            val wu = wave.get(u)
+            if (wu > maxWave) maxWave = wu
+          }
+        }
+      }
+      var c = 0
+      while (used.contains(c)) c += 1
+      color.put(id, c)
+      wave.put(id, maxWave + 1)
+      out += ((id, c, maxWave + 1))
+    }
+    out.toSeq.toDF("id", "color", "round")
   }
 }

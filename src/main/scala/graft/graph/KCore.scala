@@ -50,10 +50,18 @@ object KCore {
     require(checkEvery >= 1, "coreness: checkEvery must be >= 1")
     val a = col(srcCol).cast("long")
     val b = col(dstCol).cast("long")
-    val und = edges
+    val und = graft.Materialize(edges
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+      .distinct())
+    // r6 size gate FIRST, on the CANONICAL half (one cheap count of the
+    // checkpointed pair table): gate-small graphs take the O(m) local
+    // peel — collecting m/2 canonical pairs and mirroring them in memory
+    // instead of materializing + collecting the doubled directed table.
+    val mHalf = und.count()
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.kcore.localMaxEdges", "8000000").toLong
+    if (2 * mHalf <= localMaxE) return corenessLocal(und)
     val e = graft.Materialize(
       und.select(col("a").as("src"), col("b").as("dst"))
         .union(und.select(col("b").as("src"), col("a").as("dst"))))
@@ -64,12 +72,6 @@ object KCore {
         |           sequence(1, size(vals)),
         |           (v, i) -> IF(v >= i, i, 0)),
         |  0, (acc, x) -> greatest(acc, x))""".stripMargin)
-    // r6 size gate FIRST (one cheap count of the checkpointed edge table):
-    // gate-small graphs take the O(m) local peel, everything else the
-    // synchronous h-index rounds below.
-    val localMax = edges.sparkSession.conf
-      .get("spark.graft.kcore.localMaxEdges", "8000000").toLong
-    if (e.count() <= localMax) return corenessLocal(e)
     var cur = graft.Materialize(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("val")))
     // node count is loop-invariant (every round keys the same id set):
@@ -127,26 +129,30 @@ object KCore {
     * floor). Beyond the gate the h-index loop (with its r6
     * broadcast-hinted state join) is unchanged — at 10^9-edge scale the
     * peel cannot collect and the synchronous rounds are the right shape. */
-  private def corenessLocal(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def corenessLocal(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
     import spark.implicits._
-    // e: deduped, both directions, no self-loops, longs
-    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
-    val ids = java.util.Arrays.stream(pairs.map(_._1)).distinct().sorted().toArray
+    // und: deduped canonical {a < b} pairs, no self-loops, longs —
+    // mirrored in memory (half the collect of the directed table)
+    val half = und.select(col("a"), col("b")).as[(Long, Long)].collect()
+    val ids = java.util.Arrays.stream(
+      half.map(_._1) ++ half.map(_._2)).distinct().sorted().toArray
     val n = ids.length
     val ix = new java.util.HashMap[Long, Int](n * 2)
     var i = 0
     while (i < n) { ix.put(ids(i), i); i += 1 }
-    // CSR adjacency over dense indices
+    // CSR adjacency over dense indices, both directions per pair
     val deg = new Array[Int](n)
-    pairs.foreach { case (s, _) => deg(ix.get(s)) += 1 }
+    half.foreach { case (s, d) => deg(ix.get(s)) += 1; deg(ix.get(d)) += 1 }
     val off = new Array[Int](n + 1)
     i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-    val nbr = new Array[Int](pairs.length)
+    val nbr = new Array[Int](half.length * 2)
     val fill = java.util.Arrays.copyOf(off, n)
-    pairs.foreach { case (s, d) =>
-      val si = ix.get(s); nbr(fill(si)) = ix.get(d); fill(si) += 1
+    half.foreach { case (s, d) =>
+      val si = ix.get(s); val di = ix.get(d)
+      nbr(fill(si)) = di; fill(si) += 1
+      nbr(fill(di)) = si; fill(di) += 1
     }
     // bucket peel: process nodes in nondecreasing current-degree order
     val maxDeg = if (n == 0) 0 else deg.max

@@ -39,10 +39,15 @@ object RandomWalks {
       srcCol: String = "src", dstCol: String = "dst",
       startCol: String = "id"): DataFrame = {
     require(length >= 0, "walks: length must be >= 0")
-    val adj = graft.Materialize(edges
+    val adj0 = graft.Materialize(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
+    // r6: the checkpointed adjacency has no size stats, so every step's
+    // left join planned as an SMJ shuffling BOTH the walk state and the
+    // adjacency; gate-hint the adjacency (LeftOuter builds right) so a
+    // step is one narrow map-side join (guide §3.1).
+    val adj = graft.Hints.bcastIf(adj0, adj0.count())
     var state = starts
       .select(col(startCol).cast("long").as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("cur"),
@@ -106,11 +111,16 @@ object RandomWalks {
       startCol: String = "id"): DataFrame = {
     require(length >= 0, "walksBiased: length must be >= 0")
     require(p > 0 && q > 0, "walksBiased: p and q must be > 0")
-    val adj = graft.Materialize(edges
+    val adj0 = graft.Materialize(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
-    val padj = adj.select(col("src").as("p_src"), col("nbrs").as("p_nbrs"))
+    // r6: same gate-hinted adjacency as `walks` — both per-step left
+    // joins become map-side within the gate.
+    val nAdj = adj0.count()
+    val adj = graft.Hints.bcastIf(adj0, nAdj)
+    val padj = graft.Hints.bcastIf(
+      adj0.select(col("src").as("p_src"), col("nbrs").as("p_nbrs")), nAdj)
     // constraint barrier after lazy checkpoints (see GraphQuery.reachable)
     def barrier(df: DataFrame): DataFrame = df.where(col("walk_id").isNotNull)
     val m = 1L << 52

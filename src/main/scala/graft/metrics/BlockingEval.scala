@@ -59,16 +59,25 @@ object BlockingEval {
     val by = b.select(col("id").as("y"), col("block"))
     val covered = g.join(bx, Seq("x")).join(by, Seq("y", "block"), "left_semi")
       .select("x", "y").distinct()
-    // distinct candidate pairs (for PQ): per-block pair join, deduped —
-    // candidate-scale, the one genuinely quadratic piece; PQ only makes
-    // sense on labeled SAMPLES, where this is small
-    val cand = b.as("l").join(b.as("r"), Seq("block"))
-      .where(col("l.id") < col("r.id"))
-      .select(col("l.id").as("x"), col("r.id").as("y"))
-      .distinct()
     val nGold = g.count()
     val nCovered = covered.count()
-    val nDistinctCand = cand.count()
+    // distinct candidate pairs (for PQ). r6: when every entity carries
+    // exactly ONE block (the common disjoint-blocking case — one cheap
+    // membership aggregate detects it), a pair can share at most one
+    // block, so the distinct-pair count IS Σ C(n_b, 2) — the quadratic
+    // per-block pair enumeration + distinct (450M shuffled rows on a
+    // 25-block nation blocking) is skipped with an identical value.
+    // Overlapping blockings (LSH bands, multi-key) keep the enumeration:
+    // there a pair can repeat across blocks and only dedup counts it.
+    val maxBlocksPerId = b.groupBy("id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+    val nDistinctCand =
+      if (maxBlocksPerId <= 1L)
+        candAgg.head().getLong(0)
+      else b.as("l").join(b.as("r"), Seq("block"))
+        .where(col("l.id") < col("r.id"))
+        .select(col("l.id").as("x"), col("r.id").as("y"))
+        .distinct().count()
     val row = nEnt.crossJoin(candAgg)
     row.select(
         col("n_entities"),

@@ -376,10 +376,18 @@ object Curation {
     * otherwise — then one doc-keyed aggregation. */
   def boilerplateFraction(df: DataFrame, id: Column, text: Column,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val wins = passageWindows(df, id, text, k)
-    val repeated = repeatedPassages(df, id, text, k, minDocs)
-      .select(col("passage"), lit(1).as("rep"))
-    wins.join(repeated, Seq("passage"), "left")
+    // r6: share ONE checkpointed window table between the mining
+    // aggregate and the per-doc join (was two full HOF window
+    // expansions), and gate-hint the (boilerplate-scale) repeated set.
+    val wins = graft.Materialize(passageWindows(df, id, text, k))
+    val repeated = graft.Materialize(
+      wins.groupBy("passage")
+        .agg(countDistinct(col("id")).as("n_docs"))
+        .where(col("n_docs") >= minDocs)
+        .select(col("passage"), lit(1).as("rep")),
+      eager = false)
+    wins.join(graft.Hints.bcastIf(repeated, repeated.count()),
+      Seq("passage"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_windows"),
         coalesce(sum("rep"), lit(0L)).as("n_repeated"))
@@ -413,12 +421,20 @@ object Curation {
   def repeatedSpans(df: DataFrame, id: Column, text: Column,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "repeatedSpans: minDocs must be >= 2")
-    val wins = passageWindows(df, id, text, k)
-    val rep = wins.groupBy("passage")
-      .agg(countDistinct(col("id")).as("__nd"))
-      .where(col("__nd") >= minDocs)
-      .select("passage")
-    val marked = wins.join(rep, Seq("passage"), "left_semi")
+    // r6: the window table feeds BOTH the repeated-set aggregate and the
+    // semi join — as pure lineage the whole HOF window expansion ran
+    // twice; checkpoint it once. The repeated set is boilerplate-scale
+    // (tiny), so its known count gate-hints the semi join map-side and
+    // the window table never shuffles on the passage key for it.
+    val wins = graft.Materialize(passageWindows(df, id, text, k))
+    val rep = graft.Materialize(
+      wins.groupBy("passage")
+        .agg(countDistinct(col("id")).as("__nd"))
+        .where(col("__nd") >= minDocs)
+        .select("passage"),
+      eager = false)
+    val marked = wins.join(graft.Hints.bcastIf(rep, rep.count()),
+      Seq("passage"), "left_semi")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     marked

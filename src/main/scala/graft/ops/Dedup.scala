@@ -441,7 +441,12 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), k)).as("shingle"))
       .where(col("shingle").isNotNull))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // r6: doc-scale size table, checkpointed once and gate-hinted into
+    // the two verify-stage joins below (it fed two separate SMJs before)
+    val sizes = graft.Materialize(
+      sh.groupBy("id").agg(count(lit(1)).as("sz")), eager = false)
+    val nSizes = sizes.count()
+    def hs(d: DataFrame): DataFrame = graft.Hints.bcastIf(d, nSizes)
     val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val kept = sh.join(dfCap, "shingle").select("id", "shingle")
@@ -453,8 +458,8 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(hs(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+      .join(hs(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
     val dirA = inter.select(col("id_a").as("id"), col("id_b").as("other_id"),
       col("common"), col("sz_a").as("n_shingles"))
     val dirB = inter.select(col("id_b").as("id"), col("id_a").as("other_id"),

@@ -35,23 +35,29 @@ object Winnow {
     val t = coalesce(col(textCol), lit(""))
     val toks = when(length(trim(t)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(t), "\\s+"))
-    val grams = df
-      .select(col(idCol).as("id"),
-        when(size(toks) < k, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
-            i => array_join(slice(toks, i, lit(k)), " "))).as("gs"))
-      .select(col("id"), posexplode(col("gs")).as(Seq("p0", "g")))
-      .select(col("id"), (col("p0") + 1).as("pos"),
-        TextOps.fingerprint(col("g")).as("h"))
-    val frame = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("n_in", count(lit(1)).over(frame))
-      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
-        .over(frame))
-      .where(col("n_in") === w) // full windows only
+    // r6: winnowing is PER-DOCUMENT — the old doc-partitioned window pass
+    // paid one exchange + sort into WindowExec (no codegen) plus a second
+    // exchange for the global distinct, all keyed by (id, ...). Computed
+    // instead as one narrow HOF pass per row: gram-hash array → sliding
+    // `array_min` of (h, −pos) structs over each full w-window (the same
+    // rightmost-minimum struct order) → per-doc `array_distinct` (the old
+    // distinct's key included `id`, so it WAS per-doc) → explode only the
+    // ≈2n/(w+1) selections. Zero exchanges (guide §2.4); values identical.
+    val hs = transform(
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
+          i => array_join(slice(toks, i, lit(k)), " "))),
+      g => TextOps.fingerprint(g))
+    df.select(col(idCol).as("id"), hs.as("hs"))
+      .withColumn("sel",
+        when(size(col("hs")) < w,
+          array().cast("array<struct<h:bigint,np:int>>"))
+          .otherwise(expr(
+            s"""transform(sequence(1, size(hs) - ${w - 1}),
+               |  i -> array_min(transform(sequence(i, i + ${w - 1}),
+               |    j -> struct(element_at(hs, j) as h, -j as np))))""".stripMargin)))
+      .select(col("id"), explode(array_distinct(col("sel"))).as("m"))
       .select(col("id"), (-col("m.np")).as("pos"), col("m.h").as("h"))
-      .distinct()
   }
 
   /** Cross-doc copy candidates: pairs sharing ≥ minShared fingerprints —

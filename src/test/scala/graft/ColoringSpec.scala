@@ -52,6 +52,27 @@ class ColoringSpec extends SparkSuite {
     assert(c.values.max <= deg.max) // colors are 0-based: max color ≤ Δ
   }
 
+  test("local fast path == distributed wave loop, incl. wave numbers " +
+    "(gate forced)") {
+    // r6: jonesPlassmann takes a driver-local sequential replay below
+    // spark.graft.coloring.localMaxEdges; force the wave loop with
+    // gate=0 and assert identical (id, color, round) triples.
+    val edges = ((for {
+      u <- 0 until 30; v <- 0 until 30
+      if u < v && (u * 13 + v * 7) % 6 < 2
+    } yield (s"v$u", s"v$v")) ++ Seq(("v0", "v29"), ("v1", "v28"))).distinct
+    def full(e: Seq[(String, String)]) =
+      Coloring.jonesPlassmann(e.toDF("src", "dst"))
+        .as[(String, Int, Int)].collect().toSet
+    val local = full(edges)
+    val dist =
+      try {
+        spark.conf.set("spark.graft.coloring.localMaxEdges", "0")
+        full(edges)
+      } finally spark.conf.unset("spark.graft.coloring.localMaxEdges")
+    assert(local == dist)
+  }
+
   test("a clique needs exactly n colors; a path stays within Δ+1 = 3; " +
     "repartitioned input colors identically") {
     val k5 = for { u <- 0 until 5; v <- 0 until 5 if u < v }
