@@ -61,6 +61,25 @@ class KCoreSpec extends SparkSuite {
     assert(cores(KCore.coreness(edges(und.toSeq: _*))) == expected)
   }
 
+  test("local peel fast path == distributed h-index loop (gate forced)") {
+    // r6: coreness takes a driver-local Batagelj–Žaveršnik peel below
+    // spark.graft.kcore.localMaxEdges; force the h-index rounds with
+    // gate=0 and assert identical coreness (also exercises the r6
+    // broadcast-hinted round joins).
+    val und = (for {
+      i <- 0 until 60; j <- 0 until 60
+      if i < j && ((i * 40503L + j * 2654435761L) % 83) < 11
+    } yield (i.toLong, j.toLong))
+    val e = edges(und: _*)
+    val local = cores(KCore.coreness(e))
+    val dist =
+      try {
+        spark.conf.set("spark.graft.kcore.localMaxEdges", "0")
+        cores(KCore.coreness(e))
+      } finally spark.conf.unset("spark.graft.kcore.localMaxEdges")
+    assert(local == dist)
+  }
+
   test("duplicate/reversed edges and self-loops do not change coreness") {
     val base = edges((1L, 2L), (2L, 3L), (3L, 1L))
     val noisy = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 1L))

@@ -39,6 +39,32 @@ class TrianglesSpec extends SparkSuite {
     assert(counts(Triangles.perNode(noisy)) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("intersect fast path == wedge-join path (gate forced), and the " +
+    "long-id fast path == string ids") {
+    // r6: perNode takes the broadcast-adjacency array_intersect path
+    // within the Hints gate and long ids when the input is integral;
+    // force the wedge path with gate=0 and compare, on BOTH an integral
+    // and a string-id copy of the same graph.
+    val es = for {
+      i <- 0 until 50; j <- 0 until 50
+      if i < j && ((i * 48271L + j * 40503L) % 89) < 18
+    } yield (i, j)
+    val longDf = es.toDF("src", "dst")
+    val strDf = es.map { case (a, b) => (s"x$a", s"x$b") }.toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Triangles.perNode(df).as[(String, Long)].collect().toMap
+    val fastLong = run(longDf)
+    val fastStr = run(strDf)
+    val (wedgeLong, wedgeStr) =
+      try {
+        spark.conf.set(graft.Hints.MaxRowsKey, "0")
+        (run(longDf), run(strDf))
+      } finally spark.conf.unset(graft.Hints.MaxRowsKey)
+    assert(fastLong == wedgeLong)
+    assert(fastStr == wedgeStr)
+    assert(fastLong.map { case (k, v) => (s"x$k", v) } == fastStr)
+  }
+
   test("matches a naive driver count on a deterministic pseudo-random graph") {
     // ~60-node graph, edge iff a hash condition holds — deterministic
     val n = 60
