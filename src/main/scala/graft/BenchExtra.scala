@@ -97,6 +97,43 @@ object BenchExtra {
               (size(col("__ta")) + size(col("__tb")) - col("__i")))
             .where(col("__j") >= 0.9)
         }
+      case "setsim_diag" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"),
+            array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+          .where(size(col("toks")) > 0)
+        val toksE = docs.select(col("id"), explode(col("toks")).as("tok"))
+        println("[diag] toks rows = " + toksE.count())
+        val freq = toksE.groupBy("tok").agg(count(lit(1)).as("df"))
+        println("[diag] vocab = " + freq.count())
+        val vocab = freq.withColumn("tid", monotonically_increasing_id())
+        val rec = toksE.join(broadcast(vocab), Seq("tok"))
+          .groupBy("id")
+          .agg(array_sort(collect_list(struct(col("df"), col("tok"), col("tid")))).as("sorted"))
+          .select(col("id"), size(col("sorted")).as("sz"),
+            expr("transform(sorted, s -> s.tid)").as("tids")).localCheckpoint()
+        println("[diag] records = " + rec.count())
+        val hashed = rec.withColumn("plen",
+            col("sz") - ceil(lit(0.9) * col("sz") - lit(1e-9)).cast("int") + 1)
+          .select(col("id"), col("sz"), explode(expr("slice(tids, 1, plen)")).as("h"))
+          .localCheckpoint()
+        println("[diag] prefix rows = " + hashed.count())
+        val sizes = hashed.groupBy("h").count().localCheckpoint()
+        println("[diag] buckets = " + sizes.count() + " max bucket = " +
+          sizes.agg(max("count")).head().getLong(0))
+        val kept = hashed
+        val t0 = System.nanoTime()
+        val raw = kept.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+          .join(kept.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+          .where(col("id_a") < col("id_b") &&
+            least(col("sz_a"), col("sz_b")) >=
+              ceil(lit(0.9) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
+          .select("id_a", "id_b")
+        println("[diag] raw cand rows = " + raw.count() +
+          f" (${(System.nanoTime()-t0)/1e9}%.2f s)")
+        val t1 = System.nanoTime()
+        println("[diag] distinct cand = " + raw.distinct().count() +
+          f" (${(System.nanoTime()-t1)/1e9}%.2f s)")
       case "winnow_tokens" =>
         t("winnow_tokens") {
           val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -57,16 +57,34 @@ object Communities {
     // never shuffled inside the loop. At production node counts the gate
     // fails and the shuffle-join round is unchanged.
     val nNodes = labels.count()
+    // r6: one exchange per round instead of two — the neighbor labels
+    // collect per destination in a single aggregation and the mode (most
+    // frequent, ties to SMALLEST label — exactly the old
+    // max_by(community, (n, −community))) folds over the sorted array in
+    // one pass: runs of equal labels are adjacent after sort_array, and
+    // a later run only wins with a STRICTLY greater count, so the first
+    // (smallest) label of the best count is kept.
+    val mode = expr(
+      """aggregate(
+        |  cs,
+        |  struct(cast(null as bigint) as best, 0L as bn,
+        |         cast(null as bigint) as cur, 0L as cn),
+        |  (a, x) -> IF(a.cur IS NOT NULL AND x = a.cur,
+        |               struct(a.best as best, a.bn as bn,
+        |                      a.cur as cur, a.cn + 1L as cn),
+        |               IF(a.cn > a.bn,
+        |                  struct(a.cur as best, a.cn as bn,
+        |                         x as cur, 1L as cn),
+        |                  struct(a.best as best, a.bn as bn,
+        |                         x as cur, 1L as cn))),
+        |  a -> IF(a.cn > a.bn, a.cur, a.best))""".stripMargin)
     for (_ <- 0 until iters) {
       val lb = graft.Hints.bcastIf(labels, nNodes)
-      val votes = lb
+      labels = graft.Materialize(lb
         .join(e, lb("id") === e("src"))
-        .groupBy(col("dst").as("id"), col("community"))
-        .agg(count(lit(1)).as("n"))
-      labels = graft.Materialize(votes
-        .groupBy("id")
-        .agg(max_by(col("community"),
-          struct(col("n"), negate(col("community")))).as("community")))
+        .groupBy(col("dst").as("id"))
+        .agg(sort_array(collect_list(col("community"))).as("cs"))
+        .select(col("id"), mode.as("community")))
     }
     labels
   }

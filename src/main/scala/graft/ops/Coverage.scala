@@ -32,11 +32,19 @@ object Coverage {
     require(k >= 1, s"coverage: k >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val items = graft.Materialize(df
+    val raw = df
       .select(col(idCol).cast("string").as("id"),
         col(itemCol).cast("string").as("item"))
       .where(col("id").isNotNull && col("item").isNotNull)
-      .distinct())
+    // r6 local gate FIRST: collect the raw (pre-distinct) rows — the
+    // driver's hash sets dedupe them, so the local path also skips the
+    // distinct exchange + checkpoint. The take() probe over-counts vs
+    // distinct rows, i.e. gates conservatively.
+    val localMax = spark.conf
+      .get("spark.graft.coverage.localMaxRows", "2000000").toInt
+    val probe = raw.take(localMax + 1)
+    if (probe.length <= localMax) return greedyLocal(probe, spark, k)
+    val items = graft.Materialize(raw.distinct())
     // r6: INCREMENTAL gain maintenance. gain_t(id) = |items(id) ∖
     // covered_t|, and covered only ever GROWS by the winner's not-yet-
     // covered items — so instead of re-aggregating the full membership
@@ -82,6 +90,57 @@ object Coverage {
           covered = graft.Materialize(covered.union(newItems), eager = false)
           nCovered += nNew
         case _ => done = true
+      }
+    }
+    picks.toSeq.toDF("rank", "id", "gain")
+  }
+
+  /** Driver-local exact greedy over the collected membership rows
+    * (deduped here — the distributed path's distinct): the same
+    * (gain DESC, id ASC) argmax and gain-0 stop as the distributed
+    * rounds. */
+  private def greedyLocal(rows: Array[org.apache.spark.sql.Row],
+      spark: org.apache.spark.sql.SparkSession,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val byId = new java.util.HashMap[String, java.util.HashSet[String]]()
+    val byItem = new java.util.HashMap[String, java.util.HashSet[String]]()
+    rows.foreach { r =>
+      val id = r.getString(0); val item = r.getString(1)
+      byId.computeIfAbsent(id, _ => new java.util.HashSet[String]()).add(item)
+      byItem.computeIfAbsent(item, _ => new java.util.HashSet[String]()).add(id)
+    }
+    val covered = new java.util.HashSet[String]()
+    val gains = new java.util.HashMap[String, Long]()
+    byId.forEach((id, its) => gains.put(id, its.size.toLong))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var rank = 0
+    var done = false
+    while (!done && rank < k) {
+      // argmax by (gain DESC, id ASC)
+      var bestId: String = null
+      var bestGain = 0L
+      gains.forEach { (id, g) =>
+        if (g > bestGain || (g == bestGain && g > 0 &&
+            (bestId == null || id < bestId))) { bestId = id; bestGain = g }
+      }
+      if (bestId == null || bestGain == 0L) done = true
+      else {
+        rank += 1
+        picks += ((rank, bestId, bestGain))
+        val its = byId.get(bestId).iterator()
+        while (its.hasNext) {
+          val it = its.next()
+          if (covered.add(it)) {
+            // decrement candidates via the inverted index (membership
+            // rows are distinct, so each (id, item) decrements once)
+            val owners = byItem.get(it).iterator()
+            while (owners.hasNext) {
+              val oid = owners.next()
+              gains.put(oid, gains.get(oid) - 1L)
+            }
+          }
+        }
       }
     }
     picks.toSeq.toDF("rank", "id", "gain")

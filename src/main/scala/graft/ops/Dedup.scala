@@ -441,22 +441,31 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), k)).as("shingle"))
       .where(col("shingle").isNotNull))
-    // r6: doc-scale size table, checkpointed once and gate-hinted into
-    // the two verify-stage joins below (it fed two separate SMJs before)
+    // r6: dictionary-encode the shingles with a COLLISION-FREE integer
+    // id (monotonically_increasing_id over the distinct-shingle table —
+    // a bijection, so every df, blocking bucket, and co-occurrence count
+    // below is unchanged); the blocking self-join and both intersection
+    // joins then key on longs instead of k-token strings (§2.3).
+    val vocab = graft.Materialize(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .withColumn("tid", monotonically_increasing_id()), eager = false)
+    val shT = graft.Materialize(
+      sh.join(graft.Hints.bcastIf(vocab, vocab.count()), Seq("shingle"))
+        .select(col("id"), col("tid"), col("df")), eager = false)
+    // doc-scale size table, checkpointed once and gate-hinted into the
+    // two verify-stage joins below (it fed two separate SMJs before)
     val sizes = graft.Materialize(
-      sh.groupBy("id").agg(count(lit(1)).as("sz")), eager = false)
+      shT.groupBy("id").agg(count(lit(1)).as("sz")), eager = false)
     val nSizes = sizes.count()
     def hs(d: DataFrame): DataFrame = graft.Hints.bcastIf(d, nSizes)
-    val dfCap = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-    val kept = sh.join(dfCap, "shingle").select("id", "shingle")
+    val kept = shT.where(col("df") <= maxDf).select("id", "tid")
     val cand = kept.as("a").join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(shT.select(col("id").as("id_a"), col("tid")), "id_a")
+      .join(shT.select(col("id").as("id_b"), col("tid")), Seq("id_b", "tid"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       .join(hs(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
       .join(hs(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")

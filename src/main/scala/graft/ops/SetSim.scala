@@ -52,19 +52,38 @@ object SetSim {
     val toks = base.select(col("id"), explode(col("toks")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // rarest-first canonical order, then keep only the prefix
-    val prefixes = toks
-      .join(freq, Seq("tok"))
+    // r6: dictionary-encode the vocabulary with a COLLISION-FREE integer
+    // id (monotonically_increasing_id over the distinct-token table —
+    // any bijection preserves every intersection/size below, and unlike
+    // xxhash64 it cannot merge two tokens' prefix buckets under the cap).
+    // The canonical prefix order stays EXACTLY (df, tok): the tid rides
+    // the same sorted struct. Records then carry int arrays — the
+    // prefix join keys and the verify-stage intersections work on longs
+    // instead of token strings (guide §2.3 "narrower types"), and the
+    // verify join attaches the per-record tid arrays produced by the
+    // SAME aggregate (no second token-table pass, no string arrays).
+    val vocab = graft.Materialize(
+      freq.withColumn("tid", monotonically_increasing_id()), eager = false)
+    val nVocab = vocab.count()
+    // records also get a compact rid (bijective with id — one record per
+    // id after the groupBy): the candidate join, its canonical
+    // orientation, and the distinct all run on (long, long) pairs, and
+    // the id STRINGS reappear only at the output projection as
+    // least/greatest — exactly the original's id_a < id_b rows.
+    val rec = graft.Materialize(toks
+      .join(graft.Hints.bcastIf(vocab, nVocab), Seq("tok"))
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"), col("tid"))))
         .as("sorted"))
-      .withColumn("sz", size(col("sorted")))
+      .select(col("id"), monotonically_increasing_id().as("rid"),
+        size(col("sorted")).as("sz"),
+        expr("transform(sorted, s -> s.tid)").as("tids")), eager = false)
+    val nRec = rec.count()
+    val hashed = graft.Materialize(rec
       .withColumn("plen",
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
-      .select(col("id"), col("sz"),
-        explode(expr("slice(sorted, 1, plen)")).as("p"))
-      .select(col("id"), col("sz"), xxhash64(col("p.tok")).as("h"))
-    val hashed = graft.Materialize(prefixes, eager = false)
+      .select(col("rid"), col("sz"),
+        explode(expr("slice(tids, 1, plen)")).as("h")), eager = false)
 
     val sizes = graft.Materialize(hashed.groupBy("h").count(), eager = false)
     graft.Audit.capAccounting(sizes, maxBucket, "SetSim.jaccardJoin") {
@@ -76,34 +95,42 @@ object SetSim {
     }
     val kept = hashed.join(sizes.where(col("count") <= maxBucket), Seq("h"))
 
-    val cand = kept.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(kept.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+    // unordered pairs canonicalized by rid (a bijection of id, so the
+    // pair SET is the same); noop-sink decomposition showed the distinct
+    // over string id pairs at 6.2 s of q96's 7.8 — on (long, long) rows
+    // it is a fraction of that (guide §2.3 "narrower types")
+    val cand = kept.select(col("h"), col("rid").as("rid_a"), col("sz").as("sz_a"))
+      .join(kept.select(col("h"), col("rid").as("rid_b"), col("sz").as("sz_b")),
         Seq("h"))
-      .where(col("id_a") < col("id_b") &&
+      .where(col("rid_a") < col("rid_b") &&
         least(col("sz_a"), col("sz_b")) >=
           ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
-      .select("id_a", "id_b").distinct()
+      .select("rid_a", "rid_b").distinct()
 
-    // r6: the verify join re-attaches the FULL token arrays to every
-    // candidate pair; with the record table checkpoint opaque to the
-    // planner this was two SortMergeJoins shuffling the (large) pair
-    // table twice. When the record count fits the byte-aware gate
-    // (records carry whole token arrays, so the row gate is much lower
-    // than Hints' 8–32-byte-row default), broadcast the record table on
-    // both sides instead — the pair table then never shuffles
-    // (guide §3.1; strategy only, results unchanged).
-    val nBase = base.count()
+    // r6: the verify join re-attaches the per-record tid arrays to every
+    // candidate pair; with the record checkpoint opaque to the planner
+    // this was two SortMergeJoins shuffling the (large) pair table
+    // twice. When the record count fits the byte-aware gate (records
+    // carry whole arrays, so the row gate is much lower than Hints'
+    // narrow-row default), broadcast the record table on both sides —
+    // the pair table then never shuffles (guide §3.1; strategy only).
     val verifyMax = df.sparkSession.conf
       .get("spark.graft.setsim.broadcastVerifyMaxRecords", "125000").toLong
     def vb(d: DataFrame): DataFrame =
-      if (nBase <= verifyMax) broadcast(d) else d
+      if (nRec <= verifyMax) broadcast(d) else d
     cand
-      .join(vb(base.select(col("id").as("id_a"), col("toks").as("__ta"))), Seq("id_a"))
-      .join(vb(base.select(col("id").as("id_b"), col("toks").as("__tb"))), Seq("id_b"))
+      .join(vb(rec.select(col("rid").as("rid_a"), col("id").as("__ia"),
+        col("sz").as("__sa"), col("tids").as("__ta"))), Seq("rid_a"))
+      .join(vb(rec.select(col("rid").as("rid_b"), col("id").as("__ib"),
+        col("sz").as("__sb"), col("tids").as("__tb"))), Seq("rid_b"))
       .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("__j", col("__i").cast("double") /
-        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+        (col("__sa") + col("__sb") - col("__i")))
       .where(col("__j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+      // canonical output orientation is the original id_a < id_b STRING
+      // order, independent of the internal rid orientation
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        round(col("__j"), 4).as("jaccard"))
   }
 }

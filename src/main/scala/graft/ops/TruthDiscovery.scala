@@ -47,6 +47,10 @@ object TruthDiscovery {
     * (obj,val)). `cl` must be the cleaned claim set. */
   private def iterate(cl: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val nClaims = cl.groupBy("src").agg(count(lit(1)).as("n_claims"))
+    // r6: |norm| <= |claims| (one row per distinct (obj, val)), so the
+    // cached claim count is a safe upper bound to gate-hint the
+    // per-round trust join (guide §3.1).
+    val nCl = cl.count()
     var trust = nClaims.select(col("src"), lit(Scale).as("trust_fp"))
     var belief: DataFrame = null
     (1 to rounds).foreach { _ =>
@@ -61,7 +65,7 @@ object TruthDiscovery {
       // lineage of rounds 1..t-1 (a 5-round resolve carried a ~75 KB
       // physical plan with every window/join quintupled).
       trust = graft.Materialize(
-        cl.join(norm, Seq("obj", "val"))
+        cl.join(graft.Hints.bcastIf(norm, nCl), Seq("obj", "val"))
           .groupBy("src").agg(sum("norm_fp").as("sum_norm"))
           .join(broadcast(nClaims), Seq("src"))
           .select(col("src"),

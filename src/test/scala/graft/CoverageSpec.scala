@@ -48,6 +48,27 @@ class CoverageSpec extends SparkSuite {
     assert(greedyCov >= math.ceil(best * (1 - 1 / math.E)).toInt)
   }
 
+  test("local fast path == distributed incremental rounds (gate forced)") {
+    // r6: greedySelect runs driver-locally below
+    // spark.graft.coverage.localMaxRows; force the distributed rounds
+    // with gate=0 and assert identical (rank, id, gain) picks, on an
+    // instance with gain ties and overlapping sets.
+    val rows = for {
+      d <- 0 until 25; i <- 0 until 12
+      if (d * 7 + i * 5) % 3 != 0
+    } yield (f"d$d%02d", s"i${(d + i * i) % 40}")
+    def run() = Coverage.greedySelect(
+      rows.toDF("id", "item"), "id", "item", 6)
+      .as[(Int, String, Long)].collect().toSeq
+    val local = run()
+    val dist =
+      try {
+        spark.conf.set("spark.graft.coverage.localMaxRows", "0")
+        run()
+      } finally spark.conf.unset("spark.graft.coverage.localMaxRows")
+    assert(local == dist)
+  }
+
   test("duplicate membership rows don't inflate gains; nulls are dropped") {
     val rows = Seq(("A", Some("x")), ("A", Some("x")), ("A", Some("y")),
       ("B", Some("z")), ("B", None), (null, Some("q")))
