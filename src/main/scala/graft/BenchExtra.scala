@@ -134,6 +134,72 @@ object BenchExtra {
         val t1 = System.nanoTime()
         println("[diag] distinct cand = " + raw.distinct().count() +
           f" (${(System.nanoTime()-t1)/1e9}%.2f s)")
+      case "containment_stages" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val sh0 = docs.select(col("doc_id").as("id"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 5)).as("shingle"))
+          .where(col("shingle").isNotNull)
+        t("cont_shingles")(sh0)
+        val sh = sh0.localCheckpoint()
+        t("cont_vocab")(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
+        val vocab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .withColumn("tid", monotonically_increasing_id()).localCheckpoint()
+        val shT = sh.join(broadcast(vocab), Seq("shingle"))
+          .select(col("id"), col("tid"), col("df")).localCheckpoint()
+        t("cont_rec")(shT.groupBy("id").agg(collect_list("tid").as("tids"),
+          count(lit(1)).as("sz")))
+        val rec = shT.groupBy("id").agg(collect_list("tid").as("tids"),
+          count(lit(1)).as("sz")).localCheckpoint()
+        val kept = shT.where(col("df") <= 50).select("id", "tid")
+        t("cont_cand")(kept.as("a").join(kept.as("b"),
+            col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct())
+        val cand = kept.as("a").join(kept.as("b"),
+            col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+          .localCheckpoint()
+        t("cont_verify")(cand
+          .join(broadcast(rec.select(col("id").as("id_a"), col("tids").as("__ta"), col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(rec.select(col("id").as("id_b"), col("tids").as("__tb"), col("sz").as("sz_b"))), "id_b")
+          .withColumn("common", size(array_intersect(col("__ta"), col("__tb"))).cast("long")))
+      case "shingle_micro" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        t("read_only")(docs.select(col("doc_id"), col("text")))
+        t("split_only")(docs.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("w")))
+        val words = split(trim(col("text")), "\\s+")
+        t("transform_join")(docs.select(col("doc_id"),
+          transform(sequence(lit(0), greatest(size(words) - 5, lit(0))),
+            i => when(size(words) >= 5,
+              array_join(slice(words, i + lit(1), lit(5)), " "))).as("g")))
+        t("shingles_col")(docs.select(col("doc_id"),
+          graft.ops.Dedup.wordShingles(col("text"), 5).as("g")))
+        t("shingles_explode")(docs.select(col("doc_id"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 5)).as("g")))
+        t("shingles_explode2")(docs.select(col("doc_id"),
+          explode(graft.ops.Dedup.wordShingles(col("text"), 5)).as("g")))
+      case "shingle_bound" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val words = split(trim(col("text")), "\\s+")
+        t("bound_col")(docs.select(col("doc_id"), words.as("__w"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), greatest(size(col("__w")) - 5, lit(0))),
+              i => when(size(col("__w")) >= 5,
+                array_join(slice(col("__w"), i + lit(1), lit(5)), " "))).as("g")))
+        t("bound_lambda")(docs.select(col("doc_id"),
+          flatten(transform(array(words), ws =>
+            transform(sequence(lit(0), greatest(size(ws) - 5, lit(0))),
+              i => when(size(ws) >= 5,
+                array_join(slice(ws, i + lit(1), lit(5)), " "))))).as("g")))
+        t("bound_lambda2")(docs.select(col("doc_id"),
+          flatten(transform(array(words), ws =>
+            transform(sequence(lit(0), greatest(size(ws) - 5, lit(0))),
+              i => when(size(ws) >= 5,
+                array_join(slice(ws, i + lit(1), lit(5)), " "))))).as("g")))
+      case "containment_full" =>
+        t("containment_full")(graft.ops.Dedup.containmentPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet"), k = 5,
+          thresholdPpm = 500000L, maxDf = 50))
       case "winnow_tokens" =>
         t("winnow_tokens") {
           val docs = spark.read.parquet(s"$sfDir/documents.parquet")

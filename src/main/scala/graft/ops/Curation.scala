@@ -321,9 +321,13 @@ object Curation {
     val t = coalesce(text, lit(""))
     val toks = when(length(trim(t)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(t), "\\s+"))
-    val wins = when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
-        i => array_join(slice(toks, i, lit(k)), " ")))
+    // r6: bind `toks` as a lambda variable before the sliding transform —
+    // the captured split expression was re-evaluated per element inside
+    // the interpreted HOF lambda (the wordShingles finding).
+    val wins = flatten(transform(array(toks), ts =>
+      when(size(ts) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - k + 1),
+          i => array_join(slice(ts, i, lit(k)), " ")))))
     df.select(id.as("id"), posexplode(wins).as(Seq("pos", "passage")))
       .select(col("id"), (col("pos") + 1).as("pos"), col("passage"))
   }

@@ -36,10 +36,17 @@ object Dedup {
     * intersect([null],[null]) = 1.0, i.e. false-positive duplicates. */
   def wordShingles(text: Column, k: Int): Column = {
     val words = split(trim(text), "\\s+")
+    // r6: BIND the split array as a lambda variable before the sliding
+    // transform — HOF lambdas are interpreted (no whole-stage codegen) and
+    // a captured subexpression is RE-EVALUATED per element, so the
+    // unbound form re-ran the regex split ~2·|words| times per document
+    // (measured 5.0 s → 0.4 s for the corpus shingle expansion at sf0.1).
+    // `transform(array(e), v -> body)` evaluates `e` exactly once per row.
     array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
-        i => when(size(words) >= k,
-          array_join(slice(words, i + lit(1), lit(k)), " "))),
+      flatten(transform(array(words), ws =>
+        transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+          i => when(size(ws) >= k,
+            array_join(slice(ws, i + lit(1), lit(k)), " "))))),
       s => s.isNotNull))
   }
 
@@ -452,23 +459,32 @@ object Dedup {
     val shT = graft.Materialize(
       sh.join(graft.Hints.bcastIf(vocab, vocab.count()), Seq("shingle"))
         .select(col("id"), col("tid"), col("df")), eager = false)
-    // doc-scale size table, checkpointed once and gate-hinted into the
-    // two verify-stage joins below (it fed two separate SMJs before)
-    val sizes = graft.Materialize(
-      shT.groupBy("id").agg(count(lit(1)).as("sz")), eager = false)
-    val nSizes = sizes.count()
-    def hs(d: DataFrame): DataFrame = graft.Hints.bcastIf(d, nSizes)
+    // r6: per-doc tid ARRAYS (the SetSim verify shape) — the shingle sets
+    // are distinct per doc, so |S(a)∩S(b)| is one codegen array_intersect
+    // against the candidate pair instead of two shingle-scale shuffles of
+    // shT (by id_a, then by (id_b, tid)) + a pair-keyed count (§2.3/§3.1).
+    val rec = graft.Materialize(
+      shT.groupBy("id").agg(collect_list("tid").as("tids"),
+        count(lit(1)).as("sz")), eager = false)
+    val nRec = rec.count()
+    // records carry whole shingle arrays, so the broadcast gate is the
+    // byte-aware record one (SetSim's), not Hints' narrow-row default;
+    // beyond it both verify joins fall back to shuffled equi joins.
+    val verifyMax = df.sparkSession.conf
+      .get("spark.graft.containment.broadcastVerifyMaxRecords", "125000").toLong
+    def hs(d: DataFrame): DataFrame =
+      if (nRec <= verifyMax) broadcast(d) else d
     val kept = shT.where(col("df") <= maxDf).select("id", "tid")
     val cand = kept.as("a").join(kept.as("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = cand
-      .join(shT.select(col("id").as("id_a"), col("tid")), "id_a")
-      .join(shT.select(col("id").as("id_b"), col("tid")), Seq("id_b", "tid"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(hs(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
-      .join(hs(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+      .join(hs(rec.select(col("id").as("id_a"), col("tids").as("__ta"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(hs(rec.select(col("id").as("id_b"), col("tids").as("__tb"),
+        col("sz").as("sz_b"))), "id_b")
+      .withColumn("common", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
     val dirA = inter.select(col("id_a").as("id"), col("id_b").as("other_id"),
       col("common"), col("sz_a").as("n_shingles"))
     val dirB = inter.select(col("id_b").as("id"), col("id_a").as("other_id"),

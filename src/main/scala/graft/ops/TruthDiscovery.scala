@@ -43,36 +43,60 @@ object TruthDiscovery {
         col("val").isNotNull)
       .distinct()
 
-  /** T rounds of the fixpoint: (final trust by src, final belief by
-    * (obj,val)). `cl` must be the cleaned claim set. */
-  private def iterate(cl: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  /** The static claim structure, pre-grouped ONCE (r6, guide §2.4): one
+    * row per object carrying `entries = [(val, srcs[]), ...]` — vals
+    * distinct within the object, srcs the claiming sources of that val.
+    * The claims table never shuffles again after this: every round's
+    * belief sum and normalization is a per-row HOF over `entries` with
+    * the (sources-scale, tiny) trust table folded in as a one-row
+    * broadcast map — the PageRank dangling idiom. The previous form paid
+    * a claims-scale (obj,val) aggregate + an obj window + a claims-scale
+    * join-back PER ROUND. */
+  private def perObject(cl: DataFrame): DataFrame = graft.Materialize(
+    cl.groupBy("obj", "val").agg(collect_list("src").as("srcs"))
+      .groupBy("obj")
+      .agg(collect_list(struct(col("val"), col("srcs"))).as("entries")),
+    eager = false)
+
+  /** T rounds of the fixpoint: (final trust by src, final per-object
+    * beliefs as `(obj, bent[(val, srcs, belief_fp)])`). `cl` must be the
+    * cleaned claim set; `perObj` its pre-grouped form. */
+  private def iterate(cl: DataFrame, perObj: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val nClaims = cl.groupBy("src").agg(count(lit(1)).as("n_claims"))
-    // r6: |norm| <= |claims| (one row per distinct (obj, val)), so the
-    // cached claim count is a safe upper bound to gate-hint the
-    // per-round trust join (guide §3.1).
-    val nCl = cl.count()
     var trust = nClaims.select(col("src"), lit(Scale).as("trust_fp"))
-    var belief: DataFrame = null
+    var beliefs: DataFrame = null
     (1 to rounds).foreach { _ =>
-      belief = cl.join(broadcast(trust), Seq("src"))
-        .groupBy("obj", "val").agg(sum("trust_fp").as("belief_fp"))
-      val norm = belief.withColumn("tot_fp",
-          sum(col("belief_fp")).over(Window.partitionBy("obj")))
-        .select(col("obj"), col("val"),
-          idiv(col("belief_fp") * Scale, col("tot_fp")).as("norm_fp"))
-      // r6: checkpoint the (source-scale, tiny) trust table each round —
-      // without it round t's broadcast build re-plans the whole chained
-      // lineage of rounds 1..t-1 (a 5-round resolve carried a ~75 KB
-      // physical plan with every window/join quintupled).
-      trust = graft.Materialize(
-        cl.join(graft.Hints.bcastIf(norm, nCl), Seq("obj", "val"))
-          .groupBy("src").agg(sum("norm_fp").as("sum_norm"))
-          .join(broadcast(nClaims), Seq("src"))
-          .select(col("src"),
-            idiv(col("sum_norm"), col("n_claims")).as("trust_fp")),
+      // trust as a one-row map column, broadcast under every object row
+      val tm = trust.agg(map_from_entries(
+        collect_list(struct(col("src"), col("trust_fp")))).as("__tm"))
+      // belief_t(o,v) = Σ_{s claims (o,v)} trust_{t-1}(s): exact long
+      // adds inside a codegen HOF — summation order is irrelevant
+      beliefs = perObj.crossJoin(broadcast(tm))
+        .select(col("obj"), expr(
+          "transform(entries, e -> struct(e.val as val, e.srcs as srcs, " +
+            "aggregate(e.srcs, 0L, (a, s) -> a + element_at(__tm, s)) " +
+            "as belief_fp))").as("bent"))
+      // norm_t(o,v) = belief·10^6 div Σ_v' belief — both factors live in
+      // the same row now, so the per-round obj window is gone; trust_t =
+      // per-source mean of its claims' norms (explode → ≤|sources| rows
+      // after map-side partial aggregation). Checkpoint the tiny trust
+      // table so round t's broadcast build does not re-plan rounds
+      // 1..t-1 (the chained-lineage finding, §5).
+      trust = graft.Materialize(beliefs
+        .withColumn("tot_fp",
+          expr("aggregate(bent, 0L, (a, e) -> a + e.belief_fp)"))
+        .select(explode(expr(
+          s"transform(bent, e -> struct(e.srcs as srcs, " +
+            s"(e.belief_fp * ${Scale}L) div tot_fp as norm_fp))")).as("e"))
+        .select(explode(col("e.srcs")).as("src"), col("e.norm_fp").as("norm_fp"))
+        .groupBy("src").agg(sum("norm_fp").as("sum_norm"))
+        .join(broadcast(nClaims), Seq("src"))
+        .select(col("src"),
+          idiv(col("sum_norm"), col("n_claims")).as("trust_fp")),
         eager = false)
     }
-    (trust, belief)
+    (trust, beliefs)
   }
 
   /** claims: (src, obj, val) — duplicates collapse first (a source saying
@@ -80,23 +104,29 @@ object TruthDiscovery {
     * (obj, resolved_val, belief_fp, n_values, n_sources). */
   def resolve(claims: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
-    val cl = cleaned(claims).cache()
-    val (_, belief) = iterate(cl, rounds)
-    val stats = cl.groupBy("obj").agg(
-      countDistinct("val").as("n_values"),
-      countDistinct("src").as("n_sources"))
-    belief.withColumn("rk", row_number().over(
-        Window.partitionBy("obj").orderBy(col("belief_fp").desc, col("val"))))
-      .where(col("rk") === 1).drop("rk")
-      .join(stats, Seq("obj"))
-      .select(col("obj"), col("val").as("resolved_val"), col("belief_fp"),
-        col("n_values"), col("n_sources"))
+    val cl = cleaned(claims)
+    val (_, beliefs) = iterate(cl, perObject(cl), rounds)
+    // winner + stats are all per-row now: argmax by (belief desc, val
+    // asc) — the exact row_number order, vals unique within the object —
+    // via a struct sort; n_values = |entries|; n_sources = distinct
+    // sources across the object's entries.
+    beliefs
+      .withColumn("__w", expr(
+        "element_at(array_sort(transform(bent, " +
+          "e -> struct(-e.belief_fp as nb, e.val as val, " +
+          "e.belief_fp as belief_fp))), 1)"))
+      .select(col("obj"), col("__w.val").as("resolved_val"),
+        col("__w.belief_fp").as("belief_fp"),
+        size(col("bent")).cast("long").as("n_values"),
+        size(expr("array_distinct(flatten(transform(bent, e -> e.srcs)))"))
+          .cast("long").as("n_sources"))
   }
 
   /** The final per-source reliability table (same iteration, exposed for
     * auditing which feeds are untrustworthy). */
   def sourceTrust(claims: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
-    iterate(cleaned(claims).cache(), rounds)._1
+    val cl = cleaned(claims)
+    iterate(cl, perObject(cl), rounds)._1
   }
 }

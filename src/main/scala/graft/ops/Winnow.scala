@@ -43,10 +43,15 @@ object Winnow {
     // rightmost-minimum struct order) → per-doc `array_distinct` (the old
     // distinct's key included `id`, so it WAS per-doc) → explode only the
     // ≈2n/(w+1) selections. Zero exchanges (guide §2.4); values identical.
+    // r6 follow-up: bind `toks` as a lambda variable before the sliding
+    // transform — the captured split expression was re-evaluated per
+    // element inside the interpreted HOF lambda (the wordShingles
+    // finding), re-running the regex split ~|toks| times per document.
     val hs = transform(
-      when(size(toks) < k, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
-          i => array_join(slice(toks, i, lit(k)), " "))),
+      flatten(transform(array(toks), ts =>
+        when(size(ts) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ts) - k + 1),
+            i => array_join(slice(ts, i, lit(k)), " "))))),
       g => TextOps.fingerprint(g))
     df.select(col(idCol).as("id"), hs.as("hs"))
       .withColumn("sel",
