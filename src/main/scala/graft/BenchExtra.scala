@@ -134,6 +134,21 @@ object BenchExtra {
         val t1 = System.nanoTime()
         println("[diag] distinct cand = " + raw.distinct().count() +
           f" (${(System.nanoTime()-t1)/1e9}%.2f s)")
+      case "co_edges_explain" =>
+        val df = coHalf
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case "co_edges_grouped" =>
+        // pair expansion from per-order part arrays (no self-join)
+        val g = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+          .select(posexplode(col("ps")).as(Seq("i", "src")), col("ps"))
+          .select(col("src"), explode(expr("slice(ps, i + 2, size(ps))")).as("dst"))
+          .where(col("src") < col("dst"))
+          .distinct()
+        t("co_edges_grouped")(g)
+        t("co_edges_grouped2")(g)
       case "containment_stages" =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val sh0 = docs.select(col("doc_id").as("id"),

@@ -254,11 +254,7 @@ private[graft] object Pack1 {
       // h-index iteration (converges exactly to coreness); the oracle
       // fixture is an INDEPENDENT Batagelj–Žaveršnik peeling replay in
       // tools.GenFixtures — a different algorithm, same fixpoint
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderHalf(s, d)
       graft.graph.KCore.coreness(e)
         .select(col("id").as("part_id"), col("coreness"))
     }),
@@ -277,11 +273,7 @@ private[graft] object Pack1 {
       // degree-ordered orientation (compact-forward); the oracle is
       // DuckDB's id-ordered 3-way join — a genuinely different
       // orientation scheme that must find the same triangles
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderHalf(s, d)
       graft.graph.Triangles.perNode(e)
         .select(col("id").cast("long").as("part_id"), col("n_tri"))
     }),
@@ -368,11 +360,7 @@ private[graft] object Pack1 {
       // deterministic synchronous label propagation over the part co-order
       // graph; the oracle fixture is an independent sequential replay
       // (driver adjacency maps, 4 rounds) in tools.GenFixtures
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      val e = coOrderHalf(s, d)
       graft.graph.Communities.labelPropagation(e, iters = 4)
         .select(col("id").as("part_id"), col("community"))
     }),

@@ -26,13 +26,26 @@ private[graft] object Q {
     * `=!= ... distinct` set row-for-row — but the distinct exchange now
     * carries half the rows (guide §2.3 "shuffle fewer bytes"). */
   def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val half = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-      .where(col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val half = coOrderHalf(s, d)
     half.union(half.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** The src<dst half of the co-order edge set — shared by q56/q59/q61/
+    * q62/q64/q65/q68. r6: built by per-order pair EXPANSION (groupBy
+    * order → sorted part array → posexplode × suffix explode) instead of
+    * the lineitem self-join: the expansion's first exchange carries the
+    * 600k membership rows where the join shuffled/probed 2× that, and
+    * the pair stream stays narrow until the same final distinct
+    * (measured 2.2 → 1.3 s warm at sf0.1). Pair SET is identical: same
+    * src<dst pairs, same distinct. */
+  def coOrderHalf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "src")), col("ps"))
+      .select(col("src"), explode(expr("slice(ps, i + 2, size(ps))")).as("dst"))
+      .where(col("src") < col("dst"))
+      .distinct()
 
   /** q171's SCAN oracle — the same integer ε-test (25·g² ≥ 9·ga·gb),
     * μ = 2 core gate, CC over the ε-core subgraph, min-cluster border
