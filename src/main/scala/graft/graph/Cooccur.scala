@@ -22,34 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Cooccur {
 
-  /** Deduped membership restricted to containers within the cap, with the
-    * drop counted and warned — shared by the raw projection and the
-    * association-scored one (margins MUST come from the same kept set the
-    * pairs come from, or the scores are inconsistent). */
-  private def keptMembership(df: DataFrame, containerCol: String,
+  /** Deduped membership restricted to containers within the cap, as ONE
+    * sorted item array per kept container (r6) — `collect_set` dedups
+    * inside the aggregation, so the old `distinct` + `groupBy c count` +
+    * join-back (three container-keyed exchanges) collapse into a single
+    * groupBy; the cap filter and its accounting read the array sizes
+    * narrowly. Shared by the raw projection and the association-scored
+    * one (margins MUST come from the same kept set the pairs come from,
+    * or the scores are inconsistent). */
+  private def keptArrays(df: DataFrame, containerCol: String,
       itemCol: String, maxPerContainer: Int): DataFrame = {
-    val m = graft.Materialize(df
+    val arr = graft.Materialize(df
       .select(col(containerCol).cast("string").as("c"),
         col(itemCol).cast("string").as("i"))
       .where(col("c").isNotNull && col("i").isNotNull)
-      .distinct(), eager = false)
-    val sizes = graft.Materialize(m.groupBy("c").count(), eager = false)
-    graft.Audit.capAccounting(sizes, maxPerContainer, "Cooccur.project") {
-      (nGroups, nRows) =>
+      .groupBy("c").agg(sort_array(collect_set(col("i"))).as("items")),
+      eager = false)
+    graft.Audit.capAccounting(
+      arr.select(size(col("items")).cast("long").as("count")),
+      maxPerContainer, "Cooccur.project") { (nGroups, nRows) =>
         s"Cooccur.project: excluding $nGroups containers over " +
           s"$maxPerContainer items (covering $nRows membership rows); " +
           "their pairs are not counted — raise maxPerContainer if they " +
           "carry signal"
     }
-    graft.Materialize(
-      m.join(sizes.where(col("count") <= maxPerContainer), Seq("c"))
-        .select("c", "i"), eager = false)
+    arr.where(size(col("items")) <= maxPerContainer)
   }
 
+  /** Per-container quadratic by sorted-array suffix expansion (narrow
+    * until the pair aggregate — the container-keyed self-join shuffled
+    * the kept membership twice more); `sort_array` makes item_a < item_b
+    * by construction, the exact pair set of the old a<b join. */
   private def pairCounts(kept: DataFrame, minCount: Long): DataFrame =
-    kept.select(col("c"), col("i").as("item_a"))
-      .join(kept.select(col("c"), col("i").as("item_b")), Seq("c"))
-      .where(col("item_a") < col("item_b"))
+    kept.select(posexplode(col("items")).as(Seq("i0", "item_a")), col("items"))
+      .select(col("item_a"),
+        explode(expr("slice(items, i0 + 2, size(items))")).as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCount)
@@ -61,7 +68,7 @@ object Cooccur {
       minCount: Long = 2L, maxPerContainer: Int = 10000): DataFrame = {
     require(minCount >= 1, "Cooccur.project: minCount must be >= 1")
     require(maxPerContainer > 1, "Cooccur.project: maxPerContainer must be > 1")
-    pairCounts(keptMembership(df, containerCol, itemCol, maxPerContainer),
+    pairCounts(keptArrays(df, containerCol, itemCol, maxPerContainer),
       minCount)
   }
 
@@ -84,10 +91,12 @@ object Cooccur {
       minCount: Long = 2L, maxPerContainer: Int = 10000): DataFrame = {
     require(minCount >= 1, "Cooccur.pmi: minCount must be >= 1")
     require(maxPerContainer > 1, "Cooccur.pmi: maxPerContainer must be > 1")
-    val kept = keptMembership(df, containerCol, itemCol, maxPerContainer)
+    val kept = keptArrays(df, containerCol, itemCol, maxPerContainer)
     val pairs = pairCounts(kept, minCount)
-    val margins = kept.groupBy("i").agg(count(lit(1)).as("__n"))
-    val total = kept.select(countDistinct(col("c")).as("__N"))
+    val margins = kept.select(explode(col("items")).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("__n"))
+    // one row per kept container, so N is a plain count
+    val total = kept.agg(count(lit(1)).as("__N"))
     val lift = (col("n_common").cast("double") * col("__N").cast("double")) /
       (col("__na").cast("double") * col("__nb").cast("double"))
     pairs

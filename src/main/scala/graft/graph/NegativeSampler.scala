@@ -38,29 +38,38 @@ object NegativeSampler {
   def corruptTail(triples: DataFrame, k: Int,
       sCol: String = "subj", pCol: String = "pred", oCol: String = "obj"): DataFrame = {
     require(k >= 1, "corruptTail: k must be >= 1")
-    val t = triples
+    // r6: checkpoint the cleaned triple set — it feeds the pool, the draw
+    // expansion AND the filtered-setting anti join (three recomputes of
+    // the distinct as pure lineage), and its count gate-hints the anti
+    // join's build side (§3.1). The pool (whose count the draw needs
+    // anyway) is hinted into the candidate join the same way — both were
+    // stat-less SortMergeJoins against the triple-scale draw stream.
+    val t = graft.Materialize(triples
       .select(col(sCol).cast("string").as("subj"), col(pCol).cast("string").as("pred"),
         col(oCol).cast("string").as("obj"))
       .where(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
-      .distinct()
+      .distinct(), eager = false)
     // entity pool, indexed 0..N-1 in lexicographic order (the replayable
     // indexing: row_number over the pool's own total order)
-    val pool = t.select(col("obj").as("cand")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("cand"))) - 1)
+    val pool = graft.Materialize(
+      t.select(col("obj").as("cand")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("cand"))) - 1),
+      eager = false)
     val n = pool.count()
     if (n <= 1L) return t.limit(0) // nothing to corrupt with
       .select(col("subj"), col("pred"), col("obj"),
         lit(0).as("neg_idx"), col("obj").as("obj_neg"))
+    val nT = t.count()
     val draws = t.select(col("subj"), col("pred"), col("obj"),
         explode(sequence(lit(0), lit(k - 1))).as("neg_idx"))
       .withColumn("idx",
         pmod(drawKey(col("subj"), col("pred"), col("obj"), col("neg_idx")), lit(n)))
-    val candidates = draws.join(pool, "idx")
+    val candidates = draws.join(graft.Hints.bcastIf(pool, n), "idx")
       .where(col("cand") =!= col("obj"))
     // filtered setting: drop corruptions (s, p, cand) that are TRUE triples
     val truths = t.select(col("subj"), col("pred"), col("obj").as("cand"))
     candidates
-      .join(truths, Seq("subj", "pred", "cand"), "left_anti")
+      .join(graft.Hints.bcastIf(truths, nT), Seq("subj", "pred", "cand"), "left_anti")
       .select(col("subj"), col("pred"), col("obj"), col("neg_idx"),
         col("cand").as("obj_neg"))
   }

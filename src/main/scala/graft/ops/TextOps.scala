@@ -81,10 +81,9 @@ object TextOps {
 
   /** Rolling polynomial document fingerprint over codepoints:
     * h := (h*31 + code) mod (2^31-1). Order-sensitive (a true rolling hash),
-    * engine-portable (same fold exists in DuckDB list_reduce). */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (h, c) => pmod(h * 31 + ascii(c), lit(2147483647L)))
+    * engine-portable (same fold exists in DuckDB list_reduce). r6: native
+    * codegen expression — the declarative `aggregate(split(text, ""), …)`
+    * fold was interpreted and allocated a per-character array per row;
+    * FingerprintParitySpec locks the bit-equivalence. */
+  def fingerprint(text: Column): Column = graft.functions.Fingerprint.col(text)
 }
