@@ -134,6 +134,10 @@ object BenchExtra {
         val t1 = System.nanoTime()
         println("[diag] distinct cand = " + raw.distinct().count() +
           f" (${(System.nanoTime()-t1)/1e9}%.2f s)")
+        val t2 = System.nanoTime()
+        println("[diag] repart distinct cand = " +
+          raw.repartition(col("id_a"), col("id_b")).distinct().count() +
+          f" (${(System.nanoTime()-t2)/1e9}%.2f s)")
       case "co_edges_explain" =>
         val df = coHalf
         df.write.format("noop").mode("overwrite").save()

@@ -55,6 +55,53 @@ object Distances {
     // the gate a BFS level is one distinct shuffle; beyond it the SMJ
     // level is unchanged.
     val nE = e.count()
+    // r6: size-gated driver-local BFS (the k-core local-peel pattern —
+    // BFS min-dist is a unique fixpoint, so any evaluation order yields
+    // the same (id, landmark, dist) set; the level-synchronous loop below
+    // stays the at-scale shape). The settled PAIR set can exceed driver
+    // memory even under the edge gate (many landmarks × dense
+    // reachability), so the local run aborts back to the distributed
+    // loop the moment it crosses the pair budget — a bounded probe, the
+    // StableMatch/EntityLinker discipline.
+    val sess = edges.sparkSession
+    val localMaxE = sess.conf
+      .get("spark.graft.distances.localMaxEdges", "8000000").toLong
+    val localMaxPairs = sess.conf
+      .get("spark.graft.distances.localMaxPairs", "4000000").toLong
+    if (nE <= localMaxE) {
+      val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getString(0), new scala.collection.mutable.ArrayBuffer[String]) += r.getString(1)
+      }
+      val lms = settled.select("landmark").collect().map(_.getString(0))
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int)]
+      var over = false
+      var li = 0
+      while (li < lms.length && !over) {
+        val lm = lms(li)
+        val dist = new scala.collection.mutable.HashMap[String, Int]
+        dist(lm) = 0
+        var frontier = List(lm)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth && !over) {
+          d += 1
+          val next = new scala.collection.mutable.ArrayBuffer[String]
+          frontier.foreach { u =>
+            adj.get(u).foreach(_.foreach { v =>
+              if (!dist.contains(v)) { dist(v) = d; next += v }
+            })
+          }
+          frontier = next.toList
+        }
+        dist.foreach { case (id, dd) => out += ((id, lm, dd)) }
+        if (out.length > localMaxPairs) over = true
+        li += 1
+      }
+      if (!over) {
+        import sess.implicits._
+        return sess.createDataset(out.toSeq).toDF("id", "landmark", "dist")
+      } // else: fall through to the distributed loop (budget exceeded)
+    }
     var nFrontier = settled.count()
     var nSettled = nFrontier
     var depth = 0

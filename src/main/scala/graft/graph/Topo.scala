@@ -56,6 +56,53 @@ object Topo {
       .distinct(), eager = false)
     var remEdges = graft.Materialize(cleaned, eager = false)
     var nRemaining = remaining.count()
+    // r6: size-gated driver-local Kahn peel (the k-core local-peel
+    // pattern). A node's level — the longest-path distance from the
+    // source frontier — is a unique function of the DAG, so the local
+    // indegree peel and the distributed anti-join rounds provably agree
+    // (TopoSpec gate-forces both paths); at gate scale the distributed
+    // loop is pure serial round latency (one join batch per DAG level).
+    // Beyond the gate the anti-join rounds are unchanged.
+    val sess = dagEdges.sparkSession
+    val localMaxE = sess.conf
+      .get("spark.graft.topo.localMaxEdges", "8000000").toLong
+    if (remEdges.count() <= localMaxE) {
+      val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+      val indeg = new scala.collection.mutable.HashMap[String, Int]
+      remEdges.collect().foreach { r =>
+        val s = r.getString(0); val d = r.getString(1)
+        adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[String]) += d
+        indeg(d) = indeg.getOrElse(d, 0) + 1
+        if (!indeg.contains(s)) indeg(s) = indeg.getOrElse(s, 0)
+      }
+      var left = indeg.size
+      var frontier = indeg.collect { case (v, 0) => v }.toList
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Int)]
+      var lvl = 0
+      while (left > 0) {
+        if (lvl > maxDepth)
+          throw new IllegalStateException(
+            s"Topo.levels: depth exceeded $maxDepth — raise maxDepth")
+        if (frontier.isEmpty)
+          throw new IllegalStateException(
+            s"Topo.levels: no sources with $left nodes left — the input " +
+              "has a cycle; condense() with a true SCC map first")
+        val next = new scala.collection.mutable.ArrayBuffer[String]
+        frontier.foreach { v =>
+          out += ((v, lvl))
+          adj.get(v).foreach(_.foreach { w =>
+            val d = indeg(w) - 1
+            indeg(w) = d
+            if (d == 0) next += w
+          })
+        }
+        left -= frontier.length
+        frontier = next.toList
+        lvl += 1
+      }
+      import sess.implicits._
+      return sess.createDataset(out.toSeq).toDF("id", "level")
+    }
     var acc: DataFrame = null
     var level = 0
     while (nRemaining > 0) {

@@ -93,19 +93,35 @@ object SetSim {
           s"$maxBucket); pairs found ONLY through dropped tokens are not " +
           "emitted — raise maxBucket"
     }
-    val kept = hashed.join(sizes.where(col("count") <= maxBucket), Seq("h"))
+    // r6 follow-up: the bucket-size table is prefix-vocab-scale and its
+    // count is known (the accounting materialized it) — broadcast it
+    // under the gate so `kept` stays in the checkpoint's balanced
+    // partitioning instead of both sides shuffling by the (few, hot)
+    // prefix keys (§3.1).
+    val nBuckets = sizes.count()
+    val kept = hashed.join(
+      graft.Hints.bcastIf(sizes.where(col("count") <= maxBucket), nBuckets),
+      Seq("h"))
 
     // unordered pairs canonicalized by rid (a bijection of id, so the
     // pair SET is the same); noop-sink decomposition showed the distinct
     // over string id pairs at 6.2 s of q96's 7.8 — on (long, long) rows
-    // it is a fraction of that (guide §2.3 "narrower types")
+    // it is a fraction of that (guide §2.3 "narrower types"). The
+    // explicit pair-keyed repartition below is the distinct's OWN
+    // exchange moved ahead of its hash aggregate: the self-join's output
+    // is partitioned by the few prefix keys (one hot bucket ⇒ one hot
+    // partition, under AQE's 256 MB skew-split threshold), so the
+    // partial aggregate ran on a handful of skewed threads; distributing
+    // the raw pairs by (rid_a, rid_b) first balances it (§2.2) and the
+    // aggregate then runs in one complete pass with no extra exchange.
     val cand = kept.select(col("h"), col("rid").as("rid_a"), col("sz").as("sz_a"))
       .join(kept.select(col("h"), col("rid").as("rid_b"), col("sz").as("sz_b")),
         Seq("h"))
       .where(col("rid_a") < col("rid_b") &&
         least(col("sz_a"), col("sz_b")) >=
           ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
-      .select("rid_a", "rid_b").distinct()
+      .select("rid_a", "rid_b")
+      .repartition(col("rid_a"), col("rid_b")).distinct()
 
     // r6: the verify join re-attaches the per-record tid arrays to every
     // candidate pair; with the record checkpoint opaque to the planner

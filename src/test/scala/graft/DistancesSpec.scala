@@ -118,4 +118,26 @@ class DistancesSpec extends SparkSuite {
     assert(one == many)
     assert(!one.exists(t => Set("q", "r", "z")(t._1)))
   }
+
+  test("gate-forced parity: local BFS == distributed semi-naive loop") {
+    val e = edges(("a", "b"), ("a", "d"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "b"), ("x", "a"), ("z", "q"))
+    val marks = lm("a", "x", "z")
+    val local = triples(Distances.fromLandmarks(e, marks))
+    val dist = try {
+      spark.conf.set("spark.graft.distances.localMaxEdges", "0")
+      triples(Distances.fromLandmarks(e, marks))
+    } finally spark.conf.unset("spark.graft.distances.localMaxEdges")
+    assert(local == dist)
+  }
+
+  test("pair-budget abort falls back to the distributed loop, same result") {
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"))
+    val base = triples(Distances.fromLandmarks(e, lm("a", "b")))
+    val forced = try {
+      spark.conf.set("spark.graft.distances.localMaxPairs", "1")
+      triples(Distances.fromLandmarks(e, lm("a", "b")))
+    } finally spark.conf.unset("spark.graft.distances.localMaxPairs")
+    assert(forced == base)
+  }
 }

@@ -70,4 +70,16 @@ class TopoSpec extends SparkSuite {
     assert(lv(edges(es: _*).repartition(9)) == base)
     assert(lv(Seq.empty[(String, String)].toDF("src", "dst")).isEmpty)
   }
+
+  test("gate-forced parity: local Kahn peel == distributed anti-join rounds") {
+    val es = (1 to 60).map { k =>
+      (f"n${k * 7 % 20}%02d", f"n${k * 7 % 20 + 1 + k % 4}%02d")
+    }.distinct
+    val local = lv(edges(es: _*))
+    val dist = try {
+      spark.conf.set("spark.graft.topo.localMaxEdges", "0")
+      lv(edges(es: _*))
+    } finally spark.conf.unset("spark.graft.topo.localMaxEdges")
+    assert(local == dist)
+  }
 }
