@@ -354,6 +354,53 @@ object GraphQuery {
     // anti join. Within the gate a round is one distinct shuffle; beyond
     // it the SMJ rounds are unchanged.
     val nE = e.count()
+    // r6: size-gated driver-local closure (the k-core local-peel / BFS
+    // pattern): the reachable-pair set is a unique function of the graph,
+    // so per-source BFS and the semi-naive rounds provably agree
+    // (GraphQuerySpec gate-forces both). The closure can be quadratic
+    // even under the edge gate, so the local run aborts back to the
+    // distributed loop past the pair budget — a bounded probe.
+    val sess = edges.sparkSession
+    val localMaxE = sess.conf
+      .get("spark.graft.reachable.localMaxEdges", "8000000").toLong
+    val localMaxPairs = sess.conf
+      .get("spark.graft.reachable.localMaxPairs", "4000000").toLong
+    if (nE <= localMaxE) {
+      val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getString(0), new scala.collection.mutable.ArrayBuffer[String]) += r.getString(1)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String)]
+      var over = false
+      val it = adj.keysIterator
+      while (it.hasNext && !over) {
+        val s0 = it.next()
+        // first-visit BFS; (s0, s0) IS emitted when a cycle returns (the
+        // semi-naive closure contains it), but s0 never re-expands
+        val reached = new scala.collection.mutable.HashSet[String]
+        val expanded = scala.collection.mutable.HashSet(s0)
+        var frontier = List(s0)
+        var d = 0
+        while (frontier.nonEmpty && d < maxHops && !over) {
+          d += 1
+          val next = new scala.collection.mutable.ArrayBuffer[String]
+          frontier.foreach { u =>
+            adj.get(u).foreach(_.foreach { v =>
+              if (reached.add(v)) out += ((s0, v))
+              if (expanded.add(v)) next += v
+            })
+          }
+          if (out.length > localMaxPairs) over = true
+          frontier = next.toList
+        }
+        // hops in the distributed loop count JOIN rounds (paths of length
+        // maxHops are included); BFS depth matches exactly
+      }
+      if (!over) {
+        import sess.implicits._
+        return sess.createDataset(out.toSeq).toDF("src", "dst")
+      } // else fall through to the distributed loop
+    }
     var nClosure = nE
     var closure = e
     var delta = e

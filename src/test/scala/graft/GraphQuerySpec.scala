@@ -370,4 +370,32 @@ class GraphQuerySpec extends SparkSuite {
       .as[(String, String)].collect().toSet
     assert(out == Set(("alice", "bob")))
   }
+
+  test("gate-forced parity: local reachable BFS == semi-naive loop") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("x", "a"), ("z", "q")).toDF("src", "dst")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String)].collect().toSet
+    val local = rs(graft.graph.GraphQuery.reachable(e))
+    val dist = try {
+      spark.conf.set("spark.graft.reachable.localMaxEdges", "0")
+      rs(graft.graph.GraphQuery.reachable(e))
+    } finally spark.conf.unset("spark.graft.reachable.localMaxEdges")
+    assert(local == dist)
+    // cycle members reach themselves on both paths
+    assert(local(("a", "a")) && local(("b", "b")) && local(("c", "c")))
+    val localCapped = rs(graft.graph.GraphQuery.reachable(e, maxHops = 2))
+    val distCapped = try {
+      spark.conf.set("spark.graft.reachable.localMaxEdges", "0")
+      rs(graft.graph.GraphQuery.reachable(e, maxHops = 2))
+    } finally spark.conf.unset("spark.graft.reachable.localMaxEdges")
+    assert(localCapped == distCapped)
+    // pair-budget abort falls back to the distributed loop, same result
+    val forced = try {
+      spark.conf.set("spark.graft.reachable.localMaxPairs", "1")
+      rs(graft.graph.GraphQuery.reachable(e))
+    } finally spark.conf.unset("spark.graft.reachable.localMaxPairs")
+    assert(forced == local)
+  }
 }
