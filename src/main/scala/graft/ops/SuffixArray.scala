@@ -40,6 +40,56 @@ object SuffixArray {
     // the id keeps its ORIGINAL type: concatenation order is the id
     // column's natural ordering (a string cast would order 10 before 2)
     val d = docs.select(id.as("id"), coalesce(text, lit("")).as("t"))
+
+    // r6: size-gated driver-local prefix doubling (the k-core local-peel
+    // pattern). The suffix array is a unique function of the corpus, and
+    // the local run executes the SAME recurrence — alpha ranks by
+    // UTF8String order (Spark's string comparison), rank pairs with the
+    // −1 sentinel, dense 0-based re-ranks — so it provably agrees with
+    // the join form (SuffixArraySpec gate-forces both). At gate scale the
+    // distributed rounds are pure serial latency: ~log(longest repeat)
+    // rounds × (join + range re-rank + two driver actions) each.
+    val localMax = spark.conf
+      .get("spark.graft.suffixarray.localMaxChars", "2000000").toLong
+    val tcRow = d.agg(sum(length(col("t")) + 1)).head()
+    val totalChars = if (tcRow.isNullAt(0)) 0L else tcRow.getLong(0)
+    if (totalChars > 0 && totalChars <= localMax) {
+      val texts = d.orderBy(col("id")).select("t").collect().map(_.getString(0))
+      val s = texts.map(_ + sep).mkString
+      val n = s.length
+      // alpha: dense 0-based rank of each distinct code-unit string in
+      // UTF8 (byte) order — exactly Enumerate.rowNumber over distinct c
+      val units = s.toCharArray
+      val distinctUnits = units.distinct.map(_.toString)
+        .sortBy(org.apache.spark.unsafe.types.UTF8String.fromString)
+      val alphaRank = distinctUnits.zipWithIndex.toMap
+      var rank = units.map(u => alphaRank(u.toString).toLong)
+      var span = 1
+      var nd = rank.distinct.length
+      var round0 = 0
+      while (nd < n) {
+        round0 += 1
+        require(round0 <= maxRounds,
+          s"SuffixArray.build: $maxRounds rounds without convergence " +
+            s"(n=$n, distinct=$nd) — raise maxRounds deliberately")
+        val pairs = Array.tabulate(n) { g =>
+          (rank(g), if (g + span < n) rank(g + span) else -1L, g)
+        }
+        val sorted = pairs.sortBy(p => (p._1, p._2))
+        val next = new Array[Long](n)
+        var r = -1L; var prev: (Long, Long) = (-2L, -2L)
+        sorted.foreach { case (r1, r2, g) =>
+          if ((r1, r2) != prev) { r += 1; prev = (r1, r2) }
+          next(g) = r
+        }
+        rank = next
+        span *= 2
+        nd = rank.distinct.length
+      }
+      import spark.implicits._
+      return rank.zipWithIndex.map { case (r, g) => (g.toLong, r) }
+        .toSeq.toDF("pos", "rank")
+    }
     val based = Enumerate.prefixSums(
       d.select(col("id"), (length(col("t")) + 1).as("len")),
       col("id"), col("len"), "base")

@@ -89,4 +89,20 @@ class SuffixArraySpec extends SparkSuite {
       acc += len
     }
   }
+
+  test("gate-forced parity: local prefix doubling == distributed joins") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana band"), (2L, "ana"), (3L, ""),
+      (10L, "banana"), (4L, "zzz aaa zzz")).toDF("doc_id", "text")
+    def sa(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SuffixArray.build(df, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+        .as[(Long, Long)].collect().toSet
+    val local = sa(docs)
+    val dist = try {
+      spark.conf.set("spark.graft.suffixarray.localMaxChars", "0")
+      sa(docs)
+    } finally spark.conf.unset("spark.graft.suffixarray.localMaxChars")
+    assert(local == dist)
+  }
 }
