@@ -88,6 +88,39 @@ object Centrality {
     // the node-keyed outer joins (guide §3.1) — the count is loop-
     // invariant; beyond the gate the shuffle rounds are unchanged.
     val nNodes = nodes.count()
+    // r6 follow-up: size-gated driver-local replay (the k-core local-peel
+    // pattern): both half-steps are exact long sums and the re-scale is a
+    // pure function of the score multiset, so a local loop is
+    // bit-identical to the 4·iters shuffle jobs (CentralitySpec
+    // gate-forces both paths). Beyond the gate the loop is unchanged.
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.hits.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(String, String)].collect()
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val ix = ids.zipWithIndex.toMap
+      val srcI = es.map(p => ix(p._1)); val dstI = es.map(p => ix(p._2))
+      val n = ids.length
+      var hub = Array.fill(n)(scale); var auth = Array.fill(n)(scale)
+      def rescaleL(a: Array[Long]): Array[Long] = {
+        val q = math.max(1L, a.max / scale)
+        if (q == 1L) a else a.map(_ / q) // x div q: nonneg longs, same trunc
+      }
+      for (_ <- 0 until iters) {
+        val a2 = new Array[Long](n)
+        var i = 0
+        while (i < es.length) { a2(dstI(i)) += hub(srcI(i)); i += 1 }
+        auth = rescaleL(a2)
+        val h2 = new Array[Long](n)
+        i = 0
+        while (i < es.length) { h2(srcI(i)) += auth(dstI(i)); i += 1 }
+        hub = rescaleL(h2)
+      }
+      return ids.indices.map(i => (ids(i), hub(i), auth(i)))
+        .toDF("id", "hub_fp", "auth_fp")
+    }
     def st(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nNodes)
     // deterministic re-scale: x -> x div max(1, maxX div scale)
     def rescale(df: DataFrame, c: String): DataFrame = {

@@ -87,4 +87,19 @@ class CentralitySpec extends SparkSuite {
     val e = edges().where(lit(false))
     assert(Centrality.hits(e, iters = 2).isEmpty)
   }
+
+  test("gate-forced parity: local HITS replay == shuffle half-steps") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("e", "a"), ("e", "b")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Centrality.hits(df, iters = 5)
+        .as[(String, Long, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.hits.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.hits.localMaxEdges")
+    assert(local == dist)
+  }
 }
