@@ -57,6 +57,47 @@ object Communities {
     // never shuffled inside the loop. At production node counts the gate
     // fails and the shuffle-join round is unchanged.
     val nNodes = labels.count()
+    // r6: size-gated driver-local replay (the k-core local-peel pattern):
+    // each round is a pure function of the previous labels — mode of
+    // neighbor labels, ties to SMALLEST — so a local loop is identical to
+    // the synchronous shuffle rounds (CommunitiesSpec gate-forces both).
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.lpa.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect() // both directions present
+      val ids = es.map(_._1).distinct.sorted
+      val ix = new java.util.HashMap[Long, Int](ids.length * 2)
+      ids.indices.foreach(i => ix.put(ids(i), i))
+      val nn = ids.length
+      val adjO = Array.fill(nn)(new scala.collection.mutable.ArrayBuffer[Int])
+      es.foreach { case (s, d) => adjO(ix.get(s)) += ix.get(d) }
+      val adj = adjO.map(_.toArray)
+      var lab = ids.clone()
+      for (_ <- 0 until iters) {
+        val next = new Array[Long](nn)
+        var v = 0
+        while (v < nn) {
+          val votes = adj(v).map(lab).sorted // run-scan == the sorted fold
+          var best = votes(0); var bn = 0L; var cur = votes(0); var cn = 0L
+          var i = 0
+          while (i < votes.length) {
+            if (votes(i) == cur) cn += 1L
+            else {
+              if (cn > bn) { best = cur; bn = cn }
+              cur = votes(i); cn = 1L
+            }
+            i += 1
+          }
+          if (cn > bn) best = cur
+          next(v) = best
+          v += 1
+        }
+        lab = next
+      }
+      return ids.indices.map(i => (ids(i), lab(i))).toDF("id", "community")
+    }
     // r6: one exchange per round instead of two — the neighbor labels
     // collect per destination in a single aggregation and the mode (most
     // frequent, ties to SMALLEST label — exactly the old

@@ -63,6 +63,47 @@ object PageRank {
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg")))
     val n = nodes.count()
     if (n == 0) return nodes.select(col("id"), lit(0L).as("rank_fp"))
+    // r6: size-gated driver-local replay (the k-core local-peel pattern):
+    // every step is exact truncating long arithmetic — init, per-edge
+    // contrib, dangling share, damped recombine — so a local loop is
+    // bit-identical to the per-iteration shuffle jobs (PageRankSpec
+    // gate-forces both paths). Beyond the gate the loop is unchanged.
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.pagerank.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct
+      val ix = new java.util.HashMap[Long, Int](ids.length * 2)
+      ids.indices.foreach(i => ix.put(ids(i), i))
+      val nn = ids.length
+      val srcI = es.map(p => ix.get(p._1)); val dstI = es.map(p => ix.get(p._2))
+      val deg = new Array[Long](nn)
+      srcI.foreach(i => deg(i) += 1L)
+      val init = Scale / n
+      val base = ((dampingDen - dampingNum) * init) / dampingDen
+      var rank = Array.fill(nn)(init)
+      for (_ <- 0 until iters) {
+        var dangling = 0L
+        var v = 0
+        while (v < nn) { if (deg(v) == 0L) dangling += rank(v); v += 1 }
+        val inSum = new Array[Long](nn)
+        var i = 0
+        while (i < es.length) {
+          inSum(dstI(i)) += rank(srcI(i)) / deg(srcI(i)); i += 1
+        }
+        val share = dangling / n
+        val next = new Array[Long](nn)
+        v = 0
+        while (v < nn) {
+          next(v) = base + (dampingNum * (inSum(v) + share)) / dampingDen
+          v += 1
+        }
+        rank = next
+      }
+      return ids.indices.map(i => (ids(i), rank(i))).toDF("id", "rank_fp")
+    }
     // n is known here: when the node-state table is gate-small, broadcast
     // it into the per-round edge join so the edge table is never shuffled
     // (guide §3.1 / §2.4 — the hint changes strategy, never results); at

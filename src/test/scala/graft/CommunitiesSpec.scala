@@ -78,4 +78,19 @@ class CommunitiesSpec extends SparkSuite {
     assert(labelMap(Communities.labelPropagation(e.coalesce(1), 4)) ==
       labelMap(Communities.labelPropagation(e.repartition(7), 4)))
   }
+
+  test("gate-forced parity: local LPA replay == synchronous rounds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (7L, 1L), (7L, 2L), (7L, 5L)).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Communities.labelPropagation(df, iters = 4)
+        .as[(Long, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.lpa.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.lpa.localMaxEdges")
+    assert(local == dist)
+  }
 }

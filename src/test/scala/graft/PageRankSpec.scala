@@ -68,4 +68,19 @@ class PageRankSpec extends SparkSuite {
     val flat = PageRank.run(edges((1L, 2L)), iters = 0).as[(Long, Long)].collect().toMap
     assert(flat == Map(1L -> 500000000000L, 2L -> 500000000000L))
   }
+
+  test("gate-forced parity: local replay == shuffle iterations") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L),
+      (5L, 5L), (6L, 2L)).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.PageRank.run(df, iters = 5)
+        .as[(Long, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.pagerank.localMaxEdges")
+    assert(local == dist)
+  }
 }
