@@ -66,6 +66,61 @@ object Triangles {
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct())
+    // r6: size-gated driver-local count (the k-core local-peel pattern).
+    // Per-node triangle counts are a pure property of the undirected
+    // graph — ANY orientation finds the same triangles — so the local
+    // degree-ordered two-pointer count provably agrees with both
+    // distributed paths (TrianglesSpec gate-forces all three).
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.triangles.localMaxEdges", "8000000").toLong
+    if (und.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = und.collect()
+      val ix = new java.util.HashMap[Any, Integer]
+      val names = new scala.collection.mutable.ArrayBuffer[Any]
+      def dense(x: Any): Int = {
+        val got = ix.get(x)
+        if (got != null) got.intValue
+        else { val i = names.length; ix.put(x, i); names += x; i }
+      }
+      val ea = new Array[Int](rows.length); val eb = new Array[Int](rows.length)
+      var i = 0
+      while (i < rows.length) { ea(i) = dense(rows(i).get(0)); eb(i) = dense(rows(i).get(1)); i += 1 }
+      val n = names.length
+      val deg0 = new Array[Int](n)
+      i = 0; while (i < rows.length) { deg0(ea(i)) += 1; deg0(eb(i)) += 1; i += 1 }
+      // orient low-key → high-key by (deg, dense id); build sorted CSR
+      @inline def fwd(u: Int, v: Int): Boolean =
+        deg0(u) < deg0(v) || (deg0(u) == deg0(v) && u < v)
+      val outDeg = new Array[Int](n)
+      i = 0; while (i < rows.length) { if (fwd(ea(i), eb(i))) outDeg(ea(i)) += 1 else outDeg(eb(i)) += 1; i += 1 }
+      val off = new Array[Int](n + 1)
+      i = 0; while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+      val nb = new Array[Int](rows.length)
+      val fill = off.clone()
+      i = 0
+      while (i < rows.length) {
+        val (u, v) = if (fwd(ea(i), eb(i))) (ea(i), eb(i)) else (eb(i), ea(i))
+        nb(fill(u)) = v; fill(u) += 1; i += 1
+      }
+      i = 0; while (i < n) { java.util.Arrays.sort(nb, off(i), off(i + 1)); i += 1 }
+      val tri = new Array[Long](n)
+      i = 0
+      while (i < rows.length) {
+        val (u, v) = if (fwd(ea(i), eb(i))) (ea(i), eb(i)) else (eb(i), ea(i))
+        var p = off(u); var q = off(v)
+        while (p < off(u + 1) && q < off(v + 1)) {
+          val x = nb(p); val y = nb(q)
+          if (x == y) { tri(u) += 1; tri(v) += 1; tri(x) += 1; p += 1; q += 1 }
+          else if (x < y) p += 1 else q += 1
+        }
+        i += 1
+      }
+      return (0 until n).collect {
+        case v if tri(v) > 0 => (String.valueOf(names(v)), tri(v))
+      }.toDF("id", "n_tri")
+    }
     val deg = graft.Materialize(
       und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg")),

@@ -120,4 +120,27 @@ class TrianglesSpec extends SparkSuite {
     assert(one == many)
     assert(one.values.forall { case (d, t, c) => d == 3 && t == 3 && c == 1.0 })
   }
+
+  test("gate-forced parity: local count == intersect path == wedge path") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 1L), (6L, 7L)).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Triangles.perNode(df).as[(String, Long)].collect().toSet
+    val local = go(e)
+    val intersect = try {
+      spark.conf.set("spark.graft.triangles.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.triangles.localMaxEdges")
+    val wedge = try {
+      spark.conf.set("spark.graft.triangles.localMaxEdges", "0")
+      spark.conf.set(graft.Hints.MaxRowsKey, "0")
+      go(e)
+    } finally {
+      spark.conf.unset("spark.graft.triangles.localMaxEdges")
+      spark.conf.unset(graft.Hints.MaxRowsKey)
+    }
+    assert(local == intersect && intersect == wedge)
+    assert(local(("1", 2L)) && local(("3", 3L)) && !local.exists(_._1 == "6"))
+  }
 }
