@@ -31,6 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object RandomWalks {
 
+  /** Exact local twin of Catalyst's `xxhash64(lit, col, lit, ...)` over
+    * long children: chained XxHash64Function folds from the expression's
+    * static seed 42 — the minhashSignatureScala parity pattern. */
+  private def xx(vals: Long*): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    var h = 42L
+    vals.foreach(v => h = XxHash64Function.hash(v, LongType, h))
+    h
+  }
+
+  private def pmodL(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+
+  /** Collected adjacency for the size-gated local replays: None when the
+    * total neighbor-entry count exceeds the gate. */
+  private def localAdj(adj0: DataFrame): Option[java.util.HashMap[Long, Array[Long]]] = {
+    val sess = adj0.sparkSession
+    val gate = sess.conf.get("spark.graft.walks.localMaxEdges", "8000000").toLong
+    val tot = adj0.agg(coalesce(sum(size(col("nbrs"))), lit(0L))).head().getLong(0)
+    if (tot > gate) return None
+    val m = new java.util.HashMap[Long, Array[Long]]
+    adj0.collect().foreach { r =>
+      m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+    }
+    Some(m)
+  }
+
   /** edges: directed (srcCol, dstCol) castable to long (undirected graphs
     * pass both directions). starts: one walk per row of `startCol`; the
     * walk id IS the start node id. Returns (walk_id, path: array<long>)
@@ -43,6 +70,37 @@ object RandomWalks {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
+    // r6 follow-up: size-gated local replay (the k-core local-peel
+    // pattern) — the walk is a pure function of (graph, seed) by design,
+    // and the local loop calls the SAME chained XxHash64Function the
+    // Catalyst expression compiles to, so it is bit-identical
+    // (RandomWalksSpec gate-forces both paths). At gate scale the
+    // distributed form is `length` serial checkpoint jobs over a tiny
+    // walk-state table; beyond the gate it is unchanged.
+    localAdj(adj0).foreach { am =>
+      val sess = edges.sparkSession
+      import sess.implicits._
+      val startIds = starts.select(col(startCol).cast("long").as("w"))
+        .where(col("w").isNotNull).distinct().as[Long].collect()
+      val out = startIds.map { w =>
+        val path = new scala.collection.mutable.ArrayBuffer[Long]
+        path += w
+        var cur = w
+        var step = 1
+        var halted = false
+        while (step <= length && !halted) {
+          val nbrs = am.get(cur)
+          if (nbrs == null || nbrs.isEmpty) halted = true
+          else {
+            cur = nbrs(pmodL(xx(seed, w, step.toLong), nbrs.length.toLong).toInt)
+            path += cur
+          }
+          step += 1
+        }
+        (w, path.toSeq)
+      }
+      return out.toSeq.toDF("walk_id", "path")
+    }
     // r6: the checkpointed adjacency has no size stats, so every step's
     // left join planned as an SMJ shuffling BOTH the walk state and the
     // adjacency; gate-hint the adjacency (LeftOuter builds right) so a
@@ -115,8 +173,57 @@ object RandomWalks {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs")))
-    // r6: same gate-hinted adjacency as `walks` — both per-step left
-    // joins become map-side within the gate.
+    // r6 follow-up: size-gated local replay — same contract as `walks`:
+    // every per-candidate quantity (hash, the 2^-52 uniform, ln, /w, the
+    // (k, c) argmax and the class partition) is a pure per-value IEEE
+    // computation with no accumulation order, so the local loop is
+    // bit-identical to the per-step joins (RandomWalksSpec gate-forces
+    // parity, p/q biases included).
+    localAdj(adj0).foreach { am =>
+      val sess = edges.sparkSession
+      import sess.implicits._
+      val mm = 1L << 52
+      val startIds = starts.select(col(startCol).cast("long").as("w"))
+        .where(col("w").isNotNull).distinct().as[Long].collect()
+      val out = startIds.map { w =>
+        val path = new scala.collection.mutable.ArrayBuffer[Long]
+        path += w
+        var prev = w; var cur = w
+        var step = 1
+        var halted = false
+        while (step <= length && !halted) {
+          val nbrs = am.get(cur)
+          if (nbrs == null || nbrs.isEmpty) halted = true
+          else {
+            val pn = am.get(prev)
+            def keyOf(c: Long): Double = {
+              val u = (pmodL(xx(seed, w, step.toLong, c), mm) + 1L).toDouble / mm.toDouble
+              math.log(u)
+            }
+            var bestK = Double.NaN; var bestC = 0L; var found = false
+            def consider(c: Long, wgt: Double): Unit = {
+              val k = keyOf(c) / wgt
+              // struct (k, c) lexicographic max — larger id wins exact ties
+              if (!found || k > bestK || (k == bestK && c > bestC)) {
+                bestK = k; bestC = c; found = true
+              }
+            }
+            nbrs.foreach { c =>
+              val inPn = pn != null && java.util.Arrays.binarySearch(pn, c) >= 0
+              if (inPn) consider(c, 1.0)
+              else if (c == prev) consider(c, 1.0 / p)
+              else consider(c, 1.0 / q)
+            }
+            prev = cur
+            cur = bestC
+            path += cur
+          }
+          step += 1
+        }
+        (w, path.toSeq)
+      }
+      return out.toSeq.toDF("walk_id", "path")
+    }
     val nAdj = adj0.count()
     val adj = graft.Hints.bcastIf(adj0, nAdj)
     val padj = graft.Hints.bcastIf(

@@ -58,18 +58,28 @@ object RuleMiner {
         "route through hubs lose support — raise maxFanout deliberately"
     }
     val hubs = sizes.where(col("count") > maxFanout).select("z")
-    val mid = t.join(hubs.withColumnRenamed("z", "o"), Seq("o"), "left_anti")
-    val mid2 = t.join(hubs.withColumnRenamed("z", "s"), Seq("s"), "left_anti")
+    // r6: the hub count is one cheap scan of the materialized sizes
+    // table — with zero hubs the two anti joins are identities, so skip
+    // them (exact); and the triple count gate-hints the path self-join
+    // and the head-pair join (§3.1), keeping the (larger) body-pair
+    // stream un-shuffled within the gate.
+    val nHubs = hubs.count()
+    val mid = if (nHubs == 0) t
+      else t.join(hubs.withColumnRenamed("z", "o"), Seq("o"), "left_anti")
+    val mid2 = if (nHubs == 0) t
+      else t.join(hubs.withColumnRenamed("z", "s"), Seq("s"), "left_anti")
+    val nT = t.count()
+    def h(df: DataFrame): DataFrame = graft.Hints.bcastIf(df, nT)
     val body = mid.select(col("s").as("x"), col("p").as("r1"), col("o").as("z"))
-      .join(mid2.select(col("s").as("z"), col("p").as("r2"),
-        col("o").as("y")), Seq("z"))
+      .join(h(mid2.select(col("s").as("z"), col("p").as("r2"),
+        col("o").as("y"))), Seq("z"))
       .select("r1", "r2", "x", "y").distinct()
     val bodyN = body.groupBy("r1", "r2").agg(count(lit(1)).as("body_pairs"))
     val headN = t.groupBy(col("p").as("head"))
       .agg(count(lit(1)).as("head_pairs"))
     val support = body
-      .join(t.select(col("s").as("x"), col("p").as("head"),
-        col("o").as("y")), Seq("x", "y"))
+      .join(h(t.select(col("s").as("x"), col("p").as("head"),
+        col("o").as("y"))), Seq("x", "y"))
       .groupBy("r1", "r2", "head").agg(count(lit(1)).as("support"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     support.join(bodyN, Seq("r1", "r2")).join(headN, Seq("head"))

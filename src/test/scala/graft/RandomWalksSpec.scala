@@ -152,4 +152,25 @@ class RandomWalksSpec extends SparkSuite {
     }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     assert(pairCounts(RandomWalks.skipGramPairs(walksOut, 2)) == expected)
   }
+
+  test("gate-forced parity: local walk replay == per-step joins (uniform + biased)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L),
+      (1L, 3L), (5L, 1L), (6L, 6L)).toDF("src", "dst")
+    val st = Seq(1L, 3L, 5L, 9L).toDF("id")
+    def uni(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.RandomWalks.walks(df, st, length = 6, seed = 7L)
+        .as[(Long, Seq[Long])].collect().toMap
+    def bia(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.RandomWalks.walksBiased(df, st, length = 6,
+        p = 4.0, q = 0.25, seed = 7L)
+        .as[(Long, Seq[Long])].collect().toMap
+    val (lu, lbm) = (uni(e), bia(e))
+    val (du, dbm) = try {
+      spark.conf.set("spark.graft.walks.localMaxEdges", "0")
+      (uni(e), bia(e))
+    } finally spark.conf.unset("spark.graft.walks.localMaxEdges")
+    assert(lu == du)
+    assert(lbm == dbm)
+  }
 }
