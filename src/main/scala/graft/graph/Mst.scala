@@ -49,6 +49,78 @@ object Mst {
         col(weightCol).cast("long").as("w"))
       .groupBy("ua", "va").agg(min("w").as("w")))
     val spark = edges.sparkSession
+    // r6: size-gated driver-local Borůvka replay (the k-core local-peel
+    // pattern): the forest is unique under the (w, ua, va) total order
+    // AND the round column is reproduced by replaying the same per-round
+    // component-min selection (string comparisons via UTF8String, the
+    // engine's binary order; MstSpec gate-forces both paths). Beyond the
+    // gate the join rounds are unchanged.
+    val localMaxE = spark.conf
+      .get("spark.graft.mst.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      import org.apache.spark.unsafe.types.UTF8String
+      import spark.implicits._
+      def lt(a: String, b: String): Boolean =
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      val es = e.as[(String, String, Long)].collect()
+      val compM = new java.util.HashMap[String, String]
+      es.foreach { case (u, v, _) =>
+        compM.put(u, u); compM.put(v, v)
+      }
+      val forestRows = new scala.collection.mutable.ArrayBuffer[(String, String, Long, Int)]
+      var round0 = 0
+      var done0 = false
+      while (!done0 && round0 < maxRounds) {
+        round0 += 1
+        // per-component min cross edge by (w, ua, va) — label-independent
+        val best = new java.util.HashMap[String, (Long, String, String, String, String)]
+        def consider(c: String, cand: (Long, String, String, String, String)): Unit = {
+          val cur = best.get(c)
+          if (cur == null || cand._1 < cur._1 ||
+            (cand._1 == cur._1 && (lt(cand._2, cur._2) ||
+              (cand._2 == cur._2 && lt(cand._3, cur._3)))))
+            best.put(c, cand)
+        }
+        es.foreach { case (u, v, w) =>
+          val cu = compM.get(u); val cv = compM.get(v)
+          if (cu != cv) {
+            val cand = (w, u, v, cu, cv)
+            consider(cu, cand); consider(cv, cand)
+          }
+        }
+        if (best.isEmpty) done0 = true
+        else {
+          val selected = new java.util.HashSet[(Long, String, String, String, String)]
+          best.values().forEach(c => { selected.add(c); () })
+          selected.forEach { case (w, u, v, _, _) =>
+            forestRows += ((u, v, w, round0)); ()
+          }
+          // contract: union-find over the selected (cu, cv) links; every
+          // touched label maps to the MIN member of its merged group
+          val parent = new java.util.HashMap[String, String]
+          def find(x: String): String = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+            r
+          }
+          selected.forEach { case (_, _, _, cu, cv) =>
+            val ru = find(cu); val rv = find(cv)
+            if (ru != rv) {
+              if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+            }
+            ()
+          }
+          val relabel = new java.util.HashMap[String, String]
+          parent.keySet().forEach(k => { relabel.put(k, find(k)); () })
+          compM.replaceAll((_, c) => relabel.getOrDefault(c, c))
+        }
+      }
+      if (!done0)
+        throw new IllegalStateException(
+          s"spanningForest did not converge in $maxRounds rounds (components " +
+            "halve per round — raise maxRounds only for graphs beyond 2^64 nodes)")
+      return forestRows.toSeq.toDF("src", "dst", "w", "round")
+    }
     // component map starts as the identity over the node set
     var comp = graft.Materialize(
       e.select(col("ua").as("id")).union(e.select(col("va").as("id"))).distinct()

@@ -88,4 +88,18 @@ class MstSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("src", "dst", "w", "round"))
     assert(out.isEmpty)
   }
+
+  test("gate-forced parity: local Boruvka replay == join rounds (incl. round col)") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L), ("c", "d", 5L),
+      ("d", "e", 1L), ("e", "c", 4L), ("x", "y", 2L), ("b", "a", 3L)).toDF("src", "dst", "w")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Mst.spanningForest(df).as[(String, String, Long, Int)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.mst.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.mst.localMaxEdges")
+    assert(local == dist)
+  }
 }
