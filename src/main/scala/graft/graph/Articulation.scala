@@ -40,6 +40,17 @@ object Articulation {
   def articulationPoints(edges: DataFrame, maxDepth: Int = 64,
       ccSmallThreshold: Long = 100000L): DataFrame = {
     val und = Bridges.normalize(edges)
+    // r6: size-gated local Tarjan DFS (see Bridges.localCut) — the
+    // articulation set is a unique property of the graph (a vertex of
+    // >= 2 blocks), so the DFS low-link condition provably agrees with
+    // the block-counting formulation (ArticulationSpec gate-forces both).
+    Bridges.localCut(und) match {
+      case Some(cut) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return cut.articulation.toSeq.toDF("v")
+      case None => ()
+    }
     val (treeEdges, nonTree, cover) =
       Bridges.cycleCover(und, maxDepth, ccSmallThreshold)
     def key(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -61,11 +61,103 @@ object Bridges {
   def bridges(edges: DataFrame, maxDepth: Int = 64,
       ccSmallThreshold: Long = 100000L): DataFrame = {
     val und = normalize(edges)
+    // r6: size-gated driver-local cut structure (the k-core local-peel
+    // pattern): the bridge set is a unique property of the graph, so the
+    // iterative Tarjan low-link DFS provably agrees with the
+    // spanning-forest/cycle-cover formulation (BridgesSpec gate-forces
+    // both). Beyond the gate the distributed machinery is unchanged.
+    localCut(und) match {
+      case Some(cut) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return cut.bridges.toSeq.toDF("a", "b")
+      case None => ()
+    }
     val (treeEdges, _, cover) = cycleCover(und, maxDepth, ccSmallThreshold)
     val covered = cover.select("c", "p").distinct()
     treeEdges.join(covered, Seq("c", "p"), "left_anti")
       .select(least(col("c"), col("p")).as("a"),
         greatest(col("c"), col("p")).as("b"))
+  }
+
+  /** Local cut structure (bridges + articulation points) of a NORMALIZED
+    * simple edge list, when it fits `spark.graft.bridges.localMaxEdges` —
+    * one iterative Tarjan low-link DFS; both sets are unique properties
+    * of the graph (any algorithm returns exactly them). */
+  private[graph] case class Cut(edges: Array[(String, String)],
+      bridges: scala.collection.mutable.LinkedHashSet[(String, String)],
+      articulation: scala.collection.mutable.LinkedHashSet[String])
+
+  private[graph] def localCut(und: DataFrame): Option[Cut] = {
+    val gate = und.sparkSession.conf
+      .get("spark.graft.bridges.localMaxEdges", "8000000").toLong
+    if (und.count() > gate) return None
+    val rows = und.collect()
+    val es = rows.map(r => (r.getString(0), r.getString(1)))
+    val ix = new java.util.HashMap[String, Integer]
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    def dense(x: String): Int = {
+      val got = ix.get(x)
+      if (got != null) got.intValue
+      else { val i = names.length; ix.put(x, i); names += x; i }
+    }
+    val m = es.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) { ea(i) = dense(es(i)._1); eb(i) = dense(es(i)._2); i += 1 }
+    val n = names.length
+    val degc = new Array[Int](n)
+    i = 0; while (i < m) { degc(ea(i)) += 1; degc(eb(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + degc(i); i += 1 }
+    val adjN = new Array[Int](2 * m); val adjE = new Array[Int](2 * m)
+    val fill = off.clone()
+    i = 0
+    while (i < m) {
+      adjN(fill(ea(i))) = eb(i); adjE(fill(ea(i))) = i; fill(ea(i)) += 1
+      adjN(fill(eb(i))) = ea(i); adjE(fill(eb(i))) = i; fill(eb(i)) += 1
+      i += 1
+    }
+    val disc = Array.fill(n)(-1); val low = new Array[Int](n)
+    val pEdge = Array.fill(n)(-1)
+    val stack = new Array[Int](n); val ptr = new Array[Int](n)
+    val bridges = new scala.collection.mutable.LinkedHashSet[(String, String)]
+    val artic = new scala.collection.mutable.LinkedHashSet[String]
+    var time = 0
+    var s = 0
+    while (s < n) {
+      if (disc(s) == -1) {
+        var top = 0
+        stack(0) = s; disc(s) = time; low(s) = time; time += 1; ptr(s) = off(s)
+        var rootChildren = 0
+        while (top >= 0) {
+          val u = stack(top)
+          if (ptr(u) < off(u + 1)) {
+            val k = ptr(u); ptr(u) += 1
+            val v = adjN(k); val eid = adjE(k)
+            if (disc(v) == -1) {
+              pEdge(v) = eid
+              if (u == s) rootChildren += 1
+              disc(v) = time; low(v) = time; time += 1; ptr(v) = off(v)
+              top += 1; stack(top) = v
+            } else if (eid != pEdge(u)) {
+              if (disc(v) < low(u)) low(u) = disc(v)
+            }
+          } else {
+            top -= 1
+            if (top >= 0) {
+              val p = stack(top)
+              if (low(u) < low(p)) low(p) = low(u)
+              if (low(u) > disc(p)) bridges += es(pEdge(u))
+              if (p != s && low(u) >= disc(p)) artic += names(p)
+            }
+          }
+        }
+        if (rootChildren >= 2) artic += names(s)
+      }
+      s += 1
+    }
+    Some(Cut(es, bridges, artic))
   }
 
   /** Shared spanning-forest machinery (steps 1–4 of the algorithm above),

@@ -92,4 +92,18 @@ class ArticulationSpec extends SparkSuite {
       assert(run(e, parts = 4) === tarjan(e), s"trial $trial n=$n extra=$extra")
     }
   }
+
+  test("gate-forced parity: local DFS low-link == block counting") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "d"), ("x", "y"), ("y", "z")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Articulation.articulationPoints(df).as[String].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.bridges.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.bridges.localMaxEdges")
+    assert(local == dist)
+  }
 }

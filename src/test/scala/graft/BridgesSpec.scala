@@ -97,4 +97,18 @@ class BridgesSpec extends SparkSuite {
     assert(run(edges, parts = 13) == expected)
     assert(expected.nonEmpty && expected.size < spine.size) // non-trivial
   }
+
+  test("gate-forced parity: local Tarjan DFS == cycle-cover formulation") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "d"), ("x", "y")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Bridges.bridges(df).as[(String, String)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.bridges.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.bridges.localMaxEdges")
+    assert(local == dist)
+  }
 }

@@ -64,4 +64,18 @@ class TwoEdgeCCSpec extends SparkSuite {
     assert(got("p") === "p")
     assert(Seq("x1", "x2", "x3").map(got) === Seq("x1", "x1", "x1"))
   }
+
+  test("gate-forced parity: local union-find == distributed pipeline") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "d"), ("x", "y")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.TwoEdgeCC.components(df).as[(String, String)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.bridges.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.bridges.localMaxEdges")
+    assert(local == dist)
+  }
 }
