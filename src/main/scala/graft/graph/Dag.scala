@@ -37,6 +37,43 @@ object Dag {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") >= 0)
       .distinct())
+    // r6: size-gated driver-local replay (the k-core local-peel pattern):
+    // the max-relax fixed point is unique and the local loop runs the
+    // SAME synchronous rounds — including the maxRounds cycle rejection —
+    // so it provably agrees with the join form (DagSpec gate-forces
+    // both). Beyond the gate the join rounds are unchanged.
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.dag.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(String, String, Long)].collect()
+      val hasIn = new java.util.HashSet[String]
+      es.foreach { case (_, d, _) => hasIn.add(d); () }
+      var dm = new java.util.HashMap[String, Long]
+      es.foreach { case (s, _, _) => if (!hasIn.contains(s)) dm.put(s, 0L) }
+      var round0 = 0
+      var converged0 = false
+      while (!converged0) {
+        round0 += 1
+        if (round0 > maxRounds)
+          throw new IllegalStateException(
+            s"dag: no fixed point after $maxRounds rounds — cycle in the " +
+              "edge list, or depth exceeds the bound")
+        val next = new java.util.HashMap[String, Long](dm)
+        es.foreach { case (s, d, w) =>
+          if (dm.containsKey(s)) {
+            val cand = dm.get(s) + w
+            if (!next.containsKey(d) || cand > next.get(d)) next.put(d, cand)
+          }
+        }
+        converged0 = next == dm
+        dm = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+      dm.forEach((k, v) => { out += ((k, v)); () })
+      return out.toSeq.toDF("id", "dist")
+    }
     val sources = e.select(col("src").as("id")).distinct()
       .join(e.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
     var dist = graft.Materialize(sources.select(col("id"), lit(0L).as("dist")))

@@ -37,6 +37,40 @@ object Widest {
         col("w").isNotNull && col("w") >= 0)
       .distinct())
     val sd = seeds.select(col("id").cast("string").as("id")).distinct()
+    // r6: size-gated driver-local replay — same unique (max, min)-semiring
+    // fixed point, same synchronous rounds and maxRounds contract as the
+    // join form (WidestSpec gate-forces both); beyond the gate unchanged.
+    val localMaxE = edges.sparkSession.conf
+      .get("spark.graft.widest.localMaxEdges", "8000000").toLong
+    if (e.count() <= localMaxE) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(String, String, Long)].collect()
+      val seedSet = new java.util.HashSet[String]
+      sd.as[String].collect().foreach(s => { seedSet.add(s); () })
+      var bm = new java.util.HashMap[String, Long]
+      seedSet.forEach(s => { bm.put(s, Long.MaxValue); () })
+      var round0 = 0
+      var converged0 = false
+      while (!converged0) {
+        round0 += 1
+        if (round0 > maxRounds)
+          throw new IllegalStateException(
+            s"widest: no fixed point after $maxRounds rounds")
+        val next = new java.util.HashMap[String, Long](bm)
+        es.foreach { case (s, d, w) =>
+          if (bm.containsKey(s)) {
+            val cand = math.min(bm.get(s), w)
+            if (!next.containsKey(d) || cand > next.get(d)) next.put(d, cand)
+          }
+        }
+        converged0 = next == bm
+        bm = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+      bm.forEach((k, v) => { if (!seedSet.contains(k)) out += ((k, v)); () })
+      return out.toSeq.toDF("id", "bottleneck")
+    }
     var b = graft.Materialize(sd.select(col("id"), lit(Long.MaxValue).as("b")))
     def certOf(d: DataFrame): (Long, String) = {
       // exact decimal Σ — the Long.MaxValue seed sentinels would overflow

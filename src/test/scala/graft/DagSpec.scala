@@ -55,4 +55,23 @@ class DagSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(d == Map("a" -> 0L, "b" -> 3L))
   }
+
+  test("gate-forced parity: local replay == join rounds (incl. cycle rejection)") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "d", 3L), ("c", "d", 10L),
+      ("d", "e", 1L), ("x", "y", 4L)).toDF("src", "dst", "w")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Dag.longestPaths(df).as[(String, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.dag.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.dag.localMaxEdges")
+    assert(local == dist)
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L), ("s", "a", 1L)).toDF("src", "dst", "w")
+    val eLocal = intercept[IllegalStateException] {
+      graft.graph.Dag.longestPaths(cyc).collect()
+    }
+    assert(eLocal.getMessage.contains("no fixed point"))
+  }
 }

@@ -56,4 +56,19 @@ class WidestSpec extends SparkSuite {
     val d = run(Seq(("s", "a", 4L), ("x", "y", 9L)), Seq("s"))
     assert(d == Map("a" -> 4L))
   }
+
+  test("gate-forced parity: local replay == join rounds") {
+    import spark.implicits._
+    val e = Seq(("s", "a", 5L), ("a", "b", 3L), ("s", "b", 2L), ("b", "c", 9L),
+      ("c", "a", 9L), ("z", "q", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("s").toDF("id")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Widest.paths(df, seeds).as[(String, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.widest.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.widest.localMaxEdges")
+    assert(local == dist)
+  }
 }
