@@ -50,6 +50,83 @@ object Mis {
       und.union(und.select(col("b").as("a"), col("a").as("b"))).distinct())
     val spark = edges.sparkSession
     import spark.implicits._
+    // r6: size-gated driver-local replay (the k-core local-peel pattern):
+    // selection is a pure function of the graph and the priority order
+    // (the lexicographically-first MIS), and the local loop replays the
+    // SAME waves — priorities are evaluated by the caller's own Column
+    // expression in one projection, then compared field-by-field with
+    // the engine's orderings (UTF8String for strings). MisSpec
+    // gate-forces parity incl. round numbers and the isolated backfill.
+    val localMaxE = spark.conf
+      .get("spark.graft.mis.localMaxEdges", "8000000").toLong
+    if (live.count() <= localMaxE) {
+      import org.apache.spark.unsafe.types.UTF8String
+      def cmpVal(x: Any, y: Any): Int = (x, y) match {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int) => Integer.compare(a, b)
+        case (a: String, b: String) =>
+          UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+        case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+        case (a: Short, b: Short) => java.lang.Short.compare(a, b)
+        case (a: Byte, b: Byte) => java.lang.Byte.compare(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"mis local: unsupported priority field type ${x.getClass}")
+      }
+      def cmpRow(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+        var i = 0
+        while (i < a.length) {
+          val c = cmpVal(a.get(i), b.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      val liveEdges0 = live.as[(String, String)].collect()
+      val allIds = liveEdges0.map(_._1).distinct
+      val prioRows = spark.createDataset(allIds.toSeq).toDF("id")
+        .select(col("id"), prioOf(col("id")).as("p")).collect()
+      val prioM = new java.util.HashMap[String, org.apache.spark.sql.Row]
+      prioRows.foreach(r => prioM.put(r.getString(0), r.getStruct(1)))
+      var liveE = liveEdges0
+      val sel = new scala.collection.mutable.LinkedHashMap[String, Int]
+      var round0 = 0
+      var done0 = false
+      while (!done0 && round0 < maxRounds) {
+        round0 += 1
+        val minNbr = new java.util.HashMap[String, org.apache.spark.sql.Row]
+        liveE.foreach { case (a, b) =>
+          val pb = prioM.get(b)
+          val cur = minNbr.get(a)
+          if (cur == null || cmpRow(pb, cur) < 0) minNbr.put(a, pb)
+        }
+        val winners = new scala.collection.mutable.ArrayBuffer[String]
+        minNbr.forEach((a, mn) => {
+          if (cmpRow(prioM.get(a), mn) < 0) winners += a
+          ()
+        })
+        if (winners.isEmpty) done0 = true
+        else {
+          winners.foreach(w => sel.put(w, round0))
+          val dead = new java.util.HashSet[String]
+          winners.foreach(w => { dead.add(w); () })
+          liveE.foreach { case (a, b) => if (sel.contains(a) && sel(a) == round0) dead.add(b) }
+          liveE = liveE.filter { case (a, b) => !dead.contains(a) && !dead.contains(b) }
+        }
+      }
+      if (!done0)
+        throw new IllegalStateException(
+          s"maximalIndependentSet did not converge in $maxRounds rounds " +
+            "(edges halve per round in expectation — raise maxRounds)")
+      // maximality backfill: nodes with no selected ORIGINAL neighbor
+      val nbrOfSel = new java.util.HashSet[String]
+      liveEdges0.foreach { case (a, b) => if (sel.contains(a)) nbrOfSel.add(b) }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Int)]
+      sel.foreach { case (id, r) => out += ((id, r)) }
+      allIds.foreach { id =>
+        if (!sel.contains(id) && !nbrOfSel.contains(id)) out += ((id, 0))
+      }
+      return out.toSeq.toDF("id", "round")
+    }
     var selected = graft.Materialize(
       Seq.empty[(String, Int)].toDF("id", "round"))
     var round = 0

@@ -95,4 +95,18 @@ class MisSpec extends SparkSuite {
     checkMisProperties(Seq("a" -> "b", "c" -> "d"), out.keySet)
     assert(out.size == 2) // one from each pair
   }
+
+  test("gate-forced parity: local wave replay == distributed rounds") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+      ("e", "f"), ("g", "h"), ("h", "i")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Mis.maximalIndependentSet(df).as[(String, Int)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.mis.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.mis.localMaxEdges")
+    assert(local == dist)
+  }
 }
