@@ -46,6 +46,87 @@ object Betweenness {
       .distinct())
     def barrier(df: DataFrame): DataFrame =
       df.where(col("s").isNotNull && col("id").isNotNull)
+    // r6: size-gated driver-local Brandes replay (the k-core local-peel
+    // pattern): σ counts are exact long sums and each dependency term is
+    // the same truncating integer expression, both order-independent, so
+    // the local per-source BFS + descending-level accumulation is
+    // bit-identical to the join rounds (BetweennessSpec gate-forces
+    // both). The settled (source, node) state can outgrow the driver
+    // under the edge gate, so the local run aborts to the distributed
+    // loop past the pair budget — the bounded-probe discipline.
+    val sess = edges.sparkSession
+    val localMaxE = sess.conf
+      .get("spark.graft.betweenness.localMaxEdges", "8000000").toLong
+    val localMaxPairs = sess.conf
+      .get("spark.graft.betweenness.localMaxPairs", "4000000").toLong
+    if (e.count() <= localMaxE) {
+      import sess.implicits._
+      val es = e.as[(String, String)].collect()
+      val adj = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+      es.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, new scala.collection.mutable.ArrayBuffer[String]) += v
+      }
+      val srcs = sources.select(col(sourceCol).cast("string").as("s"))
+        .where(col("s").isNotNull).distinct().as[String].collect()
+      val bcFp = new scala.collection.mutable.LinkedHashMap[String, Long]
+      val bcN = new scala.collection.mutable.HashMap[String, Long]
+      var totalPairs = 0L
+      var over = false
+      var si = 0
+      while (si < srcs.length && !over) {
+        val s = srcs(si)
+        val dist = new scala.collection.mutable.HashMap[String, Int]
+        val sigma = new scala.collection.mutable.HashMap[String, Long]
+        dist(s) = 0; sigma(s) = 1L
+        val byLevel = new scala.collection.mutable.ArrayBuffer[Array[String]]
+        byLevel += Array(s)
+        var frontier = Array(s)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          val acc = new scala.collection.mutable.LinkedHashMap[String, Long]
+          frontier.foreach { u =>
+            adj.get(u).foreach(_.foreach { v =>
+              if (!dist.contains(v)) acc(v) = acc.getOrElse(v, 0L) + sigma(u)
+            })
+          }
+          frontier = acc.keys.toArray
+          frontier.foreach { v => dist(v) = d; sigma(v) = acc(v) }
+          if (frontier.nonEmpty) byLevel += frontier
+        }
+        totalPairs += dist.size
+        if (totalPairs > localMaxPairs) over = true
+        else {
+          // backward: strictly descending levels, δ_v final before its
+          // predecessors; only δ > 0 rows exist (the distributed filter)
+          val delta = new scala.collection.mutable.HashMap[String, Long]
+          var lvl = byLevel.length - 2
+          while (lvl >= 0) {
+            byLevel(lvl).foreach { u =>
+              var sum = 0L
+              val du = dist(u)
+              adj.get(u).foreach(_.foreach { v =>
+                if (dist.getOrElse(v, -1) == du + 1)
+                  sum += (sigma(u) * (scale + delta.getOrElse(v, 0L))) / sigma(v)
+              })
+              if (sum > 0L) delta(u) = sum
+            }
+            lvl -= 1
+          }
+          delta.foreach { case (u, del) =>
+            if (u != s) {
+              bcFp(u) = bcFp.getOrElse(u, 0L) + del
+              bcN(u) = bcN.getOrElse(u, 0L) + 1L
+            }
+          }
+        }
+        si += 1
+      }
+      if (!over) {
+        return bcFp.toSeq.map { case (id, fp) => (id, fp, bcN(id)) }
+          .toDF("id", "bc_fp", "n_sources")
+      } // else fall through to the distributed loop
+    }
     // ---- forward: (s, id, dist, sigma) ----
     var settled = graft.Materialize(sources
       .select(col(sourceCol).cast("string").as("s"))

@@ -86,4 +86,27 @@ class BetweennessSpec extends SparkSuite {
     val out = bc(Seq("a" -> "b"), Seq("b"))
     assert(out.isEmpty)
   }
+
+  test("gate-forced parity: local Brandes replay == join rounds") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"),
+      ("d", "c"), ("b", "d"), ("d", "b"), ("a", "e"), ("e", "a"),
+      ("e", "d"), ("d", "e")).toDF("src", "dst")
+    val srcs = Seq("a", "c", "e").toDF("id")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Betweenness.fromSources(df, srcs)
+        .as[(String, Long, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.betweenness.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.betweenness.localMaxEdges")
+    assert(local == dist)
+    // pair-budget abort falls back, same result
+    val forced = try {
+      spark.conf.set("spark.graft.betweenness.localMaxPairs", "1")
+      go(e)
+    } finally spark.conf.unset("spark.graft.betweenness.localMaxPairs")
+    assert(forced == local)
+  }
 }
