@@ -36,12 +36,21 @@ object Butterflies {
     val idiv = (a: org.apache.spark.sql.Column, b: Long) =>
       call_function("div", a, lit(b))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val wedges = e.groupBy("r").agg(count(lit(1)).as("d"))
+    // r6: per-right sorted left arrays (the Cooccur/coOrderHalf shape) —
+    // ONE right-keyed exchange feeds both the wedge-count aggregate
+    // (d = array size) and the left-pair expansion (narrow suffix
+    // explode), where the self-join shuffled e by r twice more. The
+    // lefts are distinct per right (e is distinct), so sorted-array
+    // suffix pairs ARE the la < lb pair set.
+    val arr = graft.Materialize(
+      e.groupBy("r").agg(sort_array(collect_list("l")).as("ls")),
+      eager = false)
+    val wedges = arr.select(size(col("ls")).cast("long").as("d"))
       .agg(coalesce(sum(idiv(col("d") * (col("d") - 1L), 2L)), lit(0L))
         .as("n_wedges"))
-    val pairs = e.select(col("l").as("la"), col("r"))
-      .join(e.select(col("l").as("lb"), col("r")), Seq("r"))
-      .where(col("la") < col("lb"))
+    val pairs = arr
+      .select(posexplode(col("ls")).as(Seq("i", "la")), col("ls"))
+      .select(col("la"), explode(expr("slice(ls, i + 2, size(ls))")).as("lb"))
       .groupBy("la", "lb").agg(count(lit(1)).as("cop"))
     val pa = pairs.agg(
       count(lit(1)).as("n_pairs"),

@@ -35,6 +35,56 @@ object Matching {
       .where(col("a") =!= col("b")).distinct()
     var live = canon.withColumn("p",
       Sketch.kmvHash(concat(col("a"), lit("|"), col("b"))))
+    // r6: size-gated driver-local wave replay (the Luby-MIS local-path
+    // pattern): the matching is a pure function of the edge priorities
+    // (evaluated by the same Column expression in one distributed
+    // projection), so the local both-endpoint-min rounds are identical
+    // to the aggregate rounds (MatchingSpec gate-forces both paths).
+    val localMaxE = spark.conf
+      .get("spark.graft.matching.localMaxEdges", "8000000").toLong
+    val liveM = graft.Materialize(live, eager = false)
+    if (liveM.count() <= localMaxE) {
+      import org.apache.spark.unsafe.types.UTF8String
+      def less(x: (Long, String, String), y: (Long, String, String)): Boolean =
+        x._1 < y._1 || (x._1 == y._1 && {
+          val c = UTF8String.fromString(x._2).compareTo(UTF8String.fromString(y._2))
+          c < 0 || (c == 0 &&
+            UTF8String.fromString(x._3).compareTo(UTF8String.fromString(y._3)) < 0)
+        })
+      var es = liveM.as[(String, String, Long)].collect()
+        .map { case (a, b, p) => (p, a, b) }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
+      var done0 = false
+      var it = 0
+      while (!done0 && it < maxIter) {
+        val nodeMin = new java.util.HashMap[String, (Long, String, String)]
+        es.foreach { e =>
+          val cur1 = nodeMin.get(e._2)
+          if (cur1 == null || less(e, cur1)) nodeMin.put(e._2, e)
+          val cur2 = nodeMin.get(e._3)
+          if (cur2 == null || less(e, cur2)) nodeMin.put(e._3, e)
+        }
+        // (p, a, b) is unique per edge, so value equality identifies the
+        // winner at each endpoint exactly
+        val winners = es.filter(e =>
+          nodeMin.get(e._2) == e && nodeMin.get(e._3) == e)
+        if (winners.isEmpty) done0 = true
+        else {
+          val gone = new java.util.HashSet[String]
+          winners.foreach { case (p, a, b) =>
+            out += ((a, b, p)); gone.add(a); gone.add(b); ()
+          }
+          es = es.filter(e => !gone.contains(e._2) && !gone.contains(e._3))
+        }
+        it += 1
+      }
+      if (!done0 && it >= maxIter)
+        throw new IllegalStateException(
+          s"maximal matching did not converge in $maxIter rounds")
+      return out.toSeq.map { case (a, b, p) => (a, b, p) }
+        .toDF("a", "b", "priority")
+    }
+    live = liveM
     var matched = Seq.empty[(String, String, Long)].toDF("a", "b", "p")
     var done = false
     var i = 0

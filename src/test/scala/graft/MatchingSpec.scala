@@ -51,4 +51,18 @@ class MatchingSpec extends SparkSuite {
       .as[(String, String, Long)].collect().toSet
     assert(engine == fixture && engine.nonEmpty)
   }
+
+  test("gate-forced parity: local wave replay == aggregate rounds") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+      ("e", "f"), ("g", "h"), ("h", "e")).toDF("src", "dst")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.Matching.maximal(df).as[(String, String, Long)].collect().toSet
+    val local = go(e)
+    val dist = try {
+      spark.conf.set("spark.graft.matching.localMaxEdges", "0")
+      go(e)
+    } finally spark.conf.unset("spark.graft.matching.localMaxEdges")
+    assert(local == dist)
+  }
 }
