@@ -37,9 +37,15 @@ object StringSim {
     require(maxDist == 1 || maxDist == 2, "editDistanceJoin: maxDist must be 1 or 2")
     require(maxBucket > 1, "editDistanceJoin: maxBucket must be > 1")
 
-    val base = df.select(col(idCol).cast("string").as("id"),
-        col(strCol).as("s"))
-      .where(col("s").isNotNull)
+    // r6: checkpoint the cleaned (id, s) projection — it feeds the
+    // variant expansion AND both exact-verify joins (three input scans
+    // as pure lineage), and its count gate-hints the verify joins
+    // (§3.1): the candidate pair table then never shuffles within the
+    // gate; beyond it the SMJs are unchanged.
+    val base = graft.Materialize(
+      df.select(col(idCol).cast("string").as("id"), col(strCol).as("s"))
+        .where(col("s").isNotNull), eager = false)
+    val nBase = base.count()
 
     // deletion neighborhood as pure codegen SQL HOFs: one deletion pass per
     // distance unit, flattened + deduped per row, then hashed. Lambda vars
@@ -81,8 +87,10 @@ object StringSim {
 
     // exact verify: join the strings back, codegen'd bounded levenshtein
     cand
-      .join(base.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .join(graft.Hints.bcastIf(
+        base.select(col("id").as("id_a"), col("s").as("__sa")), nBase), Seq("id_a"))
+      .join(graft.Hints.bcastIf(
+        base.select(col("id").as("id_b"), col("s").as("__sb")), nBase), Seq("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))

@@ -41,7 +41,6 @@ object TruthDiscovery {
         col("val").cast("string").as("val"))
       .where(col("src").isNotNull && col("obj").isNotNull &&
         col("val").isNotNull)
-      .distinct()
 
   /** The static claim structure, pre-grouped ONCE (r6, guide §2.4): one
     * row per object carrying `entries = [(val, srcs[]), ...]` — vals
@@ -52,18 +51,27 @@ object TruthDiscovery {
     * broadcast map — the PageRank dangling idiom. The previous form paid
     * a claims-scale (obj,val) aggregate + an obj window + a claims-scale
     * join-back PER ROUND. */
-  private def perObject(cl: DataFrame): DataFrame = graft.Materialize(
-    cl.groupBy("obj", "val").agg(collect_list("src").as("srcs"))
-      .groupBy("obj")
-      .agg(collect_list(struct(col("val"), col("srcs"))).as("entries")),
-    eager = false)
+  private def perObject(cl: DataFrame): (DataFrame, DataFrame) = {
+    // r6 follow-up: collect_set dedups duplicate (src, obj, val) claims
+    // INSIDE the first aggregation — the separate claims-scale distinct
+    // exchange is gone; n_claims per source reads the checkpointed
+    // per-(obj,val) sets narrowly instead of re-scanning the claims.
+    val perVal = graft.Materialize(
+      cl.groupBy("obj", "val").agg(collect_set("src").as("srcs")),
+      eager = false)
+    val perObj = graft.Materialize(
+      perVal.groupBy("obj")
+        .agg(collect_list(struct(col("val"), col("srcs"))).as("entries")),
+      eager = false)
+    val nClaims = perVal.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_claims"))
+    (perObj, nClaims)
+  }
 
   /** T rounds of the fixpoint: (final trust by src, final per-object
-    * beliefs as `(obj, bent[(val, srcs, belief_fp)])`). `cl` must be the
-    * cleaned claim set; `perObj` its pre-grouped form. */
-  private def iterate(cl: DataFrame, perObj: DataFrame, rounds: Int)
+    * beliefs as `(obj, bent[(val, srcs, belief_fp)])`). */
+  private def iterate(perObj: DataFrame, nClaims: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
-    val nClaims = cl.groupBy("src").agg(count(lit(1)).as("n_claims"))
     var trust = nClaims.select(col("src"), lit(Scale).as("trust_fp"))
     var beliefs: DataFrame = null
     (1 to rounds).foreach { _ =>
@@ -104,8 +112,8 @@ object TruthDiscovery {
     * (obj, resolved_val, belief_fp, n_values, n_sources). */
   def resolve(claims: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
-    val cl = cleaned(claims)
-    val (_, beliefs) = iterate(cl, perObject(cl), rounds)
+    val (perObj, nClaims) = perObject(cleaned(claims))
+    val (_, beliefs) = iterate(perObj, nClaims, rounds)
     // winner + stats are all per-row now: argmax by (belief desc, val
     // asc) — the exact row_number order, vals unique within the object —
     // via a struct sort; n_values = |entries|; n_sources = distinct
@@ -126,7 +134,7 @@ object TruthDiscovery {
     * auditing which feeds are untrustworthy). */
   def sourceTrust(claims: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
-    val cl = cleaned(claims)
-    iterate(cl, perObject(cl), rounds)._1
+    val (perObj, nClaims) = perObject(cleaned(claims))
+    iterate(perObj, nClaims, rounds)._1
   }
 }
