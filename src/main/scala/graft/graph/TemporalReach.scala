@@ -30,14 +30,23 @@ object TemporalReach {
     * included at their t0). */
   def earliestArrival(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 16, s"hops 1..16, got $hops")
-    val e = edges.select(col("src"), col("dst"), col("t"))
-    var arr = seeds.select(col("id"), col("t0").as("arrival"))
-      .groupBy("id").agg(min("arrival").as("arrival"))
+    val e = graft.Materialize(edges.select(col("src"), col("dst"), col("t")),
+      eager = false)
+    var arr = graft.Materialize(seeds.select(col("id"), col("t0").as("arrival"))
+      .groupBy("id").agg(min("arrival").as("arrival")), eager = false)
     (1 to hops).foreach { _ =>
-      val cand = e.join(arr, e("src") === arr("id") && e("t") >= arr("arrival"))
+      // r6: checkpoint each round — `arr` feeds BOTH the relax join and
+      // the min-merge, so as pure lineage every reference re-computed all
+      // prior rounds (2^hops recomputes of round 1; the TruthDiscovery
+      // chained-lineage finding). The round count that materializes the
+      // checkpoint also gate-hints the node-scale arrival table into the
+      // edge-scale join (§3.1); beyond the gate the SMJ round is
+      // unchanged.
+      val a = graft.Hints.bcastIf(arr, arr.count())
+      val cand = e.join(a, e("src") === a("id") && e("t") >= a("arrival"))
         .groupBy(col("dst").as("id")).agg(min(col("t")).as("arrival"))
-      arr = arr.unionByName(cand)
-        .groupBy("id").agg(min("arrival").as("arrival"))
+      arr = graft.Materialize(arr.unionByName(cand)
+        .groupBy("id").agg(min("arrival").as("arrival")), eager = false)
     }
     arr
   }
