@@ -138,6 +138,38 @@ object BenchExtra {
         println("[diag] repart distinct cand = " +
           raw.repartition(col("id_a"), col("id_b")).distinct().count() +
           f" (${(System.nanoTime()-t2)/1e9}%.2f s)")
+      case "itemsets_stages" =>
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+          col("l_orderkey").as("bk"),
+          concat(lit("p"), (col("l_partkey") % 37).cast("string")).as("it"))
+        val b = li.where(col("bk").isNotNull && col("it").isNotNull)
+          .groupBy("bk").agg(collect_set("it").as("__its")).localCheckpoint()
+        t("it_baskets")(b)
+        val f1 = b.select(explode(col("__its")).as("it"))
+          .groupBy("it").count().where(col("count") >= 30).localCheckpoint()
+        t("it_f1")(f1)
+        val fArr = f1.agg(sort_array(collect_list("it")).as("__fs"))
+        val kb = b.crossJoin(broadcast(fArr))
+          .select(col("bk"), array_sort(array_intersect(col("__its"), col("__fs"))).as("fa"))
+          .where(size(col("fa")) > 0).localCheckpoint()
+        t("it_project")(kb)
+        val pairs = kb.select(col("bk"), explode(expr(
+          """flatten(transform(fa, (x, i) ->
+            |  transform(slice(fa, i + 2, size(fa)),
+            |    y -> struct(x as ia, y as ib))))""".stripMargin)).as("p"))
+          .select(col("bk"), col("p.ia").as("ia"), col("p.ib").as("ib"))
+        t("it_f2")(pairs.groupBy("ia", "ib").count().where(col("count") >= 30))
+        val f2 = pairs.groupBy("ia", "ib").count().where(col("count") >= 30).localCheckpoint()
+        val bp = pairs.join(broadcast(f2.select("ia", "ib")), Seq("ia", "ib"), "left_semi")
+        t("it_bp")(bp)
+        val t3 = bp.join(broadcast(kb), Seq("bk"))
+          .select(col("bk"), col("ia"), col("ib"),
+            explode(expr("filter(fa, z -> z > ib)")).as("ic"))
+          .join(broadcast(f2.select(col("ia").as("ib"), col("ib").as("ic"))),
+            Seq("ib", "ic"), "left_semi")
+          .join(broadcast(f2.select(col("ia"), col("ib").as("ic"))),
+            Seq("ia", "ic"), "left_semi")
+        t("it_t3")(t3.groupBy("ia", "ib", "ic").count().where(col("count") >= 30))
       case "co_edges_explain" =>
         val df = coHalf
         df.write.format("noop").mode("overwrite").save()

@@ -129,4 +129,24 @@ class ItemsetsSpec extends SparkSuite {
       1000000L * sxy * n / (sx * sy)))).toMap
     assert(got === exp)
   }
+
+  test("gate-forced parity: direct triple enumeration == Apriori-pruned path") {
+    import spark.implicits._
+    val rows = (1 to 200).flatMap { b =>
+      Seq((b.toLong, s"i${b % 4}"), (b.toLong, s"i${b % 5}"), (b.toLong, s"i${(b * 3) % 6}"),
+        (b.toLong, s"i${(b * 7) % 8}"))
+    }.toDF("bk", "it")
+    def go(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Itemsets.frequentItemsets(df,
+        org.apache.spark.sql.functions.col("bk"),
+        org.apache.spark.sql.functions.col("it"), minSupport = 10L)
+        .as[(String, Int, Long)].collect().toSet
+    val direct = go(rows)
+    val pruned = try {
+      spark.conf.set("spark.graft.itemsets.directTriplesMax", "0")
+      go(rows)
+    } finally spark.conf.unset("spark.graft.itemsets.directTriplesMax")
+    assert(direct == pruned)
+    assert(direct.exists(_._2 == 3)) // the case actually exercises triples
+  }
 }
