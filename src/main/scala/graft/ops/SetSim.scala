@@ -106,22 +106,31 @@ object SetSim {
     // unordered pairs canonicalized by rid (a bijection of id, so the
     // pair SET is the same); noop-sink decomposition showed the distinct
     // over string id pairs at 6.2 s of q96's 7.8 — on (long, long) rows
-    // it is a fraction of that (guide §2.3 "narrower types"). The
-    // explicit pair-keyed repartition below is the distinct's OWN
-    // exchange moved ahead of its hash aggregate: the self-join's output
-    // is partitioned by the few prefix keys (one hot bucket ⇒ one hot
-    // partition, under AQE's 256 MB skew-split threshold), so the
-    // partial aggregate ran on a handful of skewed threads; distributing
-    // the raw pairs by (rid_a, rid_b) first balances it (§2.2) and the
-    // aggregate then runs in one complete pass with no extra exchange.
-    val cand = kept.select(col("h"), col("rid").as("rid_a"), col("sz").as("sz_a"))
-      .join(kept.select(col("h"), col("rid").as("rid_b"), col("sz").as("sz_b")),
-        Seq("h"))
-      .where(col("rid_a") < col("rid_b") &&
-        least(col("sz_a"), col("sz_b")) >=
-          ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
-      .select("rid_a", "rid_b")
-      .repartition(col("rid_a"), col("rid_b")).distinct()
+    // it is a fraction of that (guide §2.3 "narrower types").
+    // r6 follow-up: candidates come from per-bucket SORTED member arrays
+    // (rid-unique ⇒ sorted-by-rid) expanded by suffix — the same pair
+    // set as the h-keyed self-join, generated without it — with a
+    // ROUND-ROBIN repartition of the (member, suffix) rows between the
+    // two explode levels: prefix buckets are few (one hot bucket ⇒ one
+    // hot partition, under AQE's 256 MB skew-split threshold), so both
+    // the pair expansion and the distinct's partial aggregate previously
+    // ran on a handful of skewed threads (§2.2). The distinct then runs
+    // balanced; its own pair-keyed exchange is unchanged.
+    val buckets = kept
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("rid"), col("sz")))).as("rs"))
+    val cand = buckets
+      .select(posexplode(col("rs")).as(Seq("i", "a")), col("rs"))
+      .select(col("a.rid").as("rid_a"), col("a.sz").as("sz_a"),
+        expr("slice(rs, i + 2, size(rs))").as("suf"))
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt)
+      .select(col("rid_a"), col("sz_a"), explode(col("suf")).as("b"))
+      .select(col("rid_a"), col("b.rid").as("rid_b"),
+        col("sz_a"), col("b.sz").as("sz_b"))
+      .where(least(col("sz_a"), col("sz_b")) >=
+        ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9)))
+      .select("rid_a", "rid_b").distinct()
 
     // r6: the verify join re-attaches the per-record tid arrays to every
     // candidate pair; with the record checkpoint opaque to the planner
