@@ -45,34 +45,29 @@ object Communities {
       .select(least(a, b).as("a"), greatest(a, b).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    // both directions: each undirected edge feeds both endpoints' votes
-    val e = graft.Materialize(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst"))))
-    var labels = graft.Materialize(
-      e.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("community")))
-    // loop-invariant node count gates the per-round broadcast of the
-    // label state into the edge join (guide §3.1): the edge table is then
-    // never shuffled inside the loop. At production node counts the gate
-    // fails and the shuffle-join round is unchanged.
-    val nNodes = labels.count()
+    val undM = graft.Materialize(und)
     // r6: size-gated driver-local replay (the k-core local-peel pattern):
     // each round is a pure function of the previous labels — mode of
     // neighbor labels, ties to SMALLEST — so a local loop is identical to
     // the synchronous shuffle rounds (CommunitiesSpec gate-forces both).
+    // Gate and collect on the a<b HALF (the corenessLocal discipline) —
+    // the doubled table, its checkpoint and the node-set distinct only
+    // exist on the beyond-gate path.
     val localMaxE = edges.sparkSession.conf
       .get("spark.graft.lpa.localMaxEdges", "8000000").toLong
-    if (e.count() <= localMaxE) {
+    val mHalf = undM.count()
+    if (2 * mHalf <= localMaxE) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val es = e.as[(Long, Long)].collect() // both directions present
-      val ids = es.map(_._1).distinct.sorted
+      val half = undM.as[(Long, Long)].collect()
+      val ids = (half.map(_._1) ++ half.map(_._2)).distinct.sorted
       val ix = new java.util.HashMap[Long, Int](ids.length * 2)
       ids.indices.foreach(i => ix.put(ids(i), i))
       val nn = ids.length
       val adjO = Array.fill(nn)(new scala.collection.mutable.ArrayBuffer[Int])
-      es.foreach { case (s, d) => adjO(ix.get(s)) += ix.get(d) }
+      half.foreach { case (s, d) =>
+        adjO(ix.get(s)) += ix.get(d); adjO(ix.get(d)) += ix.get(s)
+      }
       val adj = adjO.map(_.toArray)
       var lab = ids.clone()
       for (_ <- 0 until iters) {
@@ -98,6 +93,18 @@ object Communities {
       }
       return ids.indices.map(i => (ids(i), lab(i))).toDF("id", "community")
     }
+    // both directions: each undirected edge feeds both endpoints' votes
+    val e = graft.Materialize(
+      undM.select(col("a").as("src"), col("b").as("dst"))
+        .union(undM.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = graft.Materialize(
+      e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("community")))
+    // loop-invariant node count gates the per-round broadcast of the
+    // label state into the edge join (guide §3.1): the edge table is then
+    // never shuffled inside the loop. At production node counts the gate
+    // fails and the shuffle-join round is unchanged.
+    val nNodes = labels.count()
     // r6: one exchange per round instead of two — the neighbor labels
     // collect per destination in a single aggregation and the mode (most
     // frequent, ties to SMALLEST label — exactly the old
